@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level function library.
+  *
+  * Two hash families:
+  *  - `xxhash64` / `hash` (Spark built-ins, codegen'd) for everything
+  *    performance-critical whose value never leaves the engine
+  *    (shuffle keys, LSH buckets at scale).
+  *  - a "portable" polynomial hash whose value is reproducible in any
+  *    ANSI-ish SQL engine (used where hash values surface in
+  *    oracle-checked outputs). It is pure integer arithmetic over
+  *    code points, so it is exactly reproducible, and it stays inside
+  *    whole-stage codegen because it is built from Spark's
+  *    higher-order functions.
+  */
+object GraftFunctions {
+
+  /** Modulus of the portable hash (prime, < 2^30 so a*h fits in a Long). */
+  val PhMod: Long = 1000000007L
+  /** Large prime multiplier for minhash permutations. */
+  val MinhashPrime: Long = 2147483647L
+
+  /** Portable polynomial string hash: fold (h*31 + codepoint) % PhMod
+    * over the characters of `s`. Deterministic across engines; ~uniform
+    * on [0, PhMod) for natural-language tokens.
+    */
+  def portableHash(s: Column): Column =
+    aggregate(
+      transform(filter(split(s, ""), c => c =!= lit("")), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % PhMod)
+
+  /** The j-th minhash permutation applied to a portable hash value.
+    * Constants are derived from j alone so the SQL oracle can reproduce
+    * them: a_j = (1103515245*(j+1) + 12345) % PhMod (forced odd),
+    * b_j = (214013*(j+1) + 2531011) % PhMod.
+    */
+  def minhashA(j: Int): Long = {
+    val a = (1103515245L * (j + 1) + 12345L) % PhMod
+    if (a % 2 == 0) a + 1 else a
+  }
+  def minhashB(j: Int): Long = (214013L * (j + 1) + 2531011L) % PhMod
+
+  def minhashPerm(h: Column, j: Int): Column =
+    (h * lit(minhashA(j)) + lit(minhashB(j))) % lit(MinhashPrime)
+
+  /** Word tokens: lowercase, split on runs of non-alphanumerics,
+    * empties dropped. The one tokenizer shared by every text operator.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** Word w-shingles of a token array: positions 0..n-w joined by a
+    * single space. Empty array when there are fewer than w tokens.
+    */
+  def wordShingles(toks: Column, w: Int): Column =
+    when(size(toks) >= w,
+      transform(
+        sequence(lit(0), size(toks) - lit(w)),
+        i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + lit(o + 1))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character n-grams of a string (positions 1..len-n+1). */
+  def charNgrams(s: Column, n: Int): Column =
+    when(length(s) >= n,
+      transform(sequence(lit(1), length(s) - lit(n - 1)), i => substring(s, i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Blocked-key serialization: a format byte, the destination table
+    * path, then the concatenated raw key encodings (reference layout:
+    * internal/util/key_serializer/key_serializer.go:9-27).
+    */
+  def serializeKey(tablePath: Column, keyJson: Column): Column =
+    concat(lit(""), tablePath, concat_ws("", keyJson))
+
+  /** Unsigned-64 comparable form of a signed long (bit-flip trick):
+    * monotone in the unsigned order. Used wherever the wire format's
+    * uint64 steps/txIds must be ordered.
+    */
+  def ux(c: Column): Column = c.bitwiseXOR(lit(Long.MinValue))
+
+  /** Position struct for lexicographic (step, txId) ordering that is
+    * correct over the full unsigned-64 range.
+    */
+  def posU(step: Column, txId: Column): Column =
+    struct(ux(step).as("s"), ux(txId).as("t"))
+
+  /** Dot product of two numeric arrays (sequential fold — deterministic). */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** L2 norm of a numeric array. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+
+  /** Cosine similarity of two double arrays; null-safe via nullif on
+    * zero norms.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dotProduct(a, b) / nullif(l2Norm(a) * l2Norm(b), lit(0.0d))
+}

@@ -1,0 +1,127 @@
+package graft.sink
+
+import graft.model.Op
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Destination table metadata — the analog of the reference's cached
+  * DescribeTable result (dst_table/dst_table.go:20-24): authoritative
+  * schema + positional primary key. Incoming columns that don't exist
+  * in this schema are a hard error, mirroring gen_query.go:323-326.
+  */
+final case class TableMeta(name: String, schema: StructType, primaryKey: Seq[String]) {
+  require(primaryKey.forall(k => schema.fieldNames.contains(k)),
+    s"primary key $primaryKey not in schema of $name")
+  def nonKeyColumns: Seq[String] =
+    schema.fieldNames.toSeq.filterNot(primaryKey.contains)
+}
+
+/** Bucketed copy-on-write apply of a merged change patch.
+  *
+  * UPSERT semantics follow the reference's generated statements
+  * (gen_query.go:342-376): an upsert sets exactly the columns present
+  * in the change and preserves the rest; a delete removes the row by
+  * key. Rather than generating SQL, we merge declaratively: full outer
+  * join of the current bucket contents with the patch on the primary
+  * key, per-column coalesce guided by the change's present-column mask.
+  *
+  * Only buckets named by the patch are read and rewritten; everything
+  * else is carried forward by manifest pointer. The join shuffles only
+  * the affected buckets' rows.
+  */
+object DstTable {
+
+  val BucketCol = "__bucket"
+
+  def bucketOf(meta: TableMeta, buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(meta.primaryKey.map(col): _*), lit(buckets)).cast("int")
+
+  def readCurrent(spark: SparkSession, meta: TableMeta,
+      tv: TransactionalStore.TableVersion,
+      onlyBuckets: Option[Set[Int]] = None): DataFrame = {
+    val files = tv.bucketFiles
+      .filter { case (b, _) => onlyBuckets.forall(_.contains(b)) }
+      .values.flatten.toSeq
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    else spark.read.schema(meta.schema).parquet(files: _*)
+  }
+
+  /** Validate that every changed column exists in the destination
+    * schema (hard error on unknown columns, like the reference).
+    * Returns the offending names (empty = ok).
+    */
+  def unknownColumns(patch: DataFrame, meta: TableMeta): Seq[String] = {
+    val known = meta.schema.fieldNames.toSet
+    patch.select(explode(map_keys(col("columns"))).as("c"))
+      .filter(!col("c").isin(known.toSeq: _*))
+      .distinct().collect().map(_.getString(0)).toSeq
+  }
+
+  /** Apply `patch` (merged rows: keyJson, op, columns) to the table and
+    * write the new bucket files under
+    * `root/tables/<name>/c{commitVersion}/`. Returns the updated
+    * per-bucket file pointers.
+    */
+  def applyPatch(spark: SparkSession, root: String, meta: TableMeta,
+      buckets: Int, current: TransactionalStore.TableVersion,
+      patch: DataFrame, commitVersion: Long): TransactionalStore.TableVersion = {
+
+    val bad = unknownColumns(patch, meta)
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown destination columns for table ${meta.name}: ${bad.mkString(",")}")
+
+    // Typed projection of the patch + present-column mask + bucket.
+    val typedPatch = patch.select(
+      (TypeConversion.project(meta.schema, meta.primaryKey,
+        col("columns"), col("keyJson")) ++ Seq(
+        col("op"),
+        TypeConversion.presentColumns(meta.schema, meta.primaryKey,
+          col("columns")).as("__present"))): _*)
+      .withColumn(BucketCol, bucketOf(meta, buckets))
+
+    val affected = typedPatch.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (affected.isEmpty) return current
+
+    val old = readCurrent(spark, meta, current, Some(affected))
+      .withColumn(BucketCol, bucketOf(meta, buckets))
+
+    val pk = meta.primaryKey
+    val oldK = old.select(
+      (pk.map(k => col(k).as(s"__k_$k")) ++
+        meta.nonKeyColumns.map(c => col(c).as(s"__o_$c")) :+
+        col(BucketCol).as("__ob")): _*)
+    val patK = typedPatch.select(
+      (pk.map(k => col(k).as(s"__pk_$k")) ++
+        meta.nonKeyColumns.map(c => col(c).as(s"__p_$c")) :+
+        col("op") :+ col("__present") :+ col(BucketCol).as("__pb")): _*)
+
+    val joined = oldK.join(patK,
+      pk.map(k => oldK(s"__k_$k") <=> patK(s"__pk_$k")).reduce(_ && _),
+      "full_outer")
+
+    val merged = joined
+      // delete drops matched rows; unmatched deletes are no-ops
+      .filter(col("op").isNull || col("op") =!= Op.Erase)
+      .select(
+        (pk.map(k => coalesce(col(s"__k_$k"), col(s"__pk_$k")).as(k)) ++
+          meta.nonKeyColumns.map { c =>
+            when(col("op").isNotNull &&
+              array_contains(coalesce(col("__present"), array()), c),
+              col(s"__p_$c"))
+              .otherwise(col(s"__o_$c")).as(c)
+          } :+
+          coalesce(col("__ob"), col("__pb")).as(BucketCol)): _*)
+
+    val outDir = s"$root/tables/${meta.name}/c$commitVersion"
+    merged.write.mode("overwrite").partitionBy(BucketCol).parquet(outDir)
+
+    val newFiles = affected.map { b =>
+      b -> TransactionalStore.partFiles(s"$outDir/$BucketCol=$b")
+    }.toMap
+    TransactionalStore.TableVersion(current.bucketFiles ++ newFiles)
+  }
+}

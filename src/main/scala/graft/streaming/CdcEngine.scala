@@ -1,0 +1,367 @@
+package graft.streaming
+
+import graft.model._
+import graft.order.{BatchOrder, HeartbeatTracker}
+import graft.merge.LwwMerge
+import graft.parse.CdcParser
+import graft.sink.{DstTable, TableMeta, TransactionalStore}
+import graft.functions.GraftFunctions.{serializeKey, ux}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** The replication engine: CDC frames in, transactionally-applied
+  * destination tables out.
+  *
+  * Control flow re-expressed from the reference's processor loop
+  * (internal/processor/processor.go — quorum wait, batch formation,
+  * apply, checkpoint) on the micro-batch model: each incoming frame is
+  * parsed and gated, changes buffer in a persistent pending store until
+  * the heartbeat quorum passes them, and every emission applies all
+  * destination tables PLUS the replication checkpoint in one atomic
+  * manifest swap. Replay after a crash is made idempotent by the
+  * checkpoint filter (changes at/below the stored position are
+  * dropped at ingest), so Spark-source replay + the atomic sink =
+  * effectively-once apply — the same argument as the reference
+  * (README.md:176-193).
+  */
+final class CdcEngine(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    tables: Map[Int, TableMeta]) {
+
+  import CdcEngine._
+
+  private val root = cfg.dstRoot
+  private val tracker = new HeartbeatTracker(
+    cfg.streams.flatMap(s => (0 until s.partitions)
+      .map(p => (s.tableId, p.toLong))).toSet)
+
+  /** Initial-scan sync target: max heartbeat of the first full set
+    * (processor.go:600-619). Driver-held, like the reference.
+    */
+  private var syncTarget: Option[Position] = None
+
+  def bootstrap(): Unit =
+    TransactionalStore.initIfAbsent(root, cfg.instanceId, tables.values.map(_.name).toSeq)
+
+  def state: ReplicationState = TransactionalStore.read(root).state
+
+  /** Read a destination table's committed contents. */
+  def readTable(name: String): DataFrame = {
+    val man = TransactionalStore.read(root)
+    val meta = tables.values.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown table $name"))
+    DstTable.readCurrent(spark, meta, man.tables(name))
+  }
+
+  /** Process one frame of raw messages. Columns: value (JSON line),
+    * tableId, partitionId, offset. Batch mode calls this directly;
+    * streaming calls it from foreachBatch.
+    */
+  def processBatch(raw: DataFrame, batchId: Long): Unit = {
+    val t0 = System.nanoTime()
+    var man = TransactionalStore.read(root)
+    if (man.state.state != EngineState.Ok)
+      throw new IllegalStateException(
+        s"refusing to run: stored state is ${man.state.state} (${man.state.lastMsg})")
+    val checkpoint = man.state.position
+
+    val parsed = CdcParser.parseEnvelope(raw).persist()
+    try {
+      // checkpoint filter (P3): drop already-applied positions at ingest
+      val changesAll = CdcParser.changes(parsed)
+        .filter(BatchOrder.posGt(col("step"), col("txId"), checkpoint))
+      val hbs = CdcParser.heartbeats(parsed)
+        .filter(BatchOrder.posGt(col("step"), col("txId"), checkpoint))
+
+      // dead-letter malformed frames
+      appendDlq(CdcParser.malformed(parsed)
+        .withColumn("reason", lit("malformed")))
+
+      // per-partition order verification (P4/ST3)
+      val carried = trackerSnapshotDF()
+      val tagged = BatchOrder.tagLate(changesAll, hbs, carried).persist()
+      val late = tagged.filter(col("isLate"))
+      val changes = resolveLate(tagged, late).drop("isLate")
+
+      // key filter (P5): blocked keys are a broadcast anti-join
+      val filtered = applyKeyFilter(changes)
+
+      // heartbeat tracking: distributed maxima, tiny driver state
+      BatchOrder.partitionMaxima(hbs).collect().foreach { r =>
+        tracker.add(r.getAs[Int]("tableId"), r.getAs[Long]("partitionId"),
+          Position(r.getAs[Long]("step"), r.getAs[Long]("txId")))
+      }
+
+      // buffer the gated changes in the pending store (dir unique per
+      // batch AND manifest version, so a replayed batch can't clobber
+      // files a committed manifest still references)
+      val pendDir = s"$root/pending/b${batchId}_v${man.version}"
+      val newPending: Seq[String] =
+        if (filtered.isEmpty) man.pendingFiles
+        else {
+          filtered.write.mode("overwrite").parquet(pendDir)
+          man.pendingFiles ++ TransactionalStore.partFiles(pendDir)
+        }
+      man = man.copy(pendingFiles = newPending)
+
+      // emission loop (ST2/ST5)
+      man = if (man.state.stage == Stage.InitialScan)
+        initialScan(man, batchId) else emitBelowQuorum(man, batchId)
+
+      TransactionalStore.commit(root, man.copy(version = man.version + 1))
+      log(s"batch=$batchId commit v${man.version + 1} stage=${man.state.stage} " +
+        s"checkpoint=(${man.state.stepId},${man.state.txId}) " +
+        f"latency=${(System.nanoTime() - t0) / 1e9}%.3fs")
+      tagged.unpersist()
+    } finally parsed.unpersist()
+  }
+
+  // ---- emission ----
+
+  private def pendingDF(man: TransactionalStore.Manifest): DataFrame =
+    if (man.pendingFiles.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pendingSchema)
+    else spark.read.schema(pendingSchema).parquet(man.pendingFiles: _*)
+
+  /** RUN stage: emit everything strictly below the quorum, atomically. */
+  private def emitBelowQuorum(man0: TransactionalStore.Manifest,
+      batchId: Long): TransactionalStore.Manifest = {
+    tracker.quorum match {
+      case None => man0
+      case Some(q) =>
+        val pending = pendingDF(man0)
+        val cut = pending.filter(BatchOrder.posLt(col("step"), col("txId"), q))
+        val rest = pending.filter(!BatchOrder.posLt(col("step"), col("txId"), q))
+        val man1 = applyCut(man0, cut, rest, q, man0.state.stage)
+        tracker.commit(q)
+        man1
+    }
+  }
+
+  /** INITIAL_SCAN stage (ST5): apply in capped chunks regardless of
+    * quorum; once the first full heartbeat set is seen, remember its
+    * max; the first quorum strictly above that max is the sync point —
+    * emit below it and flip to RUN.
+    */
+  private def initialScan(man0: TransactionalStore.Manifest,
+      batchId: Long): TransactionalStore.Manifest = {
+    if (syncTarget.isEmpty && tracker.fullSet) syncTarget = tracker.maxHb
+    var man = man0
+    syncTarget.flatMap(tracker.quorumAfter) match {
+      case Some(q) =>
+        // sync point reached: final initial-scan emission, stage → RUN
+        val pending = pendingDF(man)
+        val cut = pending.filter(BatchOrder.posLt(col("step"), col("txId"), q))
+        val rest = pending.filter(!BatchOrder.posLt(col("step"), col("txId"), q))
+        val man1 = applyCut(man, cut, rest, q, Stage.Run)
+        tracker.commit(q)
+        man1
+      case None =>
+        // drain pending in merge-ordered chunks of maxBatchSize
+        var done = false
+        while (!done) {
+          val pending = pendingDF(man)
+          val chunkDF = BatchOrder.mergeOrder(pending).limit(cfg.maxBatchSize)
+          val n = chunkDF.count()
+          if (n == 0) done = true
+          else {
+            val maxPos = chunkDF
+              .agg(max(struct(ux(col("step")).as("s"), ux(col("txId")).as("t"),
+                col("step"), col("txId"))).as("m"))
+              .select(col("m.step"), col("m.txId")).head()
+            val hi = Position(maxPos.getLong(0), maxPos.getLong(1))
+            val cut = pending.filter(!BatchOrder.posGt(col("step"), col("txId"), hi))
+            val rest = pending.filter(BatchOrder.posGt(col("step"), col("txId"), hi))
+            man = applyCut(man, cut, rest, hi, Stage.InitialScan)
+            TransactionalStore.commit(root, man.copy(version = man.version + 1))
+            man = man.copy(version = man.version + 1)
+            if (n < cfg.maxBatchSize) done = true
+          }
+        }
+        man
+    }
+  }
+
+  /** One transaction: LWW-merge the cut, apply every table's patch,
+    * rewrite the pending remainder, advance the checkpoint — all
+    * published by a single manifest swap.
+    */
+  private def applyCut(man: TransactionalStore.Manifest, cut: DataFrame,
+      rest: DataFrame, newPos: Position,
+      newStage: String): TransactionalStore.Manifest = {
+    // the upcoming manifest version tags every file this commit writes,
+    // so data dirs are unique per commit and never clobbered on replay
+    val commitTag = man.version + 1
+    val merged = LwwMerge.merge(cut).persist()
+    try {
+      val newTables = tables.foldLeft(man.tables) { case (acc, (tid, meta)) =>
+        val patch = merged.filter(col("tableId") === tid)
+        acc.updated(meta.name, DstTable.applyPatch(spark, root, meta,
+          cfg.buckets, acc(meta.name), patch, commitTag))
+      }
+      val restDir = s"$root/pending/r$commitTag"
+      val restFiles =
+        if (rest.isEmpty) Seq.empty[String]
+        else {
+          rest.write.mode("overwrite").parquet(restDir)
+          TransactionalStore.partFiles(restDir)
+        }
+      man.copy(
+        state = man.state.copy(stepId = newPos.step, txId = newPos.txId,
+          stage = newStage),
+        tables = newTables,
+        pendingFiles = restFiles)
+    } finally merged.unpersist()
+  }
+
+  // ---- problem handling ----
+
+  /** Late (protocol-violating) changes: consult the configured strategy
+    * (reference: README.md:418-451). Returns the changes to process.
+    */
+  private def resolveLate(tagged: DataFrame, late: DataFrame): DataFrame =
+    cfg.problemStrategy match {
+      case ProblemStrategy.Continue =>
+        appendDlq(late.select(col("tableId"), col("partitionId"), col("offset"),
+          to_json(struct(col("keyJson"), col("step"), col("txId"))).as("value"))
+          .withColumn("reason", lit("out-of-order")))
+        tagged.filter(!col("isLate"))
+      case ProblemStrategy.Stop =>
+        if (!late.isEmpty) {
+          appendDlq(late.select(col("tableId"), col("partitionId"), col("offset"),
+            to_json(struct(col("keyJson"), col("step"), col("txId"))).as("value"))
+            .withColumn("reason", lit("out-of-order")))
+          persistFatal("out-of-order change; strategy=stop")
+          throw new IllegalStateException("FATAL: out-of-order change (strategy=stop)")
+        }
+        tagged
+      case ProblemStrategy.CmdQueue =>
+        val cmds = readCommands()
+        val dec = late.join(cmds,
+          late("tableId") === cmds("cmdTableId") &&
+            late("keyJson") === cmds("cmdKey") &&
+            late("step") === cmds("cmdStep") && late("txId") === cmds("cmdTxId"),
+          "left")
+        val undecided = dec.filter(col("action").isNull)
+        if (!undecided.isEmpty) {
+          persistFatal("out-of-order change with no command-queue instruction")
+          throw new IllegalStateException("FATAL: unresolved out-of-order change")
+        }
+        val skipped = dec.filter(col("action") === "skip")
+        appendDlq(skipped.select(col("tableId"), col("partitionId"), col("offset"),
+          to_json(struct(col("keyJson"), col("step"), col("txId"))).as("value"))
+          .withColumn("reason", lit("cmd-skip")))
+        val keepLate = dec.filter(col("action") === "apply")
+          .select(tagged.columns.map(col): _*)
+        tagged.filter(!col("isLate")).unionByName(keepLate)
+    }
+
+  /** Command topic (S10): JSON lines
+    * {"aardapel_instance_id":..,"path":..,"key":[..],"ts":[s,t],
+    *  "action":"skip"|"apply"} under root/commands; last instruction
+    * per conflict wins (max file offset).
+    */
+  private def readCommands(): DataFrame = {
+    val dir = java.nio.file.Paths.get(root, "commands")
+    val schema = StructType(Seq(
+      StructField("aardapel_instance_id", StringType),
+      StructField("path", StringType),
+      StructField("key", ArrayType(StringType)),
+      StructField("ts", ArrayType(LongType)),
+      StructField("action", StringType)))
+    val nameById = tables.map { case (tid, m) => m.name -> tid }
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("cmdTableId", IntegerType),
+        StructField("cmdKey", ArrayType(StringType)),
+        StructField("cmdStep", LongType), StructField("cmdTxId", LongType),
+        StructField("action", StringType))))
+    if (!java.nio.file.Files.isDirectory(dir)) return empty
+    val mapping = typedLit(nameById)
+    val all = spark.read.schema(schema).json(dir.toString)
+      .filter(col("aardapel_instance_id") === cfg.instanceId)
+      .withColumn("cmdTableId", element_at(mapping, col("path")))
+      .filter(col("cmdTableId").isNotNull)
+      .withColumn("rn", monotonically_increasing_id())
+    all.groupBy(col("cmdTableId"), col("key").as("cmdKey"),
+        col("ts").getItem(0).as("cmdStep"), col("ts").getItem(1).as("cmdTxId"))
+      .agg(max_by(col("action"), col("rn")).as("action"))
+  }
+
+  /** Blocked-key filter (P5/J1): broadcast anti-join against
+    * root/blocked_keys (parquet: serializedKey string).
+    */
+  private def applyKeyFilter(changes: DataFrame): DataFrame = {
+    val dir = java.nio.file.Paths.get(root, "blocked_keys")
+    if (!java.nio.file.Files.isDirectory(dir)) return changes
+    val nameById = tables.map { case (tid, m) => m.name -> tid }
+    val mapping = typedLit(nameById.map(_.swap).map { case (k, v) => (k, v) })
+    val withKey = changes.withColumn("__sk",
+      serializeKey(element_at(mapping, col("tableId")), col("keyJson")))
+    val blocked = spark.read.parquet(dir.toString)
+      .select(col("serializedKey").as("__sk"))
+    withKey.join(broadcast(blocked), Seq("__sk"), "left_anti").drop("__sk")
+  }
+
+  private def appendDlq(df: DataFrame): Unit =
+    if (!df.isEmpty)
+      df.write.mode("append").parquet(s"$root/dlq")
+
+  private def persistFatal(msg: String): Unit = {
+    val man = TransactionalStore.read(root)
+    TransactionalStore.commit(root, man.copy(version = man.version + 1,
+      state = man.state.copy(state = EngineState.Fatal, lastMsg = msg)))
+  }
+
+  private def trackerSnapshotDF(): DataFrame = {
+    val rows = tracker.snapshot.toSeq.map { case ((tid, p), pos) =>
+      Row(tid, p, pos.step, pos.txId)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("tableId", IntegerType),
+        StructField("partitionId", LongType),
+        StructField("step", LongType), StructField("txId", LongType))))
+  }
+
+  private def log(msg: String): Unit =
+    Console.err.println(s"[graft.cdc] $msg")
+
+  // ---- streaming entry ----
+
+  /** Run continuously over the configured stream directories.
+    * Each stream dir holds JSON-line files, one message per line, laid
+    * out as srcPath/partition=<p>/<file>; the per-partition arrival
+    * order is the "offset" field each message carries (the topic-offset
+    * analog; the file source itself has no offsets).
+    */
+  def start(checkpointLocation: String): StreamingQuery = {
+    val frames = cfg.streams.map { s =>
+      spark.readStream
+        .schema(StructType(Seq(StructField("value", StringType))))
+        .text(s"${s.srcPath}/partition=*/")
+        .withColumn("tableId", lit(s.tableId))
+        .withColumn("partitionId",
+          regexp_extract(input_file_name(), "partition=(\\d+)", 1).cast("long"))
+        .withColumn("offset",
+          get_json_object(col("value"), "$.offset").cast("long"))
+    }.reduce(_ unionByName _)
+    frames.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .start()
+  }
+}
+
+object CdcEngine {
+  val pendingSchema: StructType = StructType(Seq(
+    StructField("tableId", IntegerType),
+    StructField("partitionId", LongType),
+    StructField("offset", LongType),
+    StructField("keyJson", ArrayType(StringType)),
+    StructField("columns", MapType(StringType, StringType)),
+    StructField("step", LongType),
+    StructField("txId", LongType),
+    StructField("op", IntegerType)))
+}

@@ -1,0 +1,148 @@
+package graft
+
+import graft.model._
+import graft.sink.TableMeta
+import graft.streaming.CdcEngine
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** End-to-end engine behavior over the minimum slice of SURVEY §7.2:
+  * one destination table, two partitions; initial scan → RUN; quorum
+  * gating; LWW apply; crash replay filtered by the checkpoint
+  * (no loss, no duplication); FATAL on out-of-order under stop.
+  */
+class CdcEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val usersMeta = TableMeta("users",
+    StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("score", IntegerType))),
+    Seq("id"))
+
+  private def mkEngine(root: String,
+      strategy: ProblemStrategy = ProblemStrategy.Stop): CdcEngine = {
+    val cfg = EngineConfig("inst1",
+      Seq(StreamConfig(0, s"$root/src", "users", partitions = 2)),
+      s"$root/dst", strategy, maxBatchSize = 1000, buckets = 4)
+    val e = new CdcEngine(spark, cfg, Map(0 -> usersMeta))
+    e.bootstrap()
+    e
+  }
+
+  private def frame(lines: (String, Long, Long)*) =
+    lines.toSeq.toDF("value", "partitionId", "offset")
+      .withColumn("tableId", lit(0))
+
+  private def users(e: CdcEngine): Map[Long, (String, Any)] =
+    e.readTable("users").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("name"), r.get(r.fieldIndex("score")))).toMap
+
+  test("initial scan applies regardless of quorum, then syncs to RUN") {
+    val root = Files.createTempDirectory("graft-e2e").toString
+    val e = mkEngine(root)
+    assert(e.state.stage == Stage.InitialScan)
+
+    // batch 0: changes + first full hb set
+    e.processBatch(frame(
+      ("""{"update":{"name":"alice"},"key":[1],"ts":[1,1]}""", 0L, 0L),
+      ("""{"update":{"score":5},"key":[2],"ts":[2,1]}""", 0L, 1L),
+      ("""{"resolved":[3,0]}""", 0L, 2L),
+      ("""{"update":{"score":9},"key":[1],"ts":[3,5]}""", 0L, 3L),
+      ("""{"update":{"name":"bob"},"key":[3],"ts":[2,2]}""", 1L, 0L),
+      ("""{"erase":{},"key":[2],"ts":[2,9]}""", 1L, 1L),
+      ("""{"resolved":[3,0]}""", 1L, 2L)), 0L)
+
+    // initial scan drained everything, even (3,5) above the quorum
+    assert(users(e) == Map(1L -> ("alice", 9), 3L -> ("bob", null)))
+    assert(e.state.stage == Stage.InitialScan)
+    assert(e.state.position == Position(3, 5))
+
+    // batch 1: a later quorum strictly above the sync target → RUN
+    e.processBatch(frame(
+      ("""{"resolved":[5,0]}""", 0L, 4L),
+      ("""{"resolved":[5,0]}""", 1L, 3L)), 1L)
+    assert(e.state.stage == Stage.Run)
+
+    // batch 2 (RUN): emission happens only below the quorum
+    e.processBatch(frame(
+      ("""{"update":{"score":1},"key":[3],"ts":[6,1]}""", 0L, 5L),
+      ("""{"update":{"name":"al2"},"key":[1],"ts":[6,2]}""", 1L, 4L),
+      ("""{"update":{"name":"late-waits"},"key":[9],"ts":[8,1]}""", 1L, 5L),
+      ("""{"resolved":[7,0]}""", 0L, 6L),
+      ("""{"resolved":[7,0]}""", 1L, 6L)), 2L)
+    assert(users(e) == Map(
+      1L -> ("al2", 9), 3L -> ("bob", 1)))
+    assert(e.state.position == Position(7, 0))
+
+    // (8,1) stayed pending; a later quorum releases it
+    e.processBatch(frame(
+      ("""{"resolved":[9,0]}""", 0L, 7L),
+      ("""{"resolved":[9,0]}""", 1L, 7L)), 3L)
+    assert(users(e).contains(9L))
+    assert(e.state.position == Position(9, 0))
+  }
+
+  test("crash replay: checkpoint filter makes re-delivery a no-op") {
+    val root = Files.createTempDirectory("graft-replay").toString
+    val e = mkEngine(root)
+    val b0 = frame(
+      ("""{"update":{"name":"a"},"key":[1],"ts":[1,1]}""", 0L, 0L),
+      ("""{"resolved":[2,0]}""", 0L, 1L),
+      ("""{"update":{"name":"b"},"key":[2],"ts":[1,2]}""", 1L, 0L),
+      ("""{"resolved":[2,0]}""", 1L, 1L))
+    e.processBatch(b0, 0L)
+    e.processBatch(frame( // reach RUN
+      ("""{"resolved":[4,0]}""", 0L, 2L),
+      ("""{"resolved":[4,0]}""", 1L, 2L)), 1L)
+    val before = users(e)
+    val posBefore = e.state.position
+
+    // "crash": fresh engine instance (empty tracker), source re-delivers
+    val e2 = mkEngine(root)
+    e2.processBatch(b0, 0L) // replayed frame — everything ≤ checkpoint
+    assert(users(e2) == before)
+    assert(e2.state.position == posBefore)
+
+    // new data after recovery applies exactly once
+    e2.processBatch(frame(
+      ("""{"update":{"score":7},"key":[1],"ts":[5,1]}""", 0L, 3L),
+      ("""{"resolved":[6,0]}""", 0L, 4L),
+      ("""{"resolved":[6,0]}""", 1L, 3L)), 2L)
+    assert(users(e2)(1L) == ("a", 7))
+  }
+
+  test("out-of-order change under stop strategy persists FATAL and refuses restart") {
+    val root = Files.createTempDirectory("graft-fatal").toString
+    val e = mkEngine(root, ProblemStrategy.Stop)
+    intercept[IllegalStateException] {
+      e.processBatch(frame(
+        ("""{"resolved":[10,0]}""", 0L, 0L),
+        // older than its partition's last heartbeat → protocol violation
+        ("""{"update":{"name":"x"},"key":[1],"ts":[4,1]}""", 0L, 1L)), 0L)
+    }
+    assert(e.state.state == EngineState.Fatal)
+    intercept[IllegalStateException] { e.processBatch(frame(), 1L) }
+  }
+
+  test("out-of-order under continue strategy routes to DLQ and proceeds") {
+    val root = Files.createTempDirectory("graft-dlq").toString
+    val e = mkEngine(root, ProblemStrategy.Continue)
+    e.processBatch(frame(
+      ("""{"resolved":[10,0]}""", 0L, 0L),
+      ("""{"update":{"name":"x"},"key":[1],"ts":[4,1]}""", 0L, 1L),
+      ("""{"update":{"name":"y"},"key":[2],"ts":[11,1]}""", 0L, 2L),
+      ("""{"resolved":[12,0]}""", 0L, 3L),
+      ("""{"resolved":[12,0]}""", 1L, 0L)), 0L)
+    e.processBatch(frame(
+      ("""{"resolved":[13,0]}""", 0L, 4L),
+      ("""{"resolved":[13,0]}""", 1L, 1L)), 1L)
+    val dlq = spark.read.parquet(s"$root/dst/dlq")
+    assert(dlq.filter(col("reason") === "out-of-order").count() == 1)
+    assert(!users(e).contains(1L))
+    assert(users(e).contains(2L))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.model.Op
+import graft.parse.CdcParser
+import org.apache.spark.sql.functions._
+
+/** Envelope parsing rules (reference: internal/util/reader/parse.go):
+  * shape dispatch, newImage preference, erase with no columns,
+  * ts arity validation, heartbeat extraction.
+  */
+class CdcParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def frame(lines: (String, Long, Long)*) =
+    lines.toSeq.toDF("value", "partitionId", "offset")
+      .withColumn("tableId", lit(0))
+
+  test("update / erase / newImage dispatch") {
+    val df = frame(
+      ("""{"update":{"a":1,"b":"x"},"key":[7],"ts":[10,1]}""", 0L, 0L),
+      ("""{"erase":{},"key":[8],"ts":[10,2]}""", 0L, 1L),
+      ("""{"update":{"a":1},"newImage":{"a":2,"c":true},"key":[9],"ts":[10,3]}""", 0L, 2L))
+    val parsed = CdcParser.parseEnvelope(df)
+    val ch = CdcParser.changes(parsed).orderBy("offset").collect()
+    assert(ch.length == 3)
+    val up = ch(0)
+    assert(up.getAs[Map[String, String]]("columns") == Map("a" -> "1", "b" -> "x"))
+    assert(up.getAs[scala.collection.Seq[String]]("keyJson").toSeq == Seq("7"))
+    assert(up.getAs[Long]("step") == 10L && up.getAs[Long]("txId") == 1L)
+    assert(up.getAs[Int]("op") == Op.Update)
+    val er = ch(1)
+    assert(er.getAs[Int]("op") == Op.Erase)
+    assert(er.getAs[Map[String, String]]("columns").isEmpty)
+    val ni = ch(2) // newImage wins over update
+    assert(ni.getAs[Map[String, String]]("columns") == Map("a" -> "2", "c" -> "true"))
+  }
+
+  test("heartbeats route by resolved shape") {
+    val df = frame(
+      ("""{"resolved":[42,7]}""", 1L, 0L),
+      ("""{"update":{"a":1},"key":[1],"ts":[10,1]}""", 1L, 1L))
+    val parsed = CdcParser.parseEnvelope(df)
+    val hb = CdcParser.heartbeats(parsed).collect()
+    assert(hb.length == 1)
+    assert(hb(0).getAs[Long]("step") == 42L && hb(0).getAs[Long]("txId") == 7L)
+    assert(CdcParser.changes(parsed).count() == 1)
+  }
+
+  test("malformed frames: bad ts arity, both update+erase, no shape, bad json") {
+    val df = frame(
+      ("""{"update":{"a":1},"key":[1],"ts":[10]}""", 0L, 0L),
+      ("""{"update":{"a":1},"erase":{},"key":[1],"ts":[10,1]}""", 0L, 1L),
+      ("""{"key":[1],"ts":[10,1]}""", 0L, 2L),
+      ("""not json at all""", 0L, 3L),
+      ("""{"resolved":[1,2,3]}""", 0L, 4L),
+      ("""{"update":{"a":1},"ts":[10,1]}""", 0L, 5L))
+    val parsed = CdcParser.parseEnvelope(df)
+    assert(CdcParser.malformed(parsed).count() == 6)
+    assert(CdcParser.changes(parsed).count() == 0)
+    assert(CdcParser.heartbeats(parsed).count() == 0)
+  }
+
+  test("raw JSON values preserved as text until destination cast") {
+    val df = frame(
+      ("""{"update":{"s":"hello","n":3.25,"b":null,"j":{"x":1}},"key":["\"k\""],"ts":[1,1]}""", 0L, 0L))
+    val ch = CdcParser.changes(CdcParser.parseEnvelope(df)).collect()(0)
+    val cols = ch.getAs[Map[String, String]]("columns")
+    assert(cols("s") == "hello")    // from_json string coercion unquotes
+    assert(cols("n") == "3.25")
+    assert(cols.get("b").contains(null) || cols("b") == null)
+    assert(cols("j") == """{"x":1}""")
+  }
+}
