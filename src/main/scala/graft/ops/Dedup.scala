@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: exact dedup is one hash-shuffle; MinHash-LSH turns the
+  * O(n²) pair problem into a shuffle on band keys (only docs sharing a
+  * band meet), and SimHash gives a 32/64-bit sketch joinable on
+  * rotated prefixes. None of them ever materialize the full cross
+  * product.
+  */
+object Dedup {
+
+  /** Exact dedup: group on a content hash; the canonical row is the
+    * min id. Adds `content_hash` and `is_canonical`.
+    */
+  def exact(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    df.withColumn("content_hash", md5(text))
+      .withColumn("is_canonical", id === min(id).over(w))
+  }
+
+  /** MinHash signature columns sig_0..sig_{k-1} over the DISTINCT word
+    * w-shingles of `toks`. Uses the portable hash so signatures are
+    * engine-reproducible; swap `portableHash` for `xxhash64` when the
+    * values never leave Spark.
+    */
+  def minhashSignatures(df: DataFrame, toks: Column, w: Int, k: Int): DataFrame = {
+    val sh = array_distinct(wordShingles(toks, w))
+    val withH = df.withColumn("__sh",
+      transform(sh, s => portableHash(s)))
+    (0 until k).foldLeft(withH) { (d, j) =>
+      d.withColumn(s"sig_$j",
+        array_min(transform(col("__sh"), h => minhashPerm(h, j))))
+    }.drop("__sh")
+  }
+
+  /** LSH candidate pairs: docs sharing any band of `rowsPerBand`
+    * consecutive signature values. Returns (id_a, id_b) with a < b,
+    * distinct. The join key is the band hash — this is the shuffle key
+    * at scale, so no cross product ever forms.
+    */
+  def lshCandidates(sigs: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val key = concat_ws(":",
+        (lit(b) +: (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))): _*)
+      sigs.select(col(id).as("__id"), key.as("band_key"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("__id").as("id_a"), col("band_key"))
+    val b = bands.select(col("__id").as("id_b"), col("band_key"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity of two string-array columns (distinct
+    * element sets).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    inter / nullif(union, lit(0.0d))
+  }
+
+  /** 32-bit SimHash of a token array using the portable hash: bit i is
+    * set when more tokens have bit i set than clear.
+    */
+  def simhash32(df: DataFrame, toks: Column): DataFrame = {
+    val withH = df.withColumn("__th", transform(toks, t => portableHash(t)))
+    val nTok = size(col("__th")).cast("long")
+    val bits = (0 until 32).map { i =>
+      val ones = aggregate(col("__th"), lit(0L),
+        (acc, h) => acc + shiftright(h, i).bitwiseAND(1L))
+      when(ones * 2L > nTok, lit(1L << i)).otherwise(lit(0L))
+    }
+    withH.withColumn("simhash", bits.reduce(_ + _)).drop("__th")
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.functions.GraftFunctions.portableHash
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque binary payloads with
+  * typed metadata, processed in distributed batches.
+  *
+  * The decode step is STUBBED (this container has no image/audio
+  * codecs): `fakeDecodeMeta` derives deterministic pseudo-metadata
+  * from the payload hash, clearly marked. Everything around the stub —
+  * the binary column representation, the schema, the per-partition
+  * batch processing shape, frame sampling — is real and is what a
+  * production pipeline would keep while swapping the stub for an
+  * actual codec (on PySpark this is the `mapInPandas` slot; the Scala
+  * analog used here is `mapPartitions` over an iterator of payload
+  * batches).
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Long, fake_width: Long, fake_height: Long,
+      payload_hash: Long)
+
+  /** Attach the binary payload column (here: utf-8 bytes of the text
+    * standing in for real media bytes) + byte length.
+    */
+  def withPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", col(textCol).cast("binary"))
+      .withColumn("n_bytes", octet_length(col(textCol)).cast("long"))
+
+  /** STUB decode: deterministic fake width/height from the payload
+    * hash — replace with a real codec (`??? -> libjpeg/ffmpeg`) in a
+    * real deployment. Declarative version (codegen'd).
+    */
+  def fakeDecodeMeta(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload_hash", portableHash(col(textCol)))
+      .withColumn("fake_width", pmod(col("payload_hash"), lit(1024L)) + 1L)
+      .withColumn("fake_height",
+        pmod(expr("payload_hash div 1024"), lit(1024L)) + 1L)
+
+  /** The imperative decode slot: batch-iterate payloads per partition.
+    * This is where a real codec call goes; the stub computes byte
+    * length. Kept as the one sanctioned `mapPartitions` use — codecs
+    * are not expressible as Catalyst expressions.
+    */
+  def decodePartitioned(ds: Dataset[(Long, Array[Byte])]): Dataset[(Long, Long)] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // real impl: initialize codec once per partition, decode each
+      it.map { case (id, bytes) => (id, bytes.length.toLong) }
+    }
+  }
+
+  /** Frame sampling plumbing: treat the payload as `frameSize`-byte
+    * frames, take every `stride`-th, extract a (stubbed) per-frame
+    * feature — the first byte's code point.
+    */
+  def sampleFrames(df: DataFrame, textCol: String,
+      frameSize: Int, stride: Int): DataFrame = {
+    val nFrames = floor(length(col(textCol)) / frameSize).cast("long")
+    df.withColumn("n_frames", nFrames)
+      .withColumn("frame_offsets",
+        filter(sequence(lit(0L), greatest(nFrames - 1L, lit(0L))),
+          f => f % stride === 0L && nFrames > 0L))
+      .withColumn("n_sampled", size(col("frame_offsets")).cast("long"))
+      .withColumn("frame_feature_sum",
+        aggregate(col("frame_offsets"), lit(0L),
+          (acc, f) => acc +
+            ascii(substring(col(textCol), (f * frameSize + 1L).cast("int"), lit(1)))))
+      .drop("frame_offsets")
+  }
+}

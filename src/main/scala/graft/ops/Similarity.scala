@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column.
+  *
+  * Determinism note: embeddings are float32; both the brute-force and
+  * LSH paths first QUANTIZE to integers (round(x*1000)) so dot
+  * products and norms are exact integer sums — bitwise identical on
+  * any engine and under any aggregation order. The float path
+  * (cosineF) is for production use where cross-engine equality doesn't
+  * matter.
+  *
+  * Scale design: brute force is a broadcast of the (small) query set
+  * against the full collection — one pass, no shuffle of the corpus;
+  * the hyperplane-LSH path buckets the corpus by sign pattern so
+  * candidate generation is a shuffle on bucket ids (IVF-style
+  * coarse quantization would swap the hash for k-means centroids).
+  */
+object Similarity {
+
+  /** Integer-quantized copy of a float-array column. */
+  def quantize(emb: Column, scale: Int = 1000): Column =
+    transform(emb, x => round(x.cast("double") * scale, 0).cast("long"))
+
+  /** Exact integer dot product (sequential fold). */
+  def dotI(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine over quantized vectors: integer dots, one sqrt+div at the
+    * end — deterministic across engines.
+    */
+  def cosineI(a: Column, b: Column): Column =
+    dotI(a, b).cast("double") /
+      nullif(sqrt(dotI(a, a).cast("double")) * sqrt(dotI(b, b).cast("double")),
+        lit(0.0d))
+
+  /** Brute-force top-k: broadcast the query set, score every corpus
+    * row, rank per query. `queries`/`corpus`: (id, vec) with vec
+    * already quantized.
+    */
+  def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), col("vec").as("q_vec"))
+    val c = corpus.select(col("id").as("c_id"), col("vec").as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", cosineI(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight (plane j, dim i):
+    * a fixed LCG over the flattened index, centered on zero. Shared
+    * with the SQL oracle.
+    */
+  def planeWeight(j: Int, i: Int, dims: Int): Long =
+    ((1103515245L * (j.toLong * dims + i + 1) + 12345L) % 2001L) - 1000L
+
+  /** Sign-pattern LSH bucket id over `planes` hyperplanes. `vec` must
+    * be quantized (long array).
+    */
+  def lshBucket(vec: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { j =>
+      val dot = aggregate(
+        zip_with(vec,
+          array((0 until dims).map(i => lit(planeWeight(j, i, dims))): _*),
+          (x, w) => x * w),
+        lit(0L), (acc, x) => acc + x)
+      when(dot > 0L, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: top-k per query among corpus rows sharing the
+    * query's LSH bucket (the scale path: shuffle on bucket, never a
+    * cross product).
+    */
+  def knnLsh(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int, dims: Int): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), col("vec").as("q_vec"),
+      lshBucket(col("vec"), planes, dims).as("bucket"))
+    val c = corpus.select(col("id").as("c_id"), col("vec").as("c_vec"),
+      lshBucket(col("vec"), planes, dims).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", cosineI(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Near-duplicate pairs by cosine within a blocking key (e.g. a
+    * label or an LSH bucket) — the blocked join bounds the pair count.
+    */
+  def nearDupPairs(vecs: DataFrame, blockKey: String, threshold: Double): DataFrame = {
+    val a = vecs.select(col(blockKey).as("bk"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = vecs.select(col(blockKey).as("bk"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosineI(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+}

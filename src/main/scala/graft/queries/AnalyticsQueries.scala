@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.queries.Tables.load
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the TPC-H-ish tables: aggregation
+  * pipelines, broadcast joins, windows, set ops, rollup, top-k.
+  * These are the bench headliners — each is written for the plan we
+  * want at 100 TB: filters that push into the parquet scan, small
+  * dimensions broadcast, exact-decimal aggregation for oracle parity.
+  */
+object AnalyticsQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // pricing summary: wide aggregation with decimal-exact sums
+    // Money aggregates surface as exact scaled BIGINTs (x10^4): the
+    // decimal sums are exact on both engines, but decimal→double
+    // conversion is not bit-identical across engines — integers are.
+    QueryDef("q1_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_qty_e4,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS sum_base_price_e4,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS sum_disc_price_e4,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS DOUBLE)
+        |    / 10000.0 / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      val qtyE4 = (sum(col("l_quantity").cast("decimal(18,4)")) * 10000).cast("long")
+      load(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          qtyE4.as("sum_qty_e4"),
+          (sum(col("l_extendedprice").cast("decimal(18,4)")) * 10000)
+            .cast("long").as("sum_base_price_e4"),
+          (sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))) * 10000)
+            .cast("long").as("sum_disc_price_e4"),
+          (qtyE4.cast("double") / 10000.0 / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // shipping-priority top-k: 3-way join, small side broadcast
+    QueryDef("q3_shipping_topk",
+      """SELECT l.l_orderkey AS orderkey,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+        |    AS revenue_e4,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY l.l_orderkey, o.o_orderdate
+        |ORDER BY revenue_e4 DESC, orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val c = load(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = load(s, d, "orders")
+      val l = load(s, d, "lineitem")
+      l.join(broadcast(o.join(broadcast(c),
+          o("o_custkey") === c("c_custkey"))),
+          l("l_orderkey") === col("o_orderkey"))
+        .groupBy(l("l_orderkey").as("orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))) * 10000)
+          .cast("long").as("revenue_e4"))
+        .select("orderkey", "revenue_e4", "orderdate")
+        .orderBy(col("revenue_e4").desc, col("orderkey"))
+        .limit(10)
+    },
+
+    // regional revenue: 6-way star join, dims broadcast
+    QueryDef("q5_regional_revenue",
+      """SELECT n.n_name AS nation,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+        |    AS revenue_e4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE s.s_nationkey = c.c_nationkey
+        |GROUP BY n.n_name ORDER BY revenue_e4 DESC, nation""".stripMargin) { (s, d) =>
+      val l = load(s, d, "lineitem")
+      val o = load(s, d, "orders")
+      val c = load(s, d, "customer")
+      val sup = load(s, d, "supplier")
+      val n = load(s, d, "nation")
+      val r = load(s, d, "region")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          sup("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name").as("nation"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))) * 10000)
+          .cast("long").as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("nation"))
+    },
+
+    // window functions: rank + running sum per partition
+    QueryDef("q_window_running",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  row_number() OVER w AS rn,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER
+        |    (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS run_qty
+        |FROM lineitem WHERE l_suppkey <= 2
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, rn""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      load(s, d, "lineitem").filter(col("l_suppkey") <= 2)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("run_qty",
+          sum(col("l_quantity").cast("decimal(18,6)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "rn", "run_qty")
+        .orderBy("l_suppkey", "rn")
+    },
+
+    // global top-k without full sort on the oracle side too
+    QueryDef("q_topk_orders",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin) { (s, d) =>
+      load(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(20)
+    },
+
+    // set operations over the events domain
+    QueryDef("q_setops",
+      """WITH p AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |SELECT 'purchase_no_error' AS tag, user_id
+        |FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e)
+        |UNION ALL
+        |SELECT 'purchase_and_error' AS tag, user_id
+        |FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)
+        |ORDER BY tag, user_id""".stripMargin) { (s, d) =>
+      val ev = load(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+      val e = ev.filter(col("event_type") === "error").select("user_id").distinct()
+      p.except(e).withColumn("tag", lit("purchase_no_error"))
+        .unionByName(p.intersect(e).withColumn("tag", lit("purchase_and_error")))
+        .select("tag", "user_id")
+        .orderBy("tag", "user_id")
+    },
+
+    // semi join (EXISTS)
+    QueryDef("q_semi_join",
+      """SELECT c.c_mktsegment, count(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (s, d) =>
+      val c = load(s, d, "customer")
+      val o = load(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    },
+
+    // anti join (NOT EXISTS)
+    QueryDef("q_anti_join",
+      """SELECT p_partkey FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_partkey = part.p_partkey)
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      val p = load(s, d, "part")
+      val l = load(s, d, "lineitem")
+      p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+        .select("p_partkey").orderBy("p_partkey")
+    },
+
+    // rollup with grouping-null ordering pinned on both engines
+    QueryDef("q_rollup",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_c
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST,
+        |         o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      load(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("long").as("total_c"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    },
+
+    // exact distinct counting
+    QueryDef("q_distinct_agg",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      load(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    })
+}

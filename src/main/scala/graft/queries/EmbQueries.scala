@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.ops.Similarity
+import graft.queries.Tables.load
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding table. Everything runs on
+  * integer-quantized vectors (round(x*1000)) so dot products are exact
+  * and both engines produce bitwise-identical similarities.
+  */
+object EmbQueries {
+
+  private val Planes = 16
+  private val Dims = 64
+  private val K = 10
+  private val NearDupThreshold = 0.45
+
+  /** DuckDB quantized-vector CTE matching Similarity.quantize. */
+  private val sqlQuant =
+    """q AS (SELECT vec_id, label,
+      |  list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS DOUBLE)) AS e
+      |  FROM embeddings)""".stripMargin
+
+  private val sqlCos =
+    "list_dot_product(a.e, b.e) / nullif(" +
+      "sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0.0)"
+
+  val all: Seq[QueryDef] = Seq(
+
+    // brute-force exact top-k (the ANN baseline)
+    QueryDef("emb_knn_brute",
+      s"""WITH $sqlQuant,
+         |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, $sqlCos AS sim
+         |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 8),
+         |r AS (SELECT q_id, c_id, sim, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM scored)
+         |SELECT q_id, c_id, rank, round(sim, 6) AS sim FROM r
+         |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("vec"))
+      Similarity.knnBrute(vecs.filter(col("id") < 8), vecs, K)
+        .orderBy("q_id", "rank")
+    },
+
+    // hyperplane-LSH bucketing (the scale path's partitioner)
+    QueryDef("emb_lsh_buckets", {
+      val terms = (0 until Planes).map { j =>
+        val w = (0 until Dims).map(i => Similarity.planeWeight(j, i, Dims))
+          .mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(e, $w) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" +\n  ")
+      s"""WITH $sqlQuant,
+         |b AS (SELECT vec_id, CAST($terms AS BIGINT) AS bucket FROM q)
+         |SELECT bucket, count(*) AS n FROM b
+         |GROUP BY bucket ORDER BY bucket""".stripMargin
+    }) { (s, d) =>
+      load(s, d, "embeddings")
+        .select(col("vec_id"),
+          Similarity.lshBucket(Similarity.quantize(col("embedding")),
+            Planes, Dims).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
+    // embedding-cosine near-duplicate pairs, blocked by label
+    QueryDef("emb_near_dup",
+      s"""WITH $sqlQuant
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round($sqlCos, 6) AS sim
+         |FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE $sqlCos >= $NearDupThreshold
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("label"), col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"))
+      Similarity.nearDupPairs(vecs, "label", NearDupThreshold)
+        .orderBy("id_a", "id_b")
+    },
+
+    // centroid per label (the IVF coarse-quantizer training step):
+    // exact integer mean per dimension, output as sum/count pairs
+    QueryDef("emb_label_centroid_norm",
+      s"""WITH $sqlQuant,
+         |u AS (SELECT label, unnest(e) AS v,
+         |       generate_subscripts(e, 1) AS dim FROM q),
+         |c AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS sv,
+         |       count(*) AS n FROM u GROUP BY label, dim)
+         |SELECT label, CAST(sum(sv * sv) AS BIGINT) AS centroid_sq_sum,
+         |       min(n) AS n_vecs
+         |FROM c GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      load(s, d, "embeddings")
+        .select(col("label"), posexplode(Similarity.quantize(col("embedding"))))
+        .groupBy(col("label"), (col("pos") + 1).as("dim"))
+        .agg(sum(col("col")).cast("long").as("sv"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(sum(col("sv") * col("sv")).cast("long").as("centroid_sq_sum"),
+          min("n").as("n_vecs"))
+        .orderBy("label")
+    })
+}

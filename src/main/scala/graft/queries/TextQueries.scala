@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.functions.GraftFunctions._
+import graft.ops.{Dedup, Multimodal, TextOps}
+import graft.queries.Tables.load
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators over `documents`, each with a DuckDB twin.
+  * The twins share every constant (hash modulus, minhash permutation
+  * parameters, thresholds) with the Spark implementations via
+  * interpolation from the same Scala values, so the two sides cannot
+  * drift.
+  */
+object TextQueries {
+
+  /** DuckDB tokenizer matching GraftFunctions.tokens. */
+  private val sqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  /** DuckDB portable hash of an expression, matching portableHash. */
+  private def sqlPhash(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
+      s"list_filter(string_split($e, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT)))," +
+      s" (a, x) -> (a * 31 + x) % $PhMod)"
+
+  private val MinhashK = 8
+  private val RowsPerBand = 4
+  private val MinhashJaccard = 0.95
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("doc_token_stats",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents)
+         |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+         |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+         |    / nullif(CAST(len(w) AS DOUBLE), 0.0) AS avg_token_len
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.withTokenStats(load(s, d, "documents"), col("text"))
+        .select("doc_id", "n_tokens", "n_distinct", "avg_token_len")
+        .orderBy("doc_id")
+    },
+
+    QueryDef("doc_quality",
+      s"""WITH t AS (SELECT doc_id, text, $sqlToks AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(w, x -> list_contains(
+         |    ${TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")}, x)))
+         |    AS DOUBLE) / nullif(CAST(len(w) AS DOUBLE), 0.0) AS stopword_ratio,
+         |  CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+         |    AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0.0) AS punct_density,
+         |  CAST(len(list_distinct(w)) AS DOUBLE)
+         |    / nullif(CAST(len(w) AS DOUBLE), 0.0) AS type_token_ratio
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val df = load(s, d, "documents").withColumn("toks", tokens(col("text")))
+      df.select(col("doc_id"),
+          TextOps.stopwordRatio(col("toks")).as("stopword_ratio"),
+          TextOps.punctDensity(col("text")).as("punct_density"),
+          (size(array_distinct(col("toks"))).cast("double") /
+            nullif(size(col("toks")).cast("double"), lit(0.0d)))
+            .as("type_token_ratio"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef("doc_langid",
+      s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS w FROM documents),
+         |p AS (SELECT lang, CASE WHEN
+         |  CAST(len(list_filter(w, x -> list_contains(
+         |    ${TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")}, x)))
+         |    AS DOUBLE) / nullif(CAST(len(w) AS DOUBLE), 0.0) > 0.02
+         |  THEN 'en' ELSE 'other' END AS predicted FROM t)
+         |SELECT lang, predicted, count(*) AS n FROM p
+         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin) { (s, d) =>
+      load(s, d, "documents")
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("predicted", TextOps.langId(col("toks")))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+
+    QueryDef("doc_fingerprint",
+      s"""SELECT doc_id, ${sqlPhash("text")} AS fp,
+         |  CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    QueryDef("doc_exact_dedup",
+      """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
+        |SELECT doc_id, content_hash,
+        |  doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
+        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.exact(load(s, d, "documents"), col("text"), col("doc_id"))
+        .select("doc_id", "content_hash", "is_canonical")
+        .orderBy("doc_id")
+    },
+
+    // MinHash + LSH banding + exact-Jaccard verification. The oracle
+    // replays the whole pipeline (not just the final predicate) so the
+    // candidate-generation recall is itself checked.
+    QueryDef("doc_dedup_minhash", {
+      val sigs = (0 until MinhashK).map(j =>
+        s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $MinhashPrime) AS sig_$j")
+        .mkString(",\n  ")
+      val bandSelects = (0 until MinhashK / RowsPerBand).map { b =>
+        val parts = (0 until RowsPerBand)
+          .map(r => s"sig_${b * RowsPerBand + r}").mkString(", ")
+        s"SELECT doc_id, concat_ws(':', '$b', $parts) AS band_key FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT doc_id, list_distinct($sqlToks) AS w FROM documents),
+         |u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+         |hh AS (SELECT doc_id, ${sqlPhash("tok")} AS h FROM u),
+         |sig AS (SELECT doc_id,
+         |  $sigs
+         |  FROM hh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_key)
+         |  WHERE a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(ta.w, tb.w)) AS DOUBLE) /
+         |    nullif(CAST(len(list_distinct(list_concat(ta.w, tb.w))) AS DOUBLE), 0.0)
+         |    AS jac
+         |  FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
+         |SELECT id_a, id_b, round(jac, 6) AS jac FROM j
+         |WHERE jac >= $MinhashJaccard ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      val docs = load(s, d, "documents")
+        .withColumn("toks", array_distinct(tokens(col("text"))))
+      val sigs = Dedup.minhashSignatures(docs, col("toks"), w = 1, k = MinhashK)
+        .select((col("doc_id") +: (0 until MinhashK).map(j => col(s"sig_$j"))): _*)
+      val cand = Dedup.lshCandidates(sigs, "doc_id", MinhashK, RowsPerBand)
+      val t = docs.select(col("doc_id"), col("toks"))
+      cand
+        .join(t.select(col("doc_id").as("id_a"), col("toks").as("w_a")), Seq("id_a"))
+        .join(t.select(col("doc_id").as("id_b"), col("toks").as("w_b")), Seq("id_b"))
+        .withColumn("jac", Dedup.jaccard(col("w_a"), col("w_b")))
+        .filter(col("jac") >= MinhashJaccard)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("id_a", "id_b")
+    },
+
+    QueryDef("doc_simhash", {
+      val sums = (0 until 32)
+        .map(i => s"CAST(sum((h >> $i) & 1) AS BIGINT) AS s_$i").mkString(",\n  ")
+      val bits = (0 until 32)
+        .map(i => s"(CASE WHEN 2 * s_$i > n THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+         |hh AS (SELECT doc_id, ${sqlPhash("tok")} AS h FROM u),
+         |agg AS (SELECT doc_id, count(*) AS n,
+         |  $sums
+         |  FROM hh GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |FROM agg ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val df = load(s, d, "documents").withColumn("toks", tokens(col("text")))
+      Dedup.simhash32(df, col("toks"))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    },
+
+    // char-n-gram Jaccard near-dup within (lang, source) blocks
+    QueryDef("doc_ngram_jaccard",
+      s"""WITH g AS (SELECT doc_id, lang, source,
+         |  list_distinct(list_transform(range(1, length(text) - 2),
+         |    i -> substr(text, i::INT, 4))) AS s
+         |  FROM documents WHERE length(text) >= 4)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    nullif(CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 0.0),
+         |    6) AS jac
+         |FROM g a JOIN g b
+         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+         |    nullif(CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 0.0)
+         |    >= 0.05
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val g = load(s, d, "documents")
+        .filter(length(col("text")) >= 4)
+        .select(col("doc_id"), col("lang"), col("source"),
+          array_distinct(charNgrams(col("text"), 4)).as("s"))
+      val a = g.select(col("lang"), col("source"), col("doc_id").as("id_a"),
+        col("s").as("s_a"))
+      val b = g.select(col("lang"), col("source"), col("doc_id").as("id_b"),
+        col("s").as("s_b"))
+      a.join(b, Seq("lang", "source"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jac", Dedup.jaccard(col("s_a"), col("s_b")))
+        .filter(col("jac") >= 0.05)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // multimodal plumbing: binary payload + stubbed decode metadata
+    QueryDef("mm_binary_meta",
+      s"""SELECT doc_id,
+         |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+         |  ${sqlPhash("text")} % 1024 + 1 AS fake_width,
+         |  (${sqlPhash("text")} // 1024) % 1024 + 1 AS fake_height
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.fakeDecodeMeta(
+        Multimodal.withPayload(load(s, d, "documents"), "text"), "text")
+        .select("doc_id", "n_bytes", "fake_width", "fake_height")
+        .orderBy("doc_id")
+    },
+
+    // multimodal frame-sampling plumbing (stub feature)
+    QueryDef("mm_frame_sample",
+      """WITH f AS (SELECT doc_id,
+        |  CAST(length(text) // 64 AS BIGINT) AS n_frames,
+        |  list_filter(range(0, greatest(length(text) // 64, 0)),
+        |    f -> f % 2 = 0) AS offs, text
+        |  FROM documents)
+        |SELECT doc_id, n_frames, CAST(len(offs) AS BIGINT) AS n_sampled,
+        |  CAST(coalesce(list_sum(list_transform(offs,
+        |    f -> CAST(ascii(substr(text, (f * 64 + 1)::INT, 1)) AS BIGINT))), 0)
+        |    AS BIGINT) AS frame_feature_sum
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.sampleFrames(load(s, d, "documents"), "text", 64, 2)
+        .select("doc_id", "n_frames", "n_sampled", "frame_feature_sum")
+        .orderBy("doc_id")
+    })
+}
