@@ -24,20 +24,29 @@ object Dedup {
       .withColumn("is_canonical", id === min(id).over(w))
   }
 
-  /** MinHash signature columns sig_0..sig_{k-1} over the DISTINCT word
-    * w-shingles of `toks`. Uses the portable hash so signatures are
-    * engine-reproducible; swap `portableHash` for `xxhash64` when the
-    * values never leave Spark.
+  /** Distinct shingle-hash set of a token array (the MinHash input and
+    * the exact-Jaccard verification domain — hashing once and
+    * intersecting longs beats re-intersecting strings).
     */
-  def minhashSignatures(df: DataFrame, toks: Column, w: Int, k: Int): DataFrame = {
-    val sh = array_distinct(wordShingles(toks, w))
-    val withH = df.withColumn("__sh",
-      transform(sh, s => portableHash(s)))
-    (0 until k).foldLeft(withH) { (d, j) =>
+  def shingleHashes(toks: Column, w: Int): Column =
+    array_distinct(transform(array_distinct(wordShingles(toks, w)),
+      s => portableHash(s)))
+
+  /** MinHash signature columns sig_0..sig_{k-1} from a pre-hashed
+    * shingle set column. Uses the portable hash so signatures are
+    * engine-reproducible; swap for `xxhash64` when the values never
+    * leave Spark.
+    */
+  def minhashFromHashes(df: DataFrame, hashes: Column, k: Int): DataFrame =
+    (0 until k).foldLeft(df) { (d, j) =>
       d.withColumn(s"sig_$j",
-        array_min(transform(col("__sh"), h => minhashPerm(h, j))))
-    }.drop("__sh")
-  }
+        array_min(transform(hashes, h => minhashPerm(h, j))))
+    }
+
+  /** MinHash signatures over the distinct word w-shingles of `toks`. */
+  def minhashSignatures(df: DataFrame, toks: Column, w: Int, k: Int): DataFrame =
+    minhashFromHashes(df.withColumn("__sh", shingleHashes(toks, w)),
+      col("__sh"), k).drop("__sh")
 
   /** LSH candidate pairs: docs sharing any band of `rowsPerBand`
     * consecutive signature values. Returns (id_a, id_b) with a < b,

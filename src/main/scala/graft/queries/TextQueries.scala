@@ -24,8 +24,11 @@ object TextQueries {
       s"list_filter(string_split($e, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT)))," +
       s" (a, x) -> (a * 31 + x) % $PhMod)"
 
-  private val MinhashK = 8
-  private val RowsPerBand = 4
+  // 2 bands x 8 rows: P(candidate) = 1-(1-j^8)^2 — sharp at the 0.95
+  // verify threshold (0.88 recall) while keeping low-j candidates,
+  // and with them the shuffle volume, near zero.
+  private val MinhashK = 16
+  private val RowsPerBand = 8
   private val MinhashJaccard = 0.95
 
   val all: Seq[QueryDef] = Seq(
@@ -111,35 +114,36 @@ object TextQueries {
           .map(r => s"sig_${b * RowsPerBand + r}").mkString(", ")
         s"SELECT doc_id, concat_ws(':', '$b', $parts) AS band_key FROM sig"
       }.mkString("\n  UNION ALL\n  ")
-      s"""WITH t AS (SELECT doc_id, list_distinct($sqlToks) AS w FROM documents),
-         |u AS (SELECT doc_id, unnest(w) AS tok FROM t),
-         |hh AS (SELECT doc_id, ${sqlPhash("tok")} AS h FROM u),
+      s"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
+         |    list_distinct($sqlToks), tok -> ${sqlPhash("tok")})) AS hs
+         |  FROM documents),
+         |u AS (SELECT doc_id, unnest(hs) AS h FROM t),
          |sig AS (SELECT doc_id,
          |  $sigs
-         |  FROM hh GROUP BY doc_id),
+         |  FROM u GROUP BY doc_id),
          |bands AS (
          |  $bandSelects),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bands a JOIN bands b USING (band_key)
          |  WHERE a.doc_id < b.doc_id),
          |j AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(ta.w, tb.w)) AS DOUBLE) /
-         |    nullif(CAST(len(list_distinct(list_concat(ta.w, tb.w))) AS DOUBLE), 0.0)
+         |  CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE) /
+         |    nullif(CAST(len(list_distinct(list_concat(ta.hs, tb.hs))) AS DOUBLE), 0.0)
          |    AS jac
          |  FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
          |SELECT id_a, id_b, round(jac, 6) AS jac FROM j
          |WHERE jac >= $MinhashJaccard ORDER BY id_a, id_b""".stripMargin
     }) { (s, d) =>
       val docs = load(s, d, "documents")
-        .withColumn("toks", array_distinct(tokens(col("text"))))
-      val sigs = Dedup.minhashSignatures(docs, col("toks"), w = 1, k = MinhashK)
+        .withColumn("hs", Dedup.shingleHashes(tokens(col("text")), w = 1))
+      val sigs = Dedup.minhashFromHashes(docs, col("hs"), MinhashK)
         .select((col("doc_id") +: (0 until MinhashK).map(j => col(s"sig_$j"))): _*)
       val cand = Dedup.lshCandidates(sigs, "doc_id", MinhashK, RowsPerBand)
-      val t = docs.select(col("doc_id"), col("toks"))
+      val t = docs.select(col("doc_id"), col("hs"))
       cand
-        .join(t.select(col("doc_id").as("id_a"), col("toks").as("w_a")), Seq("id_a"))
-        .join(t.select(col("doc_id").as("id_b"), col("toks").as("w_b")), Seq("id_b"))
-        .withColumn("jac", Dedup.jaccard(col("w_a"), col("w_b")))
+        .join(t.select(col("doc_id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
+        .join(t.select(col("doc_id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
+        .withColumn("jac", Dedup.jaccard(col("h_a"), col("h_b")))
         .filter(col("jac") >= MinhashJaccard)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
         .orderBy("id_a", "id_b")
@@ -166,11 +170,14 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // char-n-gram Jaccard near-dup within (lang, source) blocks
+    // char-n-gram Jaccard near-dup within (lang, source) blocks;
+    // n-grams are hashed to longs once so the pair-wise set
+    // intersection compares integers, not strings
     QueryDef("doc_ngram_jaccard",
       s"""WITH g AS (SELECT doc_id, lang, source,
-         |  list_distinct(list_transform(range(1, length(text) - 2),
-         |    i -> substr(text, i::INT, 4))) AS s
+         |  list_distinct(list_transform(
+         |    list_distinct(list_transform(range(1, length(text) - 2),
+         |      i -> substr(text, i::INT, 4))), ng -> ${sqlPhash("ng")})) AS s
          |  FROM documents WHERE length(text) >= 4)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
@@ -185,7 +192,8 @@ object TextQueries {
       val g = load(s, d, "documents")
         .filter(length(col("text")) >= 4)
         .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(charNgrams(col("text"), 4)).as("s"))
+          array_distinct(transform(array_distinct(charNgrams(col("text"), 4)),
+            ng => portableHash(ng))).as("s"))
       val a = g.select(col("lang"), col("source"), col("doc_id").as("id_a"),
         col("s").as("s_a"))
       val b = g.select(col("lang"), col("source"), col("doc_id").as("id_b"),

@@ -38,13 +38,26 @@ final class CdcEngine(
     cfg.streams.flatMap(s => (0 until s.partitions)
       .map(p => (s.tableId, p.toLong))).toSet)
 
+  /** pmon-analog counters (modifications, mps, latencies). */
+  val metrics = new EngineMetrics
+
+  /** Single-writer lease (ST7): renewed each batch, ownership
+    * re-verified immediately before every manifest swap.
+    */
+  private val lock = new graft.sink.LeaseLock(root, cfg.instanceId,
+    ttlMillis = 60000L)
+
   /** Initial-scan sync target: max heartbeat of the first full set
     * (processor.go:600-619). Driver-held, like the reference.
     */
   private var syncTarget: Option[Position] = None
 
-  def bootstrap(): Unit =
+  def bootstrap(): Unit = {
     TransactionalStore.initIfAbsent(root, cfg.instanceId, tables.values.map(_.name).toSeq)
+    if (!lock.tryAcquire())
+      throw new IllegalStateException(
+        s"another instance holds the lease for $root")
+  }
 
   def state: ReplicationState = TransactionalStore.read(root).state
 
@@ -111,7 +124,14 @@ final class CdcEngine(
       man = if (man.state.stage == Stage.InitialScan)
         initialScan(man, batchId) else emitBelowQuorum(man, batchId)
 
+      // owner check inside the transaction (ST7): the lease must still
+      // be ours at the moment the commit becomes visible
+      lock.tryAcquire()
+      if (!lock.verifyHeld())
+        throw new IllegalStateException("lost the writer lease; aborting commit")
       TransactionalStore.commit(root, man.copy(version = man.version + 1))
+      metrics.batchesCommitted.incrementAndGet()
+      metrics.lastCommitLatencyMs.set((System.nanoTime() - t0) / 1000000L)
       log(s"batch=$batchId commit v${man.version + 1} stage=${man.state.stage} " +
         s"checkpoint=(${man.state.stepId},${man.state.txId}) " +
         f"latency=${(System.nanoTime() - t0) / 1e9}%.3fs")
@@ -197,6 +217,7 @@ final class CdcEngine(
     val commitTag = man.version + 1
     val merged = LwwMerge.merge(cut).persist()
     try {
+      metrics.modificationsCount.addAndGet(merged.count())
       val newTables = tables.foldLeft(man.tables) { case (acc, (tid, meta)) =>
         val patch = merged.filter(col("tableId") === tid)
         acc.updated(meta.name, DstTable.applyPatch(spark, root, meta,
@@ -289,6 +310,15 @@ final class CdcEngine(
         col("ts").getItem(0).as("cmdStep"), col("ts").getItem(1).as("cmdTxId"))
       .agg(max_by(col("action"), col("rn")).as("action"))
   }
+
+  /** Blocked-keys writeback (S12): append serialized keys to the
+    * filter table. The reference batches 100 keys per statement
+    * (key_filter_ydb.go:24); the parquet append is naturally batched.
+    * `keys`: (tableName string, keyJson array<string>).
+    */
+  def blockKeys(keys: DataFrame): Unit =
+    keys.select(serializeKey(col("tableName"), col("keyJson")).as("serializedKey"))
+      .write.mode("append").parquet(s"$root/blocked_keys")
 
   /** Blocked-key filter (P5/J1): broadcast anti-join against
     * root/blocked_keys (parquet: serializedKey string).

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+import scala.collection.concurrent.TrieMap
+
+/** Metrics vocabulary of the engine — the names mirror the reference's
+  * published metric set (internal/pmon/pmon.go, README.md:466-478):
+  * modifications_count, mps, commit_latency, quorum_waiting_latency,
+  * replication_lag_estimation, per-stream liveness. Exposed as a plain
+  * snapshot so any sink (Prometheus registry, StreamingQueryListener
+  * log line) can scrape it.
+  */
+final class EngineMetrics {
+  val modificationsCount = new AtomicLong(0)
+  val batchesCommitted = new AtomicLong(0)
+  val lastCommitLatencyMs = new AtomicLong(0)
+  val lastQuorumWaitMs = new AtomicLong(0)
+  /** checkpoint position vs newest seen heartbeat (µs estimate). */
+  val replicationLagEstimation = new AtomicLong(0)
+  val perStreamMods = TrieMap.empty[Int, AtomicLong]
+  val lastError = new AtomicReference[String]("")
+
+  def addMods(tableId: Int, n: Long): Unit = {
+    modificationsCount.addAndGet(n)
+    perStreamMods.getOrElseUpdate(tableId, new AtomicLong(0)).addAndGet(n)
+  }
+
+  /** modifications/sec over the last batch. */
+  def mps: Double = {
+    val ms = lastCommitLatencyMs.get()
+    if (ms <= 0) 0.0 else modificationsCount.get() * 1000.0 / ms
+  }
+
+  def snapshot: Map[String, Long] = Map(
+    "modifications_count" -> modificationsCount.get(),
+    "batches_committed" -> batchesCommitted.get(),
+    "commit_latency_ms" -> lastCommitLatencyMs.get(),
+    "quorum_waiting_latency_ms" -> lastQuorumWaitMs.get(),
+    "replication_lag_estimation" -> replicationLagEstimation.get()
+  ) ++ perStreamMods.map { case (k, v) => s"stream_${k}_modifications" -> v.get() }
+}
