@@ -1,0 +1,27 @@
+package graft
+
+/** Dev utility: dump formatted plans for key queries and flag
+  * missing pushdown/broadcast. sbt "runMain graft.PlanCheck q1 ..."
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get("8")
+    val dir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q1_pricing_summary", "q3_shipping_topk", "q5_regional_revenue",
+        "cdc_checkpoint_filter", "cdc_lww_merge", "doc_dedup_minhash",
+        "emb_knn_brute", "q_anti_join")
+    for (n <- names) {
+      val df = SparkEntry.queries(n)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      println(s"===== $n =====")
+      println(plan.linesIterator
+        .filter(l => l.contains("Scan parquet") || l.contains("PushedFilters") ||
+          l.contains("ReadSchema") || l.contains("Join") ||
+          l.contains("Exchange") || l.contains("WholeStageCodegen") ||
+          l.trim.startsWith("(")).take(60).mkString("\n"))
+    }
+    spark.stop()
+  }
+}

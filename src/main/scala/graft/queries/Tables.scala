@@ -53,6 +53,9 @@ object OracleDefs {
       |         (event_type <> 'error' AND event_type <> 'click') AS has_props
       |  FROM events)""".stripMargin
 
-  /** Checkpoint literal for the filter queries: 2024-04-01T00:00:00Z in µs. */
-  val CheckpointUs: Long = 1711929600000000L
+  /** Checkpoint literal for the filter queries: 2024-01-15T00:00:00Z
+    * in µs — mid-range of the events table at every scale factor, so
+    * the filter check is non-degenerate.
+    */
+  val CheckpointUs: Long = 1705276800000000L
 }
