@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, CdcQueries, EmbQueries, QueryDef, TextQueries}
+import graft.queries.{AnalyticsQueries, CdcQueries, EmbQueries, EngineE2EQueries, QueryDef, TextQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -16,7 +16,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   val defs: Seq[QueryDef] =
-    CdcQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++ EmbQueries.all
+    CdcQueries.all ++ AnalyticsQueries.all ++ TextQueries.all ++
+      EmbQueries.all ++ EngineE2EQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.model._
+import graft.queries.OracleDefs.{cdcView => CDC}
+import graft.sink.TableMeta
+import graft.streaming.CdcEngine
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine itself as an oracle-checked query: events become CDC
+  * JSON envelopes (update/erase + partial column masks + positional
+  * key + (step,txId) = (µs,event_id)), heartbeats release the quorum,
+  * and the ACTUAL CdcEngine — parser, tracker, LWW merge, bucketed
+  * transactional sink — applies them. The final destination table must
+  * hash-match a pure-SQL statement of the replication semantics. This
+  * closes the loop the cdc_* analogs only approximate: the oracle here
+  * checks the engine's real output.
+  */
+object EngineE2EQueries {
+
+  private val usersMeta = TableMeta("users",
+    StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("props", StringType))),
+    Seq("user_id"))
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("cdc_engine_e2e",
+      s"""WITH $CDC,
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY user_id ORDER BY step_us, event_id) AS rn
+         |      FROM cdc),
+         |e AS (SELECT *, max(CASE WHEN op = 1 THEN rn END) OVER
+         |        (PARTITION BY user_id) AS erase_rn FROM r)
+         |SELECT user_id,
+         |  max_by(value, rn) FILTER (WHERE op = 0 AND has_value
+         |    AND rn > coalesce(erase_rn, 0)) AS value,
+         |  max_by(props, rn) FILTER (WHERE op = 0 AND has_props
+         |    AND rn > coalesce(erase_rn, 0)) AS props
+         |FROM e GROUP BY user_id
+         |HAVING max_by(op, rn) = 0
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-e2e-q").toString
+      val cdc = Tables.cdcView(s, d)
+
+      // change frames: one JSON envelope per event
+      val changes = cdc.select(
+        when(col("op") === 1,
+          to_json(struct(
+            map().cast("map<string,string>").as("erase"),
+            array(col("user_id").cast("string")).as("key"),
+            array(col("step_us"), col("event_id")).as("ts"))))
+        .otherwise(
+          to_json(struct(
+            map_filter(
+              map(
+                lit("value"), when(col("has_value"), col("value").cast("string")),
+                lit("props"), when(col("has_props"), col("props"))),
+              (_, v) => v.isNotNull).as("update"),
+            array(col("user_id").cast("string")).as("key"),
+            array(col("step_us"), col("event_id")).as("ts"))))
+        .as("value"),
+        col("part").cast("long").as("partitionId"),
+        col("event_id").as("offset"))
+        .withColumn("tableId", lit(0))
+
+      // one heartbeat per partition above every change position
+      val maxPos = cdc.agg(max("step_us")).head().getLong(0) + 1L
+      val maxOff = cdc.agg(max("event_id")).head().getLong(0) + 1L
+      val hbs = s.range(8).select(
+        concat(lit("""{"resolved":["""), lit(maxPos), lit(",0]}")).as("value"),
+        col("id").as("partitionId"),
+        lit(maxOff).as("offset"))
+        .withColumn("tableId", lit(0))
+
+      val cfg = EngineConfig("e2e-query",
+        Seq(StreamConfig(0, s"$root/src", "users", partitions = 8)),
+        s"$root/dst", ProblemStrategy.Stop,
+        maxBatchSize = Int.MaxValue, buckets = 32)
+      val engine = new CdcEngine(s, cfg, Map(0 -> usersMeta))
+      engine.bootstrap()
+      engine.processBatch(changes.unionByName(hbs.select(changes.columns.map(col): _*)), 0L)
+      engine.readTable("users").orderBy("user_id")
+    })
+}
