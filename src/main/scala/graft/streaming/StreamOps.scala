@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operator surface beyond the CDC engine:
+  * watermarked tumbling/sliding windows and custom session state via
+  * flatMapGroupsWithState. The reference has no windowed aggregation
+  * (its only time construct is the global quorum barrier), so these
+  * are part of the pipeline-extension surface; they are also the
+  * streaming forms of the batch-checked cdc_tumbling_window /
+  * cdc_sessionize queries.
+  */
+object StreamOps {
+
+  /** Watermarked tumbling-window count+sum over an event stream with
+    * columns (ts timestamp, value double). Late data beyond
+    * `watermark` is dropped by Spark's state eviction.
+    */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes",
+      width: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+
+  /** Sliding-window variant. */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes",
+      width: String = "1 hour", slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n"))
+
+  final case class SessionInput(userId: Long, tsUs: Long)
+  final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+  final case class SessionOut(userId: Long, startUs: Long, endUs: Long,
+      nEvents: Long)
+
+  /** Gap-based sessionization with explicit state —
+    * flatMapGroupsWithState keyed by user. A session closes when a
+    * later event for the same key arrives beyond the gap (event-time
+    * driven, deterministic; a production variant would add an
+    * EventTimeTimeout to flush idle keys). The batch-checkable twin is
+    * the cdc_sessionize oracle query.
+    */
+  def sessionize(events: Dataset[SessionInput], gapUs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SessionInput],
+            state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.tsUs)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.tsUs - s.lastUs <= gapUs =>
+                cur = Some(s.copy(lastUs = e.tsUs, nEvents = s.nEvents + 1))
+              case Some(s) =>
+                closed += SessionOut(userId, s.startUs, s.lastUs, s.nEvents)
+                cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+              case None =>
+                cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}
