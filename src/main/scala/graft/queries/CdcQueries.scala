@@ -287,6 +287,22 @@ object CdcQueries {
         .orderBy("user_id")
     },
 
+    // skew-safe aggregation: two-phase salted count+sum over the 5
+    // hot event_type keys — must equal the direct groupBy, which is
+    // what the oracle computes
+    QueryDef("cdc_salted_agg",
+      s"""WITH $CDC
+         |SELECT event_type, count(*) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_value_c
+         |FROM cdc GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      graft.ops.Skew.saltedCountSum(
+        cdcView(s, d), Seq(col("event_type")),
+        col("value").cast("decimal(18,2)"), salts = 16)
+        .select(col("event_type"), col("n"),
+          (col("sum_val") * 100).cast("long").as("sum_value_c"))
+        .orderBy("event_type")
+    },
+
     // tumbling time window (streaming window-agg analog)
     QueryDef("cdc_tumbling_window",
       s"""WITH $CDC
