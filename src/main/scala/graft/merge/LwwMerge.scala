@@ -71,6 +71,46 @@ object LwwMerge {
         col("nChanges"))
   }
 
+  /** Typed-path merge: one shuffle via groupByKey + the order-free
+    * [[KeyedLwwAggregator]] — a plain JVM fold per key, no HOF
+    * interpretation. Output schema matches [[merge]].
+    */
+  def mergeTyped(changes: DataFrame): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val agg = new KeyedLwwAggregator
+    changes.select("tableId", "partitionId", "offset", "keyJson",
+        "columns", "step", "txId", "op")
+      .as[ChangeRecord]
+      .groupByKey(c => (c.tableId, c.keyJson))
+      .agg(agg.toColumn.name("m"))
+      .map { case ((tid, key), m) =>
+        Merged(tid, key, m.op, m.step, m.txId, m.columns, m.nChanges)
+      }
+      .toDF()
+      .select("tableId", "keyJson", "op", "step", "txId", "columns", "nChanges")
+  }
+
+  final case class MergedVals(op: Int, step: Long, txId: Long,
+      columns: Map[String, String], nChanges: Long)
+
+  /** Key-agnostic form of the LWW buffer fold (see [[LwwAggregator]]
+    * for the order-free construction proof obligations).
+    */
+  final class KeyedLwwAggregator
+      extends Aggregator[ChangeRecord, MergeBuf, MergedVals] {
+    private val inner = new LwwAggregator(0, Nil)
+    def zero: MergeBuf = inner.zero
+    def reduce(b: MergeBuf, c: ChangeRecord): MergeBuf = inner.reduce(b, c)
+    def merge(a: MergeBuf, b: MergeBuf): MergeBuf = inner.merge(a, b)
+    def finish(b: MergeBuf): MergedVals = {
+      val m = inner.finish(b)
+      MergedVals(m.op, m.step, m.txId, m.columns, m.nChanges)
+    }
+    def bufferEncoder: Encoder[MergeBuf] = Encoders.product[MergeBuf]
+    def outputEncoder: Encoder[MergedVals] = Encoders.product[MergedVals]
+  }
+
   // ----- typed Aggregator form (for Dataset / streaming state use) -----
 
   /** Mergeable buffer: order-free formulation of the same fold.

@@ -108,21 +108,22 @@ final class CdcEngine(
           Position(r.getAs[Long]("step"), r.getAs[Long]("txId")))
       }
 
-      // buffer the gated changes in the pending store (dir unique per
-      // batch AND manifest version, so a replayed batch can't clobber
-      // files a committed manifest still references)
-      val pendDir = s"$root/pending/b${batchId}_v${man.version}"
-      val newPending: Seq[String] =
-        if (filtered.isEmpty) man.pendingFiles
-        else {
-          filtered.write.mode("overwrite").parquet(pendDir)
-          man.pendingFiles ++ TransactionalStore.partFiles(pendDir)
-        }
-      man = man.copy(pendingFiles = newPending)
+      // The working set = previously stored pending ∪ this batch's
+      // gated changes, kept in memory. Durability note: the incoming
+      // batch itself does NOT need to hit the pending store before
+      // emission — if we crash before the manifest commit, Spark
+      // replays the source batch; only rows carried over from already
+      // -committed batches must live in files, and those are exactly
+      // the remainder the emission paths write.
+      val pendingAll = pendingDF(man)
+        .unionByName(filtered.select(pendingSchema.fieldNames.map(col): _*))
+        .persist()
 
       // emission loop (ST2/ST5)
       man = if (man.state.stage == Stage.InitialScan)
-        initialScan(man, batchId) else emitBelowQuorum(man, batchId)
+        initialScan(man, pendingAll, batchId)
+      else emitBelowQuorum(man, pendingAll, batchId)
+      pendingAll.unpersist()
 
       // owner check inside the transaction (ST7): the lease must still
       // be ours at the moment the commit becomes visible
@@ -146,18 +147,33 @@ final class CdcEngine(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pendingSchema)
     else spark.read.schema(pendingSchema).parquet(man.pendingFiles: _*)
 
-  /** RUN stage: emit everything strictly below the quorum, atomically. */
+  /** RUN stage: emit everything strictly below the quorum, atomically.
+    * With no quorum, the whole working set becomes the new durable
+    * pending store.
+    */
   private def emitBelowQuorum(man0: TransactionalStore.Manifest,
-      batchId: Long): TransactionalStore.Manifest = {
+      pending: DataFrame, batchId: Long): TransactionalStore.Manifest = {
     tracker.quorum match {
-      case None => man0
+      case None => storePending(man0, pending, s"nq$batchId")
       case Some(q) =>
-        val pending = pendingDF(man0)
         val cut = pending.filter(BatchOrder.posLt(col("step"), col("txId"), q))
         val rest = pending.filter(!BatchOrder.posLt(col("step"), col("txId"), q))
         val man1 = applyCut(man0, cut, rest, q, man0.state.stage)
         tracker.commit(q)
         man1
+    }
+  }
+
+  /** Persist the working set as the new pending file list (replaces
+    * the previous list — the set already contains it).
+    */
+  private def storePending(man: TransactionalStore.Manifest,
+      pending: DataFrame, tag: String): TransactionalStore.Manifest = {
+    if (pending.isEmpty) man.copy(pendingFiles = Nil)
+    else {
+      val dir = s"$root/pending/p${tag}_v${man.version}"
+      pending.write.mode("overwrite").parquet(dir)
+      man.copy(pendingFiles = TransactionalStore.partFiles(dir))
     }
   }
 
@@ -167,38 +183,46 @@ final class CdcEngine(
     * emit below it and flip to RUN.
     */
   private def initialScan(man0: TransactionalStore.Manifest,
-      batchId: Long): TransactionalStore.Manifest = {
+      pending: DataFrame, batchId: Long): TransactionalStore.Manifest = {
     if (syncTarget.isEmpty && tracker.fullSet) syncTarget = tracker.maxHb
     var man = man0
     syncTarget.flatMap(tracker.quorumAfter) match {
       case Some(q) =>
         // sync point reached: final initial-scan emission, stage → RUN
-        val pending = pendingDF(man)
         val cut = pending.filter(BatchOrder.posLt(col("step"), col("txId"), q))
         val rest = pending.filter(!BatchOrder.posLt(col("step"), col("txId"), q))
         val man1 = applyCut(man, cut, rest, q, Stage.Run)
         tracker.commit(q)
         man1
       case None =>
-        // drain pending in merge-ordered chunks of maxBatchSize
+        // drain the working set in merge-ordered chunks of maxBatchSize
+        var remaining = pending
         var done = false
         while (!done) {
-          val pending = pendingDF(man)
-          val chunkDF = BatchOrder.mergeOrder(pending).limit(cfg.maxBatchSize)
+          val chunkDF = BatchOrder.mergeOrder(remaining).limit(cfg.maxBatchSize)
           val n = chunkDF.count()
-          if (n == 0) done = true
-          else {
+          if (n == 0) {
+            man = storePending(man, remaining, s"is$batchId")
+            done = true
+          } else {
             val maxPos = chunkDF
               .agg(max(struct(ux(col("step")).as("s"), ux(col("txId")).as("t"),
                 col("step"), col("txId"))).as("m"))
               .select(col("m.step"), col("m.txId")).head()
             val hi = Position(maxPos.getLong(0), maxPos.getLong(1))
-            val cut = pending.filter(!BatchOrder.posGt(col("step"), col("txId"), hi))
-            val rest = pending.filter(BatchOrder.posGt(col("step"), col("txId"), hi))
-            man = applyCut(man, cut, rest, hi, Stage.InitialScan)
-            TransactionalStore.commit(root, man.copy(version = man.version + 1))
-            man = man.copy(version = man.version + 1)
-            if (n < cfg.maxBatchSize) done = true
+            val cut = remaining.filter(!BatchOrder.posGt(col("step"), col("txId"), hi))
+            val rest = remaining.filter(BatchOrder.posGt(col("step"), col("txId"), hi))
+            if (n < cfg.maxBatchSize) {
+              // final chunk: everything applies, remainder is empty
+              man = applyCut(man, cut, rest, hi, Stage.InitialScan)
+              done = true
+            } else {
+              man = applyCut(man, cut, rest, hi, Stage.InitialScan)
+              TransactionalStore.commit(root, man.copy(version = man.version + 1))
+              man = man.copy(version = man.version + 1)
+              // continue from the durably-written remainder
+              remaining = pendingDF(man)
+            }
           }
         }
         man

@@ -72,6 +72,23 @@ class LwwMergeSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("mergeTyped produces the same result as the DataFrame fold") {
+    val events = Seq(
+      chg("1", 1, 1, Op.Update, Map("a" -> "1", "b" -> "x"), off = 0),
+      chg("1", 2, 1, Op.Erase, Map.empty, off = 1),
+      chg("1", 3, 1, Op.Update, Map("b" -> "z"), off = 2),
+      chg("2", 5, 5, Op.Update, Map("a" -> "q"), part = 1, off = 0),
+      chg("3", 1, 1, Op.Erase, Map.empty, off = 3))
+    val df = events.toDF()
+    def normalize(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => (
+        r.getAs[scala.collection.Seq[String]]("keyJson").head,
+        r.getAs[Int]("op"), r.getAs[Long]("step"), r.getAs[Long]("txId"),
+        Option(r.getAs[Map[String, String]]("columns")).getOrElse(Map.empty),
+        r.getAs[Long]("nChanges"))).toSet
+    assert(normalize(LwwMerge.merge(df)) == normalize(LwwMerge.mergeTyped(df)))
+  }
+
   test("typed Aggregator agrees with the DataFrame fold") {
     val events = Seq(
       chg("1", 1, 1, Op.Update, Map("a" -> "1", "b" -> "x"), off = 0),
