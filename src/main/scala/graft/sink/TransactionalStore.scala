@@ -114,6 +114,44 @@ object TransactionalStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Garbage-collect files no commit can reach: data/pending files not
+    * referenced by the CURRENT manifest, and manifests older than
+    * `keepManifests` versions. Safe w.r.t. concurrent readers that
+    * resolve MANIFEST first, as long as they finish within the
+    * retention window — the same contract as Delta/Iceberg vacuum.
+    * Returns the number of files deleted.
+    */
+  def vacuum(root: String, keepManifests: Int = 10): Int = {
+    val man = read(root)
+    val live: Set[Path] =
+      (man.tables.values.flatMap(_.bucketFiles.values).flatten ++
+        man.pendingFiles).map(f => Paths.get(f).toAbsolutePath.normalize).toSet
+    var deleted = 0
+    def sweep(dir: Path): Unit =
+      if (Files.isDirectory(dir))
+        Files.walk(dir).iterator().asScala.toSeq.reverseIterator.foreach { f =>
+          if (Files.isRegularFile(f) &&
+              !live.contains(f.toAbsolutePath.normalize) &&
+              !f.getFileName.toString.startsWith("_")) {
+            Files.delete(f); deleted += 1
+          } else if (Files.isDirectory(f) &&
+              !Files.list(f).iterator().hasNext) {
+            Files.delete(f)
+          }
+        }
+    sweep(Paths.get(root, "tables"))
+    sweep(Paths.get(root, "pending"))
+    val mdir = Paths.get(root, "manifest")
+    Files.list(mdir).iterator().asScala.toSeq.foreach { f =>
+      val name = f.getFileName.toString
+      if (name.startsWith("v") && name.endsWith(".json")) {
+        val v = name.stripPrefix("v").stripSuffix(".json").toLong
+        if (v < man.version - keepManifests) { Files.delete(f); deleted += 1 }
+      }
+    }
+    deleted
+  }
+
   /** Collect the parquet part-files of a freshly written staging dir. */
   def partFiles(dir: String): Seq[String] = {
     val p = Paths.get(dir)
