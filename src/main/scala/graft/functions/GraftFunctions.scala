@@ -26,8 +26,21 @@ object GraftFunctions {
   /** Portable polynomial string hash: fold (h*31 + codepoint) % PhMod
     * over the characters of `s`. Deterministic across engines; ~uniform
     * on [0, PhMod) for natural-language tokens.
+    *
+    * This stays the higher-order-function formulation: the call sites
+    * sit INSIDE `transform(...)` lambdas, where everything is
+    * interpreted anyway and where injecting the custom
+    * [[NativeExpressions.PortableHashExpr]] measurably breaks the
+    * surrounding stage's whole-stage codegen (3-10x regressions at
+    * sf0.1). The native expression remains available
+    * ([[portableHashNativeCol]]) for top-level scalar use.
     */
-  def portableHash(s: Column): Column =
+  def portableHash(s: Column): Column = portableHashHof(s)
+
+  def portableHashNativeCol(s: Column): Column =
+    NativeExpressions.portableHashNative(s)
+
+  def portableHashHof(s: Column): Column =
     aggregate(
       transform(filter(split(s, ""), c => c =!= lit("")), c => ascii(c).cast("long")),
       lit(0L),

@@ -26,8 +26,14 @@ object Similarity {
   def quantize(emb: Column, scale: Int = 1000): Column =
     transform(emb, x => round(x.cast("double") * scale, 0).cast("long"))
 
-  /** Exact integer dot product (sequential fold). */
+  /** Exact integer dot product — native codegen'd expression;
+    * [[dotIHof]] is the built-in higher-order-function form (kept for
+    * equivalence testing).
+    */
   def dotI(a: Column, b: Column): Column =
+    graft.functions.NativeExpressions.dotLongNative(a, b)
+
+  def dotIHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Cosine over quantized vectors: integer dots, one sqrt+div at the
@@ -66,11 +72,8 @@ object Similarity {
     */
   def lshBucket(vec: Column, planes: Int, dims: Int): Column =
     (0 until planes).map { j =>
-      val dot = aggregate(
-        zip_with(vec,
-          array((0 until dims).map(i => lit(planeWeight(j, i, dims))): _*),
-          (x, w) => x * w),
-        lit(0L), (acc, x) => acc + x)
+      val dot = dotI(vec,
+        array((0 until dims).map(i => lit(planeWeight(j, i, dims))): _*))
       when(dot > 0L, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
