@@ -390,6 +390,24 @@ final class CdcEngine(
     * order is the "offset" field each message carries (the topic-offset
     * analog; the file source itself has no offsets).
     */
+  /** Run over ANY streaming frame with columns (value string,
+    * tableId int, partitionId long, offset long) — the adapter point
+    * for real topic sources. A Kafka stream plugs in as:
+    * {{{
+    * spark.readStream.format("kafka")...load()
+    *   .select(col("value").cast("string"),
+    *     lit(tableId).as("tableId"),
+    *     col("partition").cast("long").as("partitionId"),
+    *     col("offset"))
+    * }}}
+    */
+  def startFromFrames(frames: DataFrame,
+      checkpointLocation: String): StreamingQuery =
+    frames.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
+      .start()
+
   def start(checkpointLocation: String): StreamingQuery = {
     val frames = cfg.streams.map { s =>
       spark.readStream
@@ -401,10 +419,7 @@ final class CdcEngine(
         .withColumn("offset",
           get_json_object(col("value"), "$.offset").cast("long"))
     }.reduce(_ unionByName _)
-    frames.writeStream
-      .option("checkpointLocation", checkpointLocation)
-      .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
-      .start()
+    startFromFrames(frames, checkpointLocation)
   }
 }
 
