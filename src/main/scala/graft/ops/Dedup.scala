@@ -91,4 +91,32 @@ object Dedup {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming ≤ maxDist over 32-bit
+    * fingerprints. Candidate generation by the pigeonhole principle:
+    * split into `bands` equal bit-bands — any pair within distance
+    * bands-1 must agree on at least one band, so the join key is
+    * (band index, band bits) and no cross product forms. `sims`:
+    * (id, simhash).
+    */
+  def simhashPairs(sims: DataFrame, id: String, bands: Int,
+      bitsPerBand: Int, maxDist: Int): DataFrame = {
+    require(maxDist < bands, "pigeonhole needs maxDist < bands")
+    val banded = (0 until bands).map { b =>
+      sims.select(col(id).as("__id"), col("simhash"),
+        concat_ws(":", lit(b),
+          shiftright(col("simhash"), b * bitsPerBand)
+            .bitwiseAND((1L << bitsPerBand) - 1L)).as("band_key"))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col("__id").as("id_a"), col("simhash").as("sh_a"),
+      col("band_key"))
+    val b = banded.select(col("__id").as("id_b"), col("simhash").as("sh_b"),
+      col("band_key"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("dist", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

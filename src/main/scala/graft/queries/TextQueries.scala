@@ -170,6 +170,44 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // SimHash near-dup pairs: banded-Hamming candidate join
+    // (pigeonhole over 4x8-bit bands), verify hamming ≤ 3
+    QueryDef("doc_dedup_simhash", {
+      val sums = (0 until 32)
+        .map(i => s"CAST(sum((h >> $i) & 1) AS BIGINT) AS s_$i").mkString(",\n  ")
+      val bits = (0 until 32)
+        .map(i => s"(CASE WHEN 2 * s_$i > n THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      val bandSel = (0 until 4).map { b =>
+        s"SELECT doc_id, simhash, concat_ws(':', '$b', (simhash >> ${b * 8}) & 255)" +
+          " AS band_key FROM sh"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+         |hh AS (SELECT doc_id, ${sqlPhash("tok")} AS h FROM u),
+         |agg AS (SELECT doc_id, count(*) AS n,
+         |  $sums
+         |  FROM hh GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM agg),
+         |bands AS (
+         |  $bandSel),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM bands a JOIN bands b USING (band_key)
+         |  WHERE a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS dist
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      val sims = Dedup.simhash32(
+        load(s, d, "documents").withColumn("toks", tokens(col("text"))),
+        col("toks"))
+        .select(col("doc_id"), col("simhash"))
+      Dedup.simhashPairs(sims, "doc_id", bands = 4, bitsPerBand = 8, maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+        .orderBy("id_a", "id_b")
+    },
+
     // char-n-gram Jaccard near-dup within (lang, source) blocks;
     // n-grams are hashed to longs once so the pair-wise set
     // intersection compares integers, not strings
