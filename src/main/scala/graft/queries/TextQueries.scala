@@ -130,7 +130,9 @@ object TextQueries {
          |  CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE) /
          |    nullif(CAST(len(list_distinct(list_concat(ta.hs, tb.hs))) AS DOUBLE), 0.0)
          |    AS jac
-         |  FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b)
+         |  FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
+         |  WHERE CAST(least(len(ta.hs), len(tb.hs)) AS DOUBLE) >=
+         |        $MinhashJaccard * greatest(len(ta.hs), len(tb.hs)))
          |SELECT id_a, id_b, round(jac, 6) AS jac FROM j
          |WHERE jac >= $MinhashJaccard ORDER BY id_a, id_b""".stripMargin
     }) { (s, d) =>
@@ -143,6 +145,11 @@ object TextQueries {
       cand
         .join(t.select(col("doc_id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
         .join(t.select(col("doc_id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
+        // size-ratio prefilter: jaccard ≤ min/max of the set sizes, so
+        // pairs failing this bound cannot pass the threshold — skips
+        // the expensive intersection for most candidates
+        .filter(least(size(col("h_a")), size(col("h_b"))).cast("double") >=
+          greatest(size(col("h_a")), size(col("h_b"))) * MinhashJaccard)
         .withColumn("jac", Dedup.jaccard(col("h_a"), col("h_b")))
         .filter(col("jac") >= MinhashJaccard)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
