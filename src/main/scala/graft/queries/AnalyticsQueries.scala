@@ -203,6 +203,83 @@ object AnalyticsQueries {
           asc_nulls_first("o_orderpriority"))
     },
 
+    // CUBE over two dimensions
+    QueryDef("q_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qty_c
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      load(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+            .cast("long").as("qty_c"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // lead/lag/ntile window functions
+    QueryDef("q_lead_lag",
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey) OVER w AS prev_order,
+        |  lead(o_orderkey) OVER w AS next_order,
+        |  ntile(4) OVER w AS quartile,
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+        |FROM orders WHERE o_custkey <= 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wp = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      load(s, d, "orders").filter(col("o_custkey") <= 20)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag("o_orderkey", 1).over(w).as("prev_order"),
+          lead("o_orderkey", 1).over(w).as("next_order"),
+          ntile(4).over(w).as("quartile"),
+          rank().over(wp).cast("long").as("price_rank"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // scalar string-function battery
+    QueryDef("q_string_funcs",
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  length(p_name) AS len,
+        |  substr(p_name, 1, 5) AS pre,
+        |  replace(p_type, ' ', '_') AS typ,
+        |  concat(p_brand, '#', p_type) AS brandtype,
+        |  CAST(contains(p_name, 'a') AS BOOLEAN) AS has_a,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      load(s, d, "part")
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).cast("long").as("len"),
+          substring(col("p_name"), 1, 5).as("pre"),
+          regexp_replace(col("p_type"), " ", "_").as("typ"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("brandtype"),
+          col("p_name").contains("a").as("has_a"),
+          lpad(col("p_size").cast("string"), 4, "0").as("size4"))
+        .orderBy("p_partkey")
+    },
+
+    // array + JSON function battery over events.props
+    QueryDef("q_array_json_funcs",
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  len(string_split(event_type, 'u')) AS n_splits,
+        |  list_sort(string_split(event_type, ''))[1] AS min_char
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      load(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          size(split(col("event_type"), "u", -1)).cast("long").as("n_splits"),
+          array_min(filter(split(col("event_type"), ""), c => c =!= lit("")))
+            .as("min_char"))
+        .orderBy("event_id")
+    },
+
     // exact distinct counting
     QueryDef("q_distinct_agg",
       """SELECT l_returnflag,
