@@ -68,6 +68,10 @@ object LwwMerge {
         col("lastEv.step").as("step"),
         col("lastEv.txId").as("txId"),
         col("m.cols").as("columns"),
+        // an erase occurred during the batch: even when a later update
+        // wins, the destination row's PRE-BATCH columns are dead — the
+        // apply must replace, not overlay (log-replay semantics)
+        exists(col("evs"), e => e.getField("op") === Op.Erase).as("erased"),
         col("nChanges"))
   }
 
@@ -85,14 +89,15 @@ object LwwMerge {
       .groupByKey(c => (c.tableId, c.keyJson))
       .agg(agg.toColumn.name("m"))
       .map { case ((tid, key), m) =>
-        Merged(tid, key, m.op, m.step, m.txId, m.columns, m.nChanges)
+        Merged(tid, key, m.op, m.step, m.txId, m.columns, m.erased, m.nChanges)
       }
       .toDF()
-      .select("tableId", "keyJson", "op", "step", "txId", "columns", "nChanges")
+      .select("tableId", "keyJson", "op", "step", "txId", "columns",
+        "erased", "nChanges")
   }
 
   final case class MergedVals(op: Int, step: Long, txId: Long,
-      columns: Map[String, String], nChanges: Long)
+      columns: Map[String, String], erased: Boolean, nChanges: Long)
 
   /** Key-agnostic form of the LWW buffer fold (see [[LwwAggregator]]
     * for the order-free construction proof obligations).
@@ -105,7 +110,7 @@ object LwwMerge {
     def merge(a: MergeBuf, b: MergeBuf): MergeBuf = inner.merge(a, b)
     def finish(b: MergeBuf): MergedVals = {
       val m = inner.finish(b)
-      MergedVals(m.op, m.step, m.txId, m.columns, m.nChanges)
+      MergedVals(m.op, m.step, m.txId, m.columns, m.erased, m.nChanges)
     }
     def bufferEncoder: Encoder[MergeBuf] = Encoders.product[MergeBuf]
     def outputEncoder: Encoder[MergedVals] = Encoders.product[MergedVals]
@@ -130,7 +135,8 @@ object LwwMerge {
 
   final case class Merged(
       tableId: Int, keyJson: Seq[String], op: Int,
-      step: Long, txId: Long, columns: Map[String, String], nChanges: Long)
+      step: Long, txId: Long, columns: Map[String, String],
+      erased: Boolean, nChanges: Long)
 
   private val minP = (Long.MinValue, Long.MinValue, Long.MinValue, Long.MinValue)
   private def posOf(c: ChangeRecord): (Long, Long, Long, Long) =
@@ -179,7 +185,8 @@ object LwwMerge {
       val cols =
         if (b.maxOp == Op.Erase) Map.empty[String, String]
         else b.cols.collect { case (k, (p, v)) if pOrd.gt(p, e) => k -> v }
-      Merged(tableId, keyJson, b.maxOp, b.lastStep, b.lastTxId, cols, b.n)
+      Merged(tableId, keyJson, b.maxOp, b.lastStep, b.lastTxId, cols,
+        b.erasePos.nonEmpty, b.n)
     }
     def bufferEncoder: Encoder[MergeBuf] = Encoders.product[MergeBuf]
     def outputEncoder: Encoder[Merged] = Encoders.product[Merged]

@@ -25,7 +25,96 @@ object EngineE2EQueries {
       StructField("props", StringType))),
     Seq("user_id"))
 
+  /** Shared oracle: the pure-SQL statement of the replication
+    * semantics — what the destination table must equal however many
+    * batches the engine applied it in.
+    */
+  private val lwwOracle: String =
+    s"""WITH $CDC,
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY user_id ORDER BY step_us, event_id) AS rn
+       |      FROM cdc),
+       |e AS (SELECT *, max(CASE WHEN op = 1 THEN rn END) OVER
+       |        (PARTITION BY user_id) AS erase_rn FROM r)
+       |SELECT user_id,
+       |  max_by(value, rn) FILTER (WHERE op = 0 AND has_value
+       |    AND rn > coalesce(erase_rn, 0)) AS value,
+       |  max_by(props, rn) FILTER (WHERE op = 0 AND has_props
+       |    AND rn > coalesce(erase_rn, 0)) AS props
+       |FROM e GROUP BY user_id
+       |HAVING max_by(op, rn) = 0
+       |ORDER BY user_id""".stripMargin
+
+  /** Build the CDC change frame for a slice of events. */
+  private def changeFrame(cdc: org.apache.spark.sql.DataFrame) =
+    cdc.select(
+      when(col("op") === 1,
+        to_json(struct(
+          map().cast("map<string,string>").as("erase"),
+          array(col("user_id").cast("string")).as("key"),
+          array(col("step_us"), col("event_id")).as("ts"))))
+      .otherwise(
+        to_json(struct(
+          map_filter(
+            map(
+              lit("value"), when(col("has_value"), col("value").cast("string")),
+              lit("props"), when(col("has_props"), col("props"))),
+            (_, v) => v.isNotNull).as("update"),
+          array(col("user_id").cast("string")).as("key"),
+          array(col("step_us"), col("event_id")).as("ts"))))
+      .as("value"),
+      col("part").cast("long").as("partitionId"),
+      col("event_id").as("offset"))
+      .withColumn("tableId", lit(0))
+
+  private def hbFrame(s: org.apache.spark.sql.SparkSession,
+      pos: Long, off: Long) =
+    s.range(8).select(
+      concat(lit("""{"resolved":["""), lit(pos), lit(",0]}")).as("value"),
+      col("id").as("partitionId"),
+      lit(off).as("offset"))
+      .withColumn("tableId", lit(0))
+
   val all: Seq[QueryDef] = Seq(
+
+    // the engine applied over FOUR successive micro-batches, quorum
+    // advancing per batch, partial updates crossing batch boundaries
+    // through the copy-on-write store — must equal the one-shot oracle
+    QueryDef("cdc_engine_incremental", lwwOracle) { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-inc-q").toString
+      val cdc = Tables.cdcView(s, d).persist()
+      val maxId = cdc.agg(max("event_id")).head().getLong(0)
+      val maxPos = cdc.agg(max("step_us")).head().getLong(0) + 1L
+      val cfg = EngineConfig("inc-query",
+        Seq(StreamConfig(0, s"$root/src", "users", partitions = 8)),
+        s"$root/dst", ProblemStrategy.Stop,
+        maxBatchSize = Int.MaxValue, buckets = 32)
+      val engine = new CdcEngine(s, cfg, Map(0 -> usersMeta))
+      engine.bootstrap()
+      val nBatches = 4L
+      val sliceSize = maxId / nBatches + 1L
+      (0L until nBatches).foreach { b =>
+        val slice = cdc.filter(col("event_id") >= b * sliceSize &&
+          col("event_id") < (b + 1) * sliceSize)
+        // non-final batches resolve up to the slice's max step: events
+        // AT that step stay pending one batch (strictly-below cut) —
+        // claiming max+1 would declare unseen positions resolved,
+        // which the reference's order verification treats as a
+        // protocol violation
+        val hbPos = if (b == nBatches - 1) maxPos
+          else slice.agg(max("step_us")).head() match {
+            case r if r.isNullAt(0) => maxPos
+            case r => r.getLong(0)
+          }
+        engine.processBatch(
+          changeFrame(slice).unionByName(
+            hbFrame(s, hbPos, maxId + 1 + b)
+              .select(changeFrame(slice).columns.map(col): _*)), b)
+      }
+      cdc.unpersist()
+      engine.readTable("users").orderBy("user_id")
+    },
+
     QueryDef("cdc_engine_e2e",
       s"""WITH $CDC,
          |r AS (SELECT *, row_number() OVER

@@ -78,6 +78,7 @@ object DstTable {
       (TypeConversion.project(meta.schema, meta.primaryKey,
         col("columns"), col("keyJson")) ++ Seq(
         col("op"),
+        coalesce(col("erased"), lit(false)).as("__erased"),
         TypeConversion.presentColumns(meta.schema, meta.primaryKey,
           col("columns")).as("__present"))): _*)
       .withColumn(BucketCol, bucketOf(meta, buckets))
@@ -97,7 +98,8 @@ object DstTable {
     val patK = typedPatch.select(
       (pk.map(k => col(k).as(s"__pk_$k")) ++
         meta.nonKeyColumns.map(c => col(c).as(s"__p_$c")) :+
-        col("op") :+ col("__present") :+ col(BucketCol).as("__pb")): _*)
+        col("op") :+ col("__erased") :+ col("__present") :+
+        col(BucketCol).as("__pb")): _*)
 
     val joined = oldK.join(patK,
       pk.map(k => oldK(s"__k_$k") <=> patK(s"__pk_$k")).reduce(_ && _),
@@ -109,9 +111,16 @@ object DstTable {
       .select(
         (pk.map(k => coalesce(col(s"__k_$k"), col(s"__pk_$k")).as(k)) ++
           meta.nonKeyColumns.map { c =>
-            when(col("op").isNotNull &&
-              array_contains(coalesce(col("__present"), array()), c),
-              col(s"__p_$c"))
+            val dt = meta.schema(c).dataType
+            val present =
+              array_contains(coalesce(col("__present"), array()), c)
+            // an in-batch erase kills the pre-batch row: the surviving
+            // update REPLACES (absent columns become NULL, not the old
+            // values) — log-replay semantics, checked by the
+            // incremental-vs-one-shot oracle
+            when(col("op").isNotNull && col("__erased"),
+              when(present, col(s"__p_$c")).otherwise(lit(null).cast(dt)))
+              .when(col("op").isNotNull && present, col(s"__p_$c"))
               .otherwise(col(s"__o_$c")).as(c)
           } :+
           coalesce(col("__ob"), col("__pb")).as(BucketCol)): _*)

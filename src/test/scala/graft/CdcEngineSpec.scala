@@ -86,6 +86,26 @@ class CdcEngineSpec extends SparkSpec {
     assert(e.state.position == Position(9, 0))
   }
 
+  test("cross-batch erase-then-update replaces the stored row (no stale columns)") {
+    val root = Files.createTempDirectory("graft-xbatch").toString
+    val e = mkEngine(root)
+    e.processBatch(frame(
+      ("""{"update":{"name":"x","score":5},"key":[1],"ts":[1,1]}""", 0L, 0L),
+      ("""{"resolved":[2,0]}""", 0L, 1L),
+      ("""{"resolved":[2,0]}""", 1L, 0L)), 0L)
+    e.processBatch(frame( // reach RUN
+      ("""{"resolved":[4,0]}""", 0L, 2L),
+      ("""{"resolved":[4,0]}""", 1L, 1L)), 1L)
+    assert(users(e)(1L) == ("x", 5))
+    // erase then partial update in ONE batch: pre-batch columns die
+    e.processBatch(frame(
+      ("""{"erase":{},"key":[1],"ts":[5,1]}""", 0L, 3L),
+      ("""{"update":{"name":"y"},"key":[1],"ts":[5,2]}""", 0L, 4L),
+      ("""{"resolved":[6,0]}""", 0L, 5L),
+      ("""{"resolved":[6,0]}""", 1L, 2L)), 2L)
+    assert(users(e)(1L) == ("y", null)) // score must NOT survive the erase
+  }
+
   test("crash replay: checkpoint filter makes re-delivery a no-op") {
     val root = Files.createTempDirectory("graft-replay").toString
     val e = mkEngine(root)
