@@ -251,6 +251,59 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // the composed curation pipeline: exact dedup → LSH near-dup drop
+    // → quality gates → language filter, as one auditable verdict per
+    // document
+    QueryDef("doc_curation_pipeline", {
+      val sigs = (0 until MinhashK).map(j =>
+        s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $MinhashPrime) AS sig_$j")
+        .mkString(",\n  ")
+      val bandSelects = (0 until MinhashK / RowsPerBand).map { b =>
+        val parts = (0 until RowsPerBand)
+          .map(r => s"sig_${b * RowsPerBand + r}").mkString(", ")
+        s"SELECT doc_id, concat_ws(':', '$b', $parts) AS band_key FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      val sw = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH base AS (SELECT doc_id, text, $sqlToks AS w FROM documents),
+         |t AS (SELECT doc_id, list_distinct(list_transform(
+         |    list_distinct(w), tok -> ${sqlPhash("tok")})) AS hs, w, text
+         |  FROM base),
+         |u AS (SELECT doc_id, unnest(hs) AS h FROM t),
+         |sig AS (SELECT doc_id, $sigs FROM u GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_key)
+         |  WHERE a.doc_id < b.doc_id),
+         |dropids AS (SELECT DISTINCT id_b AS doc_id
+         |  FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
+         |  WHERE CAST(least(len(ta.hs), len(tb.hs)) AS DOUBLE) >=
+         |        $MinhashJaccard * greatest(len(ta.hs), len(tb.hs))
+         |    AND CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE) /
+         |        nullif(CAST(len(list_distinct(list_concat(ta.hs, tb.hs))) AS DOUBLE), 0.0)
+         |        >= $MinhashJaccard),
+         |m AS (SELECT t.doc_id,
+         |  t.doc_id = min(t.doc_id) OVER (PARTITION BY md5(t.text)) AS is_canonical,
+         |  t.doc_id IN (SELECT doc_id FROM dropids) AS is_near_dup,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(w, x -> list_contains($sw, x))) AS DOUBLE)
+         |    / nullif(CAST(len(w) AS DOUBLE), 0.0) AS swr,
+         |  CAST(len(list_distinct(w)) AS DOUBLE)
+         |    / nullif(CAST(len(w) AS DOUBLE), 0.0) AS ttr
+         |  FROM t)
+         |SELECT doc_id, is_canonical, is_near_dup, n_tokens,
+         |  CASE WHEN swr > 0.02 THEN 'en' ELSE 'other' END AS predicted_lang,
+         |  (is_canonical AND NOT is_near_dup AND n_tokens >= 20
+         |   AND swr <= 0.5 AND ttr >= 0.2
+         |   AND (CASE WHEN swr > 0.02 THEN 'en' ELSE 'other' END) = 'en') AS kept
+         |FROM m ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.ops.CurationPipeline.curate(load(s, d, "documents"))
+        .select("doc_id", "is_canonical", "is_near_dup", "n_tokens",
+          "predicted_lang", "kept")
+        .orderBy("doc_id")
+    },
+
     // multimodal plumbing: binary payload + stubbed decode metadata
     QueryDef("mm_binary_meta",
       s"""SELECT doc_id,
