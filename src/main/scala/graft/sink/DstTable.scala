@@ -68,11 +68,6 @@ object DstTable {
       buckets: Int, current: TransactionalStore.TableVersion,
       patch: DataFrame, commitVersion: Long): TransactionalStore.TableVersion = {
 
-    val bad = unknownColumns(patch, meta)
-    if (bad.nonEmpty)
-      throw new IllegalArgumentException(
-        s"unknown destination columns for table ${meta.name}: ${bad.mkString(",")}")
-
     // Typed projection of the patch + present-column mask + bucket.
     val typedPatch = patch.select(
       (TypeConversion.project(meta.schema, meta.primaryKey,
@@ -80,11 +75,23 @@ object DstTable {
         col("op"),
         coalesce(col("erased"), lit(false)).as("__erased"),
         TypeConversion.presentColumns(meta.schema, meta.primaryKey,
-          col("columns")).as("__present"))): _*)
+          col("columns")).as("__present"),
+        // columns the destination schema doesn't know — hard error
+        filter(map_keys(col("columns")),
+          c => !c.isin(meta.schema.fieldNames.toSeq.map(lit): _*))
+          .as("__unknown"))): _*)
       .withColumn(BucketCol, bucketOf(meta, buckets))
 
-    val affected = typedPatch.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSet
+    // ONE pass collects both the affected buckets and any unknown
+    // columns (two driver round-trips saved per table per commit)
+    val metaRow = typedPatch.agg(
+      collect_set(col(BucketCol)).as("buckets"),
+      array_distinct(flatten(collect_list(col("__unknown")))).as("bad")).head()
+    val bad = metaRow.getAs[scala.collection.Seq[String]]("bad")
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unknown destination columns for table ${meta.name}: ${bad.mkString(",")}")
+    val affected = metaRow.getAs[scala.collection.Seq[Int]]("buckets").toSet
     if (affected.isEmpty) return current
 
     val old = readCurrent(spark, meta, current, Some(affected))
@@ -95,7 +102,7 @@ object DstTable {
       (pk.map(k => col(k).as(s"__k_$k")) ++
         meta.nonKeyColumns.map(c => col(c).as(s"__o_$c")) :+
         col(BucketCol).as("__ob")): _*)
-    val patK = typedPatch.select(
+    val patK = typedPatch.drop("__unknown").select(
       (pk.map(k => col(k).as(s"__pk_$k")) ++
         meta.nonKeyColumns.map(c => col(c).as(s"__p_$c")) :+
         col("op") :+ col("__erased") :+ col("__present") :+

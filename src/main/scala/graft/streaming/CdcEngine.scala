@@ -247,13 +247,11 @@ final class CdcEngine(
         acc.updated(meta.name, DstTable.applyPatch(spark, root, meta,
           cfg.buckets, acc(meta.name), patch, commitTag))
       }
+      // unconditional write: an empty remainder writes an empty part
+      // file, which beats a full pre-scan just to detect emptiness
       val restDir = s"$root/pending/r$commitTag"
-      val restFiles =
-        if (rest.isEmpty) Seq.empty[String]
-        else {
-          rest.write.mode("overwrite").parquet(restDir)
-          TransactionalStore.partFiles(restDir)
-        }
+      rest.write.mode("overwrite").parquet(restDir)
+      val restFiles = TransactionalStore.partFiles(restDir)
       man.copy(
         state = man.state.copy(stepId = newPos.step, txId = newPos.txId,
           stage = newStage),
