@@ -115,6 +115,47 @@ object EngineE2EQueries {
       engine.readTable("users").orderBy("user_id")
     },
 
+    // crash + replay invariant (ST4): process two batches, "crash"
+    // (fresh engine instance, empty tracker), RE-DELIVER the second
+    // batch, then finish — the checkpoint filter must make the replay
+    // a no-op and the final table must still equal the one-shot oracle
+    QueryDef("cdc_engine_restart", lwwOracle) { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-rst-q").toString
+      val cdc = Tables.cdcView(s, d).persist()
+      val maxId = cdc.agg(max("event_id")).head().getLong(0)
+      val maxPos = cdc.agg(max("step_us")).head().getLong(0) + 1L
+      val cfg = EngineConfig("rst-query",
+        Seq(StreamConfig(0, s"$root/src", "users", partitions = 8)),
+        s"$root/dst", ProblemStrategy.Stop,
+        maxBatchSize = Int.MaxValue, buckets = 32)
+      val nBatches = 4L
+      val sliceSize = maxId / nBatches + 1L
+      def batchFrame(b: Long) = {
+        val slice = cdc.filter(col("event_id") >= b * sliceSize &&
+          col("event_id") < (b + 1) * sliceSize)
+        val hbPos = if (b == nBatches - 1) maxPos
+          else slice.agg(max("step_us")).head() match {
+            case r if r.isNullAt(0) => maxPos
+            case r => r.getLong(0)
+          }
+        changeFrame(slice).unionByName(
+          hbFrame(s, hbPos, maxId + 1 + b)
+            .select(changeFrame(slice).columns.map(col): _*))
+      }
+      val e1 = new CdcEngine(s, cfg, Map(0 -> usersMeta))
+      e1.bootstrap()
+      e1.processBatch(batchFrame(0), 0)
+      e1.processBatch(batchFrame(1), 1)
+      // crash: new instance, tracker state gone; source re-delivers
+      val e2 = new CdcEngine(s, cfg, Map(0 -> usersMeta))
+      e2.bootstrap()
+      e2.processBatch(batchFrame(1), 1) // replay — must be a no-op
+      e2.processBatch(batchFrame(2), 2)
+      e2.processBatch(batchFrame(3), 3)
+      cdc.unpersist()
+      e2.readTable("users").orderBy("user_id")
+    },
+
     QueryDef("cdc_engine_e2e",
       s"""WITH $CDC,
          |r AS (SELECT *, row_number() OVER
