@@ -115,8 +115,14 @@ final class CdcEngine(
       // replays the source batch; only rows carried over from already
       // -committed batches must live in files, and those are exactly
       // the remainder the emission paths write.
+      // dropDuplicates on the source coordinates: a replayed frame can
+      // re-deliver rows already sitting in the stored pending buffer
+      // (those above the checkpoint); the merge is idempotent to such
+      // duplicates, but deduping here keeps the buffer from growing
+      // across repeated replays
       val pendingAll = pendingDF(man)
         .unionByName(filtered.select(pendingSchema.fieldNames.map(col): _*))
+        .dropDuplicates("tableId", "partitionId", "offset")
         .persist()
 
       // emission loop (ST2/ST5)
