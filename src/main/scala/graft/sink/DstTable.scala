@@ -48,17 +48,6 @@ object DstTable {
     else spark.read.schema(meta.schema).parquet(files: _*)
   }
 
-  /** Validate that every changed column exists in the destination
-    * schema (hard error on unknown columns, like the reference).
-    * Returns the offending names (empty = ok).
-    */
-  def unknownColumns(patch: DataFrame, meta: TableMeta): Seq[String] = {
-    val known = meta.schema.fieldNames.toSet
-    patch.select(explode(map_keys(col("columns"))).as("c"))
-      .filter(!col("c").isin(known.toSeq: _*))
-      .distinct().collect().map(_.getString(0)).toSeq
-  }
-
   /** Apply `patch` (merged rows: keyJson, op, columns) to the table and
     * write the new bucket files under
     * `root/tables/<name>/c{commitVersion}/`. Returns the updated
