@@ -1,14 +1,32 @@
 package graft
 
 object Bench {
+  /** Headline queries: one representative per operator family.
+    * Excluded by design: the redundant pair-op variants
+    * (doc_ngram_jaccard, doc_dedup_simhash cover the same machinery as
+    * doc_dedup_minhash) and the correctness-invariant engine replays
+    * (cdc_engine_incremental/restart re-run the same engine
+    * cdc_engine_e2e measures, several times over).
+    */
+  val headline: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_topk", "q5_regional_revenue",
+    "q_window_running", "q_topk_orders", "q_distinct_agg", "q_setops",
+    "q_rollup",
+    "cdc_parse_project", "cdc_checkpoint_filter", "cdc_lww_merge",
+    "cdc_quorum", "cdc_out_of_order", "cdc_tumbling_window",
+    "cdc_salted_agg", "cdc_engine_e2e",
+    "doc_token_stats", "doc_fingerprint", "doc_exact_dedup",
+    "doc_simhash", "doc_dedup_minhash", "doc_curation_pipeline",
+    "emb_knn_brute", "emb_lsh_buckets", "emb_near_dup")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
     // amortize session/JIT startup so the first measured query isn't
     // charged for codegen warmup
     spark.range(2000000L).selectExpr("sum(id)").collect()
-    SparkEntry.queries.head._2(spark, sfDir).count()
-    val results = SparkEntry.defs.map(_.name).sorted.map { name =>
+    SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

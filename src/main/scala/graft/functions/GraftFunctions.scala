@@ -27,17 +27,12 @@ object GraftFunctions {
     * over the characters of `s`. Deterministic across engines; ~uniform
     * on [0, PhMod) for natural-language tokens.
     *
-    * This stays the higher-order-function formulation: the call sites
-    * sit INSIDE `transform(...)` lambdas, where everything is
-    * interpreted anyway and where injecting the custom
-    * [[NativeExpressions.PortableHashExpr]] measurably breaks the
-    * surrounding stage's whole-stage codegen (3-10x regressions at
-    * sf0.1). The native expression remains available
-    * ([[portableHashNativeCol]]) for top-level scalar use.
+    * Dispatches to the native codegen'd expression (9x faster cold
+    * than the HOF formulation, equal warm; equivalence is
+    * property-tested in NativeExprSpec). [[portableHashHof]] keeps the
+    * pure-built-in form.
     */
-  def portableHash(s: Column): Column = portableHashHof(s)
-
-  def portableHashNativeCol(s: Column): Column =
+  def portableHash(s: Column): Column =
     NativeExpressions.portableHashNative(s)
 
   def portableHashHof(s: Column): Column =

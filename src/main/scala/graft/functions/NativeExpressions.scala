@@ -88,6 +88,46 @@ object NativeExpressions {
     }
   }
 
+  /** Intersection size of two SORTED long arrays (linear merge). Used
+    * for set-similarity verification where both sides were built with
+    * array_sort — O(n+m), codegen'd, no intermediate array.
+    */
+  case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nodeName: String = "graft_sorted_intersect_size"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      SortedIntersectSizeExpr.size(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.NativeExpressions.SortedIntersectSizeExpr.size($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  object SortedIntersectSizeExpr {
+    def size(a: ArrayData, b: ArrayData): Long = {
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var n = 0L
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      n
+    }
+  }
+
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftShims.column(SortedIntersectSizeExpr(
+      GraftShims.expression(a), GraftShims.expression(b)))
+
   def portableHashNative(s: Column): Column =
     GraftShims.column(PortableHashExpr(GraftShims.expression(s)))
 

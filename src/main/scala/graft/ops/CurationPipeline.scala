@@ -44,7 +44,7 @@ object CurationPipeline {
       .join(t.select(col("doc_id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
       .filter(least(size(col("h_a")), size(col("h_b"))).cast("double") >=
         greatest(size(col("h_a")), size(col("h_b"))) * cfg.nearDupJaccard)
-      .filter(Dedup.jaccard(col("h_a"), col("h_b")) >= cfg.nearDupJaccard)
+      .filter(Dedup.jaccardSorted(col("h_a"), col("h_b")) >= cfg.nearDupJaccard)
       .select(col("id_b").as("doc_id")).distinct()
 
     // stages 3+4: quality + language gates (pure column predicates)

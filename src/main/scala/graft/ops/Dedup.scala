@@ -24,13 +24,14 @@ object Dedup {
       .withColumn("is_canonical", id === min(id).over(w))
   }
 
-  /** Distinct shingle-hash set of a token array (the MinHash input and
-    * the exact-Jaccard verification domain — hashing once and
-    * intersecting longs beats re-intersecting strings).
+  /** Distinct SORTED shingle-hash set of a token array (the MinHash
+    * input and the exact-Jaccard verification domain — hashing once
+    * and merge-intersecting sorted longs beats re-intersecting
+    * strings).
     */
   def shingleHashes(toks: Column, w: Int): Column =
-    array_distinct(transform(array_distinct(wordShingles(toks, w)),
-      s => portableHash(s)))
+    array_sort(array_distinct(transform(array_distinct(wordShingles(toks, w)),
+      s => portableHash(s))))
 
   /** MinHash signature columns sig_0..sig_{k-1} from a pre-hashed
     * shingle set column. Uses the portable hash so signatures are
@@ -66,13 +67,23 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact Jaccard similarity of two string-array columns (distinct
-    * element sets).
+  /** Exact Jaccard similarity of two array columns (distinct element
+    * sets).
     */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(array_union(a, b)).cast("double")
     inter / nullif(union, lit(0.0d))
+  }
+
+  /** Exact Jaccard over SORTED distinct long arrays (e.g.
+    * [[shingleHashes]] output): one native linear merge instead of two
+    * hash-set materializations.
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = graft.functions.NativeExpressions.sortedIntersectSize(a, b)
+    inter.cast("double") /
+      nullif((size(a) + size(b) - inter).cast("double"), lit(0.0d))
   }
 
   /** 32-bit SimHash of a token array using the portable hash: bit i is

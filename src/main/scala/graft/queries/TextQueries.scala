@@ -150,7 +150,7 @@ object TextQueries {
         // the expensive intersection for most candidates
         .filter(least(size(col("h_a")), size(col("h_b"))).cast("double") >=
           greatest(size(col("h_a")), size(col("h_b"))) * MinhashJaccard)
-        .withColumn("jac", Dedup.jaccard(col("h_a"), col("h_b")))
+        .withColumn("jac", Dedup.jaccardSorted(col("h_a"), col("h_b")))
         .filter(col("jac") >= MinhashJaccard)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
         .orderBy("id_a", "id_b")
@@ -237,15 +237,16 @@ object TextQueries {
       val g = load(s, d, "documents")
         .filter(length(col("text")) >= 4)
         .select(col("doc_id"), col("lang"), col("source"),
-          array_distinct(transform(array_distinct(charNgrams(col("text"), 4)),
-            ng => portableHash(ng))).as("s"))
+          array_sort(array_distinct(transform(
+            array_distinct(charNgrams(col("text"), 4)),
+            ng => portableHash(ng)))).as("s"))
       val a = g.select(col("lang"), col("source"), col("doc_id").as("id_a"),
         col("s").as("s_a"))
       val b = g.select(col("lang"), col("source"), col("doc_id").as("id_b"),
         col("s").as("s_b"))
       a.join(b, Seq("lang", "source"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("jac", Dedup.jaccard(col("s_a"), col("s_b")))
+        .withColumn("jac", Dedup.jaccardSorted(col("s_a"), col("s_b")))
         .filter(col("jac") >= 0.05)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
         .orderBy("id_a", "id_b")
