@@ -40,8 +40,8 @@ object CurationPipeline {
     val cand = Dedup.lshCandidates(sigs, "doc_id", cfg.minhashK, cfg.rowsPerBand)
     val t = base.select(col("doc_id"), col("hs"))
     val dropIds = cand
-      .join(t.select(col("doc_id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
-      .join(t.select(col("doc_id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
+      .join(broadcast(t.select(col("doc_id").as("id_a"), col("hs").as("h_a"))), Seq("id_a"))
+      .join(broadcast(t.select(col("doc_id").as("id_b"), col("hs").as("h_b"))), Seq("id_b"))
       .filter(least(size(col("h_a")), size(col("h_b"))).cast("double") >=
         greatest(size(col("h_a")), size(col("h_b"))) * cfg.nearDupJaccard)
       .filter(Dedup.jaccardSorted(col("h_a"), col("h_b")) >= cfg.nearDupJaccard)

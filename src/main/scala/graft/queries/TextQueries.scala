@@ -143,8 +143,11 @@ object TextQueries {
       val cand = Dedup.lshCandidates(sigs, "doc_id", MinhashK, RowsPerBand)
       val t = docs.select(col("doc_id"), col("hs"))
       cand
-        .join(t.select(col("doc_id").as("id_a"), col("hs").as("h_a")), Seq("id_a"))
-        .join(t.select(col("doc_id").as("id_b"), col("hs").as("h_b")), Seq("id_b"))
+        // the doc→set side is dimension-sized (one row per doc);
+        // broadcast it so the candidate stream never shuffles — at
+        // billions of docs you would keep the shuffle join instead
+        .join(broadcast(t.select(col("doc_id").as("id_a"), col("hs").as("h_a"))), Seq("id_a"))
+        .join(broadcast(t.select(col("doc_id").as("id_b"), col("hs").as("h_b"))), Seq("id_b"))
         // size-ratio prefilter: jaccard ≤ min/max of the set sizes, so
         // pairs failing this bound cannot pass the threshold — skips
         // the expensive intersection for most candidates
