@@ -148,6 +148,35 @@ class CdcEngineSpec extends SparkSpec {
     intercept[IllegalStateException] { e.processBatch(frame(), 1L) }
   }
 
+  test("late change against a CARRIED heartbeat from a previous batch is caught") {
+    // p0's heartbeat runs ahead of the quorum (min over partitions),
+    // so its tracker slot survives quorum eviction; a later change on
+    // p0 that is above the checkpoint but below p0's own last
+    // heartbeat is a protocol violation the carried state must catch.
+    val root = Files.createTempDirectory("graft-carried").toString
+    val e = mkEngine(root, ProblemStrategy.Continue)
+    e.processBatch(frame(
+      ("""{"update":{"name":"a"},"key":[1],"ts":[5,1]}""", 0L, 0L),
+      ("""{"resolved":[20,0]}""", 0L, 1L),
+      ("""{"resolved":[12,0]}""", 1L, 0L)), 0L)
+    e.processBatch(frame( // quorum (21,0) > sync target (20,0) → RUN;
+      // commit evicts p0's slot (=quorum), p1's (22,0) is carried
+      ("""{"resolved":[21,0]}""", 0L, 2L),
+      ("""{"resolved":[22,0]}""", 1L, 1L)), 1L)
+    assert(e.state.stage == Stage.Run)
+    // (21,5) on p1: above the checkpoint (21,0), below p1's carried
+    // last heartbeat (22,0) → protocol violation
+    e.processBatch(frame(
+      ("""{"update":{"name":"late"},"key":[9],"ts":[21,5]}""", 1L, 2L),
+      ("""{"update":{"name":"fine"},"key":[8],"ts":[23,1]}""", 0L, 3L),
+      ("""{"resolved":[24,0]}""", 0L, 4L),
+      ("""{"resolved":[24,0]}""", 1L, 3L)), 2L)
+    assert(!users(e).contains(9L)) // late change dropped to DLQ
+    assert(users(e).contains(8L))
+    val dlq = spark.read.parquet(s"$root/dst/dlq")
+    assert(dlq.filter(col("reason") === "out-of-order").count() == 1)
+  }
+
   test("out-of-order under continue strategy routes to DLQ and proceeds") {
     val root = Files.createTempDirectory("graft-dlq").toString
     val e = mkEngine(root, ProblemStrategy.Continue)
