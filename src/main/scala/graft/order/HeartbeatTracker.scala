@@ -59,7 +59,17 @@ final class HeartbeatTracker(expected: Set[(Int, Long)]) {
   /** True when every expected partition has reported at least once. */
   def fullSet: Boolean = slots.size == expected.size
 
-  /** Evict slots at/below the committed quorum; newer slots survive. */
+  /** Evict slots at/below the committed quorum; newer slots survive.
+    *
+    * Soundness of also using the surviving slots for out-of-order
+    * detection (the reference keeps a separate reader-local lastHb,
+    * reader.go:150-207): an evicted slot is ≤ the committed quorum,
+    * which becomes the checkpoint — and any change at/below the
+    * checkpoint is dropped by the ingest filter before order
+    * verification would ever see it. So only slots ABOVE the quorum
+    * can matter for late detection, and exactly those survive
+    * eviction. (Locked in by the carried-heartbeat spec.)
+    */
   def commit(q: Position): Unit =
     slots.filterInPlace { case (_, p) => q.lessThan(p) }
 
