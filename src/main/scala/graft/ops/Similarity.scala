@@ -96,6 +96,60 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF coarse quantizer: per-cell dimension sums + counts (the
+    * centroid is sums/n — kept as exact integers so assignment math is
+    * engine-reproducible). `vecs`: (id, vec quantized, cell) where
+    * `cell` is the training assignment (k-means iterations would loop
+    * assign→retrain; one round over a seed assignment is the classic
+    * bootstrap).
+    */
+  def ivfCentroids(vecs: DataFrame, cellCol: String): DataFrame =
+    vecs.select(col(cellCol).as("cell"), posexplode(col("vec")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("col")).as("sv"), count(lit(1)).as("n"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
+        e => e.getField("sv")).as("svec"),
+        min("n").as("n"))
+
+  /** Squared distance of a quantized vector to a centroid given as
+    * (dimension sums, count): Σ (x_i - s_i/n)², folded sequentially in
+    * doubles with explicit t*t (bit-reproducible on any engine that
+    * folds in the same order).
+    */
+  def dist2ToCentroid(vec: Column, svec: Column, n: Column): Column =
+    aggregate(
+      zip_with(vec, svec, (x, s) =>
+        (x.cast("double") - s.cast("double") / n.cast("double")) *
+          (x.cast("double") - s.cast("double") / n.cast("double"))),
+      lit(0.0d), (acc, t) => acc + t)
+
+  /** Assign each vector to its nearest centroid (ties by cell id). */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vecs.select(col("id"), col("vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist2", dist2ToCentroid(col("vec"), col("svec"), col("n")))
+    val w = Window.partitionBy("id").orderBy(col("dist2"), col("cell"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("vec"), col("cell"))
+  }
+
+  /** IVF search: queries probe only their own cell (nprobe=1). */
+  def knnIvf(queries: DataFrame, assigned: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), col("vec").as("q_vec"),
+      col("cell"))
+    val c = assigned.select(col("id").as("c_id"), col("vec").as("c_vec"),
+      col("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", cosineI(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Near-duplicate pairs by cosine within a blocking key (e.g. a
     * label or an LSH bucket) — the blocked join bounds the pair count.
     */

@@ -79,6 +79,45 @@ object EmbQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // full IVF ANN: train centroids from the label seed assignment,
+    // re-assign every vector to its nearest centroid, then search only
+    // the query's cell (nprobe=1) — the scale path where the corpus
+    // shuffles once on cell id and no cross product forms
+    QueryDef("emb_ivf_knn",
+      s"""WITH $sqlQuant,
+         |u AS (SELECT label, generate_subscripts(e, 1) AS dim,
+         |       unnest(e) AS v FROM q),
+         |c AS (SELECT label AS cell, dim, sum(v) AS sv, count(*) AS n
+         |      FROM u GROUP BY label, dim),
+         |cent AS (SELECT cell, list(sv ORDER BY dim) AS svec, min(n) AS n
+         |         FROM c GROUP BY cell),
+         |d AS (SELECT q.vec_id, cent.cell,
+         |  list_reduce(list_prepend(0.0, list_transform(range(1, $Dims + 1),
+         |    i -> (q.e[i::INT] - cent.svec[i::INT] / cent.n) *
+         |         (q.e[i::INT] - cent.svec[i::INT] / cent.n))),
+         |    (a, t) -> a + t) AS dist2
+         |  FROM q, cent),
+         |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+         |  FROM d) WHERE rn = 1),
+         |qa AS (SELECT q.vec_id, q.e, a.cell FROM q JOIN assign a USING (vec_id)),
+         |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, $sqlCos AS sim
+         |  FROM qa a JOIN qa b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 8),
+         |r AS (SELECT q_id, c_id, sim, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM scored)
+         |SELECT q_id, c_id, rank, round(sim, 6) AS sim FROM r
+         |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"),
+          col("label").as("cell"))
+      val cents = Similarity.ivfCentroids(vecs, "cell")
+      val assigned = Similarity.ivfAssign(vecs, cents)
+      Similarity.knnIvf(assigned.filter(col("id") < 8), assigned, K)
+        .orderBy("q_id", "rank")
+    },
+
     // centroid per label (the IVF coarse-quantizer training step):
     // exact integer mean per dimension, output as sum/count pairs
     QueryDef("emb_label_centroid_norm",
