@@ -17,7 +17,7 @@ object Bench {
     "cdc_salted_agg", "cdc_engine_e2e",
     "doc_token_stats", "doc_fingerprint", "doc_exact_dedup",
     "doc_simhash", "doc_dedup_minhash", "doc_curation_pipeline",
-    "emb_knn_brute", "emb_lsh_buckets", "emb_near_dup")
+    "emb_knn_brute", "emb_lsh_buckets", "emb_ivf_knn", "emb_near_dup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -49,10 +49,11 @@ object TextOps {
   /** Whole-document fingerprint: portable polynomial rolling hash. */
   def fingerprint(text: Column): Column = portableHash(text)
 
-  /** Token count with a BPE-ish refinement: whitespace tokens further
-    * split at letter/digit boundaries (crude subword estimate).
+  /** Token count with a BPE-ish refinement: maximal letter runs and
+    * digit runs count separately (so "abc123" is 2 subword tokens).
+    * Extraction-based (no lookarounds), so it is reproducible on
+    * RE2-family engines too.
     */
   def tokenEstimate(text: Column): Column =
-    size(filter(split(lower(text), "[^a-z0-9]+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"),
-      t => t =!= lit(""))).cast("long")
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0))).cast("long")
 }

@@ -45,6 +45,19 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    QueryDef("doc_token_estimate",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'))
+        |    AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n_ws_tokens"),
+          TextOps.tokenEstimate(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     QueryDef("doc_quality",
       s"""WITH t AS (SELECT doc_id, text, $sqlToks AS w FROM documents)
          |SELECT doc_id,
