@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits large generated classes per query; the
+  // default 240 MB JIT code cache fills after a few heavy queries in
+  // one JVM, silently dropping their inner loops to the interpreter
+  // (observed as a 10x slowdown on REPEATED runs of the same query).
+  "-XX:ReservedCodeCacheSize=1g",
 )
