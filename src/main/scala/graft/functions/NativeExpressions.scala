@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -16,42 +15,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * per element. These compile into the whole-stage-generated Java
   * instead. Semantics are EXACTLY the HOF versions' (equivalence is
   * property-tested), so the DuckDB oracles are unaffected.
+  *
+  * All generated code calls the static forwarders on the top-level
+  * [[NativeImpl]] — see its scaladoc for why nested objects break
+  * Janino.
   */
 object NativeExpressions {
 
-  /** Portable polynomial hash: fold (h*31 + codepoint) % 1000000007
-    * over the code points of the string — the codegen'd form of
-    * [[GraftFunctions.portableHash]].
-    */
+  /** Codegen'd form of [[GraftFunctions.portableHash]]. */
   case class PortableHashExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nodeName: String = "graft_phash"
 
     override protected def nullSafeEval(input: Any): Any =
-      PortableHashExpr.hash(input.asInstanceOf[UTF8String])
+      NativeImpl.portableHash(input.asInstanceOf[UTF8String])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, c =>
-        s"graft.functions.NativeExpressions.PortableHashExpr.hash($c)")
+        s"graft.functions.NativeImpl.portableHash($c)")
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
-  }
-
-  object PortableHashExpr {
-    /** Shared by interpreted and generated paths. */
-    def hash(s: UTF8String): Long = {
-      val str = s.toString
-      var h = 0L
-      var i = 0
-      val n = str.length
-      while (i < n) {
-        val cp = str.codePointAt(i)
-        h = (h * 31L + cp) % GraftFunctions.PhMod
-        i += Character.charCount(cp)
-      }
-      h
-    }
   }
 
   /** Integer dot product of two long arrays (null elements treated as
@@ -64,28 +48,15 @@ object NativeExpressions {
     override def nodeName: String = "graft_dot"
 
     override protected def nullSafeEval(a: Any, b: Any): Any =
-      ArrayDotLongExpr.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      NativeImpl.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, (a, b) =>
-        s"graft.functions.NativeExpressions.ArrayDotLongExpr.dot($a, $b)")
+        s"graft.functions.NativeImpl.dotLong($a, $b)")
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
-  }
-
-  object ArrayDotLongExpr {
-    def dot(a: ArrayData, b: ArrayData): Long = {
-      val n = math.min(a.numElements(), b.numElements())
-      var acc = 0L
-      var i = 0
-      while (i < n) {
-        acc += a.getLong(i) * b.getLong(i)
-        i += 1
-      }
-      acc
-    }
   }
 
   /** Intersection size of two SORTED long arrays (linear merge). Used
@@ -98,30 +69,16 @@ object NativeExpressions {
     override def nodeName: String = "graft_sorted_intersect_size"
 
     override protected def nullSafeEval(a: Any, b: Any): Any =
-      SortedIntersectSizeExpr.size(
+      NativeImpl.sortedIntersectSize(
         a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, (a, b) =>
-        s"graft.functions.NativeExpressions.SortedIntersectSizeExpr.size($a, $b)")
+        s"graft.functions.NativeImpl.sortedIntersectSize($a, $b)")
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
-  }
-
-  object SortedIntersectSizeExpr {
-    def size(a: ArrayData, b: ArrayData): Long = {
-      val na = a.numElements(); val nb = b.numElements()
-      var i = 0; var j = 0; var n = 0L
-      while (i < na && j < nb) {
-        val x = a.getLong(i); val y = b.getLong(j)
-        if (x == y) { n += 1; i += 1; j += 1 }
-        else if (x < y) i += 1
-        else j += 1
-      }
-      n
-    }
   }
 
   def sortedIntersectSize(a: Column, b: Column): Column =

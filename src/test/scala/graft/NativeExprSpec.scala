@@ -33,6 +33,42 @@ class NativeExprSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("hof")).isEmpty)
   }
 
+  test("CODEGEN_ONLY: all three native exprs compile and run with fallback disabled") {
+    // With factoryMode=CODEGEN_ONLY + codegen.fallback=false, a Janino
+    // compile failure in the generated Java is a hard error instead of
+    // a silent drop to interpreted execution — this is the regression
+    // guard for the static-forwarder path (graft.functions.NativeImpl).
+    val conf = spark.conf
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // RDD-backed on purpose: a Seq.toDF is a LocalRelation, and the
+      // ConvertToLocalRelation optimizer rule evaluates the projection
+      // at plan time — codegen would never run and this test would
+      // pass vacuously (verified: a deliberately broken codegen string
+      // still passed with toDF, and fails with parallelize).
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        ("hello world", Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), Seq(1L, 3L, 5L, 7L), Seq(2L, 3L, 5L, 9L)),
+        ("", Seq.empty[Long], Seq(1L), Seq.empty[Long], Seq(1L, 2L))), 1))
+        .toDF("s", "a", "b", "sa", "sb")
+        .select(
+          GraftFunctions.portableHash(col("s")).as("h"),
+          graft.functions.NativeExpressions.dotLongNative(col("a"), col("b")).as("dot"),
+          graft.functions.NativeExpressions.sortedIntersectSize(col("sa"), col("sb")).as("isz"))
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      import org.apache.spark.unsafe.types.UTF8String
+      assert(rows(0)._1 == graft.functions.NativeImpl.portableHash(UTF8String.fromString("hello world")))
+      assert(rows(0)._2 == 1 * 4 + 2 * 5 + 3 * 6)
+      assert(rows(0)._3 == 2L) // {3,5}
+      assert(rows(1) == ((0L, 0L, 0L)))
+    } finally {
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(v => conf.set("spark.sql.codegen.factoryMode", v))
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(v => conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
+
   test("null propagation") {
     val df = Seq(Option.empty[String], Some("x")).toDF("s")
       .select(GraftFunctions.portableHash(col("s")).as("h"))
