@@ -77,12 +77,21 @@ object GraftFunctions {
       transform(sequence(lit(1), length(s) - lit(n - 1)), i => substring(s, i, lit(n))))
       .otherwise(array().cast("array<string>"))
 
-  /** Blocked-key serialization: a format byte, the destination table
-    * path, then the concatenated raw key encodings (reference layout:
-    * internal/util/key_serializer/key_serializer.go:9-27).
+  /** Blocked-key serialization (reference semantics:
+    * internal/util/key_serializer/key_serializer.go:9-27 — format tag
+    * FmtRaw=1, then tablePath, then the key parts). The reference's
+    * raw concatenation is ambiguous (["ab","c"] collides with
+    * ["a","bc"], and the tablePath/first-part boundary blurs), so the
+    * layout here is the collision-free equivalent: the format byte
+    * 0x01 (mirroring FmtRaw) followed by the JSON encoding of
+    * {t: tablePath, k: keyParts} — JSON quoting/escaping makes every
+    * boundary self-delimiting. Values are only ever compared for
+    * equality against values produced by this same function, so the
+    * layout may differ from the reference wire format as long as it
+    * is injective (KeySerializerSpec proves the collision cases).
     */
   def serializeKey(tablePath: Column, keyJson: Column): Column =
-    concat(lit(""), tablePath, concat_ws("", keyJson))
+    concat(lit("\u0001"), to_json(struct(tablePath.as("t"), keyJson.as("k"))))
 
   /** Unsigned-64 comparable form of a signed long (bit-flip trick):
     * monotone in the unsigned order. Used wherever the wire format's
