@@ -175,14 +175,18 @@ object AnalyticsQueries {
         .orderBy("c_mktsegment")
     },
 
-    // anti join (NOT EXISTS)
+    // anti join (NOT EXISTS) — parts never ordered in bulk. The
+    // right-side predicate keeps the result nonzero at every SF
+    // (every part has SOME lineitem, so an unrestricted NOT EXISTS
+    // is vacuously empty and proves nothing).
     QueryDef("q_anti_join",
       """SELECT p_partkey FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
-        |                  WHERE l.l_partkey = part.p_partkey)
+        |                  WHERE l.l_partkey = part.p_partkey
+        |                  AND l.l_quantity > 45)
         |ORDER BY p_partkey""".stripMargin) { (s, d) =>
       val p = load(s, d, "part")
-      val l = load(s, d, "lineitem")
+      val l = load(s, d, "lineitem").filter(col("l_quantity") > 45)
       p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
         .select("p_partkey").orderBy("p_partkey")
     },

@@ -126,15 +126,21 @@ object CdcQueries {
     },
 
     // P5/J1 — blocked-key filter as broadcast anti-join
+    // The user_id % 7 restriction keeps BOTH sides nonzero at every
+    // SF: in the synthetic events every user has >= 3 erases, so a
+    // bare HAVING blocks everyone and the query returns 0 rows —
+    // passing vacuously without exercising the anti-join.
     QueryDef("cdc_key_filter",
       s"""WITH $CDC,
          |blocked AS (SELECT user_id FROM cdc WHERE op = 1
+         |            AND user_id % 7 = 0
          |            GROUP BY user_id HAVING count(*) >= 3)
          |SELECT event_type, count(*) AS n FROM cdc
          |WHERE user_id NOT IN (SELECT user_id FROM blocked)
          |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val c = cdcView(s, d)
-      val blocked = c.filter(col("op") === 1).groupBy("user_id")
+      val blocked = c.filter(col("op") === 1 && pmod(col("user_id"), lit(7)) === 0)
+        .groupBy("user_id")
         .agg(count(lit(1)).as("ne")).filter(col("ne") >= 3)
         .select("user_id")
       c.join(broadcast(blocked), Seq("user_id"), "left_anti")
