@@ -310,8 +310,14 @@ final class CdcEngine(
 
   /** Command topic (S10): JSON lines
     * {"aardapel_instance_id":..,"path":..,"key":[..],"ts":[s,t],
-    *  "action":"skip"|"apply"} under root/commands; last instruction
-    * per conflict wins (max file offset).
+    *  "seq":N,"action":"skip"|"apply"} under root/commands; the
+    * instruction with the highest explicit `seq` per conflict wins.
+    * (File listing / partition order is NOT a tiebreak — it varies
+    * run to run, so "last written" is unknowable once commands span
+    * files.) Equal or missing seq resolves deterministically in
+    * favor of the lexicographically greatest action ("skip" over
+    * "apply": when instructions genuinely conflict, dropping the
+    * late change to the DLQ is recoverable; applying it is not).
     */
   private def readCommands(): DataFrame = {
     val dir = java.nio.file.Paths.get(root, "commands")
@@ -320,6 +326,7 @@ final class CdcEngine(
       StructField("path", StringType),
       StructField("key", ArrayType(StringType)),
       StructField("ts", ArrayType(LongType)),
+      StructField("seq", LongType),
       StructField("action", StringType)))
     val nameById = tables.map { case (tid, m) => m.name -> tid }
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -333,10 +340,11 @@ final class CdcEngine(
       .filter(col("aardapel_instance_id") === cfg.instanceId)
       .withColumn("cmdTableId", element_at(mapping, col("path")))
       .filter(col("cmdTableId").isNotNull)
-      .withColumn("rn", monotonically_increasing_id())
     all.groupBy(col("cmdTableId"), col("key").as("cmdKey"),
         col("ts").getItem(0).as("cmdStep"), col("ts").getItem(1).as("cmdTxId"))
-      .agg(max_by(col("action"), col("rn")).as("action"))
+      .agg(max_by(col("action"),
+        struct(coalesce(col("seq"), lit(0L)).as("s"), col("action").as("a")))
+        .as("action"))
   }
 
   /** Blocked-keys writeback (S12): append serialized keys to the

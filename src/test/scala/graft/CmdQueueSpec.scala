@@ -65,6 +65,27 @@ class CmdQueueSpec extends SparkSpec {
     assert(dlq.filter(col("reason") === "cmd-skip").count() == 1)
   }
 
+  test("explicit seq wins across files regardless of listing order") {
+    val root = Files.createTempDirectory("graft-cmd3").toString
+    val dir = Paths.get(s"$root/dst/commands")
+    Files.createDirectories(dir)
+    // Adverse layout: the WINNING instruction (seq=2, apply) sits in
+    // the alphabetically-first file; any listing-order "last wins"
+    // logic would pick the seq=1 skip from the later file instead.
+    Files.writeString(dir.resolve("a_first.jsonl"),
+      """{"aardapel_instance_id":"inst1","path":"users","key":["1"],"ts":[4,1],"seq":2,"action":"apply"}""")
+    Files.writeString(dir.resolve("z_last.jsonl"),
+      """{"aardapel_instance_id":"inst1","path":"users","key":["1"],"ts":[4,1],"seq":1,"action":"skip"}""")
+    val e = mkEngine(root)
+    e.processBatch(frame(
+      ("""{"resolved":[10,0]}""", 0L, 0L),
+      ("""{"update":{"name":"kept"},"key":[1],"ts":[4,1]}""", 0L, 1L)), 0L)
+    e.processBatch(frame(("""{"resolved":[13,0]}""", 0L, 2L)), 1L)
+    val users = e.readTable("users").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(users.get(1L).contains("kept"))
+  }
+
   test("unresolved conflict is FATAL") {
     val root = Files.createTempDirectory("graft-cmd2").toString
     val e = mkEngine(root)
