@@ -116,4 +116,8 @@ final case class EngineConfig(
     dstRoot: String,
     problemStrategy: ProblemStrategy = ProblemStrategy.Stop,
     maxBatchSize: Int = 1000,     // initial-scan per-txn cap
-    buckets: Int = 64)            // destination copy-on-write bucket count
+    buckets: Int = 64,            // destination copy-on-write bucket count
+    // ST6 liveness guard (reference max_expected_heartbeat_interval,
+    // hb_tracker.go:76-126): warn when no FULL heartbeat set has been
+    // seen for this long. 0 disables the guard.
+    maxExpectedHbIntervalMs: Long = 0L)

@@ -34,9 +34,21 @@ final class CdcEngine(
   import CdcEngine._
 
   private val root = cfg.dstRoot
-  private val tracker = new HeartbeatTracker(
+  private val expectedParts: Set[(Int, Long)] =
     cfg.streams.flatMap(s => (0 until s.partitions)
-      .map(p => (s.tableId, p.toLong))).toSet)
+      .map(p => (s.tableId, p.toLong))).toSet
+  private val tracker = new HeartbeatTracker(expectedParts)
+
+  /** ST6 gauges: when the engine started waiting for a quorum
+    * (-1 = not waiting), and when a full heartbeat set was last seen.
+    * Driver-side wall clock, like the reference's hb_tracker timer.
+    */
+  private var quorumWaitStartNs: Long = -1L
+  /** -1 until the first batch: the liveness clock starts when the
+    * engine begins consuming, not at construction — bootstrap + first
+    * -batch job latency would otherwise trip the guard spuriously.
+    */
+  private var lastFullHbSetNs: Long = -1L
 
   /** pmon-analog counters (modifications, mps, latencies). */
   val metrics = new EngineMetrics
@@ -107,6 +119,33 @@ final class CdcEngine(
         tracker.add(r.getAs[Int]("tableId"), r.getAs[Long]("partitionId"),
           Position(r.getAs[Long]("step"), r.getAs[Long]("txId")))
       }
+      // newest heartbeat BEFORE quorum eviction — feeds the lag gauge
+      val newestHb = tracker.maxHb
+
+      // ST6 liveness guard (hb_tracker.go:76-126): warn when no full
+      // heartbeat set has been seen within the configured interval
+      if (tracker.fullSet || lastFullHbSetNs < 0) lastFullHbSetNs = System.nanoTime()
+      else if (cfg.maxExpectedHbIntervalMs > 0 &&
+          (System.nanoTime() - lastFullHbSetNs) / 1000000L > cfg.maxExpectedHbIntervalMs) {
+        val missing = (expectedParts -- tracker.snapshot.keySet).toSeq.sorted
+        metrics.hbLivenessWarnings.incrementAndGet()
+        log(s"WARN no full heartbeat set for >${cfg.maxExpectedHbIntervalMs}ms; " +
+          s"missing=${missing.take(8).mkString(",")}" +
+          (if (missing.size > 8) s" (+${missing.size - 8} more)" else ""))
+      }
+
+      // ST6 quorum-wait gauge: how long emission was gated on the
+      // watermark. Within-batch quorums report ~0 — there was no wait.
+      tracker.quorum match {
+        case Some(_) =>
+          if (quorumWaitStartNs >= 0) {
+            metrics.lastQuorumWaitMs.set(
+              math.max(1L, (System.nanoTime() - quorumWaitStartNs) / 1000000L))
+            quorumWaitStartNs = -1L
+          } else metrics.lastQuorumWaitMs.set((System.nanoTime() - t0) / 1000000L)
+        case None =>
+          if (quorumWaitStartNs < 0) quorumWaitStartNs = t0
+      }
 
       // The working set = previously stored pending ∪ this batch's
       // gated changes, kept in memory. Durability note: the incoming
@@ -139,6 +178,9 @@ final class CdcEngine(
       TransactionalStore.commit(root, man.copy(version = man.version + 1))
       metrics.batchesCommitted.incrementAndGet()
       metrics.lastCommitLatencyMs.set((System.nanoTime() - t0) / 1000000L)
+      // ST6: checkpoint vs newest-seen heartbeat, in µs of stream time
+      newestHb.foreach(m => metrics.replicationLagEstimation.set(
+        math.max(0L, m.step - man.state.stepId)))
       log(s"batch=$batchId commit v${man.version + 1} stage=${man.state.stage} " +
         s"checkpoint=(${man.state.stepId},${man.state.txId}) " +
         f"latency=${(System.nanoTime() - t0) / 1e9}%.3fs")

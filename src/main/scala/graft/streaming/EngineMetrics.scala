@@ -18,6 +18,10 @@ final class EngineMetrics {
   /** checkpoint position vs newest seen heartbeat (µs estimate). */
   val replicationLagEstimation = new AtomicLong(0)
   val perStreamMods = TrieMap.empty[Int, AtomicLong]
+  /** ST6: count of batches that ended without a full heartbeat set
+    * for longer than the configured max_expected_heartbeat_interval.
+    */
+  val hbLivenessWarnings = new AtomicLong(0)
   val lastError = new AtomicReference[String]("")
 
   def addMods(tableId: Int, n: Long): Unit = {
@@ -36,6 +40,7 @@ final class EngineMetrics {
     "batches_committed" -> batchesCommitted.get(),
     "commit_latency_ms" -> lastCommitLatencyMs.get(),
     "quorum_waiting_latency_ms" -> lastQuorumWaitMs.get(),
-    "replication_lag_estimation" -> replicationLagEstimation.get()
+    "replication_lag_estimation" -> replicationLagEstimation.get(),
+    "hb_liveness_warnings" -> hbLivenessWarnings.get()
   ) ++ perStreamMods.map { case (k, v) => s"stream_${k}_modifications" -> v.get() }
 }

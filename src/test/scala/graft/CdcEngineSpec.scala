@@ -194,4 +194,36 @@ class CdcEngineSpec extends SparkSpec {
     assert(!users(e).contains(1L))
     assert(users(e).contains(2L))
   }
+
+  test("ST6 gauges: quorum wait, liveness warning, replication lag") {
+    val root = Files.createTempDirectory("graft-st6").toString
+    val cfg = EngineConfig("inst1",
+      Seq(StreamConfig(0, s"$root/src", "users", partitions = 2)),
+      s"$root/dst", ProblemStrategy.Stop, maxBatchSize = 1000, buckets = 4,
+      maxExpectedHbIntervalMs = 50L)
+    val e = new CdcEngine(spark, cfg, Map(0 -> usersMeta))
+    e.bootstrap()
+
+    // batch 0: changes + a heartbeat from only ONE of two partitions
+    // → no full set, no quorum → the wait clock starts
+    e.processBatch(frame(
+      ("""{"update":{"name":"a"},"key":[1],"ts":[1,1]}""", 0L, 0L),
+      ("""{"update":{"name":"b"},"key":[2],"ts":[2,1]}""", 0L, 1L),
+      ("""{"resolved":[3,0]}""", 0L, 2L)), 0L)
+    assert(e.metrics.hbLivenessWarnings.get() == 0)
+
+    Thread.sleep(80)
+    // batch 1: still only partition 0 → liveness guard fires
+    e.processBatch(frame(("""{"resolved":[4,0]}""", 0L, 3L)), 1L)
+    assert(e.metrics.hbLivenessWarnings.get() >= 1)
+
+    // batch 2: full set (p0 at 9, p1 at 5) → quorum appears after a
+    // measurable cross-batch wait; checkpoint trails the newest hb
+    e.processBatch(frame(
+      ("""{"resolved":[9,0]}""", 0L, 4L),
+      ("""{"resolved":[5,0]}""", 1L, 0L)), 2L)
+    assert(e.metrics.lastQuorumWaitMs.get() >= 1)
+    assert(e.metrics.replicationLagEstimation.get() > 0)
+    assert(e.metrics.snapshot.contains("hb_liveness_warnings"))
+  }
 }
