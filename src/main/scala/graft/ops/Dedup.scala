@@ -67,6 +67,51 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** EXACT similarity-join candidate pairs by prefix filtering (the
+    * AllPairs / SSJoin family — Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07; Chaudhuri et al., ICDE'06).
+    *
+    * Order every set's tokens by a global rare-first total order
+    * (document frequency, token as tiebreak). For Jaccard ≥ num/den a
+    * pair must share at least α = ceil(t·|A|) tokens, so its globally
+    * -smallest common token cannot sit in the last α-1 positions of
+    * either set — it lives in BOTH prefixes of length |s| - α + 1.
+    * Candidates are therefore exactly the pairs sharing a prefix
+    * token, and the shuffle key is (block…, token): no block is ever
+    * all-pairs, and rare-first ordering keeps posting lists short.
+    * Unlike MinHash banding this generation has NO false negatives,
+    * so downstream verification reproduces the exact all-pairs
+    * answer.
+    *
+    * The threshold is a rational num/den so α is computed in integer
+    * arithmetic — a float ceil(0.3·10) can land on 4 and silently
+    * shorten the prefix below the sound length.
+    *
+    * `sets`: one row per item with a distinct-element array column.
+    * Returns (id_a, id_b) distinct with id_a < id_b.
+    */
+  def prefixFilterCandidates(sets: DataFrame, id: String, setCol: String,
+      blockCols: Seq[String], tNum: Int, tDen: Int): DataFrame = {
+    val tokenDf = sets.select(explode(col(setCol)).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("df"))
+    val exploded = sets.select(col(id).as("__id") +: blockCols.map(col) :+
+      explode(col(setCol)).as("tk") :+ size(col(setCol)).as("sz"): _*)
+    val w = Window.partitionBy(col("__id")).orderBy(col("df"), col("tk"))
+    val prefix = exploded.join(tokenDf, "tk")
+      .withColumn("rn", row_number().over(w))
+      // α = ceil(tNum·sz / tDen) via (tNum·sz + tDen - 1) div tDen
+      .withColumn("alpha",
+        floor((col("sz") * tNum + lit(tDen - 1)) / tDen).cast("int"))
+      .filter(col("rn") <= col("sz") - col("alpha") + 1)
+    val a = prefix.select(blockCols.map(col) :+ col("tk") :+
+      col("__id").as("id_a"): _*)
+    val b = prefix.select(blockCols.map(col) :+ col("tk") :+
+      col("__id").as("id_b"): _*)
+    a.join(b, blockCols :+ "tk")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
   /** Exact Jaccard similarity of two array columns (distinct element
     * sets).
     */

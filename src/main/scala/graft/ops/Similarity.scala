@@ -152,6 +152,11 @@ object Similarity {
 
   /** Near-duplicate pairs by cosine within a blocking key (e.g. a
     * label or an LSH bucket) — the blocked join bounds the pair count.
+    *
+    * SCALE WARNING: all-pairs within a block — quadratic in the
+    * hottest block. Use [[nearDupPairsLsh]] for data-sized inputs;
+    * this form survives only as the brute-force baseline for small
+    * blocks.
     */
   def nearDupPairs(vecs: DataFrame, blockKey: String, threshold: Double): DataFrame = {
     val a = vecs.select(col(blockKey).as("bk"), col("id").as("id_a"),
@@ -163,5 +168,40 @@ object Similarity {
       .withColumn("sim", cosineI(col("vec_a"), col("vec_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Scale-safe near-dup: candidates must agree on the blocking key
+    * AND on at least one band of hyperplane-LSH sign bits, then the
+    * exact cosine verifies. The shuffle key is (block, band, band
+    * bits) so a hot block no longer goes quadratic — its rows split
+    * across 2^bitsPerBand sub-buckets per band. Deterministic (the
+    * hyperplanes come from [[planeWeight]]'s fixed constants), so the
+    * candidate set — and hence the output — is engine-reproducible:
+    * this is a DEFINED approximate operator, not a lossy shortcut; a
+    * pair that collides on no band is excluded by definition.
+    */
+  def nearDupPairsLsh(vecs: DataFrame, blockKey: String, threshold: Double,
+      planes: Int, dims: Int, bands: Int): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val bitsPerBand = planes / bands
+    val withBucket = vecs.withColumn("__bk",
+      lshBucket(col("vec"), planes, dims))
+    val banded = (0 until bands).map { bd =>
+      withBucket.select(col(blockKey).as("bk"), col("id"), col("vec"),
+        concat_ws(":", lit(bd),
+          shiftright(col("__bk"), bd * bitsPerBand)
+            .bitwiseAND((1L << bitsPerBand) - 1L)).as("band_key"))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col("bk"), col("band_key"), col("id").as("id_a"),
+      col("vec").as("vec_a"))
+    val b = banded.select(col("bk"), col("band_key"), col("id").as("id_b"),
+      col("vec").as("vec_b"))
+    a.join(b, Seq("bk", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosineI(col("vec_a"), col("vec_b")))
+      .filter(col("sim") >= threshold)
+      // verify-then-dedup: survivors are rare, so the distinct is tiny
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .distinct()
   }
 }

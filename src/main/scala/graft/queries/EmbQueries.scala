@@ -13,7 +13,8 @@ object EmbQueries {
   private val Planes = 16
   private val Dims = 64
   private val K = 10
-  private val NearDupThreshold = 0.45
+  private val NearDupThreshold = 0.3
+  private val NearDupBands = 8
 
   /** DuckDB quantized-vector CTE matching Similarity.quantize. */
   private val sqlQuant =
@@ -25,6 +26,13 @@ object EmbQueries {
   private val sqlCos =
     "list_dot_product(a.e, b.e) / nullif(" +
       "sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0.0)"
+
+  /** DuckDB twin of Similarity.lshBucket over column `e`. */
+  private val sqlBucketTerms = (0 until Planes).map { j =>
+    val w = (0 until Dims).map(i => Similarity.planeWeight(j, i, Dims))
+      .mkString("[", ",", "]")
+    s"(CASE WHEN list_dot_product(e, $w) > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" +\n  ")
 
   val all: Seq[QueryDef] = Seq(
 
@@ -45,17 +53,11 @@ object EmbQueries {
     },
 
     // hyperplane-LSH bucketing (the scale path's partitioner)
-    QueryDef("emb_lsh_buckets", {
-      val terms = (0 until Planes).map { j =>
-        val w = (0 until Dims).map(i => Similarity.planeWeight(j, i, Dims))
-          .mkString("[", ",", "]")
-        s"(CASE WHEN list_dot_product(e, $w) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" +\n  ")
+    QueryDef("emb_lsh_buckets",
       s"""WITH $sqlQuant,
-         |b AS (SELECT vec_id, CAST($terms AS BIGINT) AS bucket FROM q)
+         |b AS (SELECT vec_id, CAST($sqlBucketTerms AS BIGINT) AS bucket FROM q)
          |SELECT bucket, count(*) AS n FROM b
-         |GROUP BY bucket ORDER BY bucket""".stripMargin
-    }) { (s, d) =>
+         |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
       load(s, d, "embeddings")
         .select(col("vec_id"),
           Similarity.lshBucket(Similarity.quantize(col("embedding")),
@@ -64,18 +66,34 @@ object EmbQueries {
         .orderBy("bucket")
     },
 
-    // embedding-cosine near-duplicate pairs, blocked by label
-    QueryDef("emb_near_dup",
-      s"""WITH $sqlQuant
+    // embedding-cosine near-duplicate pairs: same label AND at least
+    // one agreeing LSH band (8 bands x 2 hyperplane sign bits), then
+    // the exact cosine verifies. The banding is part of the operator's
+    // DEFINITION (deterministic hyperplanes), so the oracle reproduces
+    // it bit-for-bit — and the Spark plan shuffles on (label, band)
+    // instead of going quadratic in the hottest label.
+    QueryDef("emb_near_dup", {
+      val bitsPerBand = Planes / NearDupBands
+      val mask = (1L << bitsPerBand) - 1L
+      val bandMatch = (0 until NearDupBands).map { bd =>
+        s"((a.bucket >> ${bd * bitsPerBand}) & $mask) = " +
+          s"((b.bucket >> ${bd * bitsPerBand}) & $mask)"
+      }.mkString("(", "\n  OR ", ")")
+      s"""WITH $sqlQuant,
+         |bb AS (SELECT vec_id, label, e,
+         |  CAST($sqlBucketTerms AS BIGINT) AS bucket FROM q)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round($sqlCos, 6) AS sim
-         |FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+         |FROM bb a JOIN bb b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  AND $bandMatch
          |WHERE $sqlCos >= $NearDupThreshold
-         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
       val vecs = load(s, d, "embeddings")
         .select(col("label"), col("vec_id").as("id"),
           Similarity.quantize(col("embedding")).as("vec"))
-      Similarity.nearDupPairs(vecs, "label", NearDupThreshold)
+      Similarity.nearDupPairsLsh(vecs, "label", NearDupThreshold,
+        Planes, Dims, NearDupBands)
         .orderBy("id_a", "id_b")
     },
 

@@ -231,9 +231,14 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // char-n-gram Jaccard near-dup within (lang, source) blocks;
-    // n-grams are hashed to longs once so the pair-wise set
-    // intersection compares integers, not strings
+    // char-n-gram Jaccard near-dup within (lang, source) blocks.
+    // Candidate generation is EXACT prefix filtering
+    // (Dedup.prefixFilterCandidates): pairs at jac >= 0.3 provably
+    // share a rare-first prefix token, so the Spark side never forms
+    // a within-block all-pairs join — yet its output is identical to
+    // the oracle's brute-force formulation. (The oracle deliberately
+    // STAYS all-pairs: DuckDB independently reproducing the same rows
+    // is what proves the pruning lossless.)
     QueryDef("doc_ngram_jaccard",
       s"""WITH g AS (SELECT doc_id, lang, source,
          |  list_distinct(list_transform(
@@ -248,7 +253,7 @@ object TextQueries {
          |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
          |    nullif(CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 0.0)
-         |    >= 0.05
+         |    >= 0.3
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       val g = load(s, d, "documents")
         .filter(length(col("text")) >= 4)
@@ -256,14 +261,13 @@ object TextQueries {
           array_sort(array_distinct(transform(
             array_distinct(charNgrams(col("text"), 4)),
             ng => portableHash(ng)))).as("s"))
-      val a = g.select(col("lang"), col("source"), col("doc_id").as("id_a"),
-        col("s").as("s_a"))
-      val b = g.select(col("lang"), col("source"), col("doc_id").as("id_b"),
-        col("s").as("s_b"))
-      a.join(b, Seq("lang", "source"))
-        .filter(col("id_a") < col("id_b"))
+      val cands = Dedup.prefixFilterCandidates(g, "doc_id", "s",
+        Seq("lang", "source"), tNum = 3, tDen = 10)
+      val a = g.select(col("doc_id").as("id_a"), col("s").as("s_a"))
+      val b = g.select(col("doc_id").as("id_b"), col("s").as("s_b"))
+      cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
         .withColumn("jac", Dedup.jaccardSorted(col("s_a"), col("s_b")))
-        .filter(col("jac") >= 0.05)
+        .filter(col("jac") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
         .orderBy("id_a", "id_b")
     },

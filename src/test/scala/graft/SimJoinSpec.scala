@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Similarity-join machinery.
+  *
+  * The load-bearing claim is that prefix filtering is LOSSLESS: the
+  * banded/pruned candidate generation followed by exact verification
+  * must equal the brute-force all-pairs join at the same threshold.
+  * Randomized sets over a small vocabulary force heavy overlap, so a
+  * one-token-short prefix would be caught immediately.
+  */
+class SimJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteVsPrefix(tNum: Int, tDen: Int, seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    var prev: Seq[Long] = Seq(0L, 1L, 2L)
+    val docs = (0 until 60).map { i =>
+      val block = if (i % 2 == 0) "x" else "y"
+      val n = 3 + rnd.nextInt(12)
+      // small vocabulary => many overlapping sets; docs at i%5==4 are
+      // near-copies of the doc at i%5==2 (same block parity), so the
+      // fixture keeps nonzero pairs even at high thresholds
+      val toks =
+        if (i % 5 == 4) (prev :+ rnd.nextInt(30).toLong).distinct.sorted
+        else Seq.fill(n)(rnd.nextInt(30).toLong).distinct.sorted
+      if (i % 5 == 2) prev = toks
+      (i.toLong, block, toks)
+    }
+    val g = docs.toDF("doc_id", "blk", "s")
+    val t = tNum.toDouble / tDen
+
+    val a = g.select(col("blk"), col("doc_id").as("id_a"), col("s").as("s_a"))
+    val b = g.select(col("blk"), col("doc_id").as("id_b"), col("s").as("s_b"))
+    val brute = a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("jac", Dedup.jaccardSorted(col("s_a"), col("s_b")))
+      .filter(col("jac") >= t)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val cands = Dedup.prefixFilterCandidates(g, "doc_id", "s", Seq("blk"), tNum, tDen)
+    val pruned = cands
+      .join(g.select(col("doc_id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(g.select(col("doc_id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .withColumn("jac", Dedup.jaccardSorted(col("s_a"), col("s_b")))
+      .filter(col("jac") >= t)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(pruned == brute,
+      s"t=$tNum/$tDen seed=$seed missing=${brute -- pruned} extra=${pruned -- brute}")
+    assert(brute.nonEmpty, s"degenerate fixture at t=$tNum/$tDen seed=$seed")
+  }
+
+  test("prefix filtering is lossless vs brute force across thresholds") {
+    bruteVsPrefix(3, 10, seed = 1)
+    bruteVsPrefix(1, 2, seed = 2)
+    bruteVsPrefix(8, 10, seed = 3)
+  }
+
+  test("LSH near-dup pairs are a subset of brute-force pairs, all verified") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 80).map { i =>
+      val base = Array.fill(8)(rnd.nextInt(2000).toLong - 1000L)
+      // half the rows are jittered copies => guaranteed near-dups
+      val v = if (i % 2 == 1) base.map(x => x + rnd.nextInt(20) - 10) else base
+      (i.toLong, s"lb${i % 3}", v.toSeq)
+    }
+    val df = vecs.toDF("id", "label", "vec")
+    val brute = Similarity.nearDupPairs(df, "label", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Similarity.nearDupPairsLsh(df, "label", 0.8,
+      planes = 16, dims = 8, bands = 8)
+    val rows = banded.collect()
+    val bandedPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bandedPairs.subsetOf(brute))
+    assert(rows.forall(_.getDouble(2) >= 0.8))
+    assert(bandedPairs.nonEmpty)
+    // determinism: a second run produces the identical pair set
+    val again = Similarity.nearDupPairsLsh(df, "label", 0.8,
+      planes = 16, dims = 8, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == bandedPairs)
+  }
+}
