@@ -25,17 +25,31 @@ object Bench {
     // amortize session/JIT startup so the first measured query isn't
     // charged for codegen warmup
     spark.range(2000000L).selectExpr("sum(id)").collect()
-    SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    // warmup failure is not fatal here — the measured loop will record
+    // the same error per-query so it lands in the JSON
+    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    // a failed query must be VISIBLE: it reports in "errors" with its
+    // message and the process exits nonzero — a throwing query used to
+    // contribute elapsed time indistinguishably from success
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.replace("\"", "'").take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }
