@@ -2,58 +2,164 @@ package graft.sink
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 
 /** Single-writer lease lock — the reference's active/standby guarantee
   * (distributed lease in the state table, re-checked inside every apply
   * transaction: ydb_locker, main.go:384-430) re-expressed over the
   * store's filesystem/object-store primitives.
   *
-  * A lock is a small JSON blob {owner, deadlineMillis} replaced
-  * atomically. Acquire succeeds when the lock is absent, expired, or
-  * already ours; every commit re-checks ownership before the manifest
-  * swap (the "owner check inside the transaction"). TTL should be
-  * 2x the heartbeat interval, like the reference. On a real object
-  * store the atomic rename becomes a conditional put.
+  * Layout: one file per lease generation, root/LOCK.v{token}, holding
+  * {owner, deadline, token}; the CURRENT lease is the highest token.
+  * Acquisition of generation N+1 is an exclusive create of LOCK.v{N+1}
+  * (no REPLACE_EXISTING) — the filesystem arbitrates every race with
+  * exactly one winner, including stale contenders: a contender that
+  * read an old generation computes a filename that already exists and
+  * fails. After a successful create the acquirer re-reads the head; if
+  * a higher generation appeared meanwhile, it deletes its own file and
+  * reports failure, so even multi-generation stragglers cannot win.
+  *
+  * The token doubles as the FENCING token: it increases on every
+  * ownership change (renewal keeps it), the commit path stamps it into
+  * the manifest, and TransactionalStore.commit refuses tokens below
+  * the stored head's — a paused writer that lost its lease cannot
+  * clobber the new owner's commits. Renewal/release rewrite only the
+  * owner's OWN generation file, which no other instance ever writes.
+  * On a real object store the exclusive create maps to a conditional
+  * put (if-none-match).
   */
 final class LeaseLock(root: String, owner: String, ttlMillis: Long,
     clock: () => Long = () => System.currentTimeMillis()) {
 
   private val om = new ObjectMapper()
-  private def lockPath: Path = Paths.get(root, "LOCK")
+  private def dir: Path = Paths.get(root)
+  private def genPath(token: Long): Path = dir.resolve(s"LOCK.v$token")
 
-  private def readLock(): Option[(String, Long)] =
-    if (!Files.exists(lockPath)) None
-    else try {
-      val n = om.readTree(Files.readString(lockPath))
-      Some((n.get("owner").asText(), n.get("deadline").asLong()))
+  /** The fencing token of OUR current acquisition, if any. */
+  @volatile private var myToken: Option[Long] = None
+  def heldToken: Option[Long] = myToken
+
+  private def parseLock(p: Path): Option[(String, Long, Long)] =
+    try {
+      val n = om.readTree(Files.readString(p))
+      Some((n.get("owner").asText(), n.get("deadline").asLong(),
+        n.get("token").asLong()))
     } catch { case _: Exception => None }
 
-  private def writeLock(deadline: Long): Unit = {
+  /** The highest-generation lease on disk. */
+  private def readHead(): Option[(String, Long, Long)] = {
+    if (!Files.isDirectory(dir)) return None
+    val gens = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("LOCK.v"))
+      .flatMap(p => p.getFileName.toString.stripPrefix("LOCK.v")
+        .toLongOption.map(_ -> p))
+      .toSeq
+    gens.sortBy(-_._1).iterator.map(_._2).flatMap(parseLock).nextOption()
+  }
+
+  private def renderLock(o: String, deadline: Long, token: Long): String = {
     val node = om.createObjectNode()
-    node.put("owner", owner)
+    node.put("owner", o)
     node.put("deadline", deadline)
-    val tmp = lockPath.resolveSibling(s"LOCK.$owner.tmp")
-    Files.writeString(tmp, om.writeValueAsString(node))
-    Files.move(tmp, lockPath, StandardCopyOption.ATOMIC_MOVE,
+    node.put("token", token)
+    om.writeValueAsString(node)
+  }
+
+  private def writeTmp(content: String): Path = {
+    val tmp = dir.resolve(s"LOCK.$owner.${System.nanoTime()}.tmp")
+    Files.writeString(tmp, content)
+    tmp
+  }
+
+  /** Exclusive create of generation `token`; one winner per token.
+    * NOTE Files.createFile (O_CREAT|O_EXCL) is the only truly atomic
+    * create-exclusive here — Files.move WITHOUT REPLACE_EXISTING is
+    * check-then-rename on POSIX and two movers can both pass the
+    * check (observed in the race spec). The content lands with a
+    * follow-up replace of our own file; a reader that catches the
+    * empty window parses nothing and treats the previous generation
+    * as head, which at worst denies a contender one attempt.
+    */
+  private def createGeneration(token: Long): Boolean = {
+    val won =
+      try { Files.createFile(genPath(token)); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!won) return false
+    val tmp = writeTmp(renderLock(owner, clock() + ttlMillis, token))
+    Files.move(tmp, genPath(token), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    // straggler guard: if a higher generation appeared while we were
+    // writing, our generation is already superseded — back out
+    readHead() match {
+      case Some((_, _, tk)) if tk > token =>
+        Files.deleteIfExists(genPath(token)); false
+      case _ =>
+        myToken = Some(token)
+        // superseded generations are dead weight; safe to sweep
+        if (Files.isDirectory(dir))
+          Files.list(dir).iterator().asScala
+            .filter(_.getFileName.toString.startsWith("LOCK.v"))
+            .foreach { p =>
+              p.getFileName.toString.stripPrefix("LOCK.v").toLongOption
+                .filter(_ < token)
+                .foreach(_ => Files.deleteIfExists(p))
+            }
+        true
+    }
+  }
+
+  /** Rewrite our OWN generation file (renewal / release marker). */
+  private def rewriteOwn(deadline: Long, token: Long): Unit = {
+    val tmp = writeTmp(renderLock(owner, deadline, token))
+    Files.move(tmp, genPath(token), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Try to take (or renew) the lease. */
-  def tryAcquire(): Boolean = readLock() match {
-    case Some((o, deadline)) if o != owner && deadline > clock() => false
-    case _ => writeLock(clock() + ttlMillis); true
+  def tryAcquire(): Boolean = readHead() match {
+    case Some((o, deadline, tk)) if o == owner && deadline > clock() &&
+        myToken.contains(tk) =>
+      rewriteOwn(clock() + ttlMillis, tk)
+      verifyHeld()
+    case Some((o, deadline, _)) if o != owner && deadline > clock() =>
+      false
+    case Some((_, _, tk)) =>
+      // expired head, or a same-owner lock from a previous life
+      createGeneration(tk + 1)
+    case None =>
+      createGeneration(1L)
+  }
+
+  /** Block until the lease is ours (standby mode — the reference's
+    * multiple_instances_mode lock wait, main.go:421-427). Returns
+    * false on timeout.
+    */
+  def awaitAcquire(maxWaitMillis: Long, pollMillis: Long = 500L): Boolean = {
+    val deadline = System.currentTimeMillis() + maxWaitMillis
+    var got = tryAcquire()
+    while (!got && System.currentTimeMillis() < deadline) {
+      Thread.sleep(pollMillis)
+      got = tryAcquire()
+    }
+    got
   }
 
   /** Owner check for the commit path: we must still hold an unexpired
-    * lease. Call immediately before the manifest swap.
+    * lease under OUR token. Call immediately before the manifest swap.
     */
-  def verifyHeld(): Boolean = readLock() match {
-    case Some((o, deadline)) => o == owner && deadline > clock()
+  def verifyHeld(): Boolean = readHead() match {
+    case Some((o, deadline, tk)) =>
+      o == owner && deadline > clock() && myToken.contains(tk)
     case None => false
   }
 
-  def release(): Unit = readLock() match {
-    case Some((o, _)) if o == owner => Files.deleteIfExists(lockPath)
+  /** Graceful handover: expire our own generation in place; the token
+    * stays on disk so the next owner's token is strictly greater.
+    */
+  def release(): Unit = readHead() match {
+    case Some((o, _, tk)) if o == owner && myToken.contains(tk) =>
+      rewriteOwn(Long.MinValue, tk)
+      myToken = None
     case _ => ()
   }
 }

@@ -38,13 +38,18 @@ object TransactionalStore {
       version: Long,
       state: ReplicationState,
       tables: Map[String, TableVersion],
-      pendingFiles: Seq[String])
+      pendingFiles: Seq[String],
+      // fencing token of the lease under which this manifest was
+      // committed; commits with a lower token than the stored head are
+      // stale leaseholders and refused
+      fencingToken: Long = 0L)
 
   private val om = new ObjectMapper()
 
   private def render(m: Manifest): String = {
     val root = om.createObjectNode()
     root.put("version", m.version)
+    root.put("fencingToken", m.fencingToken)
     root.put("id", m.state.id)
     root.put("stepId", m.state.stepId)
     root.put("txId", m.state.txId)
@@ -78,7 +83,8 @@ object TransactionalStore {
       ReplicationState(n.get("id").asText(), n.get("stepId").asLong(),
         n.get("txId").asLong(), n.get("state").asText(),
         n.get("stage").asText(), n.get("lastMsg").asText()),
-      tables, pending)
+      tables, pending,
+      if (n.has("fencingToken")) n.get("fencingToken").asLong() else 0L)
   }
 
   def initIfAbsent(root: String, instanceId: String,
@@ -101,8 +107,18 @@ object TransactionalStore {
     parse(Files.readString(Paths.get(root, "manifest", s"v$v.json")))
   }
 
-  /** Publish a new manifest: the single atomic transaction point. */
+  /** Publish a new manifest: the single atomic transaction point.
+    * Refuses fencing tokens below the stored head's — a stale
+    * leaseholder that lost the lock cannot clobber the new owner
+    * (on a real object store the final rename is a conditional put,
+    * closing the read-check window too).
+    */
   def commit(root: String, m: Manifest): Unit = {
+    val cur = read(root)
+    if (m.fencingToken < cur.fencingToken)
+      throw new IllegalStateException(
+        s"stale fencing token ${m.fencingToken} < ${cur.fencingToken}: " +
+          "another instance acquired the lease; refusing commit")
     Files.writeString(Paths.get(root, "manifest", s"v${m.version}.json"), render(m))
     atomicWrite(Paths.get(root, "MANIFEST"), m.version.toString)
   }

@@ -175,7 +175,8 @@ final class CdcEngine(
       lock.tryAcquire()
       if (!lock.verifyHeld())
         throw new IllegalStateException("lost the writer lease; aborting commit")
-      TransactionalStore.commit(root, man.copy(version = man.version + 1))
+      TransactionalStore.commit(root, man.copy(version = man.version + 1,
+        fencingToken = lock.heldToken.getOrElse(0L)))
       metrics.batchesCommitted.incrementAndGet()
       metrics.lastCommitLatencyMs.set((System.nanoTime() - t0) / 1000000L)
       // ST6: checkpoint vs newest-seen heartbeat, in µs of stream time
@@ -266,8 +267,10 @@ final class CdcEngine(
               done = true
             } else {
               man = applyCut(man, cut, rest, hi, Stage.InitialScan)
-              TransactionalStore.commit(root, man.copy(version = man.version + 1))
-              man = man.copy(version = man.version + 1)
+              TransactionalStore.commit(root, man.copy(version = man.version + 1,
+                fencingToken = lock.heldToken.getOrElse(0L)))
+              man = man.copy(version = man.version + 1,
+                fencingToken = lock.heldToken.getOrElse(0L))
               // continue from the durably-written remainder
               remaining = pendingDF(man)
             }
@@ -420,6 +423,7 @@ final class CdcEngine(
   private def persistFatal(msg: String): Unit = {
     val man = TransactionalStore.read(root)
     TransactionalStore.commit(root, man.copy(version = man.version + 1,
+      fencingToken = lock.heldToken.getOrElse(0L),
       state = man.state.copy(state = EngineState.Fatal, lastMsg = msg)))
   }
 
