@@ -120,4 +120,9 @@ final case class EngineConfig(
     // ST6 liveness guard (reference max_expected_heartbeat_interval,
     // hb_tracker.go:76-126): warn when no FULL heartbeat set has been
     // seen for this long. 0 disables the guard.
-    maxExpectedHbIntervalMs: Long = 0L)
+    maxExpectedHbIntervalMs: Long = 0L,
+    // standby mode (reference multiple_instances_mode): instead of
+    // failing bootstrap when another instance holds the lease, wait
+    // for it up to standbyMaxWaitMillis
+    multipleInstancesMode: Boolean = false,
+    standbyMaxWaitMillis: Long = 600000L)

@@ -66,7 +66,13 @@ final class CdcEngine(
 
   def bootstrap(): Unit = {
     TransactionalStore.initIfAbsent(root, cfg.instanceId, tables.values.map(_.name).toSeq)
-    if (!lock.tryAcquire())
+    // multiple_instances_mode (main.go:421-427): standby instances
+    // wait on the lock instead of failing
+    val got =
+      if (cfg.multipleInstancesMode)
+        lock.awaitAcquire(cfg.standbyMaxWaitMillis, pollMillis = 200L)
+      else lock.tryAcquire()
+    if (!got)
       throw new IllegalStateException(
         s"another instance holds the lease for $root")
   }

@@ -195,6 +195,30 @@ class CdcEngineSpec extends SparkSpec {
     assert(users(e).contains(2L))
   }
 
+  test("standby mode: bootstrap waits for the lease instead of failing") {
+    val root = Files.createTempDirectory("graft-standby").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/dst"))
+    val other = new graft.sink.LeaseLock(s"$root/dst", "other", 60000L)
+    assert(other.tryAcquire())
+    val cfg = EngineConfig("inst1",
+      Seq(StreamConfig(0, s"$root/src", "users", partitions = 2)),
+      s"$root/dst", ProblemStrategy.Stop, buckets = 4,
+      multipleInstancesMode = true, standbyMaxWaitMillis = 10000L)
+    val e = new CdcEngine(spark, cfg, Map(0 -> usersMeta))
+    val releaser = new Thread(() => { Thread.sleep(500); other.release() })
+    releaser.start()
+    e.bootstrap() // would throw without standby mode
+    releaser.join()
+    assert(e.state.state == EngineState.Ok)
+
+    // without standby mode the same contention IS a failure
+    assert(other.tryAcquire() == false) // engine holds it now
+    val e2 = new CdcEngine(spark,
+      cfg.copy(instanceId = "inst2", multipleInstancesMode = false),
+      Map(0 -> usersMeta))
+    intercept[IllegalStateException](e2.bootstrap())
+  }
+
   test("ST6 gauges: quorum wait, liveness warning, replication lag") {
     val root = Files.createTempDirectory("graft-st6").toString
     val cfg = EngineConfig("inst1",
