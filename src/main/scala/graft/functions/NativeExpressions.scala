@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.GraftShims
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions (with `doGenCode`) for the two hot
@@ -81,9 +81,59 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** One-pass sorted distinct token-hash set — the codegen'd fusion of
+    * array_sort(array_distinct(transform(tokens(s), portableHash))).
+    */
+  case class TokenHashSetExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def nodeName: String = "graft_token_hash_set"
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.tokenHashSet(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.NativeImpl.tokenHashSet($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** All k minhash signatures in one pass over the hash set; null for
+    * an empty set (matching per-signature array_min(empty) = null), so
+    * the codegen sets isNull explicitly.
+    */
+  case class MinhashSigsExpr(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nodeName: String = "graft_minhash_sigs"
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.minhashSigs(input.asInstanceOf[ArrayData], k)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = graft.functions.NativeImpl.minhashSigs($c, $k);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftShims.column(SortedIntersectSizeExpr(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  def tokenHashSet(s: Column): Column =
+    GraftShims.column(TokenHashSetExpr(GraftShims.expression(s)))
+
+  def minhashSigsNative(hs: Column, k: Int): Column =
+    GraftShims.column(MinhashSigsExpr(GraftShims.expression(hs), k))
 
   def portableHashNative(s: Column): Column =
     GraftShims.column(PortableHashExpr(GraftShims.expression(s)))

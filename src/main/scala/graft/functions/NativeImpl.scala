@@ -48,6 +48,65 @@ object NativeImpl {
     acc
   }
 
+  /** Sorted distinct portable-hash set of the word tokens of `s` in
+    * ONE pass — the fusion of
+    * array_sort(array_distinct(transform(tokens(s), portableHash))).
+    * Tokenization is exactly [[GraftFunctions.tokens]]: lowercase
+    * (UTF8String semantics, same as Spark's lower()), then maximal
+    * runs of [a-z0-9]; any other char — including all non-ASCII — is
+    * a separator, which is precisely what splitting on [^a-z0-9]+
+    * does. Token chars are ASCII, so folding chars equals folding
+    * code points and the per-token hash matches portableHash.
+    */
+  def tokenHashSet(s: UTF8String): ArrayData = {
+    val str = s.toLowerCase.toString
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var h = 0L
+    var in = false
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        h = (h * 31L + c) % GraftFunctions.PhMod
+        in = true
+      } else if (in) { set.add(h); h = 0L; in = false }
+      i += 1
+    }
+    if (in) set.add(h)
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** All k minhash signature values of a hash set in one pass — the
+    * fusion of k× array_min(transform(hs, h -> (h*a_j + b_j) % p)).
+    * Returns null for an empty set, matching array_min(empty) = null
+    * per signature (callers treat a null signature vector as k nulls).
+    */
+  def minhashSigs(hs: ArrayData, k: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return null
+    val as = Array.tabulate(k)(GraftFunctions.minhashA)
+    val bs = Array.tabulate(k)(GraftFunctions.minhashB)
+    val sigs = new Array[Long](k)
+    java.util.Arrays.fill(sigs, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (h * as(j) + bs(j)) % GraftFunctions.MinhashPrime
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
   /** Intersection size of two SORTED long arrays (linear merge). */
   def sortedIntersectSize(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements(); val nb = b.numElements()

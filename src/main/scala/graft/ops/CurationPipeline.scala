@@ -28,23 +28,17 @@ object CurationPipeline {
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val base = docs
       .withColumn("toks", tokens(col("text")))
-      .withColumn("hs", Dedup.shingleHashes(col("toks"), w = 1))
+      .withColumn("hs", Dedup.tokenHashSet(col("text")))
 
     // stage 1: exact dedup — canonical = min doc_id per content hash
     val exact = Dedup.exact(base, col("text"), col("doc_id"))
 
-    // stage 2: near-dup edges via MinHash LSH + verified Jaccard;
-    // the higher id of every verified edge is dropped
-    val sigs = Dedup.minhashFromHashes(base, col("hs"), cfg.minhashK)
-      .select((col("doc_id") +: (0 until cfg.minhashK).map(j => col(s"sig_$j"))): _*)
-    val cand = Dedup.lshCandidates(sigs, "doc_id", cfg.minhashK, cfg.rowsPerBand)
-    val t = base.select(col("doc_id"), col("hs"))
-    val dropIds = cand
-      .join(broadcast(t.select(col("doc_id").as("id_a"), col("hs").as("h_a"))), Seq("id_a"))
-      .join(broadcast(t.select(col("doc_id").as("id_b"), col("hs").as("h_b"))), Seq("id_b"))
-      .filter(least(size(col("h_a")), size(col("h_b"))).cast("double") >=
-        greatest(size(col("h_a")), size(col("h_b"))) * cfg.nearDupJaccard)
-      .filter(Dedup.jaccardSorted(col("h_a"), col("h_b")) >= cfg.nearDupJaccard)
+    // stage 2: near-dup edges via single-pass MinHash LSH + verified
+    // Jaccard (sets ride the band shuffle — no corpus re-join, no
+    // broadcast of the doc→set table); the higher id of every
+    // verified edge is dropped
+    val dropIds = Dedup.minhashNearDupPairs(base, "doc_id", "hs",
+        cfg.minhashK, cfg.rowsPerBand, cfg.nearDupJaccard)
       .select(col("id_b").as("doc_id")).distinct()
 
     // stages 3+4: quality + language gates (pure column predicates)

@@ -33,12 +33,32 @@ object Dedup {
     array_sort(array_distinct(transform(array_distinct(wordShingles(toks, w)),
       s => portableHash(s))))
 
+  /** The w=1 case of [[shingleHashes]] over raw text, fused into one
+    * native pass (tokenize+hash+distinct+sort): equals
+    * shingleHashes(tokens(text), 1) exactly (property-tested), an
+    * order of magnitude cheaper — the HOF form pays interpreted
+    * lambda dispatch per token.
+    */
+  def tokenHashSet(text: Column): Column =
+    graft.functions.NativeExpressions.tokenHashSet(text)
+
   /** MinHash signature columns sig_0..sig_{k-1} from a pre-hashed
     * shingle set column. Uses the portable hash so signatures are
     * engine-reproducible; swap for `xxhash64` when the values never
     * leave Spark.
     */
-  def minhashFromHashes(df: DataFrame, hashes: Column, k: Int): DataFrame =
+  def minhashFromHashes(df: DataFrame, hashes: Column, k: Int): DataFrame = {
+    // one native pass computes all k signatures; a null vector (empty
+    // set) degrades to k null signatures exactly like the HOF form
+    val withV = df.withColumn("__sigv",
+      graft.functions.NativeExpressions.minhashSigsNative(hashes, k))
+    (0 until k).foldLeft(withV) { (d, j) =>
+      d.withColumn(s"sig_$j", col("__sigv").getItem(j))
+    }.drop("__sigv")
+  }
+
+  /** HOF formulation of [[minhashFromHashes]] (equivalence testing). */
+  def minhashFromHashesHof(df: DataFrame, hashes: Column, k: Int): DataFrame =
     (0 until k).foldLeft(df) { (d, j) =>
       d.withColumn(s"sig_$j",
         array_min(transform(hashes, h => minhashPerm(h, j))))
@@ -110,6 +130,42 @@ object Dedup {
     a.join(b, blockCols :+ "tk")
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** End-to-end MinHash near-dup pairs in a SINGLE pass over the
+    * corpus: signatures and band keys are computed in the same
+    * projection as the hash sets, and the sets ride along through the
+    * band shuffle so verification needs no re-join against the corpus
+    * (the old shape recomputed the tokenize+hash pipeline three times
+    * — once for signatures and once per verification side — or
+    * broadcast the whole doc→set table, which OOMs at billions of
+    * docs). A pair agreeing on b bands verifies b times and the tiny
+    * survivor set dedups at the end — verify is a linear merge, so
+    * duplicate verification is far cheaper than a second corpus
+    * shuffle. Returns (id_a, id_b, jac) with id_a < id_b, distinct.
+    */
+  def minhashNearDupPairs(sets: DataFrame, id: String, hsCol: String,
+      k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val sigs = minhashFromHashes(
+      sets.select(col(id).as("__id"), col(hsCol).as("__hs")), col("__hs"), k)
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val key = concat_ws(":",
+        (lit(b) +: (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))): _*)
+      sigs.select(col("__id"), col("__hs"), key.as("band_key"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("band_key"), col("__id").as("id_a"),
+      col("__hs").as("h_a"))
+    val b = bands.select(col("band_key"), col("__id").as("id_b"),
+      col("__hs").as("h_b"))
+    a.join(b, Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      // size-ratio prefilter: jaccard ≤ min/max of the set sizes
+      .filter(least(size(col("h_a")), size(col("h_b"))).cast("double") >=
+        greatest(size(col("h_a")), size(col("h_b"))) * threshold)
+      .withColumn("jac", jaccardSorted(col("h_a"), col("h_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+      .distinct()
   }
 
   /** Exact Jaccard similarity of two array columns (distinct element

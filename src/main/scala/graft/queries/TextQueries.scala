@@ -150,24 +150,9 @@ object TextQueries {
          |WHERE jac >= $MinhashJaccard ORDER BY id_a, id_b""".stripMargin
     }) { (s, d) =>
       val docs = load(s, d, "documents")
-        .withColumn("hs", Dedup.shingleHashes(tokens(col("text")), w = 1))
-      val sigs = Dedup.minhashFromHashes(docs, col("hs"), MinhashK)
-        .select((col("doc_id") +: (0 until MinhashK).map(j => col(s"sig_$j"))): _*)
-      val cand = Dedup.lshCandidates(sigs, "doc_id", MinhashK, RowsPerBand)
-      val t = docs.select(col("doc_id"), col("hs"))
-      cand
-        // the doc→set side is dimension-sized (one row per doc);
-        // broadcast it so the candidate stream never shuffles — at
-        // billions of docs you would keep the shuffle join instead
-        .join(broadcast(t.select(col("doc_id").as("id_a"), col("hs").as("h_a"))), Seq("id_a"))
-        .join(broadcast(t.select(col("doc_id").as("id_b"), col("hs").as("h_b"))), Seq("id_b"))
-        // size-ratio prefilter: jaccard ≤ min/max of the set sizes, so
-        // pairs failing this bound cannot pass the threshold — skips
-        // the expensive intersection for most candidates
-        .filter(least(size(col("h_a")), size(col("h_b"))).cast("double") >=
-          greatest(size(col("h_a")), size(col("h_b"))) * MinhashJaccard)
-        .withColumn("jac", Dedup.jaccardSorted(col("h_a"), col("h_b")))
-        .filter(col("jac") >= MinhashJaccard)
+        .withColumn("hs", Dedup.tokenHashSet(col("text")))
+      Dedup.minhashNearDupPairs(docs, "doc_id", "hs",
+        MinhashK, RowsPerBand, MinhashJaccard)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
         .orderBy("id_a", "id_b")
     },

@@ -69,6 +69,40 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("tokenHashSet == array_sort(array_distinct(transform(tokens, phash)))") {
+    val rnd = new scala.util.Random(13)
+    val samples = Seq("", "   ", "hello hello world", "Punct!@#, and; SPACES",
+      "123 abc123 456-def", "unicode Déjà vu ÉLÈVE tokens", "a", "tab\tand\nnewline",
+      "ésolo", "ñ", "trailing token ") ++
+      (0 until 200).map { _ =>
+        (0 until rnd.nextInt(30)).map(_ =>
+          rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+          .mkString(Seq(" ", ", ", "; ", "—")(rnd.nextInt(4)))
+      }
+    val df = samples.toDF("s").select(
+      graft.ops.Dedup.tokenHashSet(col("s")).as("native"),
+      graft.ops.Dedup.shingleHashes(GraftFunctions.tokens(col("s")), 1).as("hof"))
+    val bad = df.filter(col("native") =!= col("hof")).collect()
+    assert(bad.isEmpty, bad.take(3).mkString(","))
+  }
+
+  test("native minhash sigs == HOF minhash sigs (incl empty-set nulls)") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 120).map { i =>
+      (i.toLong, if (i % 11 == 0) Seq.empty[Long]
+        else Seq.fill(1 + rnd.nextInt(60))(rnd.nextLong().abs % GraftFunctions.PhMod))
+    }
+    val df = rows.toDF("id", "hs")
+    val k = 16
+    val nat = graft.ops.Dedup.minhashFromHashes(df, col("hs"), k)
+    val hof = graft.ops.Dedup.minhashFromHashesHof(df, col("hs"), k)
+    val cmp = nat.as("n").join(hof.as("h"), "id")
+    (0 until k).foreach { j =>
+      val bad = cmp.filter(!(col(s"n.sig_$j") <=> col(s"h.sig_$j"))).count()
+      assert(bad == 0, s"sig_$j mismatch on $bad rows")
+    }
+  }
+
   test("null propagation") {
     val df = Seq(Option.empty[String], Some("x")).toDF("s")
       .select(GraftFunctions.portableHash(col("s")).as("h"))
