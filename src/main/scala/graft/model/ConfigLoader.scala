@@ -101,6 +101,7 @@ object ConfigLoader {
       buckets = num("buckets", 64L).toInt,
       maxExpectedHbIntervalMs = num("max_expected_heartbeat_interval", 0L) * 1000L,
       multipleInstancesMode = bool("multiple_instances_mode", dflt = false),
-      standbyMaxWaitMillis = num("standby_max_wait_millis", 600000L))
+      standbyMaxWaitMillis = num("standby_max_wait_millis", 600000L),
+      monPort = str("mon_port").map(_.toInt))
   }
 }

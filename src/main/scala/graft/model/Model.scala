@@ -125,4 +125,7 @@ final case class EngineConfig(
     // failing bootstrap when another instance holds the lease, wait
     // for it up to standbyMaxWaitMillis
     multipleInstancesMode: Boolean = false,
-    standbyMaxWaitMillis: Long = 600000L)
+    standbyMaxWaitMillis: Long = 600000L,
+    // monitoring endpoint (reference mon_server): Some(0) = any free
+    // port; None = no server
+    monPort: Option[Int] = None)

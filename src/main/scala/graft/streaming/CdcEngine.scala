@@ -64,6 +64,19 @@ final class CdcEngine(
     */
   private var syncTarget: Option[Position] = None
 
+  /** pmon analog: /metrics + /readyz, started by bootstrap when
+    * cfg.monPort is set (or explicitly via startMonitoring).
+    */
+  @volatile var monServer: Option[PmonServer] = None
+
+  def startMonitoring(port: Int): PmonServer = {
+    val s = PmonServer.start(port, metrics,
+      ready = () => lock.verifyHeld() &&
+        TransactionalStore.read(root).state.state == EngineState.Ok)
+    monServer = Some(s)
+    s
+  }
+
   def bootstrap(): Unit = {
     TransactionalStore.initIfAbsent(root, cfg.instanceId, tables.values.map(_.name).toSeq)
     // multiple_instances_mode (main.go:421-427): standby instances
@@ -75,6 +88,7 @@ final class CdcEngine(
     if (!got)
       throw new IllegalStateException(
         s"another instance holds the lease for $root")
+    cfg.monPort.foreach(startMonitoring)
   }
 
   def state: ReplicationState = TransactionalStore.read(root).state
