@@ -486,19 +486,12 @@ final class CdcEngine(
       .foreachBatch((df: DataFrame, id: Long) => processBatch(df, id))
       .start()
 
-  def start(checkpointLocation: String): StreamingQuery = {
-    val frames = cfg.streams.map { s =>
-      spark.readStream
-        .schema(StructType(Seq(StructField("value", StringType))))
-        .text(s"${s.srcPath}/partition=*/")
-        .withColumn("tableId", lit(s.tableId))
-        .withColumn("partitionId",
-          regexp_extract(input_file_name(), "partition=(\\d+)", 1).cast("long"))
-        .withColumn("offset",
-          get_json_object(col("value"), "$.offset").cast("long"))
-    }.reduce(_ unionByName _)
-    startFromFrames(frames, checkpointLocation)
-  }
+  def start(checkpointLocation: String,
+      sourceType: String = "directory",
+      auth: Option[graft.auth.TokenProvider] = None): StreamingQuery =
+    startFromFrames(
+      TopicSource.forStreams(spark, cfg.streams, sourceType, auth),
+      checkpointLocation)
 }
 
 object CdcEngine {
