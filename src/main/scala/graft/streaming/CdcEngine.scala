@@ -113,6 +113,14 @@ final class CdcEngine(
         s"refusing to run: stored state is ${man.state.state} (${man.state.lastMsg})")
     val checkpoint = man.state.position
 
+    val phases = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+    var tp = System.nanoTime()
+    def phase(name: String): Unit = {
+      val now = System.nanoTime()
+      phases += name -> (now - tp) / 1e9
+      tp = now
+    }
+
     val parsed = CdcParser.parseEnvelope(raw).persist()
     try {
       // checkpoint filter (P3): drop already-applied positions at ingest
@@ -124,21 +132,25 @@ final class CdcEngine(
       // dead-letter malformed frames
       appendDlq(CdcParser.malformed(parsed)
         .withColumn("reason", lit("malformed")))
+      phase("parse+dlq")
 
       // per-partition order verification (P4/ST3)
       val carried = trackerSnapshotDF()
       val tagged = BatchOrder.tagLate(changesAll, hbs, carried).persist()
       val late = tagged.filter(col("isLate"))
       val changes = resolveLate(tagged, late).drop("isLate")
+      phase("order-verify")
 
       // key filter (P5): blocked keys are a broadcast anti-join
       val filtered = applyKeyFilter(changes)
+      phase("key-filter")
 
       // heartbeat tracking: distributed maxima, tiny driver state
       BatchOrder.partitionMaxima(hbs).collect().foreach { r =>
         tracker.add(r.getAs[Int]("tableId"), r.getAs[Long]("partitionId"),
           Position(r.getAs[Long]("step"), r.getAs[Long]("txId")))
       }
+      phase("hb-track")
       // newest heartbeat BEFORE quorum eviction — feeds the lag gauge
       val newestHb = tracker.maxHb
 
@@ -183,11 +195,13 @@ final class CdcEngine(
         .unionByName(filtered.select(pendingSchema.fieldNames.map(col): _*))
         .dropDuplicates("tableId", "partitionId", "offset")
         .persist()
+      phase("pending-union")
 
       // emission loop (ST2/ST5)
       man = if (man.state.stage == Stage.InitialScan)
         initialScan(man, pendingAll, batchId)
       else emitBelowQuorum(man, pendingAll, batchId)
+      phase("emit")
       pendingAll.unpersist()
 
       // owner check inside the transaction (ST7): the lease must still
@@ -202,9 +216,11 @@ final class CdcEngine(
       // ST6: checkpoint vs newest-seen heartbeat, in µs of stream time
       newestHb.foreach(m => metrics.replicationLagEstimation.set(
         math.max(0L, m.step - man.state.stepId)))
+      phase("commit")
       log(s"batch=$batchId commit v${man.version + 1} stage=${man.state.stage} " +
         s"checkpoint=(${man.state.stepId},${man.state.txId}) " +
-        f"latency=${(System.nanoTime() - t0) / 1e9}%.3fs")
+        f"latency=${(System.nanoTime() - t0) / 1e9}%.3fs " +
+        phases.map { case (n, sec) => f"$n=$sec%.2f" }.mkString(" "))
       tagged.unpersist()
     } finally parsed.unpersist()
   }
@@ -264,9 +280,27 @@ final class CdcEngine(
         tracker.commit(q)
         man1
       case None =>
-        // drain the working set in merge-ordered chunks of maxBatchSize
+        // drain the working set in merge-ordered chunks of maxBatchSize.
+        // Fast path first: a plain count (no sort) decides whether the
+        // whole set fits one chunk — the common case with a large cap —
+        // so the global merge sort only runs when chunking is real.
         var remaining = pending
         var done = false
+        val total = remaining.count()
+        if (total == 0) {
+          man = storePending(man, remaining, s"is$batchId")
+          done = true
+        } else if (total <= cfg.maxBatchSize) {
+          val maxPos = remaining
+            .agg(max(struct(ux(col("step")).as("s"), ux(col("txId")).as("t"),
+              col("step"), col("txId"))).as("m"))
+            .select(col("m.step"), col("m.txId")).head()
+          val hi = Position(maxPos.getLong(0), maxPos.getLong(1))
+          man = applyCut(man, remaining,
+            remaining.filter(BatchOrder.posGt(col("step"), col("txId"), hi)),
+            hi, Stage.InitialScan)
+          done = true
+        }
         while (!done) {
           val chunkDF = BatchOrder.mergeOrder(remaining).limit(cfg.maxBatchSize)
           val n = chunkDF.count()
