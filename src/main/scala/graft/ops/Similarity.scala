@@ -113,16 +113,18 @@ object Similarity {
         min("n").as("n"))
 
   /** Squared distance of a quantized vector to a centroid given as
-    * (dimension sums, count): Σ (x_i - s_i/n)², folded sequentially in
-    * doubles with explicit t*t (bit-reproducible on any engine that
-    * folds in the same order).
+    * (dimension sums, count), via the exact-integer identity
+    * n²·Σ(x_i - s_i/n)² = n²·x·x - 2n·x·s + s·s: three native integer
+    * dot products and ONE double division, so the value is
+    * bit-reproducible on any engine without prescribing a fold order
+    * (and the hot loop is codegen'd instead of an interpreted
+    * zip_with fold). Exactness domain: the numerator must stay below
+    * 2^53 for the SQL twin (double dots) — n·|x| up to ~10⁷ at 64
+    * dims; beyond that, fall back to a per-dimension fold.
     */
   def dist2ToCentroid(vec: Column, svec: Column, n: Column): Column =
-    aggregate(
-      zip_with(vec, svec, (x, s) =>
-        (x.cast("double") - s.cast("double") / n.cast("double")) *
-          (x.cast("double") - s.cast("double") / n.cast("double"))),
-      lit(0.0d), (acc, t) => acc + t)
+    (n * n * dotI(vec, vec) - lit(2L) * n * dotI(vec, svec) +
+      dotI(svec, svec)).cast("double") / (n * n).cast("double")
 
   /** Assign each vector to its nearest centroid (ties by cell id). */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {

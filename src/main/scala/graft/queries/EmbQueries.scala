@@ -110,10 +110,10 @@ object EmbQueries {
          |cent AS (SELECT cell, list(sv ORDER BY dim) AS svec, min(n) AS n
          |         FROM c GROUP BY cell),
          |d AS (SELECT q.vec_id, cent.cell,
-         |  list_reduce(list_prepend(0.0, list_transform(range(1, $Dims + 1),
-         |    i -> (q.e[i::INT] - cent.svec[i::INT] / cent.n) *
-         |         (q.e[i::INT] - cent.svec[i::INT] / cent.n))),
-         |    (a, t) -> a + t) AS dist2
+         |  (cent.n * cent.n * list_dot_product(q.e, q.e)
+         |   - 2 * cent.n * list_dot_product(q.e, cent.svec)
+         |   + list_dot_product(cent.svec, cent.svec))
+         |  / (cent.n * cent.n) AS dist2
          |  FROM q, cent),
          |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn

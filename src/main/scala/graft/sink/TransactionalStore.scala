@@ -42,7 +42,11 @@ object TransactionalStore {
       // fencing token of the lease under which this manifest was
       // committed; commits with a lower token than the stored head are
       // stale leaseholders and refused
-      fencingToken: Long = 0L)
+      fencingToken: Long = 0L,
+      // highest source batch id already applied; lets the engine skip
+      // the pending-dedup shuffle for strictly fresh batches (replay
+      // of an already-seen id re-enables it)
+      lastBatchId: Long = -1L)
 
   private val om = new ObjectMapper()
 
@@ -50,6 +54,7 @@ object TransactionalStore {
     val root = om.createObjectNode()
     root.put("version", m.version)
     root.put("fencingToken", m.fencingToken)
+    root.put("lastBatchId", m.lastBatchId)
     root.put("id", m.state.id)
     root.put("stepId", m.state.stepId)
     root.put("txId", m.state.txId)
@@ -84,7 +89,8 @@ object TransactionalStore {
         n.get("txId").asLong(), n.get("state").asText(),
         n.get("stage").asText(), n.get("lastMsg").asText()),
       tables, pending,
-      if (n.has("fencingToken")) n.get("fencingToken").asLong() else 0L)
+      if (n.has("fencingToken")) n.get("fencingToken").asLong() else 0L,
+      if (n.has("lastBatchId")) n.get("lastBatchId").asLong() else -1L)
   }
 
   def initIfAbsent(root: String, instanceId: String,

@@ -191,9 +191,14 @@ final class CdcEngine(
       // (those above the checkpoint); the merge is idempotent to such
       // duplicates, but deduping here keeps the buffer from growing
       // across repeated replays
-      val pendingAll = pendingDF(man)
-        .unionByName(filtered.select(pendingSchema.fieldNames.map(col): _*))
-        .dropDuplicates("tableId", "partitionId", "offset")
+      // The dedup shuffle is needed only when this batch id could
+      // have been seen before: Spark assigns each source offset range
+      // to exactly one batch id, so a strictly fresh id cannot
+      // re-deliver rows already in the stored pending buffer.
+      val incoming = filtered.select(pendingSchema.fieldNames.map(col): _*)
+      val unioned = pendingDF(man).unionByName(incoming)
+      val pendingAll = (if (batchId > man.lastBatchId) unioned
+        else unioned.dropDuplicates("tableId", "partitionId", "offset"))
         .persist()
       phase("pending-union")
 
@@ -210,7 +215,8 @@ final class CdcEngine(
       if (!lock.verifyHeld())
         throw new IllegalStateException("lost the writer lease; aborting commit")
       TransactionalStore.commit(root, man.copy(version = man.version + 1,
-        fencingToken = lock.heldToken.getOrElse(0L)))
+        fencingToken = lock.heldToken.getOrElse(0L),
+        lastBatchId = math.max(batchId, man.lastBatchId)))
       metrics.batchesCommitted.incrementAndGet()
       metrics.lastCommitLatencyMs.set((System.nanoTime() - t0) / 1000000L)
       // ST6: checkpoint vs newest-seen heartbeat, in µs of stream time
@@ -321,10 +327,13 @@ final class CdcEngine(
               done = true
             } else {
               man = applyCut(man, cut, rest, hi, Stage.InitialScan)
-              TransactionalStore.commit(root, man.copy(version = man.version + 1,
-                fencingToken = lock.heldToken.getOrElse(0L)))
+              // stamp lastBatchId here too: a crash after this commit
+              // replays the SAME batch id, which must re-enable the
+              // pending dedup against the remainder we just stored
               man = man.copy(version = man.version + 1,
-                fencingToken = lock.heldToken.getOrElse(0L))
+                fencingToken = lock.heldToken.getOrElse(0L),
+                lastBatchId = math.max(batchId, man.lastBatchId))
+              TransactionalStore.commit(root, man)
               // continue from the durably-written remainder
               remaining = pendingDF(man)
             }
