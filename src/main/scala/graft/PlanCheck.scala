@@ -10,6 +10,7 @@ object PlanCheck {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q3_shipping_topk", "q5_regional_revenue",
         "cdc_checkpoint_filter", "cdc_lww_merge", "doc_dedup_minhash",
+        "doc_ngram_jaccard", "emb_near_dup",
         "emb_knn_brute", "q_anti_join")
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)
