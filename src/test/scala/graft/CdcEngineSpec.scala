@@ -195,6 +195,48 @@ class CdcEngineSpec extends SparkSpec {
     assert(users(e).contains(2L))
   }
 
+  test("multi-table transaction: both tables + checkpoint commit atomically, or neither") {
+    val ordersMeta = TableMeta("orders", StructType(Seq(
+      StructField("id", LongType), StructField("total", IntegerType))), Seq("id"))
+    val root = Files.createTempDirectory("graft-multi").toString
+    val cfg = EngineConfig("inst1",
+      Seq(StreamConfig(0, s"$root/src0", "users", partitions = 1),
+        StreamConfig(1, s"$root/src1", "orders", partitions = 1)),
+      s"$root/dst", ProblemStrategy.Stop, buckets = 4)
+    val e = new CdcEngine(spark, cfg, Map(0 -> usersMeta, 1 -> ordersMeta))
+    e.bootstrap()
+
+    def mframe(lines: (String, Int, Long, Long)*) =
+      lines.toSeq.toDF("value", "tableId", "partitionId", "offset")
+
+    // one batch carries changes for BOTH tables; one quorum covers both
+    e.processBatch(mframe(
+      ("""{"update":{"name":"alice"},"key":[1],"ts":[1,1]}""", 0, 0L, 0L),
+      ("""{"update":{"total":99},"key":[7],"ts":[2,1]}""", 1, 0L, 0L),
+      ("""{"resolved":[3,0]}""", 0, 0L, 1L),
+      ("""{"resolved":[3,0]}""", 1, 0L, 1L)), 0L)
+    assert(e.readTable("users").collect().map(_.getLong(0)).toSet == Set(1L))
+    assert(e.readTable("orders").collect().map(_.getLong(0)).toSet == Set(7L))
+    // INITIAL_SCAN checkpoints at the max APPLIED change position, not
+    // the quorum — quorum gating begins at the sync point (ST5)
+    val v1 = e.state.position
+    assert(v1 == Position(2, 1))
+
+    // a batch whose SECOND table's apply fails (unknown column) must
+    // leave the first table, the checkpoint, and the stage untouched
+    intercept[Exception] {
+      e.processBatch(mframe(
+        ("""{"update":{"name":"bob"},"key":[2],"ts":[4,1]}""", 0, 0L, 2L),
+        ("""{"update":{"nope":1},"key":[8],"ts":[4,2]}""", 1, 0L, 2L),
+        ("""{"resolved":[5,0]}""", 0, 0L, 3L),
+        ("""{"resolved":[5,0]}""", 1, 0L, 3L)), 1L)
+    }
+    assert(e.readTable("users").collect().map(_.getLong(0)).toSet == Set(1L),
+      "partial apply leaked into users")
+    assert(e.readTable("orders").collect().map(_.getLong(0)).toSet == Set(7L))
+    assert(e.state.position == v1, "checkpoint advanced on a failed txn")
+  }
+
   test("standby mode: bootstrap waits for the lease instead of failing") {
     val root = Files.createTempDirectory("graft-standby").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/dst"))
