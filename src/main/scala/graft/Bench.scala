@@ -21,6 +21,13 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // iteration aid: SPARK_GRAFT_BENCH_ONLY=q3_shipping_topk,emb_ivf_knn
+    // restricts the run; the driver never sets it, so official rounds
+    // always measure the full headline list
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) => headline.filter(names.split(",").map(_.trim).toSet)
+      case None => headline
+    }
     val spark = GraftSession.get()
     // amortize session/JIT startup so the first measured query isn't
     // charged for codegen warmup
@@ -33,7 +40,7 @@ object Bench {
     // message and the process exits nonzero — a throwing query used to
     // contribute elapsed time indistinguishably from success
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = headline.map { name =>
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

@@ -126,16 +126,20 @@ object Similarity {
     (n * n * dotI(vec, vec) - lit(2L) * n * dotI(vec, svec) +
       dotI(svec, svec)).cast("double") / (n * n).cast("double")
 
-  /** Assign each vector to its nearest centroid (ties by cell id). */
-  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vecs.select(col("id"), col("vec"))
+  /** Assign each vector to its nearest centroid (ties by cell id).
+    * argmin as a min_by aggregation, not a window: the partial (map
+    * -side) aggregate collapses the vec×centroid fan-out back to one
+    * row per vector BEFORE the shuffle, so only corpus-sized data
+    * moves — a window would shuffle and sort the full cross product.
+    */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.select(col("id"), col("vec"))
       .crossJoin(broadcast(centroids))
       .withColumn("dist2", dist2ToCentroid(col("vec"), col("svec"), col("n")))
-    val w = Window.partitionBy("id").orderBy(col("dist2"), col("cell"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("vec"), col("cell"))
-  }
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("vec"), col("cell")),
+        struct(col("dist2"), col("cell"))).as("m"))
+      .select(col("id"), col("m.vec").as("vec"), col("m.cell").as("cell"))
 
   /** IVF search: queries probe only their own cell (nprobe=1). */
   def knnIvf(queries: DataFrame, assigned: DataFrame, k: Int): DataFrame = {
@@ -186,14 +190,19 @@ object Similarity {
       planes: Int, dims: Int, bands: Int): DataFrame = {
     require(planes % bands == 0, "bands must divide planes")
     val bitsPerBand = planes / bands
-    val withBucket = vecs.withColumn("__bk",
-      lshBucket(col("vec"), planes, dims))
-    val banded = (0 until bands).map { bd =>
-      withBucket.select(col(blockKey).as("bk"), col("id"), col("vec"),
-        concat_ws(":", lit(bd),
-          shiftright(col("__bk"), bd * bitsPerBand)
-            .bitwiseAND((1L << bitsPerBand) - 1L)).as("band_key"))
-    }.reduce(_ unionByName _)
+    // one pass computes the bucket (planes dot products), then an
+    // explode fans each row into its `bands` band keys — the unioned
+    // -branches form re-scanned the corpus and re-derived the bucket
+    // once PER BAND (subexpression elimination keeps the single
+    // lshBucket evaluation shared across the array elements here)
+    val banded = vecs
+      .withColumn("__bk", lshBucket(col("vec"), planes, dims))
+      .select(col(blockKey).as("bk"), col("id"), col("vec"),
+        explode(array((0 until bands).map { bd =>
+          concat_ws(":", lit(bd),
+            shiftright(col("__bk"), bd * bitsPerBand)
+              .bitwiseAND((1L << bitsPerBand) - 1L))
+        }: _*)).as("band_key"))
     val a = banded.select(col("bk"), col("band_key"), col("id").as("id_a"),
       col("vec").as("vec_a"))
     val b = banded.select(col("bk"), col("band_key"), col("id").as("id_b"),

@@ -50,19 +50,19 @@ object BatchOrder {
   def tagLate(changes: DataFrame, hbs: DataFrame, carried: DataFrame): DataFrame = {
     // Interleave changes and heartbeats per partition by arrival order,
     // carry a running max of heartbeat positions (struct max over a
-    // window), then flag changes at/below that running max.
+    // window), then flag changes at/below that running max. The change
+    // payload rides THROUGH the union (heartbeat rows carry nulls), so
+    // tagging is one window shuffle — no join back on the 3-column
+    // source coordinate.
     val hbPos = hbs.select(
       col("tableId"), col("partitionId"), col("offset"),
       struct(ux(col("step")).as("s"), ux(col("txId")).as("t")).as("hb"))
-    val chg = changes.select(col("tableId"), col("partitionId"), col("offset"))
+      .withColumn("isHb", lit(true))
+    val chg = changes
       .withColumn("hb", lit(null).cast("struct<s:bigint,t:bigint>"))
       .withColumn("isHb", lit(false))
     val w = Window.partitionBy("tableId", "partitionId").orderBy("offset")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val runMax = chg.unionByName(hbPos.withColumn("isHb", lit(true)))
-      .withColumn("runHb", max(col("hb")).over(w))
-      .filter(!col("isHb"))
-      .select(col("tableId"), col("partitionId"), col("offset"), col("runHb"))
     val carriedHb = carried.select(
       col("tableId").as("ctable"), col("partitionId").as("cpart"),
       struct(ux(col("step")).as("s"), ux(col("txId")).as("t")).as("chb"))
@@ -70,14 +70,15 @@ object BatchOrder {
       .when(col("chb").isNull, col("runHb"))
       .when(col("runHb") >= col("chb"), col("runHb"))
       .otherwise(col("chb"))
-    changes
-      .join(runMax, Seq("tableId", "partitionId", "offset"), "left")
+    chg.unionByName(hbPos, allowMissingColumns = true)
+      .withColumn("runHb", max(col("hb")).over(w))
+      .filter(!col("isHb"))
       .join(broadcast(carriedHb),
         col("tableId") === col("ctable") && col("partitionId") === col("cpart"), "left")
       .withColumn("lastHb", last)
       .withColumn("isLate", col("lastHb").isNotNull &&
         struct(ux(col("step")).as("s"), ux(col("txId")).as("t")) <= col("lastHb"))
-      .drop("ctable", "cpart", "chb", "runHb", "lastHb")
+      .drop("hb", "isHb", "ctable", "cpart", "chb", "runHb", "lastHb")
   }
 
   /** Per-partition maxima of a heartbeat frame — the distributed input

@@ -62,17 +62,24 @@ object AnalyticsQueries {
       val c = load(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = load(s, d, "orders")
       val l = load(s, d, "lineitem")
+      // exact long-cents arithmetic: p·100 and d·100 are integral, so
+      // Σ p2·(100−d2) = 10⁴·Σ p(1−d) — bit-identical to the oracle's
+      // decimal sum, but the hot loop is primitive long math. Group
+      // sizes are bounded (~7 lineitems/order), so the long sum cannot
+      // overflow at any scale factor.
+      val rev = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
+        (lit(100L) - (col("l_discount").cast("decimal(18,2)") * 100).cast("long"))
       l.join(broadcast(o.join(broadcast(c),
           o("o_custkey") === c("c_custkey"))),
           l("l_orderkey") === col("o_orderkey"))
-        .groupBy(l("l_orderkey").as("orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
-        .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1) - col("l_discount").cast("decimal(18,2)"))) * 10000)
-          .cast("long").as("revenue_e4"))
-        .select("orderkey", "revenue_e4", "orderdate")
+        // group on the RAW date; the string render happens once per
+        // OUTPUT row (10), not once per input row (millions)
+        .groupBy(l("l_orderkey").as("orderkey"), col("o_orderdate"))
+        .agg(sum(rev).as("revenue_e4"))
         .orderBy(col("revenue_e4").desc, col("orderkey"))
         .limit(10)
+        .select(col("orderkey"), col("revenue_e4"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
     },
 
     // regional revenue: 6-way star join, dims broadcast

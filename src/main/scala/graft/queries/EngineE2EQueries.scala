@@ -45,8 +45,20 @@ object EngineE2EQueries {
        |HAVING max_by(op, rn) = 0
        |ORDER BY user_id""".stripMargin
 
-  /** Build the CDC change frame for a slice of events. */
-  private def changeFrame(cdc: org.apache.spark.sql.DataFrame) =
+  /** Build the CDC change frame for a slice of events. The column mask
+    * is a 4-way branch of plain map() constructions — map_filter is a
+    * non-codegen higher-order function and dominated the frame
+    * synthesis cost (value/props are non-null in the dataset, so
+    * dropping the null-filter is behavior-preserving).
+    */
+  private def changeFrame(cdc: org.apache.spark.sql.DataFrame) = {
+    val vs = col("value").cast("string")
+    val updateMap =
+      when(col("has_value") && col("has_props"),
+        map(lit("value"), vs, lit("props"), col("props")))
+      .when(col("has_value"), map(lit("value"), vs))
+      .when(col("has_props"), map(lit("props"), col("props")))
+      .otherwise(map().cast("map<string,string>"))
     cdc.select(
       when(col("op") === 1,
         to_json(struct(
@@ -55,17 +67,14 @@ object EngineE2EQueries {
           array(col("step_us"), col("event_id")).as("ts"))))
       .otherwise(
         to_json(struct(
-          map_filter(
-            map(
-              lit("value"), when(col("has_value"), col("value").cast("string")),
-              lit("props"), when(col("has_props"), col("props"))),
-            (_, v) => v.isNotNull).as("update"),
+          updateMap.as("update"),
           array(col("user_id").cast("string")).as("key"),
           array(col("step_us"), col("event_id")).as("ts"))))
       .as("value"),
       col("part").cast("long").as("partitionId"),
       col("event_id").as("offset"))
       .withColumn("tableId", lit(0))
+  }
 
   private def hbFrame(s: org.apache.spark.sql.SparkSession,
       pos: Long, off: Long) =
@@ -175,25 +184,7 @@ object EngineE2EQueries {
       val cdc = Tables.cdcView(s, d)
 
       // change frames: one JSON envelope per event
-      val changes = cdc.select(
-        when(col("op") === 1,
-          to_json(struct(
-            map().cast("map<string,string>").as("erase"),
-            array(col("user_id").cast("string")).as("key"),
-            array(col("step_us"), col("event_id")).as("ts"))))
-        .otherwise(
-          to_json(struct(
-            map_filter(
-              map(
-                lit("value"), when(col("has_value"), col("value").cast("string")),
-                lit("props"), when(col("has_props"), col("props"))),
-              (_, v) => v.isNotNull).as("update"),
-            array(col("user_id").cast("string")).as("key"),
-            array(col("step_us"), col("event_id")).as("ts"))))
-        .as("value"),
-        col("part").cast("long").as("partitionId"),
-        col("event_id").as("offset"))
-        .withColumn("tableId", lit(0))
+      val changes = changeFrame(cdc)
 
       // one heartbeat per partition above every change position
       val maxPos = cdc.agg(max("step_us")).head().getLong(0) + 1L

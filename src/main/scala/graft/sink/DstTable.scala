@@ -51,11 +51,13 @@ object DstTable {
   /** Apply `patch` (merged rows: keyJson, op, columns) to the table and
     * write the new bucket files under
     * `root/tables/<name>/c{commitVersion}/`. Returns the updated
-    * per-bucket file pointers.
+    * per-bucket file pointers plus the patch row count (piggybacked on
+    * the metadata aggregation so the caller's modification metric costs
+    * no extra job).
     */
   def applyPatch(spark: SparkSession, root: String, meta: TableMeta,
       buckets: Int, current: TransactionalStore.TableVersion,
-      patch: DataFrame, commitVersion: Long): TransactionalStore.TableVersion = {
+      patch: DataFrame, commitVersion: Long): (TransactionalStore.TableVersion, Long) = {
 
     // Typed projection of the patch + present-column mask + bucket.
     val typedPatch = patch.select(
@@ -71,17 +73,20 @@ object DstTable {
           .as("__unknown"))): _*)
       .withColumn(BucketCol, bucketOf(meta, buckets))
 
-    // ONE pass collects both the affected buckets and any unknown
-    // columns (two driver round-trips saved per table per commit)
+    // ONE pass collects the affected buckets, any unknown columns, AND
+    // the patch cardinality (driver round-trips saved per table per
+    // commit)
     val metaRow = typedPatch.agg(
       collect_set(col(BucketCol)).as("buckets"),
-      array_distinct(flatten(collect_list(col("__unknown")))).as("bad")).head()
+      array_distinct(flatten(collect_list(col("__unknown")))).as("bad"),
+      count(lit(1)).as("n")).head()
     val bad = metaRow.getAs[scala.collection.Seq[String]]("bad")
     if (bad.nonEmpty)
       throw new IllegalArgumentException(
         s"unknown destination columns for table ${meta.name}: ${bad.mkString(",")}")
     val affected = metaRow.getAs[scala.collection.Seq[Int]]("buckets").toSet
-    if (affected.isEmpty) return current
+    val nRows = metaRow.getAs[Long]("n")
+    if (affected.isEmpty) return (current, nRows)
 
     val old = readCurrent(spark, meta, current, Some(affected))
       .withColumn(BucketCol, bucketOf(meta, buckets))
@@ -127,6 +132,6 @@ object DstTable {
     val newFiles = affected.map { b =>
       b -> TransactionalStore.partFiles(s"$outDir/$BucketCol=$b")
     }.toMap
-    TransactionalStore.TableVersion(current.bucketFiles ++ newFiles)
+    (TransactionalStore.TableVersion(current.bucketFiles ++ newFiles), nRows)
   }
 }

@@ -134,11 +134,12 @@ final class CdcEngine(
         .withColumn("reason", lit("malformed")))
       phase("parse+dlq")
 
-      // per-partition order verification (P4/ST3)
+      // per-partition order verification (P4/ST3). No job runs here:
+      // the late-count rides an Observation through the emission's own
+      // full-scan actions, and the gate fires before anything commits.
       val carried = trackerSnapshotDF()
-      val tagged = BatchOrder.tagLate(changesAll, hbs, carried).persist()
-      val late = tagged.filter(col("isLate"))
-      val changes = resolveLate(tagged, late).drop("isLate")
+      val tagged = BatchOrder.tagLate(changesAll, hbs, carried)
+      val Resolved(changes, lateGate, cleanup) = resolveLate(tagged)
       phase("order-verify")
 
       // key filter (P5): blocked keys are a broadcast anti-join
@@ -202,12 +203,14 @@ final class CdcEngine(
         .persist()
       phase("pending-union")
 
-      // emission loop (ST2/ST5)
-      man = if (man.state.stage == Stage.InitialScan)
-        initialScan(man, pendingAll, batchId)
-      else emitBelowQuorum(man, pendingAll, batchId)
-      phase("emit")
-      pendingAll.unpersist()
+      // emission loop (ST2/ST5); the gate may abort mid-emission, so
+      // the cache release is a finally
+      try {
+        man = if (man.state.stage == Stage.InitialScan)
+          initialScan(man, pendingAll, batchId, lateGate)
+        else emitBelowQuorum(man, pendingAll, batchId, lateGate)
+        phase("emit")
+      } finally pendingAll.unpersist()
 
       // owner check inside the transaction (ST7): the lease must still
       // be ours at the moment the commit becomes visible
@@ -227,7 +230,7 @@ final class CdcEngine(
         s"checkpoint=(${man.state.stepId},${man.state.txId}) " +
         f"latency=${(System.nanoTime() - t0) / 1e9}%.3fs " +
         phases.map { case (n, sec) => f"$n=$sec%.2f" }.mkString(" "))
-      tagged.unpersist()
+      cleanup()
     } finally parsed.unpersist()
   }
 
@@ -243,13 +246,18 @@ final class CdcEngine(
     * pending store.
     */
   private def emitBelowQuorum(man0: TransactionalStore.Manifest,
-      pending: DataFrame, batchId: Long): TransactionalStore.Manifest = {
+      pending: DataFrame, batchId: Long,
+      lateGate: () => Unit): TransactionalStore.Manifest = {
     tracker.quorum match {
-      case None => storePending(man0, pending, s"nq$batchId")
+      case None =>
+        val man1 = storePending(man0, pending, s"nq$batchId")
+        lateGate() // pending store ran a full scan; nothing committed yet
+        man1
       case Some(q) =>
         val cut = pending.filter(BatchOrder.posLt(col("step"), col("txId"), q))
         val rest = pending.filter(!BatchOrder.posLt(col("step"), col("txId"), q))
         val man1 = applyCut(man0, cut, rest, q, man0.state.stage)
+        lateGate() // before the tracker mutates or the manifest swaps
         tracker.commit(q)
         man1
     }
@@ -260,12 +268,14 @@ final class CdcEngine(
     */
   private def storePending(man: TransactionalStore.Manifest,
       pending: DataFrame, tag: String): TransactionalStore.Manifest = {
-    if (pending.isEmpty) man.copy(pendingFiles = Nil)
-    else {
-      val dir = s"$root/pending/p${tag}_v${man.version}"
-      pending.write.mode("overwrite").parquet(dir)
-      man.copy(pendingFiles = TransactionalStore.partFiles(dir))
-    }
+    // unconditional write: an empty set writes an empty part file
+    // (harmless to read back). The alternative — isEmpty — is a
+    // PARTIAL scan, which would both cost an extra job and complete
+    // the late-count Observation with a partial value, breaking the
+    // optimistic order-verification gate.
+    val dir = s"$root/pending/p${tag}_v${man.version}"
+    pending.write.mode("overwrite").parquet(dir)
+    man.copy(pendingFiles = TransactionalStore.partFiles(dir))
   }
 
   /** INITIAL_SCAN stage (ST5): apply in capped chunks regardless of
@@ -274,7 +284,8 @@ final class CdcEngine(
     * emit below it and flip to RUN.
     */
   private def initialScan(man0: TransactionalStore.Manifest,
-      pending: DataFrame, batchId: Long): TransactionalStore.Manifest = {
+      pending: DataFrame, batchId: Long,
+      lateGate: () => Unit): TransactionalStore.Manifest = {
     if (syncTarget.isEmpty && tracker.fullSet) syncTarget = tracker.maxHb
     var man = man0
     syncTarget.flatMap(tracker.quorumAfter) match {
@@ -283,6 +294,7 @@ final class CdcEngine(
         val cut = pending.filter(BatchOrder.posLt(col("step"), col("txId"), q))
         val rest = pending.filter(!BatchOrder.posLt(col("step"), col("txId"), q))
         val man1 = applyCut(man, cut, rest, q, Stage.Run)
+        lateGate() // before the tracker mutates or the manifest swaps
         tracker.commit(q)
         man1
       case None =>
@@ -292,18 +304,24 @@ final class CdcEngine(
         // so the global merge sort only runs when chunking is real.
         var remaining = pending
         var done = false
-        val total = remaining.count()
+        // ONE aggregation decides the path AND supplies the cut bound:
+        // count + max(position) in the same job
+        val statRow = remaining.agg(
+          count(lit(1)).as("n"),
+          max(struct(ux(col("step")).as("s"), ux(col("txId")).as("t"),
+            col("step"), col("txId"))).as("m")).head()
+        lateGate() // the stat aggregation full-scanned the working set
+        val total = statRow.getLong(0)
         if (total == 0) {
           man = storePending(man, remaining, s"is$batchId")
           done = true
         } else if (total <= cfg.maxBatchSize) {
-          val maxPos = remaining
-            .agg(max(struct(ux(col("step")).as("s"), ux(col("txId")).as("t"),
-              col("step"), col("txId"))).as("m"))
-            .select(col("m.step"), col("m.txId")).head()
-          val hi = Position(maxPos.getLong(0), maxPos.getLong(1))
+          val m = statRow.getStruct(1)
+          val hi = Position(m.getLong(2), m.getLong(3))
+          // rest is empty by construction (hi is the max position) — an
+          // explicit empty frame skips a full scan-and-filter pass
           man = applyCut(man, remaining,
-            remaining.filter(BatchOrder.posGt(col("step"), col("txId"), hi)),
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pendingSchema),
             hi, Stage.InitialScan)
           done = true
         }
@@ -353,19 +371,28 @@ final class CdcEngine(
     // the upcoming manifest version tags every file this commit writes,
     // so data dirs are unique per commit and never clobbered on replay
     val commitTag = man.version + 1
+    var tc = System.nanoTime()
+    def sub(): Double = {
+      val now = System.nanoTime(); val s = (now - tc) / 1e9; tc = now; s
+    }
     val merged = LwwMerge.merge(cut).persist()
     try {
-      metrics.modificationsCount.addAndGet(merged.count())
+      // modificationsCount rides on each table's applyPatch metadata
+      // aggregation — no dedicated count job over the merge shuffle
       val newTables = tables.foldLeft(man.tables) { case (acc, (tid, meta)) =>
         val patch = merged.filter(col("tableId") === tid)
-        acc.updated(meta.name, DstTable.applyPatch(spark, root, meta,
-          cfg.buckets, acc(meta.name), patch, commitTag))
+        val (tv, n) = DstTable.applyPatch(spark, root, meta,
+          cfg.buckets, acc(meta.name), patch, commitTag)
+        metrics.modificationsCount.addAndGet(n)
+        acc.updated(meta.name, tv)
       }
+      val tApply = sub()
       // unconditional write: an empty remainder writes an empty part
       // file, which beats a full pre-scan just to detect emptiness
       val restDir = s"$root/pending/r$commitTag"
       rest.write.mode("overwrite").parquet(restDir)
       val restFiles = TransactionalStore.partFiles(restDir)
+      log(f"applyCut v$commitTag apply=$tApply%.2f rest=${sub()}%.2f")
       man.copy(
         state = man.state.copy(stepId = newPos.step, txId = newPos.txId,
           stage = newStage),
@@ -377,25 +404,31 @@ final class CdcEngine(
   // ---- problem handling ----
 
   /** Late (protocol-violating) changes: consult the configured strategy
-    * (reference: README.md:418-451). Returns the changes to process.
+    * (reference: README.md:418-451).
+    *
+    * Stop/Continue run OPTIMISTICALLY: the returned frame already
+    * excludes late rows, a late COUNT rides an [[Observation]] through
+    * whatever full-scan action the emission runs first, and `lateGate`
+    * — called before any manifest swap or tracker commit — reacts only
+    * when the count is nonzero (DLQ + fatal for Stop, DLQ for
+    * Continue). The happy path therefore spends ZERO extra jobs on
+    * order verification. CmdQueue stays eager: an 'apply' instruction
+    * puts late rows back INTO the batch, which must be decided before
+    * emission.
     */
-  private def resolveLate(tagged: DataFrame, late: DataFrame): DataFrame =
+  private case class Resolved(changes: DataFrame, lateGate: () => Unit,
+      cleanup: () => Unit)
+
+  private def lateDlqFrame(late: DataFrame, reason: String): DataFrame =
+    late.select(col("tableId"), col("partitionId"), col("offset"),
+      to_json(struct(col("keyJson"), col("step"), col("txId"))).as("value"))
+      .withColumn("reason", lit(reason))
+
+  private def resolveLate(tagged: DataFrame): Resolved =
     cfg.problemStrategy match {
-      case ProblemStrategy.Continue =>
-        appendDlq(late.select(col("tableId"), col("partitionId"), col("offset"),
-          to_json(struct(col("keyJson"), col("step"), col("txId"))).as("value"))
-          .withColumn("reason", lit("out-of-order")))
-        tagged.filter(!col("isLate"))
-      case ProblemStrategy.Stop =>
-        if (!late.isEmpty) {
-          appendDlq(late.select(col("tableId"), col("partitionId"), col("offset"),
-            to_json(struct(col("keyJson"), col("step"), col("txId"))).as("value"))
-            .withColumn("reason", lit("out-of-order")))
-          persistFatal("out-of-order change; strategy=stop")
-          throw new IllegalStateException("FATAL: out-of-order change (strategy=stop)")
-        }
-        tagged
       case ProblemStrategy.CmdQueue =>
+        val t = tagged.persist()
+        val late = t.filter(col("isLate"))
         val cmds = readCommands()
         val dec = late.join(cmds,
           late("tableId") === cmds("cmdTableId") &&
@@ -408,12 +441,42 @@ final class CdcEngine(
           throw new IllegalStateException("FATAL: unresolved out-of-order change")
         }
         val skipped = dec.filter(col("action") === "skip")
-        appendDlq(skipped.select(col("tableId"), col("partitionId"), col("offset"),
-          to_json(struct(col("keyJson"), col("step"), col("txId"))).as("value"))
-          .withColumn("reason", lit("cmd-skip")))
+        appendDlq(lateDlqFrame(skipped, "cmd-skip"))
         val keepLate = dec.filter(col("action") === "apply")
-          .select(tagged.columns.map(col): _*)
-        tagged.filter(!col("isLate")).unionByName(keepLate)
+          .select(t.columns.map(col): _*)
+        Resolved(t.filter(!col("isLate")).unionByName(keepLate).drop("isLate"),
+          () => (), () => { t.unpersist(); () })
+      case strat =>
+        val obs = org.apache.spark.sql.Observation()
+        val observed = tagged.observe(obs,
+          sum(when(col("isLate"), 1L).otherwise(0L)).as("nLate"))
+        val gate = () => {
+          // every emission path full-scans the observed subtree before
+          // the gate; the forced count is a never-expected safety net
+          // (Observation offers no public non-blocking probe)
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration._
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val metricsMap =
+            try Await.result(Future(obs.get), 30.seconds)
+            catch {
+              case _: java.util.concurrent.TimeoutException =>
+                observed.agg(count(lit(1))).head()
+                obs.get
+            }
+          val n = metricsMap.get("nLate")
+            .collect { case x: Number => x.longValue() }.getOrElse(0L)
+          if (n > 0) {
+            val late = observed.filter(col("isLate"))
+            appendDlq(lateDlqFrame(late, "out-of-order"))
+            if (strat == ProblemStrategy.Stop) {
+              persistFatal("out-of-order change; strategy=stop")
+              throw new IllegalStateException(
+                "FATAL: out-of-order change (strategy=stop)")
+            }
+          }
+        }
+        Resolved(observed.filter(!col("isLate")).drop("isLate"), gate, () => ())
     }
 
   /** Command topic (S10): JSON lines
