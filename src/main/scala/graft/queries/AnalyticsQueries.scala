@@ -69,8 +69,13 @@ object AnalyticsQueries {
       // overflow at any scale factor.
       val rev = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
         (lit(100L) - (col("l_discount").cast("decimal(18,2)") * 100).cast("long"))
-      l.join(broadcast(o.join(broadcast(c),
-          o("o_custkey") === c("c_custkey"))),
+      // broadcast only the FILTERED DIMENSION (customer); the
+      // orders⋈customer side is fact-sized and must not carry a
+      // broadcast hint — AQE converts the join to broadcast when the
+      // runtime size allows (it does at bench SFs) and falls back to a
+      // shuffle join at scales where a forced broadcast would OOM
+      l.join(o.join(broadcast(c),
+          o("o_custkey") === c("c_custkey")),
           l("l_orderkey") === col("o_orderkey"))
         // group on the RAW date; the string render happens once per
         // OUTPUT row (10), not once per input row (millions)

@@ -130,7 +130,10 @@ object EmbQueries {
         .select(col("vec_id").as("id"),
           Similarity.quantize(col("embedding")).as("vec"),
           col("label").as("cell"))
-      val cents = Similarity.ivfCentroids(vecs, "cell")
+      // the centroid table is tiny (one row per cell) but its pipeline
+      // is two shuffles over the exploded corpus; persist so the two
+      // sides of the cell join share ONE centroid computation
+      val cents = Similarity.ivfCentroids(vecs, "cell").persist()
       val assigned = Similarity.ivfAssign(vecs, cents)
       Similarity.knnIvf(assigned.filter(col("id") < 8), assigned, K)
         .orderBy("q_id", "rank")
