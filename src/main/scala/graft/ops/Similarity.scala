@@ -141,7 +141,27 @@ object Similarity {
         struct(col("dist2"), col("cell"))).as("m"))
       .select(col("id"), col("m.vec").as("vec"), col("m.cell").as("cell"))
 
-  /** IVF search: queries probe only their own cell (nprobe=1). */
+  /** Query-side probe list: the `nprobe` nearest cells per query
+    * vector (ties by cell id), one output row per (query, probed
+    * cell). The window is sound here because the probe set is the
+    * QUERY side — small by definition; the corpus keeps its single
+    * -cell assignment from [[ivfAssign]].
+    */
+  def ivfProbe(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val scored = queries.select(col("id"), col("vec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist2", dist2ToCentroid(col("vec"), col("svec"), col("n")))
+    val w = Window.partitionBy("id").orderBy(col("dist2"), col("cell"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("id"), col("vec"), col("cell"))
+  }
+
+  /** IVF search: queries probe their listed cell(s) — pass the output
+    * of [[ivfAssign]] filtered to the query ids for nprobe=1, or
+    * [[ivfProbe]] for multi-probe. A corpus vector lives in exactly
+    * one cell, so multi-probe candidates need no dedup.
+    */
   def knnIvf(queries: DataFrame, assigned: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("q_id"), col("vec").as("q_vec"),
       col("cell"))

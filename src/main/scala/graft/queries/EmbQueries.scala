@@ -139,6 +139,51 @@ object EmbQueries {
         .orderBy("q_id", "rank")
     },
 
+    // IVF with nprobe=2: queries probe their TWO nearest cells (the
+    // standard recall lever), corpus keeps its single-cell assignment
+    // — closes the nprobe=1 caveat on the scale path. The probe list
+    // is deterministic (exact-integer distance identity, ties by
+    // cell), so the oracle reproduces the candidate set bit-for-bit.
+    QueryDef("emb_ivf_knn_nprobe2",
+      s"""WITH $sqlQuant,
+         |u AS (SELECT label, generate_subscripts(e, 1) AS dim,
+         |       unnest(e) AS v FROM q),
+         |c AS (SELECT label AS cell, dim, sum(v) AS sv, count(*) AS n
+         |      FROM u GROUP BY label, dim),
+         |cent AS (SELECT cell, list(sv ORDER BY dim) AS svec, min(n) AS n
+         |         FROM c GROUP BY cell),
+         |d AS (SELECT q.vec_id, cent.cell,
+         |  (cent.n * cent.n * list_dot_product(q.e, q.e)
+         |   - 2 * cent.n * list_dot_product(q.e, cent.svec)
+         |   + list_dot_product(cent.svec, cent.svec))
+         |  / (cent.n * cent.n) AS dist2
+         |  FROM q, cent),
+         |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+         |  FROM d) WHERE rn = 1),
+         |probe AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+         |  FROM d WHERE vec_id < 8) WHERE rn <= 2),
+         |qa AS (SELECT q.vec_id, q.e, a.cell FROM q JOIN assign a USING (vec_id)),
+         |qp AS (SELECT q.vec_id, q.e, p.cell FROM q JOIN probe p USING (vec_id)),
+         |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, $sqlCos AS sim
+         |  FROM qp a JOIN qa b ON a.cell = b.cell AND b.vec_id <> a.vec_id),
+         |r AS (SELECT q_id, c_id, sim, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM scored)
+         |SELECT q_id, c_id, rank, round(sim, 6) AS sim FROM r
+         |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"),
+          col("label").as("cell"))
+      val cents = Similarity.ivfCentroids(vecs, "cell").persist()
+      val assigned = Similarity.ivfAssign(vecs, cents)
+      val probed = Similarity.ivfProbe(
+        vecs.filter(col("id") < 8).select(col("id"), col("vec")), cents, 2)
+      Similarity.knnIvf(probed, assigned, K)
+        .orderBy("q_id", "rank")
+    },
+
     // centroid per label (the IVF coarse-quantizer training step):
     // exact integer mean per dimension, output as sum/count pairs
     QueryDef("emb_label_centroid_norm",

@@ -82,4 +82,34 @@ class SimJoinSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == bandedPairs)
   }
+
+  test("IVF multi-probe: nprobe cells per query, recall never below nprobe=1") {
+    val rnd = new scala.util.Random(7)
+    // 4 well-separated clusters + per-cluster jitter, labels used only
+    // as the centroid seed assignment
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextInt(4000).toLong - 2000L))
+    val vecs = (0 until 120).map { i =>
+      val c = i % 4
+      (i.toLong, centers(c).map(x => x + rnd.nextInt(600) - 300).toSeq, c)
+    }
+    val df = vecs.toDF("id", "vec", "cell")
+    val cents = Similarity.ivfCentroids(df, "cell").persist()
+    val assigned = Similarity.ivfAssign(df, cents)
+    val queries = df.filter(col("id") < 6).select("id", "vec")
+
+    val probed2 = Similarity.ivfProbe(queries, cents, 2)
+    val perQuery = probed2.groupBy("id").count().collect()
+    assert(perQuery.forall(_.getLong(1) == 2), "each query must probe 2 cells")
+
+    def hits(res: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = hits(Similarity.knnBrute(queries, df.select("id", "vec"), 5))
+    val n1 = hits(Similarity.knnIvf(assigned.filter(col("id") < 6), assigned, 5))
+    val n2 = hits(Similarity.knnIvf(probed2, assigned, 5))
+    val recall1 = (n1 & brute).size.toDouble / brute.size
+    val recall2 = (n2 & brute).size.toDouble / brute.size
+    assert(recall2 >= recall1, s"nprobe=2 recall $recall2 < nprobe=1 $recall1")
+    assert(n2.nonEmpty && brute.nonEmpty)
+    cents.unpersist()
+  }
 }
