@@ -203,5 +203,62 @@ object EngineE2EQueries {
       engine.bootstrap()
       engine.processBatch(changes.unionByName(hbs.select(changes.columns.map(col): _*)), 0L)
       engine.readTable("users").orderBy("user_id")
+    },
+
+    // TWO destination tables through one engine: events route by
+    // user-id parity, each table has its own stream (8 partitions,
+    // own heartbeat set), and both tables + the checkpoint commit in
+    // the SAME manifest swap. The oracle states each table's LWW
+    // semantics over its own event subset — if routing, per-table
+    // quorum tracking, or the multi-table transaction mixed rows up,
+    // the hashes would diverge.
+    QueryDef("cdc_engine_multitable", {
+      def lwwFor(parity: Int, tag: String) =
+        s"""SELECT '$tag' AS tag, user_id,
+           |  max_by(value, rn) FILTER (WHERE op = 0 AND has_value
+           |    AND rn > coalesce(erase_rn, 0)) AS value,
+           |  max_by(props, rn) FILTER (WHERE op = 0 AND has_props
+           |    AND rn > coalesce(erase_rn, 0)) AS props
+           |FROM (SELECT *, max(CASE WHEN op = 1 THEN rn END) OVER
+           |        (PARTITION BY user_id) AS erase_rn
+           |      FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY user_id ORDER BY step_us, event_id) AS rn
+           |      FROM cdc WHERE user_id % 2 = $parity))
+           |GROUP BY user_id HAVING max_by(op, rn) = 0""".stripMargin
+      s"""WITH $CDC
+         |SELECT * FROM (${lwwFor(0, "even")} UNION ALL ${lwwFor(1, "odd")})
+         |ORDER BY tag, user_id""".stripMargin
+    }) { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-mt-q").toString
+      val cdc = Tables.cdcView(s, d).persist()
+      val maxPos = cdc.agg(max("step_us")).head().getLong(0) + 1L
+      val maxOff = cdc.agg(max("event_id")).head().getLong(0) + 1L
+
+      def tableFrame(parity: Int) =
+        changeFrame(cdc.filter(pmod(col("user_id"), lit(2)) === parity))
+          .withColumn("tableId", lit(parity))
+      def tableHbs(parity: Int) =
+        hbFrame(s, maxPos, maxOff).withColumn("tableId", lit(parity))
+
+      val evenMeta = usersMeta.copy(name = "even")
+      val oddMeta = usersMeta.copy(name = "odd")
+      val cfg = EngineConfig("mt-query",
+        Seq(StreamConfig(0, s"$root/src0", "even", partitions = 8),
+          StreamConfig(1, s"$root/src1", "odd", partitions = 8)),
+        s"$root/dst", ProblemStrategy.Stop,
+        maxBatchSize = Int.MaxValue, buckets = 32)
+      val engine = new CdcEngine(s, cfg, Map(0 -> evenMeta, 1 -> oddMeta))
+      engine.bootstrap()
+      val cols = tableFrame(0).columns
+      engine.processBatch(
+        tableFrame(0)
+          .unionByName(tableFrame(1))
+          .unionByName(tableHbs(0).select(cols.map(col): _*))
+          .unionByName(tableHbs(1).select(cols.map(col): _*)), 0L)
+      cdc.unpersist()
+      engine.readTable("even").withColumn("tag", lit("even"))
+        .unionByName(engine.readTable("odd").withColumn("tag", lit("odd")))
+        .select("tag", "user_id", "value", "props")
+        .orderBy("tag", "user_id")
     })
 }
