@@ -25,7 +25,15 @@ object Bench {
     // restricts the run; the driver never sets it, so official rounds
     // always measure the full headline list
     val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case Some(names) => headline.filter(names.split(",").map(_.trim).toSet)
+      case Some(names) =>
+        val asked = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = asked -- headline.toSet
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"SPARK_GRAFT_BENCH_ONLY names not in headline: ${unknown.mkString(",")}")
+          sys.exit(2) // a typo must not read as an empty (fast!) run
+        }
+        headline.filter(asked)
       case None => headline
     }
     val spark = GraftSession.get()

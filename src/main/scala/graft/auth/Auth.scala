@@ -75,6 +75,10 @@ object Auth {
     val conn = new java.net.URL(endpoint).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod("POST")
+    // a blackholed endpoint must fail the exchange, not hang the
+    // stream-construction path that calls token() synchronously
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(30000)
     conn.setDoOutput(true)
     conn.setRequestProperty("Content-Type", "application/json")
     val os = conn.getOutputStream

@@ -89,6 +89,10 @@ object GraftFunctions {
     * equality against values produced by this same function, so the
     * layout may differ from the reference wire format as long as it
     * is injective (KeySerializerSpec proves the collision cases).
+    * Format history: this is store format v1 (the 0x01 tag); the
+    * pre-release unprefixed concatenation was never a supported
+    * format, so a blocked_keys store predating the tag must be
+    * regenerated, not migrated.
     */
   def serializeKey(tablePath: Column, keyJson: Column): Column =
     concat(lit("\u0001"), to_json(struct(tablePath.as("t"), keyJson.as("k"))))

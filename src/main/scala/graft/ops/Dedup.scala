@@ -146,8 +146,14 @@ object Dedup {
     */
   def minhashNearDupPairs(sets: DataFrame, id: String, hsCol: String,
       k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive")
+    // empty sets have NULL signatures; concat_ws would collapse them
+    // all into one shared bucket per band, going quadratic in the
+    // count of empty documents. They can never reach a positive
+    // jaccard, so dropping them up front is result-identical.
     val sigs = minhashFromHashes(
-      sets.select(col(id).as("__id"), col(hsCol).as("__hs")), col("__hs"), k)
+      sets.select(col(id).as("__id"), col(hsCol).as("__hs"))
+        .filter(size(col("__hs")) > 0), col("__hs"), k)
     val bands = (0 until k / rowsPerBand).map { b =>
       val key = concat_ws(":",
         (lit(b) +: (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))): _*)

@@ -111,20 +111,30 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("sv")))),
         e => e.getField("sv")).as("svec"),
         min("n").as("n"))
+      // s·s once per CELL, as a dimension-ordered double fold (the
+      // per-element squares overflow a long for big cells; double
+      // matches the SQL twin's list_dot_product semantics)
+      .withColumn("ss", aggregate(col("svec"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
 
   /** Squared distance of a quantized vector to a centroid given as
-    * (dimension sums, count), via the exact-integer identity
-    * n²·Σ(x_i - s_i/n)² = n²·x·x - 2n·x·s + s·s: three native integer
-    * dot products and ONE double division, so the value is
-    * bit-reproducible on any engine without prescribing a fold order
-    * (and the hot loop is codegen'd instead of an interpreted
-    * zip_with fold). Exactness domain: the numerator must stay below
-    * 2^53 for the SQL twin (double dots) — n·|x| up to ~10⁷ at 64
-    * dims; beyond that, fall back to a per-dimension fold.
+    * (dimension sums s, count n, precomputed s·s), via the identity
+    * n²·Σ(x_i - s_i/n)² = n²·x·x - 2n·x·s + s·s. The two per-pair
+    * dot products run as native integer expressions (x is small:
+    * x·x and x·s stay far below 2⁶³ for any realistic cell); the
+    * n-scaling and the s·s term are DOUBLE — matching the SQL twin's
+    * float dots bit-for-bit below 2⁵³ and degrading to float rounding
+    * (never silent integer wraparound) beyond. s·s arrives
+    * precomputed per CENTROID ([[ivfCentroids]]'s `ss`) because its
+    * per-element squares overflow a long once cells reach ~10⁶
+    * unit-scale vectors — and it is per-cell work, not per-pair.
     */
-  def dist2ToCentroid(vec: Column, svec: Column, n: Column): Column =
-    (n * n * dotI(vec, vec) - lit(2L) * n * dotI(vec, svec) +
-      dotI(svec, svec)).cast("double") / (n * n).cast("double")
+  def dist2ToCentroid(vec: Column, svec: Column, n: Column,
+      ss: Column): Column = {
+    val nd = n.cast("double")
+    (nd * nd * dotI(vec, vec).cast("double") -
+      lit(2.0d) * nd * dotI(vec, svec).cast("double") + ss) / (nd * nd)
+  }
 
   /** Assign each vector to its nearest centroid (ties by cell id).
     * argmin as a min_by aggregation, not a window: the partial (map
@@ -135,7 +145,8 @@ object Similarity {
   def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame =
     vecs.select(col("id"), col("vec"))
       .crossJoin(broadcast(centroids))
-      .withColumn("dist2", dist2ToCentroid(col("vec"), col("svec"), col("n")))
+      .withColumn("dist2",
+        dist2ToCentroid(col("vec"), col("svec"), col("n"), col("ss")))
       .groupBy(col("id"))
       .agg(min_by(struct(col("vec"), col("cell")),
         struct(col("dist2"), col("cell"))).as("m"))
@@ -150,7 +161,8 @@ object Similarity {
   def ivfProbe(queries: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val scored = queries.select(col("id"), col("vec"))
       .crossJoin(broadcast(centroids))
-      .withColumn("dist2", dist2ToCentroid(col("vec"), col("svec"), col("n")))
+      .withColumn("dist2",
+        dist2ToCentroid(col("vec"), col("svec"), col("n"), col("ss")))
     val w = Window.partitionBy("id").orderBy(col("dist2"), col("cell"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nprobe)

@@ -16,6 +16,17 @@ object EmbQueries {
   private val NearDupThreshold = 0.3
   private val NearDupBands = 8
 
+  /** Centroid table collected to the driver and re-emitted as a local
+    * relation: one row per cell (bounded like partition cardinality),
+    * so the two sides of the cell join and the probe step share ONE
+    * centroid computation with no cache entry left behind.
+    */
+  private def localCentroids(s: org.apache.spark.sql.SparkSession,
+      vecs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cents = Similarity.ivfCentroids(vecs, "cell")
+    s.createDataFrame(java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+  }
+
   /** DuckDB quantized-vector CTE matching Similarity.quantize. */
   private val sqlQuant =
     """q AS (SELECT vec_id, label,
@@ -130,10 +141,7 @@ object EmbQueries {
         .select(col("vec_id").as("id"),
           Similarity.quantize(col("embedding")).as("vec"),
           col("label").as("cell"))
-      // the centroid table is tiny (one row per cell) but its pipeline
-      // is two shuffles over the exploded corpus; persist so the two
-      // sides of the cell join share ONE centroid computation
-      val cents = Similarity.ivfCentroids(vecs, "cell").persist()
+      val cents = localCentroids(s, vecs)
       val assigned = Similarity.ivfAssign(vecs, cents)
       Similarity.knnIvf(assigned.filter(col("id") < 8), assigned, K)
         .orderBy("q_id", "rank")
@@ -176,7 +184,7 @@ object EmbQueries {
         .select(col("vec_id").as("id"),
           Similarity.quantize(col("embedding")).as("vec"),
           col("label").as("cell"))
-      val cents = Similarity.ivfCentroids(vecs, "cell").persist()
+      val cents = localCentroids(s, vecs)
       val assigned = Similarity.ivfAssign(vecs, cents)
       val probed = Similarity.ivfProbe(
         vecs.filter(col("id") < 8).select(col("id"), col("vec")), cents, 2)

@@ -46,14 +46,23 @@ final class LeaseLock(root: String, owner: String, ttlMillis: Long,
         n.get("token").asLong()))
     } catch { case _: Exception => None }
 
+  /** Run `f` over the lock-generation files; the Files.list stream is
+    * CLOSED afterward (it holds a directory fd, and readHead runs per
+    * batch commit and per /readyz scrape).
+    */
+  private def withGenerations[A](f: Iterator[(Long, Path)] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("LOCK.v"))
+      .flatMap(p => p.getFileName.toString.stripPrefix("LOCK.v")
+        .toLongOption.map(_ -> p)))
+    finally s.close()
+  }
+
   /** The highest-generation lease on disk. */
   private def readHead(): Option[(String, Long, Long)] = {
     if (!Files.isDirectory(dir)) return None
-    val gens = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("LOCK.v"))
-      .flatMap(p => p.getFileName.toString.stripPrefix("LOCK.v")
-        .toLongOption.map(_ -> p))
-      .toSeq
+    val gens = withGenerations(_.toSeq)
     gens.sortBy(-_._1).iterator.map(_._2).flatMap(parseLock).nextOption()
   }
 
@@ -97,13 +106,8 @@ final class LeaseLock(root: String, owner: String, ttlMillis: Long,
         myToken = Some(token)
         // superseded generations are dead weight; safe to sweep
         if (Files.isDirectory(dir))
-          Files.list(dir).iterator().asScala
-            .filter(_.getFileName.toString.startsWith("LOCK.v"))
-            .foreach { p =>
-              p.getFileName.toString.stripPrefix("LOCK.v").toLongOption
-                .filter(_ < token)
-                .foreach(_ => Files.deleteIfExists(p))
-            }
+          withGenerations(_.filter(_._1 < token)
+            .foreach { case (_, p) => Files.deleteIfExists(p) })
         true
     }
   }

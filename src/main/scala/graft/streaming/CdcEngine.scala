@@ -122,6 +122,7 @@ final class CdcEngine(
     }
 
     val parsed = CdcParser.parseEnvelope(raw).persist()
+    var cleanupFn: () => Unit = () => ()
     try {
       // checkpoint filter (P3): drop already-applied positions at ingest
       val changesAll = CdcParser.changes(parsed)
@@ -140,6 +141,7 @@ final class CdcEngine(
       val carried = trackerSnapshotDF()
       val tagged = BatchOrder.tagLate(changesAll, hbs, carried)
       val Resolved(changes, lateGate, cleanup) = resolveLate(tagged)
+      cleanupFn = cleanup
       phase("order-verify")
 
       // key filter (P5): blocked keys are a broadcast anti-join
@@ -175,7 +177,7 @@ final class CdcEngine(
             metrics.lastQuorumWaitMs.set(
               math.max(1L, (System.nanoTime() - quorumWaitStartNs) / 1000000L))
             quorumWaitStartNs = -1L
-          } else metrics.lastQuorumWaitMs.set((System.nanoTime() - t0) / 1000000L)
+          } else metrics.lastQuorumWaitMs.set(0L)
         case None =>
           if (quorumWaitStartNs < 0) quorumWaitStartNs = t0
       }
@@ -230,8 +232,10 @@ final class CdcEngine(
         s"checkpoint=(${man.state.stepId},${man.state.txId}) " +
         f"latency=${(System.nanoTime() - t0) / 1e9}%.3fs " +
         phases.map { case (n, sec) => f"$n=$sec%.2f" }.mkString(" "))
-      cleanup()
-    } finally parsed.unpersist()
+    } finally {
+      cleanupFn()
+      parsed.unpersist()
+    }
   }
 
   // ---- emission ----

@@ -29,6 +29,16 @@ object PmonServer {
   def start(port: Int, metrics: EngineMetrics,
       ready: () => Boolean): PmonServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
+    // small dedicated pool: `ready()` may touch the store (manifest
+    // read, lock listing), and on the default single dispatcher
+    // thread a stalled store would also freeze /livez — failing an
+    // orchestrator's liveness probe on a healthy process
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-pmon")
+        t.setDaemon(true)
+        t
+      }))
 
     def respond(ex: HttpExchange, code: Int, body: String,
         contentType: String): Unit = {
