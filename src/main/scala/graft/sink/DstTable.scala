@@ -127,7 +127,13 @@ object DstTable {
           coalesce(col("__ob"), col("__pb")).as(BucketCol)): _*)
 
     val outDir = s"$root/tables/${meta.name}/c$commitVersion"
-    merged.write.mode("overwrite").partitionBy(BucketCol).parquet(outDir)
+    // co-locate each bucket before the write: without this every
+    // merge-partitioned task writes into every touched bucket dir
+    // (tasks × buckets files per commit — file-open overhead locally,
+    // manifest and read fan-out at scale); after it, a bucket's rows
+    // land in ~one file
+    merged.repartition(col(BucketCol))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(outDir)
 
     val newFiles = affected.map { b =>
       b -> TransactionalStore.partFiles(s"$outDir/$BucketCol=$b")
