@@ -125,6 +125,34 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** One-pass Jackson-streaming CDC envelope parse — replaces
+    * from_json on the engine's hottest path. from_json pays the
+    * generic JacksonParser + FailureSafeParser machinery per row;
+    * this parses straight into the envelope InternalRow. Null (the
+    * malformed marker) on any input from_json would null out.
+    */
+  case class CdcEnvelopeExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = graft.parse.CdcParser.envelopeSchema
+    override def nullable: Boolean = true
+    override def nodeName: String = "graft_cdc_envelope"
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.parseEnvelope(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""
+           |${ev.value} = graft.functions.NativeImpl.parseEnvelope($c);
+           |${ev.isNull} = ${ev.value} == null;
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def cdcEnvelopeNative(s: Column): Column =
+    GraftShims.column(CdcEnvelopeExpr(GraftShims.expression(s)))
+
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftShims.column(SortedIntersectSizeExpr(
       GraftShims.expression(a), GraftShims.expression(b)))

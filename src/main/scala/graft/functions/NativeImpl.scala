@@ -119,4 +119,113 @@ object NativeImpl {
     }
     n
   }
+
+  // ---- CDC envelope parsing ----
+
+  private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
+
+  /** One-pass Jackson-streaming parse of the CDC JSON envelope into
+    * the [[graft.parse.CdcParser.envelopeSchema]] struct. Semantics
+    * mirror `from_json` in PERMISSIVE mode on the same schema exactly
+    * (equivalence-tested in CdcParserSpec):
+    *  - a SYNTAX error (or non-object input) => all-null row;
+    *  - a wrong-TYPED field (or a non-integral ts/resolved element)
+    *    nulls only that field — the rest of the row still parses
+    *    (PERMISSIVE partial results);
+    *  - trailing content after the first value is ignored;
+    *  - absent fields are null; `{"update":null}` leaves update null;
+    *  - map/array STRING values: raw text for JSON strings, the
+    *    re-serialized token text for numbers/booleans, the compact
+    *    re-serialized subtree for nested objects/arrays, null for
+    *    JSON null — byte-for-byte what Spark's JacksonParser emits.
+    */
+  def parseEnvelope(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    import com.fasterxml.jackson.core.{JsonParser, JsonToken}
+    def stringValue(p: JsonParser): UTF8String = p.currentToken() match {
+      case JsonToken.VALUE_NULL => null
+      case JsonToken.VALUE_STRING => UTF8String.fromString(p.getText)
+      case _ =>
+        val out = new java.io.ByteArrayOutputStream()
+        val gen = jsonFactory.createGenerator(out)
+        try gen.copyCurrentStructure(p) finally gen.close()
+        UTF8String.fromBytes(out.toByteArray)
+    }
+    // each reader consumes EXACTLY its field's value; a type mismatch
+    // skips the remaining subtree and yields null for that field
+    def skipValue(p: JsonParser): Null = { p.skipChildren(); null }
+    def readStringMap(p: JsonParser): org.apache.spark.sql.catalyst.util.MapData = {
+      if (p.currentToken() != JsonToken.START_OBJECT) return skipValue(p)
+      val keys = new scala.collection.mutable.ArrayBuffer[Any](4)
+      val vals = new scala.collection.mutable.ArrayBuffer[Any](4)
+      while (p.nextToken() == JsonToken.FIELD_NAME) {
+        keys += UTF8String.fromString(p.currentName())
+        p.nextToken()
+        vals += stringValue(p)
+      }
+      new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(keys.toArray),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(vals.toArray))
+    }
+    def readStringArray(p: JsonParser): ArrayData = {
+      if (p.currentToken() != JsonToken.START_ARRAY) return skipValue(p)
+      val elems = new scala.collection.mutable.ArrayBuffer[Any](4)
+      while (p.nextToken() != JsonToken.END_ARRAY) elems += stringValue(p)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(elems.toArray)
+    }
+    def readLongArray(p: JsonParser): ArrayData = {
+      if (p.currentToken() != JsonToken.START_ARRAY) return skipValue(p)
+      val elems = new scala.collection.mutable.ArrayBuffer[Any](2)
+      var failed = false
+      while (p.nextToken() != JsonToken.END_ARRAY) {
+        p.currentToken() match {
+          case JsonToken.VALUE_NUMBER_INT =>
+            try elems += java.lang.Long.valueOf(p.getLongValue)
+            catch { case _: com.fasterxml.jackson.core.JsonProcessingException =>
+              failed = true } // arbitrary-precision overflow
+          case JsonToken.VALUE_NULL => elems += null
+          case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
+            p.skipChildren(); failed = true
+          case _ => failed = true
+        }
+      }
+      if (failed) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(elems.toArray)
+    }
+    // from_json(PERMISSIVE) yields an ALL-NULL row (not a null
+    // struct) for malformed input; isMalformed treats both alike but
+    // equivalence is kept exact
+    def malformedRow() =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(6)
+    try {
+      val p = jsonFactory.createParser(s.getBytes)
+      try {
+        val first = p.nextToken()
+        // empty/whitespace-only input is the one case where from_json
+        // returns a true NULL struct rather than an all-null row
+        if (first == null) return null
+        if (first != JsonToken.START_OBJECT) return malformedRow()
+        var update: Any = null; var erase: Any = null; var newImage: Any = null
+        var key: Any = null; var ts: Any = null; var resolved: Any = null
+        while (p.nextToken() == JsonToken.FIELD_NAME) {
+          val name = p.currentName()
+          p.nextToken()
+          if (p.currentToken() == JsonToken.VALUE_NULL) ()
+          else name match {
+            case "update" => update = readStringMap(p)
+            case "erase" => erase = readStringMap(p)
+            case "newImage" => newImage = readStringMap(p)
+            case "key" => key = readStringArray(p)
+            case "ts" => ts = readLongArray(p)
+            case "resolved" => resolved = readLongArray(p)
+            case _ => p.skipChildren() // no-op on scalars, consumes subtrees
+          }
+        }
+        if (p.currentToken() != JsonToken.END_OBJECT) return malformedRow()
+        // trailing content after the first value is IGNORED — from_json
+        // parses the first JSON value only
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](update, erase, newImage, key, ts, resolved))
+      } finally p.close()
+    } catch { case _: Exception => malformedRow() }
+  }
 }

@@ -38,9 +38,21 @@ object CdcParser {
     * Input columns: `value` (JSON string), `tableId` (int),
     * `partitionId` (long), `offset` (long, per-partition arrival order).
     * Output adds: `env` (struct), `isHeartbeat`, `isMalformed`.
+    *
+    * The parse itself is the native one-pass
+    * [[graft.functions.NativeExpressions.CdcEnvelopeExpr]] — semantics
+    * equal from_json(PERMISSIVE) on [[envelopeSchema]]
+    * (equivalence-tested in CdcParserSpec incl. malformed shapes).
     */
-  def parseEnvelope(raw: DataFrame): DataFrame = {
-    val env = from_json(col("value"), envelopeSchema)
+  def parseEnvelope(raw: DataFrame): DataFrame =
+    parseWith(raw,
+      graft.functions.NativeExpressions.cdcEnvelopeNative(col("value")))
+
+  /** from_json twin, kept for the equivalence spec. */
+  def parseEnvelopeBuiltin(raw: DataFrame): DataFrame =
+    parseWith(raw, from_json(col("value"), envelopeSchema))
+
+  private def parseWith(raw: DataFrame, env: Column): DataFrame = {
     raw
       .withColumn("env", env)
       .withColumn("isHeartbeat", col("env.resolved").isNotNull)

@@ -70,4 +70,46 @@ class CdcParserSpec extends SparkSpec {
     assert(cols.get("b").contains(null) || cols("b") == null)
     assert(cols("j") == """{"x":1}""")
   }
+  test("native envelope parse is from_json-equivalent on adversarial shapes") {
+    val lines = Seq(
+      // the regular shapes
+      """{"update":{"a":1,"b":"x"},"key":[7],"ts":[10,1]}""",
+      """{"erase":{},"key":[8],"ts":[10,2]}""",
+      """{"update":{"a":1},"newImage":{"a":2,"c":true},"key":[9],"ts":[10,3]}""",
+      """{"resolved":[42,7]}""",
+      // value-rendering edge cases: floats keep their text, booleans,
+      // nulls, nested structures, unicode, escapes
+      """{"update":{"f":1.50,"g":-0.25e2,"t":true,"n":null,"o":{"x":[1,"y"]},"u":"\u00e9\"q\""},"key":["a"],"ts":[1,1]}""",
+      """{"update":{},"key":[],"ts":[0,0]}""",
+      // unknown fields skipped, with subtrees
+      """{"whatever":{"deep":[1,{"a":2}]},"update":{"a":"b"},"key":[1],"ts":[2,2]}""",
+      // malformed: not json, wrong top-level shape, trailing junk,
+      // wrong-typed fields, non-integral ts, overflow
+      """this is not json""",
+      """[1,2,3]""",
+      """42""",
+      "\"str\"",
+      """{"update":{"a":1},"key":[1],"ts":[1,1]} extra""",
+      """{"update":5,"key":[1],"ts":[1,1]}""",
+      """{"update":{"a":1},"key":{},"ts":[1,1]}""",
+      """{"update":{"a":1},"key":[1],"ts":[1.5,1]}""",
+      """{"update":{"a":1},"key":[1],"ts":["1",1]}""",
+      """{"update":{"a":1},"key":[1],"ts":[99999999999999999999999,1]}""",
+      """{"update":{"a":1},"key":[1],"ts":[1,1]""",
+      """{"update":null,"key":[1],"ts":[1,1]}""",
+      """{"resolved":[1]}""",
+      """{"resolved":[1,2,3]}""",
+      """{}""",
+      """""")
+    val df = frame(lines.zipWithIndex.map { case (l, i) => (l, 0L, i.toLong) }: _*)
+    val cols = Seq("offset", "env", "isHeartbeat", "isMalformed").map(col)
+    val native = CdcParser.parseEnvelope(df).select(cols: _*)
+      .orderBy("offset").collect()
+    val builtin = CdcParser.parseEnvelopeBuiltin(df).select(cols: _*)
+      .orderBy("offset").collect()
+    native.zip(builtin).zipWithIndex.foreach { case ((n, b), i) =>
+      assert(n == b, s"row $i diverged for input: ${lines(i)}\n native=$n\n builtin=$b")
+    }
+  }
 }
+

@@ -33,7 +33,7 @@ class NativeExprSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("hof")).isEmpty)
   }
 
-  test("CODEGEN_ONLY: all three native exprs compile and run with fallback disabled") {
+  test("CODEGEN_ONLY: native exprs compile and run with fallback disabled") {
     // With factoryMode=CODEGEN_ONLY + codegen.fallback=false, a Janino
     // compile failure in the generated Java is a hard error instead of
     // a silent drop to interpreted execution — this is the regression
@@ -63,6 +63,16 @@ class NativeExprSpec extends SparkSpec {
       assert(rows(0)._2 == 1 * 4 + 2 * 5 + 3 * 6)
       assert(rows(0)._3 == 2L) // {3,5}
       assert(rows(1) == ((0L, 0L, 0L)))
+      // the struct-returning envelope parse compiles under codegen too
+      val env = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        Tuple1("""{"update":{"a":"1"},"key":["k"],"ts":[3,4]}"""),
+        Tuple1("nope")), 1))
+        .toDF("value")
+        .select(graft.functions.NativeExpressions.cdcEnvelopeNative(col("value")).as("env"))
+        .select(col("env.ts").getItem(0).as("s"), col("env.update"))
+        .collect()
+      assert(env(0).getLong(0) == 3L)
+      assert(env(1).isNullAt(0))
     } finally {
       prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(v => conf.set("spark.sql.codegen.factoryMode", v))
       prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(v => conf.set("spark.sql.codegen.fallback", v))
