@@ -308,12 +308,14 @@ final class CdcEngine(
         // so the global merge sort only runs when chunking is real.
         var remaining = pending
         var done = false
-        // ONE aggregation decides the path AND supplies the cut bound:
-        // count + max(position) in the same job
+        // ONE aggregation decides the path AND supplies the cut bound
+        // (plus the min unsigned step, the chunking sketch's offset):
+        // count + max(position) + min(ux step) in the same job
         val statRow = remaining.agg(
           count(lit(1)).as("n"),
           max(struct(ux(col("step")).as("s"), ux(col("txId")).as("t"),
-            col("step"), col("txId"))).as("m")).head()
+            col("step"), col("txId"))).as("m"),
+          min(ux(col("step"))).as("mn")).head()
         lateGate() // the stat aggregation full-scanned the working set
         val total = statRow.getLong(0)
         if (total == 0) {
@@ -329,37 +331,59 @@ final class CdcEngine(
             hi, Stage.InitialScan)
           done = true
         }
-        while (!done) {
-          val chunkDF = BatchOrder.mergeOrder(remaining).limit(cfg.maxBatchSize)
-          val n = chunkDF.count()
-          if (n == 0) {
-            man = storePending(man, remaining, s"is$batchId")
-            done = true
-          } else {
-            val maxPos = chunkDF
-              .agg(max(struct(ux(col("step")).as("s"), ux(col("txId")).as("t"),
-                col("step"), col("txId"))).as("m"))
-              .select(col("m.step"), col("m.txId")).head()
-            val hi = Position(maxPos.getLong(0), maxPos.getLong(1))
-            val cut = remaining.filter(!BatchOrder.posGt(col("step"), col("txId"), hi))
-            val rest = remaining.filter(BatchOrder.posGt(col("step"), col("txId"), hi))
-            if (n < cfg.maxBatchSize) {
-              // final chunk: everything applies, remainder is empty
-              man = applyCut(man, cut, rest, hi, Stage.InitialScan)
-              done = true
-            } else {
-              man = applyCut(man, cut, rest, hi, Stage.InitialScan)
-              // stamp lastBatchId here too: a crash after this commit
-              // replays the SAME batch id, which must re-enable the
-              // pending dedup against the remainder we just stored
+        if (!done) {
+          // RANGE chunking, no global sort: the old loop re-ran a full
+          // merge sort + limit PER CHUNK. Boundaries now come from one
+          // approximate quantile sketch of the unsigned step; each
+          // chunk is a filter plus an exact local max aggregation. The
+          // cap becomes approximate (sketch error, and every txId of a
+          // boundary step lands in one chunk) — fine, because it is a
+          // memory guard, not an exactness contract (reference:
+          // bounded pop, tx_queue.go).
+          def stats(df: DataFrame): Row = df.agg(
+            count(lit(1)).as("n"),
+            max(struct(ux(col("step")).as("s"), ux(col("txId")).as("t"),
+              col("step"), col("txId"))).as("m")).head()
+          val nChunks = math.max(2,
+            math.ceil(total.toDouble / cfg.maxBatchSize).toInt)
+          val probs = (1 until nChunks).map(_.toDouble / nChunks).toArray
+          // sketch over (ux(step) − min): raw ux sits near ±2⁶³ where a
+          // double's ulp is 2048, which would quantize boundaries; the
+          // offset domain starts at 0 and is exact for any realistic
+          // position span
+          val minUx = statRow.getLong(2)
+          val bounds = remaining
+            .withColumn("__p", (ux(col("step")) - minUx).cast("double"))
+            .stat.approxQuantile("__p", probs, 0.01)
+            .map(_.toLong).distinct.sorted
+          for (ub <- bounds) {
+            val cut = remaining.filter(ux(col("step")) - minUx <= ub)
+            val rest = remaining.filter(ux(col("step")) - minUx > ub)
+            val m = stats(cut)
+            if (m.getLong(0) > 0L) {
+              val mm = m.getStruct(1)
+              man = applyCut(man, cut, rest,
+                Position(mm.getLong(2), mm.getLong(3)), Stage.InitialScan)
+              // stamp lastBatchId on intermediate commits too: a crash
+              // after this commit replays the SAME batch id, which must
+              // re-enable the pending dedup against the stored remainder
               man = man.copy(version = man.version + 1,
                 fencingToken = lock.heldToken.getOrElse(0L),
                 lastBatchId = math.max(batchId, man.lastBatchId))
               TransactionalStore.commit(root, man)
-              // continue from the durably-written remainder
               remaining = pendingDF(man)
             }
           }
+          // the remainder above the last boundary rides the caller's
+          // commit, like the single-chunk fast path
+          val m = stats(remaining)
+          if (m.getLong(0) > 0L) {
+            val mm = m.getStruct(1)
+            man = applyCut(man, remaining,
+              spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pendingSchema),
+              Position(mm.getLong(2), mm.getLong(3)), Stage.InitialScan)
+          } else man = storePending(man, remaining, s"is$batchId")
+          done = true
         }
         man
     }

@@ -86,6 +86,30 @@ class CdcEngineSpec extends SparkSpec {
     assert(e.state.position == Position(9, 0))
   }
 
+  test("initial scan with a small batch cap drains in multiple commits") {
+    val root = Files.createTempDirectory("graft-chunk").toString
+    val cfg = EngineConfig("inst1",
+      Seq(StreamConfig(0, s"$root/src", "users", partitions = 2)),
+      s"$root/dst", ProblemStrategy.Stop, maxBatchSize = 3, buckets = 4)
+    val e = new CdcEngine(spark, cfg, Map(0 -> usersMeta))
+    e.bootstrap()
+    // 12 updates over 6 keys, interleaved positions across 2 partitions;
+    // no quorum, so the whole set drains through the chunked scan path
+    val rows = (0 until 12).map { i =>
+      (s"""{"update":{"score":$i},"key":[${i % 6}],"ts":[${10 + i},1]}""",
+        (i % 2).toLong, (i / 2).toLong)
+    }
+    e.processBatch(frame(rows: _*), 0L)
+    // every key holds its LAST update (positions ascend with i)
+    assert(users(e) == (0 until 6).map(k =>
+      k.toLong -> ((null, 6 + k))).toMap)
+    assert(e.state.position == Position(21, 1))
+    assert(e.state.stage == Stage.InitialScan)
+    // the cap forced multiple manifest commits (≥ 12/3 chunks)
+    assert(graft.sink.TransactionalStore.read(s"$root/dst").version >= 4,
+      "expected intermediate chunk commits")
+  }
+
   test("cross-batch erase-then-update replaces the stored row (no stale columns)") {
     val root = Files.createTempDirectory("graft-xbatch").toString
     val e = mkEngine(root)
