@@ -74,12 +74,21 @@ object Dedup {
     * distinct. The join key is the band hash — this is the shuffle key
     * at scale, so no cross product ever forms.
     */
+  /** Explode each row into its band keys in ONE projection — the
+    * unioned-branches form re-scanned the input and re-derived the
+    * signature pipeline once per band (subexpression elimination keeps
+    * the signature evaluation shared across the array elements).
+    */
+  private def bandKeyExplode(k: Int, rowsPerBand: Int): Column =
+    explode(array((0 until k / rowsPerBand).map { b =>
+      concat_ws(":",
+        (lit(b) +: (0 until rowsPerBand).map(r =>
+          col(s"sig_${b * rowsPerBand + r}"))): _*)
+    }: _*))
+
   def lshCandidates(sigs: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
-    val bands = (0 until k / rowsPerBand).map { b =>
-      val key = concat_ws(":",
-        (lit(b) +: (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))): _*)
-      sigs.select(col(id).as("__id"), key.as("band_key"))
-    }.reduce(_ unionByName _)
+    val bands = sigs.select(col(id).as("__id"),
+      bandKeyExplode(k, rowsPerBand).as("band_key"))
     val a = bands.select(col("__id").as("id_a"), col("band_key"))
     val b = bands.select(col("__id").as("id_b"), col("band_key"))
     a.join(b, Seq("band_key"))
@@ -154,11 +163,8 @@ object Dedup {
     val sigs = minhashFromHashes(
       sets.select(col(id).as("__id"), col(hsCol).as("__hs"))
         .filter(size(col("__hs")) > 0), col("__hs"), k)
-    val bands = (0 until k / rowsPerBand).map { b =>
-      val key = concat_ws(":",
-        (lit(b) +: (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}"))): _*)
-      sigs.select(col("__id"), col("__hs"), key.as("band_key"))
-    }.reduce(_ unionByName _)
+    val bands = sigs.select(col("__id"), col("__hs"),
+      bandKeyExplode(k, rowsPerBand).as("band_key"))
     val a = bands.select(col("band_key"), col("__id").as("id_a"),
       col("__hs").as("h_a"))
     val b = bands.select(col("band_key"), col("__id").as("id_b"),
