@@ -150,11 +150,14 @@ object NativeImpl {
         try gen.copyCurrentStructure(p) finally gen.close()
         UTF8String.fromBytes(out.toByteArray)
     }
-    // each reader consumes EXACTLY its field's value; a type mismatch
-    // skips the remaining subtree and yields null for that field
-    def skipValue(p: JsonParser): Null = { p.skipChildren(); null }
+    // Each reader THROWS at the first type mismatch without consuming
+    // further — like Spark's converters — so the field-level catch's
+    // skipChildren does the skipping, and a nested syntax error during
+    // that skip is fatal in exactly the same situations.
+    def mismatch(): Nothing =
+      throw new IllegalArgumentException("type mismatch")
     def readStringMap(p: JsonParser): org.apache.spark.sql.catalyst.util.MapData = {
-      if (p.currentToken() != JsonToken.START_OBJECT) return skipValue(p)
+      if (p.currentToken() != JsonToken.START_OBJECT) mismatch()
       val keys = new scala.collection.mutable.ArrayBuffer[Any](4)
       val vals = new scala.collection.mutable.ArrayBuffer[Any](4)
       while (p.nextToken() == JsonToken.FIELD_NAME) {
@@ -167,29 +170,23 @@ object NativeImpl {
         new org.apache.spark.sql.catalyst.util.GenericArrayData(vals.toArray))
     }
     def readStringArray(p: JsonParser): ArrayData = {
-      if (p.currentToken() != JsonToken.START_ARRAY) return skipValue(p)
+      if (p.currentToken() != JsonToken.START_ARRAY) mismatch()
       val elems = new scala.collection.mutable.ArrayBuffer[Any](4)
       while (p.nextToken() != JsonToken.END_ARRAY) elems += stringValue(p)
       new org.apache.spark.sql.catalyst.util.GenericArrayData(elems.toArray)
     }
     def readLongArray(p: JsonParser): ArrayData = {
-      if (p.currentToken() != JsonToken.START_ARRAY) return skipValue(p)
+      if (p.currentToken() != JsonToken.START_ARRAY) mismatch()
       val elems = new scala.collection.mutable.ArrayBuffer[Any](2)
-      var failed = false
       while (p.nextToken() != JsonToken.END_ARRAY) {
         p.currentToken() match {
           case JsonToken.VALUE_NUMBER_INT =>
-            try elems += java.lang.Long.valueOf(p.getLongValue)
-            catch { case _: com.fasterxml.jackson.core.JsonProcessingException =>
-              failed = true } // arbitrary-precision overflow
+            elems += java.lang.Long.valueOf(p.getLongValue) // overflow throws
           case JsonToken.VALUE_NULL => elems += null
-          case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
-            p.skipChildren(); failed = true
-          case _ => failed = true
+          case _ => mismatch()
         }
       }
-      if (failed) null
-      else new org.apache.spark.sql.catalyst.util.GenericArrayData(elems.toArray)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(elems.toArray)
     }
     // from_json(PERMISSIVE) yields an ALL-NULL row (not a null
     // struct) for malformed input; isMalformed treats both alike but
@@ -204,27 +201,49 @@ object NativeImpl {
         // returns a true NULL struct rather than an all-null row
         if (first == null) return null
         if (first != JsonToken.START_OBJECT) return malformedRow()
-        var update: Any = null; var erase: Any = null; var newImage: Any = null
-        var key: Any = null; var ts: Any = null; var resolved: Any = null
-        while (p.nextToken() == JsonToken.FIELD_NAME) {
-          val name = p.currentName()
-          p.nextToken()
-          if (p.currentToken() == JsonToken.VALUE_NULL) ()
-          else name match {
-            case "update" => update = readStringMap(p)
-            case "erase" => erase = readStringMap(p)
-            case "newImage" => newImage = readStringMap(p)
-            case "key" => key = readStringArray(p)
-            case "ts" => ts = readLongArray(p)
-            case "resolved" => resolved = readLongArray(p)
-            case _ => p.skipChildren() // no-op on scalars, consumes subtrees
+        // Structure mirrors Spark's JacksonParser.convertObject so the
+        // recovery behavior matches token for token: the loop fires on
+        // EVERY token until an END_OBJECT, dispatching by currentName
+        // (after a mid-value error this re-enters the SAME field's
+        // converter on the stumble-through tokens, exactly like
+        // getFieldIndex(parser.currentName)); a failure inside a
+        // schema field is caught + skipChildren (field → null, later
+        // fields still parse = PERMISSIVE partial results); a failure
+        // in the loop itself — tokenizer errors between fields, EOF
+        // inside the object, unknown-field skips — is fatal (all-null
+        // row).
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(6)
+        var tok = p.nextToken()
+        while (tok != null && tok != JsonToken.END_OBJECT) {
+          val idx = p.currentName() match {
+            case "update" => 0
+            case "erase" => 1
+            case "newImage" => 2
+            case "key" => 3
+            case "ts" => 4
+            case "resolved" => 5
+            case _ => -1
           }
+          if (idx >= 0) {
+            try {
+              if (p.currentToken() == JsonToken.FIELD_NAME) p.nextToken()
+              val v: Any =
+                if (p.currentToken() == JsonToken.VALUE_NULL) null
+                else idx match {
+                  case 0 | 1 | 2 => readStringMap(p)
+                  case 3 => readStringArray(p)
+                  case _ => readLongArray(p)
+                }
+              row.update(idx, v)
+            } catch {
+              case scala.util.control.NonFatal(_) => p.skipChildren()
+            }
+          } else p.skipChildren()
+          tok = p.nextToken()
         }
-        if (p.currentToken() != JsonToken.END_OBJECT) return malformedRow()
         // trailing content after the first value is IGNORED — from_json
         // parses the first JSON value only
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](update, erase, newImage, key, ts, resolved))
+        row
       } finally p.close()
     } catch { case _: Exception => malformedRow() }
   }

@@ -111,5 +111,54 @@ class CdcParserSpec extends SparkSpec {
       assert(n == b, s"row $i diverged for input: ${lines(i)}\n native=$n\n builtin=$b")
     }
   }
+  test("native envelope parse is from_json-equivalent on 1500 fuzzed inputs") {
+    val rnd = new scala.util.Random(42)
+    def rndValue(depth: Int): String = rnd.nextInt(8) match {
+      case 0 => rnd.nextInt(1000).toString
+      case 1 => s""""v${rnd.nextInt(100)}""""
+      case 2 => "true"
+      case 3 => "null"
+      case 4 => (rnd.nextDouble() * 100).toString
+      case 5 if depth < 2 => s"""{"n":${rndValue(depth + 1)}}"""
+      case 6 if depth < 2 => s"""[${rndValue(depth + 1)},${rndValue(depth + 1)}]"""
+      case _ => rnd.nextLong().toString
+    }
+    def rndEnvelope(): String = {
+      val fields = scala.collection.mutable.ListBuffer[String]()
+      if (rnd.nextBoolean())
+        fields += s""""update":{${(0 until rnd.nextInt(3))
+          .map(i => s""""c$i":${rndValue(0)}""").mkString(",")}}"""
+      if (rnd.nextInt(4) == 0) fields += """"erase":{}"""
+      if (rnd.nextInt(4) == 0) fields += s""""newImage":${rndValue(0)}"""
+      if (rnd.nextBoolean())
+        fields += s""""key":[${(0 until rnd.nextInt(3))
+          .map(_ => rndValue(0)).mkString(",")}]"""
+      if (rnd.nextBoolean()) fields += s""""ts":[${rndValue(0)},${rndValue(0)}]"""
+      if (rnd.nextInt(4) == 0)
+        fields += s""""resolved":[${rnd.nextLong()},${rnd.nextInt(5)}]"""
+      if (rnd.nextInt(5) == 0) fields += s""""x${rnd.nextInt(5)}":${rndValue(0)}"""
+      s"{${fields.mkString(",")}}"
+    }
+    def mutate(s: String): String = rnd.nextInt(6) match {
+      case 0 if s.nonEmpty => s.dropRight(1 + rnd.nextInt(math.min(5, s.length)))
+      case 1 => s + " trailing"
+      case 2 => s.replaceFirst(":", "")
+      case 3 => ""
+      case 4 if s.nonEmpty => s.patch(rnd.nextInt(s.length), "\"", 0)
+      case _ => s
+    }
+    val lines = (0 until 1500).map { i =>
+      val e = rndEnvelope()
+      if (i % 3 == 0) mutate(e) else e
+    }
+    val df = frame(lines.zipWithIndex.map { case (l, i) => (l, 0L, i.toLong) }: _*)
+    val cols = Seq("offset", "env", "isHeartbeat", "isMalformed").map(col)
+    val native = CdcParser.parseEnvelope(df).select(cols: _*)
+      .orderBy("offset").collect()
+    val builtin = CdcParser.parseEnvelopeBuiltin(df).select(cols: _*)
+      .orderBy("offset").collect()
+    native.zip(builtin).zipWithIndex.foreach { case ((n, b), i) =>
+      assert(n == b, s"row $i diverged for input: ${lines(i)}\n native=$n\n builtin=$b")
+    }
+  }
 }
-
