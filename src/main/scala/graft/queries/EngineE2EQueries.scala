@@ -205,6 +205,32 @@ object EngineE2EQueries {
       engine.readTable("users").orderBy("user_id")
     },
 
+    // the engine again, but with a batch cap that forces the initial
+    // scan through the RANGE-CHUNKED drain (several intermediate
+    // manifest commits) — the final table must still equal the
+    // one-shot LWW oracle, proving chunk boundaries never reorder or
+    // drop events
+    QueryDef("cdc_engine_chunked", lwwOracle) { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-chunk-q").toString
+      val cdc = Tables.cdcView(s, d).persist()
+      val maxPos = cdc.agg(max("step_us")).head().getLong(0) + 1L
+      val maxOff = cdc.agg(max("event_id")).head().getLong(0) + 1L
+      val total = cdc.count()
+      val cfg = EngineConfig("chunk-query",
+        Seq(StreamConfig(0, s"$root/src", "users", partitions = 8)),
+        s"$root/dst", ProblemStrategy.Stop,
+        // ~4 chunks at any SF
+        maxBatchSize = math.max(1L, total / 4L).toInt, buckets = 32)
+      val engine = new CdcEngine(s, cfg, Map(0 -> usersMeta))
+      engine.bootstrap()
+      engine.processBatch(
+        changeFrame(cdc).unionByName(
+          hbFrame(s, maxPos, maxOff)
+            .select(changeFrame(cdc).columns.map(col): _*)), 0L)
+      cdc.unpersist()
+      engine.readTable("users").orderBy("user_id")
+    },
+
     // TWO destination tables through one engine: events route by
     // user-id parity, each table has its own stream (8 partitions,
     // own heartbeat set), and both tables + the checkpoint commit in
