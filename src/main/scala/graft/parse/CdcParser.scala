@@ -4,8 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** CDC JSON envelope parsing — declarative (from_json + column ops) so
-  * Catalyst keeps the whole parse inside codegen.
+/** CDC JSON envelope parsing — a native one-pass expression
+  * ([[graft.functions.NativeExpressions.CdcEnvelopeExpr]]) plus
+  * declarative column ops, so the whole parse stays inside codegen
+  * with no per-row generic-parser machinery.
   *
   * Wire format (reference: internal/util/reader/parse.go:13-23):
   *   change:    {"update":{col:val,...}|"erase":{}, "newImage":{...}?,
