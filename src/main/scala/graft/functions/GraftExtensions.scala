@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering the native expressions as
+  * SQL functions, so `spark.sql("SELECT graft_phash(s) ...")` works in
+  * plain SQL text (not just through the Scala Column API). Attach with
+  *
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)
+  *   // or: --conf spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * Functions: graft_phash(str), graft_dot(arr, arr),
+  * graft_sorted_intersect_size(arr, arr), graft_token_hash_set(str),
+  * graft_cdc_envelope(str).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def unary(name: String, usage: String,
+      mk: Expression => Expression): (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage), { args =>
+      require(args.length == 1, s"$name expects 1 argument")
+      mk(args.head)
+    })
+
+  private def binary(name: String, usage: String,
+      mk: (Expression, Expression) => Expression): (FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), info(name, usage), { args =>
+      require(args.length == 2, s"$name expects 2 arguments")
+      mk(args(0), args(1))
+    })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(unary("graft_phash",
+      "portable polynomial string hash (DuckDB-reproducible)",
+      NativeExpressions.PortableHashExpr))
+    ext.injectFunction(binary("graft_dot",
+      "integer dot product of two bigint arrays",
+      NativeExpressions.ArrayDotLongExpr))
+    ext.injectFunction(binary("graft_sorted_intersect_size",
+      "intersection size of two sorted bigint arrays (linear merge)",
+      NativeExpressions.SortedIntersectSizeExpr))
+    ext.injectFunction(unary("graft_token_hash_set",
+      "sorted distinct portable-hash set of word tokens",
+      NativeExpressions.TokenHashSetExpr))
+    ext.injectFunction(unary("graft_cdc_envelope",
+      "one-pass CDC JSON envelope parse (from_json-equivalent)",
+      NativeExpressions.CdcEnvelopeExpr))
+  }
+}
