@@ -107,9 +107,13 @@ object AnalyticsQueries {
       val sup = load(s, d, "supplier")
       val n = load(s, d, "nation")
       val r = load(s, d, "region")
+      // broadcast hints only on the FIXED-cardinality dims (nation,
+      // region); customer and supplier scale with the dataset, so
+      // their join strategy is left to AQE — broadcast at bench SFs,
+      // shuffle at scales where a forced broadcast would OOM
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(sup, l("l_suppkey") === sup("s_suppkey") &&
           sup("s_nationkey") === c("c_nationkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
