@@ -121,7 +121,26 @@ final class CdcEngine(
       tp = now
     }
 
-    val parsed = CdcParser.parseEnvelope(raw).persist()
+    // dead-letter malformed frames. Stop/Continue defer the write
+    // behind a malformed-count Observation (the first emission-side
+    // full scan completes it), so the common zero-malformed batch
+    // spends NO job here; CmdQueue writes eagerly because its command
+    // resolution runs partial-scan actions that would complete the
+    // observation with a partial count.
+    val parsedRaw = CdcParser.parseEnvelope(raw)
+    val (parsed, dlqMalformed): (DataFrame, () => Unit) =
+      if (cfg.problemStrategy == ProblemStrategy.CmdQueue) {
+        val p = parsedRaw.persist()
+        (p, () => appendDlq(CdcParser.malformed(p)
+          .withColumn("reason", lit("malformed"))))
+      } else {
+        val obs = org.apache.spark.sql.Observation()
+        val p = parsedRaw.observe(obs,
+          sum(when(col("isMalformed"), 1L).otherwise(0L)).as("nMal")).persist()
+        (p, () => if (awaitObserved(obs, p, "nMal") > 0L)
+          appendDlq(CdcParser.malformed(p)
+            .withColumn("reason", lit("malformed"))))
+      }
     var cleanupFn: () => Unit = () => ()
     try {
       // checkpoint filter (P3): drop already-applied positions at ingest
@@ -130,9 +149,7 @@ final class CdcEngine(
       val hbs = CdcParser.heartbeats(parsed)
         .filter(BatchOrder.posGt(col("step"), col("txId"), checkpoint))
 
-      // dead-letter malformed frames
-      appendDlq(CdcParser.malformed(parsed)
-        .withColumn("reason", lit("malformed")))
+      if (cfg.problemStrategy == ProblemStrategy.CmdQueue) dlqMalformed()
       phase("parse+dlq")
 
       // per-partition order verification (P4/ST3). No job runs here:
@@ -154,6 +171,10 @@ final class CdcEngine(
           Position(r.getAs[Long]("step"), r.getAs[Long]("txId")))
       }
       phase("hb-track")
+      // the heartbeat maxima job full-scanned parsed, so the deferred
+      // malformed count is ready; any DLQ write happens here — still
+      // before emission and any commit
+      if (cfg.problemStrategy != ProblemStrategy.CmdQueue) dlqMalformed()
       // newest heartbeat BEFORE quorum eviction — feeds the lag gauge
       val newestHb = tracker.maxHb
 
@@ -447,6 +468,28 @@ final class CdcEngine(
   private case class Resolved(changes: DataFrame, lateGate: () => Unit,
       cleanup: () => Unit)
 
+  /** Blocking read of an Observation metric. Every caller arranges a
+    * FULL-scan action over the observed subtree before reading (a
+    * partial scan — limit/isEmpty — would complete the observation
+    * with a partial value); the forced count is a never-expected
+    * safety net, since Observation offers no public non-blocking
+    * probe.
+    */
+  private def awaitObserved(obs: org.apache.spark.sql.Observation,
+      observed: DataFrame, metric: String): Long = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val m =
+      try Await.result(Future(obs.get), 30.seconds)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          observed.agg(count(lit(1))).head()
+          obs.get
+      }
+    m.get(metric).collect { case x: Number => x.longValue() }.getOrElse(0L)
+  }
+
   private def lateDlqFrame(late: DataFrame, reason: String): DataFrame =
     late.select(col("tableId"), col("partitionId"), col("offset"),
       to_json(struct(col("keyJson"), col("step"), col("txId"))).as("value"))
@@ -479,21 +522,7 @@ final class CdcEngine(
         val observed = tagged.observe(obs,
           sum(when(col("isLate"), 1L).otherwise(0L)).as("nLate"))
         val gate = () => {
-          // every emission path full-scans the observed subtree before
-          // the gate; the forced count is a never-expected safety net
-          // (Observation offers no public non-blocking probe)
-          import scala.concurrent.{Await, Future}
-          import scala.concurrent.duration._
-          import scala.concurrent.ExecutionContext.Implicits.global
-          val metricsMap =
-            try Await.result(Future(obs.get), 30.seconds)
-            catch {
-              case _: java.util.concurrent.TimeoutException =>
-                observed.agg(count(lit(1))).head()
-                obs.get
-            }
-          val n = metricsMap.get("nLate")
-            .collect { case x: Number => x.longValue() }.getOrElse(0L)
+          val n = awaitObserved(obs, observed, "nLate")
           if (n > 0) {
             val late = observed.filter(col("isLate"))
             appendDlq(lateDlqFrame(late, "out-of-order"))
