@@ -108,6 +108,9 @@ class CdcEngineSpec extends SparkSpec {
     // the cap forced multiple manifest commits (≥ 12/3 chunks)
     assert(graft.sink.TransactionalStore.read(s"$root/dst").version >= 4,
       "expected intermediate chunk commits")
+    // zero malformed frames → the deferred DLQ path writes NOTHING
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/dst/dlq")),
+      "clean batch must not create a DLQ store")
   }
 
   test("cross-batch erase-then-update replaces the stored row (no stale columns)") {
