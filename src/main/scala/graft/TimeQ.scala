@@ -9,6 +9,24 @@ object TimeQ {
       if (args.nonEmpty && args.head.startsWith("/")) (args.head, args.tail)
       else ("/root/testdata/sf0.1", args)
     val spark = GraftSession.get("32")
+    // SPARK_GRAFT_TIMEQ_JOBS=1: print every job's wall time + trigger
+    // site, to attribute a query's cost to its constituent jobs
+    if (sys.env.contains("SPARK_GRAFT_TIMEQ_JOBS")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+      spark.sparkContext.addSparkListener(new SparkListener {
+        private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          val site = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          starts.put(js.jobId, (System.nanoTime(), site))
+        }
+        override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+          Option(starts.remove(je.jobId)).foreach { case (t0, site) =>
+            println(f"[timeq.job] id=${je.jobId}%-4d ${(System.nanoTime() - t0) / 1e9}%6.2f s  $site")
+          }
+        }
+      })
+    }
     for (q <- names) {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, dir).count()

@@ -150,6 +150,38 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** A long "parameter": evaluates to a constant, but is non-foldable
+    * and passes its value through the codegen `references` array, so
+    * the generated Java source is IDENTICAL across values. Used for
+    * per-batch positions (checkpoint, quorum cut) in the engine's
+    * emission plans — a plain Literal inlines the number into the
+    * generated source, forcing a fresh Janino compile every
+    * micro-batch; with the parameter form the whole-stage-codegen
+    * cache hits and the marginal batch compiles nothing.
+    */
+  case class ParamLongExpr(value: Long)
+      extends org.apache.spark.sql.catalyst.expressions.LeafExpression {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def foldable: Boolean = false
+    override def nodeName: String = "graft_param"
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      value
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("graftParam",
+        java.lang.Long.valueOf(value), "java.lang.Long")
+      ev.copy(
+        code = org.apache.spark.sql.catalyst.expressions.codegen.EmptyBlock,
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral,
+        value = org.apache.spark.sql.catalyst.expressions.codegen.JavaCode
+          .expression(s"$ref.longValue()", LongType))
+    }
+  }
+
+  def paramLong(value: Long): Column = GraftShims.column(ParamLongExpr(value))
+
   def cdcEnvelopeNative(s: Column): Column =
     GraftShims.column(CdcEnvelopeExpr(GraftShims.expression(s)))
 

@@ -128,4 +128,12 @@ final case class EngineConfig(
     standbyMaxWaitMillis: Long = 600000L,
     // monitoring endpoint (reference mon_server): Some(0) = any free
     // port; None = no server
-    monPort: Option[Int] = None)
+    monPort: Option[Int] = None,
+    // Low-latency emission regime: when a batch's working set has at
+    // most this many rows, emission runs with AQE off and ONE shuffle
+    // partition — one job per action, one task per stage — instead of
+    // the adaptive plan-per-stage machinery that dominates wall time
+    // for small batches. The default assumes ~100-byte change rows:
+    // 250k rows ≈ 25 MB, comfortably one task. Large batches (initial
+    // scans, catch-up) keep the adaptive path. 0 disables the regime.
+    smallBatchRows: Long = 250000L)

@@ -17,21 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object BatchOrder {
 
-  /** position(step,txId) < lit(p), unsigned-correct. Strictly-less is
-    * the quorum-cut semantic (tx_queue.go:26-33).
+  /** position(step,txId) < param(p), unsigned-correct. Strictly-less
+    * is the quorum-cut semantic (tx_queue.go:26-33). The bound rides a
+    * [[graft.functions.NativeExpressions.ParamLongExpr]] rather than a
+    * Literal so the generated code is stable across batches (each
+    * micro-batch's cut bound differs; inlined literals would force a
+    * Janino recompile of every emission stage every batch).
     */
   def posLt(step: Column, txId: Column, p: Position): Column = {
-    val s = Position.ux(p.step); val t = Position.ux(p.txId)
+    val s = param(Position.ux(p.step)); val t = param(Position.ux(p.txId))
     (ux(step) < s) || (ux(step) === s && ux(txId) < t)
   }
 
-  /** position > lit(p) — checkpoint filter (skip already-applied;
+  /** position > param(p) — checkpoint filter (skip already-applied;
     * processor.go:428-445).
     */
   def posGt(step: Column, txId: Column, p: Position): Column = {
-    val s = Position.ux(p.step); val t = Position.ux(p.txId)
+    val s = param(Position.ux(p.step)); val t = param(Position.ux(p.txId))
     (ux(step) > s) || (ux(step) === s && ux(txId) > t)
   }
+
+  private def param(x: Long): Column =
+    graft.functions.NativeExpressions.paramLong(x)
 
   /** Global merge order: (step, txId) unsigned, then per-partition
     * arrival (source offset) as the stable tie-break
@@ -90,4 +97,30 @@ object BatchOrder {
         col("step"), col("txId"))).as("m"))
       .select(col("tableId"), col("partitionId"),
         col("m.step").as("step"), col("m.txId").as("txId"))
+
+  /** Heartbeat maxima FUSED with the batch's malformed-frame count,
+    * over the raw parsed frame (CdcParser.parseEnvelope output): one
+    * full-scan job returns per-(tableId, partitionId) rows carrying
+    * the max post-checkpoint heartbeat (null when the partition sent
+    * none) AND a partial malformed count the driver sums. The fusion
+    * replaces an Observation on the parse: observation metrics are
+    * per-execution, so a concurrent job materializing the same cache
+    * could complete them with a partial (even empty) count — an
+    * aggregation is deterministic no matter which execution fills the
+    * cache.
+    */
+  def partitionMaximaWithMalformed(parsed: DataFrame,
+      checkpoint: Position): DataFrame = {
+    val hbStep = col("env.resolved").getItem(0)
+    val hbTx = col("env.resolved").getItem(1)
+    val isHb = col("isHeartbeat") && !col("isMalformed") &&
+      posGt(hbStep, hbTx, checkpoint)
+    parsed.groupBy(col("tableId"), col("partitionId"))
+      .agg(
+        max(when(isHb, struct(ux(hbStep).as("us"), ux(hbTx).as("ut"),
+          hbStep.as("step"), hbTx.as("txId")))).as("m"),
+        sum(when(col("isMalformed"), 1L).otherwise(0L)).as("nMal"))
+      .select(col("tableId"), col("partitionId"),
+        col("m.step").as("step"), col("m.txId").as("txId"), col("nMal"))
+  }
 }

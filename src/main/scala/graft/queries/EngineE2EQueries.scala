@@ -92,8 +92,9 @@ object EngineE2EQueries {
     QueryDef("cdc_engine_incremental", lwwOracle) { (s, d) =>
       val root = java.nio.file.Files.createTempDirectory("graft-inc-q").toString
       val cdc = Tables.cdcView(s, d).persist()
-      val maxId = cdc.agg(max("event_id")).head().getLong(0)
-      val maxPos = cdc.agg(max("step_us")).head().getLong(0) + 1L
+      val mx = cdc.agg(max("event_id"), max("step_us")).head()
+      val maxId = mx.getLong(0)
+      val maxPos = mx.getLong(1) + 1L
       val cfg = EngineConfig("inc-query",
         Seq(StreamConfig(0, s"$root/src", "users", partitions = 8)),
         s"$root/dst", ProblemStrategy.Stop,
@@ -131,8 +132,9 @@ object EngineE2EQueries {
     QueryDef("cdc_engine_restart", lwwOracle) { (s, d) =>
       val root = java.nio.file.Files.createTempDirectory("graft-rst-q").toString
       val cdc = Tables.cdcView(s, d).persist()
-      val maxId = cdc.agg(max("event_id")).head().getLong(0)
-      val maxPos = cdc.agg(max("step_us")).head().getLong(0) + 1L
+      val mx = cdc.agg(max("event_id"), max("step_us")).head()
+      val maxId = mx.getLong(0)
+      val maxPos = mx.getLong(1) + 1L
       val cfg = EngineConfig("rst-query",
         Seq(StreamConfig(0, s"$root/src", "users", partitions = 8)),
         s"$root/dst", ProblemStrategy.Stop,
@@ -187,8 +189,9 @@ object EngineE2EQueries {
       val changes = changeFrame(cdc)
 
       // one heartbeat per partition above every change position
-      val maxPos = cdc.agg(max("step_us")).head().getLong(0) + 1L
-      val maxOff = cdc.agg(max("event_id")).head().getLong(0) + 1L
+      val mx = cdc.agg(max("step_us"), max("event_id")).head()
+      val maxPos = mx.getLong(0) + 1L
+      val maxOff = mx.getLong(1) + 1L
       val hbs = s.range(8).select(
         concat(lit("""{"resolved":["""), lit(maxPos), lit(",0]}")).as("value"),
         col("id").as("partitionId"),
@@ -213,9 +216,10 @@ object EngineE2EQueries {
     QueryDef("cdc_engine_chunked", lwwOracle) { (s, d) =>
       val root = java.nio.file.Files.createTempDirectory("graft-chunk-q").toString
       val cdc = Tables.cdcView(s, d).persist()
-      val maxPos = cdc.agg(max("step_us")).head().getLong(0) + 1L
-      val maxOff = cdc.agg(max("event_id")).head().getLong(0) + 1L
-      val total = cdc.count()
+      val mx = cdc.agg(max("step_us"), max("event_id"), count(lit(1))).head()
+      val maxPos = mx.getLong(0) + 1L
+      val maxOff = mx.getLong(1) + 1L
+      val total = mx.getLong(2)
       val cfg = EngineConfig("chunk-query",
         Seq(StreamConfig(0, s"$root/src", "users", partitions = 8)),
         s"$root/dst", ProblemStrategy.Stop,
@@ -257,8 +261,9 @@ object EngineE2EQueries {
     }) { (s, d) =>
       val root = java.nio.file.Files.createTempDirectory("graft-mt-q").toString
       val cdc = Tables.cdcView(s, d).persist()
-      val maxPos = cdc.agg(max("step_us")).head().getLong(0) + 1L
-      val maxOff = cdc.agg(max("event_id")).head().getLong(0) + 1L
+      val mx = cdc.agg(max("step_us"), max("event_id")).head()
+      val maxPos = mx.getLong(0) + 1L
+      val maxOff = mx.getLong(1) + 1L
 
       def tableFrame(parity: Int) =
         changeFrame(cdc.filter(pmod(col("user_id"), lit(2)) === parity))

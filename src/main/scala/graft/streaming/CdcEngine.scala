@@ -122,39 +122,38 @@ final class CdcEngine(
     }
 
     // dead-letter malformed frames. Stop/Continue defer the write
-    // behind a malformed-count Observation (the first emission-side
-    // full scan completes it), so the common zero-malformed batch
-    // spends NO job here; CmdQueue writes eagerly because its command
-    // resolution runs partial-scan actions that would complete the
-    // observation with a partial count.
-    val parsedRaw = CdcParser.parseEnvelope(raw)
-    val (parsed, dlqMalformed): (DataFrame, () => Unit) =
-      if (cfg.problemStrategy == ProblemStrategy.CmdQueue) {
-        val p = parsedRaw.persist()
-        (p, () => appendDlq(CdcParser.malformed(p)
-          .withColumn("reason", lit("malformed"))))
-      } else {
-        val obs = org.apache.spark.sql.Observation()
-        val p = parsedRaw.observe(obs,
-          sum(when(col("isMalformed"), 1L).otherwise(0L)).as("nMal")).persist()
-        (p, () => if (awaitObserved(obs, p, "nMal") > 0L)
-          appendDlq(CdcParser.malformed(p)
-            .withColumn("reason", lit("malformed"))))
-      }
+    // behind the malformed count that rides the heartbeat-maxima
+    // aggregation (one fused full-scan job), so the common
+    // zero-malformed batch spends NO job here; CmdQueue writes
+    // eagerly because its command resolution must settle before
+    // emission anyway.
+    val parsedCached = CdcParser.parseEnvelope(raw).persist()
+    def writeMalformedDlq(): Unit =
+      appendDlq(CdcParser.malformed(parsedCached)
+        .withColumn("reason", lit("malformed")))
+    if (cfg.problemStrategy == ProblemStrategy.CmdQueue) writeMalformedDlq()
     var cleanupFn: () => Unit = () => ()
+    val releaseCaches = scala.collection.mutable.ListBuffer.empty[() => Unit]
     try {
+      // Lineage cut (see the pending-set cut below for the rationale):
+      // everything downstream of the parse plans over a LogicalRDD
+      // leaf; only the fused heartbeat-maxima/malformed-count job
+      // re-plans the full source→parse pipeline, once.
+      val parsed = spark.createDataFrame(parsedCached.rdd,
+        parsedCached.schema)
+
       // checkpoint filter (P3): drop already-applied positions at ingest
       val changesAll = CdcParser.changes(parsed)
         .filter(BatchOrder.posGt(col("step"), col("txId"), checkpoint))
       val hbs = CdcParser.heartbeats(parsed)
         .filter(BatchOrder.posGt(col("step"), col("txId"), checkpoint))
-
-      if (cfg.problemStrategy == ProblemStrategy.CmdQueue) dlqMalformed()
       phase("parse+dlq")
 
       // per-partition order verification (P4/ST3). No job runs here:
-      // the late-count rides an Observation through the emission's own
-      // full-scan actions, and the gate fires before anything commits.
+      // the late-count rides an Observation through the working-set
+      // materializer (the SOLE pre-emission action whose plan contains
+      // the CollectMetrics node), and the gate fires before anything
+      // commits.
       val carried = trackerSnapshotDF()
       val tagged = BatchOrder.tagLate(changesAll, hbs, carried)
       val Resolved(changes, lateGate, cleanup) = resolveLate(tagged)
@@ -165,16 +164,54 @@ final class CdcEngine(
       val filtered = applyKeyFilter(changes)
       phase("key-filter")
 
-      // heartbeat tracking: distributed maxima, tiny driver state
-      BatchOrder.partitionMaxima(hbs).collect().foreach { r =>
-        tracker.add(r.getAs[Int]("tableId"), r.getAs[Long]("partitionId"),
-          Position(r.getAs[Long]("step"), r.getAs[Long]("txId")))
+      // Working-set declaration. Everything below needs only the
+      // pre-batch tracker snapshot (already captured in `carried`), so
+      // its materializer can run concurrently with heartbeat tracking.
+      val incoming = filtered.select(pendingSchema.fieldNames.map(col): _*)
+      val unioned = pendingDF(man).unionByName(incoming)
+      val pendingCached = (if (batchId > man.lastBatchId) unioned
+        else unioned.dropDuplicates("tableId", "partitionId", "offset"))
+        .persist()
+      releaseCaches += (() => { pendingCached.unpersist(); () })
+
+      // TWO independent full-scan jobs, in flight CONCURRENTLY:
+      //  - heartbeat maxima FUSED with the malformed count, over the
+      //    parse: feeds the driver tracker and decides the deferred
+      //    DLQ write (an aggregation, not an Observation — observation
+      //    metrics are per-execution and a concurrent job filling the
+      //    same cache would complete them with a partial count);
+      //  - the working-set materializer: ONE job computing count +
+      //    max(position) + min(ux step), which populates the cache,
+      //    full-scans the observed subtree so the late-count
+      //    Observation completes (ITS CollectMetrics node is above
+      //    the parse cut, in this job's own plan), and supplies the
+      //    stats the initial-scan drain needed anyway.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val hbFut = Future(BatchOrder
+        .partitionMaximaWithMalformed(parsed, checkpoint).collect())
+      val statFut = Future(pendingCached.agg(
+        count(lit(1)).as("n"),
+        max(struct(ux(col("step")).as("s"), ux(col("txId")).as("t"),
+          col("step"), col("txId"))).as("m"),
+        min(ux(col("step"))).as("mn")).head())
+      var nMalformed = 0L
+      Await.result(hbFut, Duration.Inf).foreach { r =>
+        nMalformed += r.getAs[Long]("nMal")
+        if (!r.isNullAt(r.fieldIndex("step")))
+          tracker.add(r.getAs[Int]("tableId"), r.getAs[Long]("partitionId"),
+            Position(r.getAs[Long]("step"), r.getAs[Long]("txId")))
       }
+      val statRow = Await.result(statFut, Duration.Inf)
       phase("hb-track")
-      // the heartbeat maxima job full-scanned parsed, so the deferred
-      // malformed count is ready; any DLQ write happens here — still
-      // before emission and any commit
-      if (cfg.problemStrategy != ProblemStrategy.CmdQueue) dlqMalformed()
+      // deferred malformed DLQ write — still before emission and any
+      // commit
+      if (cfg.problemStrategy != ProblemStrategy.CmdQueue && nMalformed > 0L)
+        writeMalformedDlq()
+      // the order gate fires HERE — the materializer full-scanned the
+      // observed subtree, and nothing has committed or mutated yet
+      lateGate()
       // newest heartbeat BEFORE quorum eviction — feeds the lag gauge
       val newestHb = tracker.maxHb
 
@@ -204,36 +241,41 @@ final class CdcEngine(
       }
 
       // The working set = previously stored pending ∪ this batch's
-      // gated changes, kept in memory. Durability note: the incoming
-      // batch itself does NOT need to hit the pending store before
-      // emission — if we crash before the manifest commit, Spark
-      // replays the source batch; only rows carried over from already
-      // -committed batches must live in files, and those are exactly
-      // the remainder the emission paths write.
-      // dropDuplicates on the source coordinates: a replayed frame can
-      // re-deliver rows already sitting in the stored pending buffer
-      // (those above the checkpoint); the merge is idempotent to such
-      // duplicates, but deduping here keeps the buffer from growing
-      // across repeated replays
-      // The dedup shuffle is needed only when this batch id could
-      // have been seen before: Spark assigns each source offset range
-      // to exactly one batch id, so a strictly fresh id cannot
-      // re-deliver rows already in the stored pending buffer.
-      val incoming = filtered.select(pendingSchema.fieldNames.map(col): _*)
-      val unioned = pendingDF(man).unionByName(incoming)
-      val pendingAll = (if (batchId > man.lastBatchId) unioned
-        else unioned.dropDuplicates("tableId", "partitionId", "offset"))
-        .persist()
+      // gated changes (declared above, materialized by the concurrent
+      // stat job). Durability note: the incoming batch itself does NOT
+      // need to hit the pending store before emission — if we crash
+      // before the manifest commit, Spark replays the source batch;
+      // only rows carried over from already-committed batches must
+      // live in files, and those are exactly the remainder the
+      // emission paths write. dropDuplicates on the source coordinates
+      // runs only when this batch id could have been seen before
+      // (Spark assigns each source offset range to exactly one batch
+      // id): a replayed frame can re-deliver rows already sitting in
+      // the stored pending buffer.
+      //
+      // Lineage cut: every emission action plans over a LogicalRDD
+      // leaf instead of the full source→parse→union tree. The RDD
+      // keeps its recompute lineage (fault-tolerant) and scans the
+      // cache populated above; the driver stops re-analyzing the whole
+      // pipeline for each of the ~6 jobs emission runs — this is what
+      // holds the per-micro-batch fixed floor down.
+      val pendingAll = spark.createDataFrame(pendingCached.rdd, pendingSchema)
       phase("pending-union")
 
-      // emission loop (ST2/ST5); the gate may abort mid-emission, so
-      // the cache release is a finally
-      try {
+      // emission loop (ST2/ST5). Small working sets run in the
+      // low-latency regime (see EngineConfig.smallBatchRows), with a
+      // shuffle width that scales with the set: ~25k rows per task,
+      // so a near-empty steady-state batch plans ONE task while a
+      // 250k-row batch still merges 10-wide.
+      val nPending = statRow.getLong(0)
+      val small = cfg.smallBatchRows > 0 && nPending <= cfg.smallBatchRows
+      val lowLatParts = math.max(1L, math.min(32L, nPending / 8000L + 1L)).toInt
+      withLowLatency(small, lowLatParts) {
         man = if (man.state.stage == Stage.InitialScan)
-          initialScan(man, pendingAll, batchId, lateGate)
-        else emitBelowQuorum(man, pendingAll, batchId, lateGate)
-        phase("emit")
-      } finally pendingAll.unpersist()
+          initialScan(man, pendingAll, batchId, statRow)
+        else emitBelowQuorum(man, pendingAll, batchId)
+      }
+      phase("emit")
 
       // owner check inside the transaction (ST7): the lease must still
       // be ours at the moment the commit becomes visible
@@ -255,11 +297,36 @@ final class CdcEngine(
         phases.map { case (n, sec) => f"$n=$sec%.2f" }.mkString(" "))
     } finally {
       cleanupFn()
-      parsed.unpersist()
+      releaseCaches.foreach(_())
+      parsedCached.unpersist()
     }
   }
 
   // ---- emission ----
+
+  /** Run `f` with AQE disabled and one shuffle partition — the right
+    * execution regime for a tiny working set, where per-stage adaptive
+    * replanning and 32-way shuffles cost far more wall time than the
+    * data. The engine owns its session while a batch is in flight
+    * (foreachBatch serializes batches), so the temporary session-conf
+    * flip cannot race another engine query.
+    */
+  private def withLowLatency[T](enable: Boolean, parts: Int = 1)(f: => T): T =
+    if (!enable) f
+    else {
+      val conf = spark.conf
+      val aqe = conf.getOption("spark.sql.adaptive.enabled")
+      val sp = conf.getOption("spark.sql.shuffle.partitions")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try f
+      finally {
+        aqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
+          conf.set("spark.sql.adaptive.enabled", _))
+        sp.fold(conf.unset("spark.sql.shuffle.partitions"))(
+          conf.set("spark.sql.shuffle.partitions", _))
+      }
+    }
 
   private def pendingDF(man: TransactionalStore.Manifest): DataFrame =
     if (man.pendingFiles.isEmpty)
@@ -271,18 +338,14 @@ final class CdcEngine(
     * pending store.
     */
   private def emitBelowQuorum(man0: TransactionalStore.Manifest,
-      pending: DataFrame, batchId: Long,
-      lateGate: () => Unit): TransactionalStore.Manifest = {
+      pending: DataFrame, batchId: Long): TransactionalStore.Manifest = {
     tracker.quorum match {
       case None =>
-        val man1 = storePending(man0, pending, s"nq$batchId")
-        lateGate() // pending store ran a full scan; nothing committed yet
-        man1
+        storePending(man0, pending, s"nq$batchId")
       case Some(q) =>
         val cut = pending.filter(BatchOrder.posLt(col("step"), col("txId"), q))
         val rest = pending.filter(!BatchOrder.posLt(col("step"), col("txId"), q))
         val man1 = applyCut(man0, cut, rest, q, man0.state.stage)
-        lateGate() // before the tracker mutates or the manifest swaps
         tracker.commit(q)
         man1
     }
@@ -294,10 +357,8 @@ final class CdcEngine(
   private def storePending(man: TransactionalStore.Manifest,
       pending: DataFrame, tag: String): TransactionalStore.Manifest = {
     // unconditional write: an empty set writes an empty part file
-    // (harmless to read back). The alternative — isEmpty — is a
-    // PARTIAL scan, which would both cost an extra job and complete
-    // the late-count Observation with a partial value, breaking the
-    // optimistic order-verification gate.
+    // (harmless to read back). The alternative — isEmpty — would cost
+    // an extra partial-scan job just to detect emptiness.
     val dir = s"$root/pending/p${tag}_v${man.version}"
     pending.write.mode("overwrite").parquet(dir)
     man.copy(pendingFiles = TransactionalStore.partFiles(dir))
@@ -310,7 +371,7 @@ final class CdcEngine(
     */
   private def initialScan(man0: TransactionalStore.Manifest,
       pending: DataFrame, batchId: Long,
-      lateGate: () => Unit): TransactionalStore.Manifest = {
+      statRow: Row): TransactionalStore.Manifest = {
     if (syncTarget.isEmpty && tracker.fullSet) syncTarget = tracker.maxHb
     var man = man0
     syncTarget.flatMap(tracker.quorumAfter) match {
@@ -319,25 +380,16 @@ final class CdcEngine(
         val cut = pending.filter(BatchOrder.posLt(col("step"), col("txId"), q))
         val rest = pending.filter(!BatchOrder.posLt(col("step"), col("txId"), q))
         val man1 = applyCut(man, cut, rest, q, Stage.Run)
-        lateGate() // before the tracker mutates or the manifest swaps
         tracker.commit(q)
         man1
       case None =>
         // drain the working set in merge-ordered chunks of maxBatchSize.
-        // Fast path first: a plain count (no sort) decides whether the
-        // whole set fits one chunk — the common case with a large cap —
-        // so the global merge sort only runs when chunking is real.
+        // Fast path first: the caller's materializer stats (count, max
+        // position, min ux step — one job) decide whether the whole set
+        // fits one chunk — the common case with a large cap — so the
+        // chunking sketch only runs when chunking is real.
         var remaining = pending
         var done = false
-        // ONE aggregation decides the path AND supplies the cut bound
-        // (plus the min unsigned step, the chunking sketch's offset):
-        // count + max(position) + min(ux step) in the same job
-        val statRow = remaining.agg(
-          count(lit(1)).as("n"),
-          max(struct(ux(col("step")).as("s"), ux(col("txId")).as("t"),
-            col("step"), col("txId"))).as("m"),
-          min(ux(col("step"))).as("mn")).head()
-        lateGate() // the stat aggregation full-scanned the working set
         val total = statRow.getLong(0)
         if (total == 0) {
           man = storePending(man, remaining, s"is$batchId")
@@ -378,8 +430,13 @@ final class CdcEngine(
             .stat.approxQuantile("__p", probs, 0.01)
             .map(_.toLong).distinct.sorted
           for (ub <- bounds) {
-            val cut = remaining.filter(ux(col("step")) - minUx <= ub)
-            val rest = remaining.filter(ux(col("step")) - minUx > ub)
+            // parameterized bounds (not literals): every chunk's filter
+            // compiles to the same generated source → one codegen for
+            // the whole drain
+            val pUb = graft.functions.NativeExpressions.paramLong(ub)
+            val pMin = graft.functions.NativeExpressions.paramLong(minUx)
+            val cut = remaining.filter(ux(col("step")) - pMin <= pUb)
+            val rest = remaining.filter(ux(col("step")) - pMin > pUb)
             val m = stats(cut)
             if (m.getLong(0) > 0L) {
               val mm = m.getStruct(1)
@@ -457,13 +514,15 @@ final class CdcEngine(
     *
     * Stop/Continue run OPTIMISTICALLY: the returned frame already
     * excludes late rows, a late COUNT rides an [[Observation]] through
-    * whatever full-scan action the emission runs first, and `lateGate`
-    * — called before any manifest swap or tracker commit — reacts only
-    * when the count is nonzero (DLQ + fatal for Stop, DLQ for
-    * Continue). The happy path therefore spends ZERO extra jobs on
-    * order verification. CmdQueue stays eager: an 'apply' instruction
-    * puts late rows back INTO the batch, which must be decided before
-    * emission.
+    * the working-set materializer (the one pre-emission action whose
+    * plan contains the CollectMetrics node — the emission actions run
+    * over the lineage-cut frame and could not complete it), and
+    * `lateGate` — called before any emission work, manifest swap or
+    * tracker commit — reacts only when the count is nonzero (DLQ +
+    * fatal for Stop, DLQ for Continue). The happy path therefore
+    * spends ZERO extra jobs on order verification. CmdQueue stays
+    * eager: an 'apply' instruction puts late rows back INTO the
+    * batch, which must be decided before emission.
     */
   private case class Resolved(changes: DataFrame, lateGate: () => Unit,
       cleanup: () => Unit)

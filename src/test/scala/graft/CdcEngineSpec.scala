@@ -113,6 +113,26 @@ class CdcEngineSpec extends SparkSpec {
       "clean batch must not create a DLQ store")
   }
 
+  test("malformed frame lands in the DLQ with reason=malformed; clean rows still apply") {
+    val root = Files.createTempDirectory("graft-mal").toString
+    val e = mkEngine(root, ProblemStrategy.Continue)
+    e.processBatch(frame(
+      ("""{"update":{"name":"alice"},"key":[1],"ts":[1,1]}""", 0L, 0L),
+      ("""this is not json{{{""", 0L, 1L),
+      ("""{"resolved":[3,0]}""", 0L, 2L),
+      ("""{"resolved":[3,0]}""", 1L, 0L)), 0L)
+    // the clean change applied...
+    assert(users(e) == Map(1L -> ("alice", null)))
+    // ...and the malformed line is dead-lettered (this MUST be an
+    // aggregation-backed count, not an Observation: a concurrent job
+    // materializing the parse cache would complete an observation
+    // with a partial count and silently skip the write)
+    val dlq = spark.read.parquet(s"$root/dst/dlq")
+    assert(dlq.filter(col("reason") === "malformed").count() == 1)
+    assert(dlq.filter(col("reason") === "malformed")
+      .head().getAs[String]("value").startsWith("this is not json"))
+  }
+
   test("cross-batch erase-then-update replaces the stored row (no stale columns)") {
     val root = Files.createTempDirectory("graft-xbatch").toString
     val e = mkEngine(root)
