@@ -33,8 +33,8 @@ final case class StaticToken(value: String) extends TokenProvider {
   * @param exchange        (endpoint, credentials) => (token, expiresInSeconds)
   */
 final class OAuth2FileProvider(
-    credentialsPath: String,
-    endpoint: String,
+    val credentialsPath: String,
+    val endpoint: String,
     exchange: (String, String) => (String, Long),
     refreshMarginSeconds: Long = 60L,
     clock: () => Long = () => System.currentTimeMillis()) extends TokenProvider {
@@ -62,7 +62,8 @@ object Auth {
     */
   def fromConfig(staticToken: Option[String], oauthFile: Option[String],
       oauthEndpoint: Option[String],
-      exchange: (String, String) => (String, Long)): Option[TokenProvider] =
+      exchange: (String, String) => (String, Long) = httpExchange)
+      : Option[TokenProvider] =
     staticToken.map(StaticToken(_)).orElse(
       oauthFile.map(f =>
         new OAuth2FileProvider(f, oauthEndpoint.getOrElse(""), exchange)))

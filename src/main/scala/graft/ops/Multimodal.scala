@@ -53,6 +53,25 @@ object Multimodal {
     }
   }
 
+  final case class ImageMetaRow(
+      doc_id: Long, format: String, width: Long, height: Long)
+
+  /** REAL image metadata decode through the codec seam: format +
+    * dimensions parsed from the payload header bytes
+    * ([[ImageCodec.decodeMeta]] — PNG IHDR / JPEG SOF / GIF LSD, pure
+    * JVM). Unrecognized payloads map to ("unknown", -1, -1) rather
+    * than dropping, so the caller can route them to a malformed sink.
+    */
+  def decodeImageMeta(ds: Dataset[(Long, Array[Byte])]): Dataset[ImageMetaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      ImageCodec.decodeMeta(bytes) match {
+        case Some(m) => ImageMetaRow(id, m.format, m.width.toLong, m.height.toLong)
+        case None => ImageMetaRow(id, "unknown", -1L, -1L)
+      }
+    })
+  }
+
   /** Frame sampling plumbing: treat the payload as `frameSize`-byte
     * frames, take every `stride`-th, extract a (stubbed) per-frame
     * feature — the first byte's code point.

@@ -323,6 +323,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // multimodal REAL header decode: synthesized PNG/JPEG payloads
+    // (structurally valid headers keyed off doc_id) go through the
+    // codec seam; the oracle states the dimensions the synthesis used,
+    // so a decoder that misreads any offset hash-mismatches
+    QueryDef("mm_image_meta",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(doc_id % 2000 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 1200 + 1 AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val payload = load(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 2000L).toInt + 1
+          val h = (id % 1200L).toInt + 1
+          val bytes =
+            if (id % 2 == 0) graft.ops.ImageCodec.pngHeader(w, h)
+            else graft.ops.ImageCodec.jpegHeader(w, h)
+          (id, bytes)
+        })
+      Multimodal.decodeImageMeta(payload).toDF()
+        .select("doc_id", "format", "width", "height")
+        .orderBy("doc_id")
+    },
+
     // multimodal frame-sampling plumbing (stub feature)
     QueryDef("mm_frame_sample",
       """WITH f AS (SELECT doc_id,

@@ -81,22 +81,30 @@ final class LeaseLock(root: String, owner: String, ttlMillis: Long,
   }
 
   /** Exclusive create of generation `token`; one winner per token.
-    * NOTE Files.createFile (O_CREAT|O_EXCL) is the only truly atomic
+    * NOTE open(O_CREAT|O_EXCL) is the only truly atomic
     * create-exclusive here — Files.move WITHOUT REPLACE_EXISTING is
     * check-then-rename on POSIX and two movers can both pass the
-    * check (observed in the race spec). The content lands with a
-    * follow-up replace of our own file; a reader that catches the
-    * empty window parses nothing and treats the previous generation
-    * as head, which at worst denies a contender one attempt.
+    * check (observed in the race spec). CREATE_NEW writes the content
+    * in the same open, so the unparsable-head window is the µs between
+    * open and write (it was create → tmp-write → rename). A reader
+    * catching that window parses nothing and treats the previous
+    * generation as head; the worst case is a contender losing one
+    * tryAcquire attempt (it computes this same token and loses the
+    * O_EXCL race), which its next poll retries. That is PREFERRED over
+    * a marker+content two-file protocol: exclusivity never depends on
+    * content visibility, and readers never block on a pending head.
     */
   private def createGeneration(token: Long): Boolean = {
     val won =
-      try { Files.createFile(genPath(token)); true }
+      try {
+        Files.write(genPath(token),
+          renderLock(owner, clock() + ttlMillis, token)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      }
       catch { case _: java.nio.file.FileAlreadyExistsException => false }
     if (!won) return false
-    val tmp = writeTmp(renderLock(owner, clock() + ttlMillis, token))
-    Files.move(tmp, genPath(token), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
     // straggler guard: if a higher generation appeared while we were
     // writing, our generation is already superseded — back out
     readHead() match {

@@ -643,10 +643,14 @@ final class CdcEngine(
     keys.select(serializeKey(col("tableName"), col("keyJson")).as("serializedKey"))
       .write.mode("append").parquet(s"$root/blocked_keys")
 
-  /** Blocked-key filter (P5/J1): broadcast anti-join against
-    * root/blocked_keys (parquet: serializedKey string).
+  /** Blocked-key filter (P5/J1): anti-join against root/blocked_keys
+    * (parquet: serializedKey string). The filter table is broadcast —
+    * matching the reference's in-memory key map — only while it fits
+    * the session's autoBroadcastJoinThreshold; past that (millions of
+    * blocked keys) the hint is dropped and the anti-join shuffles,
+    * which is the only plan that survives at scale.
     */
-  private def applyKeyFilter(changes: DataFrame): DataFrame = {
+  private[graft] def applyKeyFilter(changes: DataFrame): DataFrame = {
     val dir = java.nio.file.Paths.get(root, "blocked_keys")
     if (!java.nio.file.Files.isDirectory(dir)) return changes
     val nameById = tables.map { case (tid, m) => m.name -> tid }
@@ -655,7 +659,17 @@ final class CdcEngine(
       serializeKey(element_at(mapping, col("tableId")), col("keyJson")))
     val blocked = spark.read.parquet(dir.toString)
       .select(col("serializedKey").as("__sk"))
-    withKey.join(broadcast(blocked), Seq("__sk"), "left_anti").drop("__sk")
+    val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    val filterBytes = {
+      val s = java.nio.file.Files.walk(dir)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum
+      finally s.close()
+    }
+    val rhs = if (threshold > 0 && filterBytes <= threshold)
+      broadcast(blocked) else blocked
+    withKey.join(rhs, Seq("__sk"), "left_anti").drop("__sk")
   }
 
   private def appendDlq(df: DataFrame): Unit =

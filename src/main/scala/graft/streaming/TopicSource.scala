@@ -51,26 +51,61 @@ object TopicSource {
       // the engine's checkpoint filter + atomic sink give effectively
       // -once apply; the source only needs at-least-once delivery
       "failOnDataLoss" -> "true")
-    auth.fold(base) { p =>
-      // OAUTHBEARER/PLAIN static-token wiring (auth.go:69-89 analog);
-      // the token is resolved NOW — long-lived streams should pass a
-      // provider-backed refresh via the token callback mechanism of
-      // the broker client instead
-      val tok = p.token().replace("\\", "\\\\").replace("\"", "\\\"")
-      base ++ Map(
-        "kafka.security.protocol" -> "SASL_SSL",
-        "kafka.sasl.mechanism" -> "PLAIN",
-        "kafka.sasl.jaas.config" ->
-          ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
-            s"""username="token" password="$tok";"""))
+    auth.fold(base) {
+      // OAuth2 exchange: do NOT resolve a token at option-build time —
+      // a long-lived stream outlives it. Delegate to kafka-clients'
+      // built-in OAUTHBEARER/OIDC login (KIP-768): the client calls
+      // the token endpoint itself and re-logins before expiry, so
+      // refresh needs no engine-side plumbing. The credentials file
+      // holds {"clientId": ..., "clientSecret": ...}.
+      case p: graft.auth.OAuth2FileProvider =>
+        val creds = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(p.credentialsPath)))
+        def field(name: String): String = {
+          val v = Option(creds.get(name)).map(_.asText()).getOrElse(
+            throw new IllegalArgumentException(
+              s"oauth2 credentials file missing '$name'"))
+          v.replace("\\", "\\\\").replace("\"", "\\\"")
+        }
+        base ++ Map(
+          "kafka.security.protocol" -> "SASL_SSL",
+          "kafka.sasl.mechanism" -> "OAUTHBEARER",
+          "kafka.sasl.login.callback.handler.class" ->
+            "org.apache.kafka.common.security.oauthbearer.OAuthBearerLoginCallbackHandler",
+          "kafka.sasl.oauthbearer.token.endpoint.url" -> p.endpoint,
+          "kafka.sasl.jaas.config" ->
+            ("org.apache.kafka.common.security.oauthbearer.OAuthBearerLoginModule required " +
+              s"""clientId="${field("clientId")}" clientSecret="${field("clientSecret")}";"""))
+      case p =>
+        // static token (auth.go:69-89 analog): resolved once by design
+        val tok = p.token().replace("\\", "\\\\").replace("\"", "\\\"")
+        base ++ Map(
+          "kafka.security.protocol" -> "SASL_SSL",
+          "kafka.sasl.mechanism" -> "PLAIN",
+          "kafka.sasl.jaas.config" ->
+            ("org.apache.kafka.common.security.plain.PlainLoginModule required " +
+              s"""username="token" password="$tok";"""))
     }
   }
 
-  /** Kafka topic source. UNTESTED in this environment (no Kafka
-    * connector jar / broker offline) — the mapping is the documented
-    * contract: broker partition/offset become the engine's
-    * partitionId/offset, so per-partition order verification and the
-    * checkpoint filter work identically to the directory analog.
+  /** Kafka record shape → the engine's frame contract: the broker's
+    * partition/offset become partitionId/offset, so per-partition
+    * order verification and the checkpoint filter work identically to
+    * the directory analog. Factored out of [[kafka]] so the mapping
+    * is contract-testable without the connector jar (TopicStreamSpec
+    * drives the engine through a kafka-SHAPED MemoryStream with this
+    * projection, including checkpointed restart).
+    */
+  def kafkaProjection(records: DataFrame, tableId: Int): DataFrame =
+    records.select(col("value").cast("string").as("value"),
+      lit(tableId).as("tableId"),
+      col("partition").cast("long").as("partitionId"),
+      col("offset").cast("long").as("offset"))
+
+  /** Kafka topic source. The connector round-trip itself is untested
+    * in this environment (no Kafka connector jar / broker offline);
+    * the option map and the projection are each covered by specs.
     */
   def kafka(spark: SparkSession, s: StreamConfig,
       auth: Option[TokenProvider] = None,
@@ -79,11 +114,7 @@ object TopicSource {
       .foldLeft(spark.readStream.format("kafka")) {
         case (r, (k, v)) => r.option(k, v)
       }
-    reader.load()
-      .select(col("value").cast("string").as("value"),
-        lit(s.tableId).as("tableId"),
-        col("partition").cast("long").as("partitionId"),
-        col("offset"))
+    kafkaProjection(reader.load(), s.tableId)
   }
 
   /** Build the union frame for a set of streams by source type. */

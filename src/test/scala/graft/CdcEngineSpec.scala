@@ -113,6 +113,38 @@ class CdcEngineSpec extends SparkSpec {
       "clean batch must not create a DLQ store")
   }
 
+  test("blocked-keys filter broadcasts while small, shuffles above the size gate") {
+    val root = Files.createTempDirectory("graft-kf").toString
+    val e = mkEngine(root)
+    e.blockKeys(Seq(("users", Seq("1")), ("users", Seq("3")))
+      .toDF("tableName", "keyJson"))
+    val changes = Seq(
+      (0, 0L, 0L, Seq("1"), Map("name" -> "a"), 1L, 1L, 0),
+      (0, 0L, 1L, Seq("2"), Map("name" -> "b"), 2L, 1L, 0),
+      (0, 1L, 0L, Seq("3"), Map("name" -> "c"), 3L, 1L, 0))
+      .toDF("tableId", "partitionId", "offset", "keyJson", "columns",
+        "step", "txId", "op")
+    def surviving(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.getSeq[String](3).head).toSet
+
+    // small filter table → broadcast anti-join (reference's in-memory map)
+    val small = e.applyKeyFilter(changes)
+    assert(surviving(small) == Set("2"))
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "small blocked-keys table must broadcast")
+
+    // above the threshold the hint is dropped and the join shuffles —
+    // same rows survive, no broadcast of a table that would OOM at scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val big = e.applyKeyFilter(changes)
+      assert(surviving(big) == Set("2"))
+      assert(!big.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "oversized blocked-keys table must not broadcast")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+  }
+
   test("malformed frame lands in the DLQ with reason=malformed; clean rows still apply") {
     val root = Files.createTempDirectory("graft-mal").toString
     val e = mkEngine(root, ProblemStrategy.Continue)
