@@ -10,7 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object EmbQueries {
 
-  private val Planes = 16
+  // 32 planes / 8 bands = 4 sign bits per band (16 sub-buckets): at 2
+  // bits a blocking label that grows 10x kept ~quadratic candidate
+  // sets (measured 25 s at sf1); 4-bit bands cut candidates ~4x while
+  // a boundary pair (cos = 0.3) still collides on some band w.p. ~2/3
+  // and a genuinely-near pair (cos 0.7) w.p. ~0.95. The banding is
+  // part of the operator DEFINITION — the SQL oracle mirrors these
+  // constants, so both engines produce the identical pair set.
+  private val Planes = 32
   private val Dims = 64
   private val K = 10
   private val NearDupThreshold = 0.3
