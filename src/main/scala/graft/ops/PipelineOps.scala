@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.functions.GraftFunctions.{portableHash, tokens}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond dedup/similarity: PII
+  * scrubbing, benchmark decontamination, sequence packing, stratified
+  * sampling. All declarative column plans (codegen'd, no UDFs); the
+  * regex patterns are RE2-safe (no lookarounds) so the DuckDB oracle
+  * twins run the IDENTICAL patterns.
+  */
+object PipelineOps {
+
+  /** Shared PII patterns (RE2-safe). Kept deliberately conservative:
+    * emails, international-prefixed phone numbers, IPv4 literals.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII detection + redaction: per-kind match counts and the text
+    * with every match replaced by a typed tag. Redaction order is
+    * part of the definition (emails, then phones, then IPs) — scan
+    * -parallel, no shuffle.
+    */
+  def piiDetectRedact(df: DataFrame, text: Column): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>"))
+
+  /** Benchmark decontamination: flag every training document that
+    * shares at least one word `w`-shingle with any document of the
+    * eval set. The shuffle key is the shingle hash — eval-side
+    * shingles are usually broadcastable (eval sets are small), and the
+    * training side streams through a semi-join; nothing is quadratic.
+    * `isEval` partitions the corpus (eval rows are excluded from the
+    * output).
+    */
+  def decontaminate(df: DataFrame, id: Column, text: Column,
+      isEval: Column, w: Int): DataFrame = {
+    val base = df.select(id.as("__id"), isEval.as("__eval"),
+      Dedup.shingleHashes(tokens(text), w).as("__sh"))
+    val exploded = base.select(col("__id"), col("__eval"),
+      explode(col("__sh")).as("__h"))
+    val evalHashes = exploded.filter(col("__eval"))
+      .select(col("__h")).distinct()
+    val contaminated = exploded.filter(!col("__eval"))
+      .join(evalHashes, Seq("__h"), "left_semi")
+      .select(col("__id")).distinct()
+      .withColumn("__contaminated", lit(true))
+    base.filter(!col("__eval"))
+      .join(contaminated, Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("__contaminated"), lit(false)).as("contaminated"))
+  }
+
+  /** Deterministic offset packing of documents into fixed token
+    * budgets: within a group (e.g. source), documents are laid out in
+    * id order and a document belongs to the pack where its first token
+    * lands — `floor(cum_tokens_before / budget)`. Packs can overflow
+    * by less than one document; the assignment is a single window
+    * cumsum per group (one shuffle on the group key), which is the
+    * only packing rule that is both deterministic and expressible
+    * without a sequential fold.
+    */
+  def packSequences(df: DataFrame, group: Column, order: Column,
+      nTokens: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("cum_before", coalesce(sum(nTokens).over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("cum_before") / budget))
+  }
+
+  /** Deterministic per-stratum sampling: keep a row iff
+    * portableHash(stratum ":" id) mod 100 < rate(stratum). Pure
+    * filter — scan-parallel, reproducible across engines and runs,
+    * and rows never move between strata when rates change.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+      ratesPercent: Map[String, Int], defaultPercent: Int): DataFrame = {
+    val rate = ratesPercent.foldLeft(lit(defaultPercent)) {
+      case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
+    }
+    df.filter(
+      pmod(portableHash(concat(stratum, lit(":"), id.cast("string"))),
+        lit(100L)) < rate)
+  }
+}

@@ -310,6 +310,96 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // PII detect + redact: the fixture plants one email, phone and
+    // IPv4 per document (keyed off doc_id, so counts vary — short ids
+    // make phone numbers too short to match); patterns are RE2-safe
+    // and shared verbatim with the oracle
+    QueryDef("doc_pii_redact", {
+      import graft.ops.PipelineOps.{EmailRe, PhoneRe, Ipv4Re}
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@example.com or +1-555-' || CAST(doc_id % 10000 AS VARCHAR) ||
+         |  ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now.' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g'),
+         |    '$Ipv4Re', '<IP>', 'g') AS redacted
+         |FROM p ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val planted = load(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" Contact user"),
+          col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+          (col("doc_id") % 10000).cast("string"), lit(" from 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0.1 now.")).as("text"))
+      graft.ops.PipelineOps.piiDetectRedact(planted, col("text"))
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+        .orderBy("doc_id")
+    },
+
+    // benchmark decontamination: every 97th document is the "eval
+    // set"; a training document is contaminated when it shares any
+    // 8-token shingle with an eval document (the corpus's built-in
+    // near-duplicates make this non-vacuous)
+    QueryDef("doc_decontaminate", {
+      val sh8 = (1 to 8).map(o => s"w[i+$o]").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, doc_id % 97 = 0 AS is_eval,
+         |    $sqlToks AS w FROM documents),
+         |sh AS (SELECT doc_id, is_eval, unnest(list_distinct(list_transform(
+         |    list_distinct(list_transform(range(0, greatest(len(w) - 7, 0)),
+         |      i -> concat_ws(' ', $sh8))), s -> ${sqlPhash("s")}))) AS h
+         |  FROM base),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE is_eval),
+         |c AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev ON s.h = ev.h
+         |      WHERE NOT s.is_eval)
+         |SELECT b.doc_id, b.doc_id IN (SELECT doc_id FROM c) AS contaminated
+         |FROM base b WHERE NOT b.is_eval ORDER BY b.doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.ops.PipelineOps.decontaminate(load(s, d, "documents"),
+        col("doc_id"), col("text"), col("doc_id") % 97 === 0, w = 8)
+        .select(col("__id").as("doc_id"), col("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // deterministic offset packing into 512-token training sequences,
+    // grouped by source, laid out in doc_id order
+    QueryDef("doc_pack_greedy",
+      s"""WITH t AS (SELECT doc_id, source,
+         |  CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val t = load(s, d, "documents").select(col("doc_id"), col("source"),
+        size(graft.functions.GraftFunctions.tokens(col("text")))
+          .cast("long").as("n_tokens"))
+      graft.ops.PipelineOps.packSequences(t, col("source"), col("doc_id"),
+        col("n_tokens"), budget = 512L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_before"), col("pack_id").cast("long").as("pack_id"))
+        .orderBy("doc_id")
+    },
+
+    // deterministic stratified sampling by language (en 37%, rest 11%)
+    QueryDef("doc_sample_stratified",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${sqlPhash("lang || ':' || CAST(doc_id AS VARCHAR)")} % 100
+         |  < (CASE WHEN lang = 'en' THEN 37 ELSE 11 END)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.PipelineOps.stratifiedSample(load(s, d, "documents"),
+        col("lang"), col("doc_id"), Map("en" -> 37), defaultPercent = 11)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // multimodal plumbing: binary payload + stubbed decode metadata
     QueryDef("mm_binary_meta",
       s"""SELECT doc_id,
