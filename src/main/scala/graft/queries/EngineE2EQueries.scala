@@ -183,7 +183,7 @@ object EngineE2EQueries {
          |HAVING max_by(op, rn) = 0
          |ORDER BY user_id""".stripMargin) { (s, d) =>
       val root = java.nio.file.Files.createTempDirectory("graft-e2e-q").toString
-      val cdc = Tables.cdcView(s, d)
+      val cdc = Tables.cdcView(s, d).persist()
 
       // change frames: one JSON envelope per event
       val changes = changeFrame(cdc)
@@ -205,6 +205,7 @@ object EngineE2EQueries {
       val engine = new CdcEngine(s, cfg, Map(0 -> usersMeta))
       engine.bootstrap()
       engine.processBatch(changes.unionByName(hbs.select(changes.columns.map(col): _*)), 0L)
+      cdc.unpersist()
       engine.readTable("users").orderBy("user_id")
     },
 

@@ -483,21 +483,37 @@ final class CdcEngine(
     }
     val merged = LwwMerge.merge(cut).persist()
     try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // the remainder write, and each table's apply, are independent
+      // jobs into distinct commit-tagged dirs — run them CONCURRENTLY
+      // (the first actions race to materialize the merge cache; block
+      // -level locks make that safe). Nothing becomes visible until
+      // the caller's single manifest swap.
+      val restFut = Future {
+        // unconditional write: an empty remainder writes an empty part
+        // file, which beats a full pre-scan just to detect emptiness
+        val restDir = s"$root/pending/r$commitTag"
+        rest.write.mode("overwrite").parquet(restDir)
+        TransactionalStore.partFiles(restDir)
+      }
       // modificationsCount rides on each table's applyPatch metadata
       // aggregation — no dedicated count job over the merge shuffle
-      val newTables = tables.foldLeft(man.tables) { case (acc, (tid, meta)) =>
-        val patch = merged.filter(col("tableId") === tid)
-        val (tv, n) = DstTable.applyPatch(spark, root, meta,
-          cfg.buckets, acc(meta.name), patch, commitTag)
-        metrics.modificationsCount.addAndGet(n)
-        acc.updated(meta.name, tv)
+      val tableFuts = tables.toSeq.map { case (tid, meta) =>
+        meta.name -> Future {
+          val patch = merged.filter(col("tableId") === tid)
+          val (tv, n) = DstTable.applyPatch(spark, root, meta,
+            cfg.buckets, man.tables(meta.name), patch, commitTag)
+          metrics.modificationsCount.addAndGet(n)
+          tv
+        }
+      }
+      val newTables = tableFuts.foldLeft(man.tables) { case (acc, (name, f)) =>
+        acc.updated(name, Await.result(f, Duration.Inf))
       }
       val tApply = sub()
-      // unconditional write: an empty remainder writes an empty part
-      // file, which beats a full pre-scan just to detect emptiness
-      val restDir = s"$root/pending/r$commitTag"
-      rest.write.mode("overwrite").parquet(restDir)
-      val restFiles = TransactionalStore.partFiles(restDir)
+      val restFiles = Await.result(restFut, Duration.Inf)
       log(f"applyCut v$commitTag apply=$tApply%.2f rest=${sub()}%.2f")
       man.copy(
         state = man.state.copy(stepId = newPos.step, txId = newPos.txId,
