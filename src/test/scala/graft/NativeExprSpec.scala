@@ -73,6 +73,20 @@ class NativeExprSpec extends SparkSpec {
         .collect()
       assert(env(0).getLong(0) == 3L)
       assert(env(1).isNullAt(0))
+      // ParamLongExpr sits in every engine emission plan (posLt/posGt
+      // bounds): it must codegen, stay unfolded, and filter correctly
+      val pos = graft.model.Position(5L, 0L)
+      val params = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        (3L, 1L), (5L, 0L), (7L, 2L), (-1L, 0L)), 1)) // -1 = huge unsigned
+        .toDF("step", "txId")
+      val below = params
+        .filter(graft.order.BatchOrder.posLt(col("step"), col("txId"), pos))
+        .collect().map(_.getLong(0)).toSet
+      val above = params
+        .filter(graft.order.BatchOrder.posGt(col("step"), col("txId"), pos))
+        .collect().map(_.getLong(0)).toSet
+      assert(below == Set(3L))
+      assert(above == Set(7L, -1L))
     } finally {
       prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(v => conf.set("spark.sql.codegen.factoryMode", v))
       prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(v => conf.set("spark.sql.codegen.fallback", v))
