@@ -17,6 +17,8 @@ object Bench {
     "cdc_salted_agg", "cdc_engine_e2e",
     "doc_token_stats", "doc_fingerprint", "doc_exact_dedup",
     "doc_simhash", "doc_dedup_minhash", "doc_curation_pipeline",
+    "doc_pii_redact", "doc_decontaminate", "doc_pack_greedy",
+    "doc_sample_stratified", "mm_image_meta",
     "emb_knn_brute", "emb_lsh_buckets", "emb_ivf_knn", "emb_near_dup")
 
   /** One tiny engine run (2 partitions, 4 changes + 2 heartbeats) to
