@@ -113,6 +113,48 @@ class CdcEngineSpec extends SparkSpec {
       "clean batch must not create a DLQ store")
   }
 
+  test("a marginal RUN-stage batch stays inside its job budget") {
+    // the fixed per-micro-batch floor is driver work per Spark JOB
+    // (planning, scheduling, codegen) — wall clock is host-noisy, but
+    // the JOB COUNT of a small steady-state batch is deterministic:
+    // one fused heartbeat/malformed aggregation, one working-set
+    // materializer, one merge-metadata aggregation, one table write,
+    // one remainder write, plus bounded source/commit bookkeeping.
+    // Regressions that re-introduce per-batch scans (eager DLQ probes,
+    // per-chunk sorts, extra counts) blow this budget immediately.
+    val root = Files.createTempDirectory("graft-jobs").toString
+    val e = mkEngine(root)
+    e.processBatch(frame(
+      ("""{"update":{"name":"a"},"key":[1],"ts":[1,1]}""", 0L, 0L),
+      ("""{"resolved":[3,0]}""", 0L, 1L),
+      ("""{"resolved":[3,0]}""", 1L, 0L)), 0L)
+    e.processBatch(frame(
+      ("""{"resolved":[5,0]}""", 0L, 2L),
+      ("""{"resolved":[5,0]}""", 1L, 1L)), 1L)
+    assert(e.state.stage == Stage.Run)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      e.processBatch(frame(
+        ("""{"update":{"score":7},"key":[1],"ts":[6,1]}""", 0L, 3L),
+        ("""{"resolved":[8,0]}""", 0L, 4L),
+        ("""{"resolved":[8,0]}""", 1L, 2L)), 2L)
+      // listener events post asynchronously; they flush in
+      // milliseconds — this only needs them all counted before the
+      // assertion reads the total
+      Thread.sleep(1500)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(users(e)(1L) == (("a", 7)))
+    assert(jobs.get() <= 10,
+      s"marginal batch ran ${jobs.get()} jobs — the fixed floor regressed")
+  }
+
   test("blocked-keys filter broadcasts while small, shuffles above the size gate") {
     val root = Files.createTempDirectory("graft-kf").toString
     val e = mkEngine(root)
