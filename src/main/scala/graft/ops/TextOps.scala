@@ -56,4 +56,64 @@ object TextOps {
     */
   def tokenEstimate(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+"), lit(0))).cast("long")
+
+  /** Fraction of word w-shingle occurrences that are repeats of an
+    * earlier occurrence within the same document: (n - distinct) / n.
+    * Exact integer ratio (one IEEE division) so the SQL twin matches
+    * bit-for-bit.
+    */
+  def dupShingleFrac(toks: Column, w: Int): Column = {
+    val g = wordShingles(toks, w)
+    (size(g) - size(array_distinct(g))).cast("double") /
+      nullif(size(g).cast("double"), lit(0.0d))
+  }
+
+  /** Occurrence count of the single most frequent token, as a
+    * run-length maximum folded over the SORTED token array — per-row
+    * column math, no explode and no shuffle, unlike the natural
+    * groupBy formulation (which the DuckDB twin uses; equal results,
+    * different plans — the whole point at 100 TB).
+    */
+  def topTokenCount(toks: Column): Column = {
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best"))
+    aggregate(
+      array_sort(toks), zero,
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** Intra-document repetition metrics (Gopher-style repetition
+    * filters): duplicate 2-/3-gram occurrence fractions and the share
+    * of tokens taken by the most frequent token. Adds dup_2gram_frac,
+    * dup_3gram_frac, top_token_frac. Scan-parallel.
+    */
+  def withRepetitionStats(df: DataFrame, text: Column): DataFrame = {
+    val df2 = df.withColumn("__toks", tokens(text))
+    df2.withColumn("dup_2gram_frac", dupShingleFrac(col("__toks"), 2))
+      .withColumn("dup_3gram_frac", dupShingleFrac(col("__toks"), 3))
+      .withColumn("top_token_frac",
+        topTokenCount(col("__toks")).cast("double") /
+          nullif(size(col("__toks")).cast("double"), lit(0.0d)))
+      .drop("__toks")
+  }
+
+  /** Corpus-level n-gram heavy hitters (boilerplate detector): the
+    * topK most frequent word w-shingles with occurrence and document
+    * frequencies. One shuffle on the shingle (count_distinct carries
+    * the doc_id set through the partial aggregate; at extreme scale
+    * swap for approx_count_distinct) and a top-k sort over the
+    * aggregated — already collapsed — key space.
+    */
+  def topNgrams(df: DataFrame, id: Column, text: Column, w: Int,
+      topK: Int): DataFrame =
+    df.select(id.as("__id"), explode(wordShingles(tokens(text), w)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"), count_distinct(col("__id")).as("df"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(topK)
 }

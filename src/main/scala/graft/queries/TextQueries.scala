@@ -31,6 +31,11 @@ object TextQueries {
   private val RowsPerBand = 8
   private val MinhashJaccard = 0.95
 
+  // Gopher-style repetition-filter thresholds (≈p80/p90 of the
+  // corpus — non-degenerate verdict), shared with the SQL twin
+  private val RepDup2Max = 0.05
+  private val RepTopTokMax = 0.13
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("doc_token_stats",
@@ -398,6 +403,54 @@ object TextQueries {
         col("lang"), col("doc_id"), Map("en" -> 37), defaultPercent = 11)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // Gopher-style intra-document repetition metrics + filter verdict.
+    // Spark computes the top-token count as a run-length fold over the
+    // sorted token array (scan-parallel, no explode); the oracle uses
+    // the natural unnest+groupBy — same numbers, different plans.
+    QueryDef("doc_repetition_filter",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |g AS (SELECT doc_id, w,
+         |  list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+         |  list_transform(range(1, len(w)-1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3 FROM t),
+         |e AS (SELECT doc_id, unnest(w) AS tok FROM t),
+         |c AS (SELECT doc_id, tok, count(*) AS c FROM e GROUP BY 1, 2),
+         |m AS (SELECT doc_id, max(c) AS mx, sum(c) AS n FROM c GROUP BY 1),
+         |r AS (SELECT g.doc_id,
+         |  CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+         |    / nullif(CAST(len(g2) AS DOUBLE), 0.0) AS dup_2gram_frac,
+         |  CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+         |    / nullif(CAST(len(g3) AS DOUBLE), 0.0) AS dup_3gram_frac,
+         |  CAST(m.mx AS DOUBLE) / nullif(CAST(m.n AS DOUBLE), 0.0)
+         |    AS top_token_frac
+         |  FROM g JOIN m ON g.doc_id = m.doc_id)
+         |SELECT doc_id, dup_2gram_frac, dup_3gram_frac, top_token_frac,
+         |  (dup_2gram_frac <= $RepDup2Max AND top_token_frac <= $RepTopTokMax)
+         |    AS kept
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.withRepetitionStats(load(s, d, "documents"), col("text"))
+        .withColumn("kept",
+          col("dup_2gram_frac") <= RepDup2Max &&
+            col("top_token_frac") <= RepTopTokMax)
+        .select("doc_id", "dup_2gram_frac", "dup_3gram_frac",
+          "top_token_frac", "kept")
+        .orderBy("doc_id")
+    },
+
+    // corpus-level 3-gram heavy hitters (boilerplate detection):
+    // occurrence + document frequency, top 20
+    QueryDef("doc_top_ngrams",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+         |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngram FROM t),
+         |c AS (SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS df
+         |  FROM g GROUP BY 1)
+         |SELECT ngram, n, df FROM c ORDER BY n DESC, ngram LIMIT 20""".stripMargin) {
+      (s, d) =>
+        TextOps.topNgrams(load(s, d, "documents"), col("doc_id"), col("text"),
+          w = 3, topK = 20)
     },
 
     // multimodal plumbing: binary payload + stubbed decode metadata
