@@ -96,4 +96,35 @@ object PipelineOps {
       pmod(portableHash(concat(stratum, lit(":"), id.cast("string"))),
         lit(100L)) < rate)
   }
+
+  /** Temperature-balanced sampling (multilingual-corpus rebalancing):
+    * stratum weights w_s = ⌊√n_s⌋ (temperature α = 0.5), overall
+    * target = num/den of the corpus, per-stratum keep rate
+    * min(1, target·w_s / (Σw · n_s)) expressed in parts-per-million.
+    * Rates are computed driver-side in BigInt over the O(#strata)
+    * count table — exact, no overflow at any corpus size — and applied
+    * as a broadcast-joined pure hash filter, so the data-sized pass is
+    * scan-parallel (no per-stratum ranking, which would shuffle the
+    * corpus into #strata giant partitions).
+    */
+  def temperatureSample(df: DataFrame, stratum: Column, id: Column,
+      num: Long, den: Long): DataFrame = {
+    val counts = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+    val target = BigInt(counts.map(_._2).sum) * num / den
+    val weights = counts.map { case (s, n) =>
+      (s, n, BigInt(math.sqrt(n.toDouble).toLong)) }
+    val sumW = weights.map(_._3).sum
+    val ppm = weights.map { case (s, n, w) =>
+      val r = BigInt(1000000) * target * w / (sumW * n)
+      (s, r.min(BigInt(1000000)).toLong)
+    }.toMap
+    val rateCol = ppm.foldLeft(lit(0L)) {
+      case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("rate_ppm", rateCol)
+      .filter(
+        pmod(portableHash(concat(stratum, lit(":"), id.cast("string"))),
+          lit(1000000L)) < col("rate_ppm"))
+  }
 }

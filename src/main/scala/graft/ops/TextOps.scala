@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.GraftFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines. All pure
@@ -100,6 +101,31 @@ object TextOps {
         topTokenCount(col("__toks")).cast("double") /
           nullif(size(col("__toks")).cast("double"), lit(0.0d)))
       .drop("__toks")
+  }
+
+  /** Per-document TF-IDF top-k terms. The score is the exact rational
+    * tf·N/df evaluated as one IEEE division (integer numerator stays
+    * below 2⁵³ for any realistic tf·corpus product), so ranking is
+    * engine-reproducible with a (score desc, term) tie-break. Plan:
+    * explode → (doc,term) count (one shuffle; the per-(doc,term) rows
+    * double as the distinct carrier, so document frequency is a plain
+    * count over them — no count_distinct expand) → term-keyed join →
+    * per-doc window for the top-k. `nDocs` arrives precomputed (the
+    * caller usually already knows it; recounting would add a job).
+    */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column, nDocs: Long,
+      k: Int): DataFrame = {
+    val tf = df.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        (col("tf") * lit(nDocs)).cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
   }
 
   /** Corpus-level n-gram heavy hitters (boilerplate detector): the

@@ -453,6 +453,48 @@ object TextQueries {
           w = 3, topK = 20)
     },
 
+    // per-document TF-IDF top terms; score = tf·N/df as one exact
+    // IEEE division so both engines rank identically
+    QueryDef("doc_tfidf_topterms",
+      s"""WITH e AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT doc_id, term, tf, df,
+         |  CAST(tf * n.n AS DOUBLE) / CAST(df AS DOUBLE) AS score
+         |  FROM tf JOIN dfreq USING (term), n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY score DESC, term) AS rank FROM sc)
+         |SELECT doc_id, term, tf, df, score, rank FROM r
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      val docs = load(s, d, "documents")
+      TextOps.tfidfTopTerms(docs, col("doc_id"), col("text"),
+        nDocs = docs.count(), k = 3)
+        .orderBy("doc_id", "rank")
+    },
+
+    // temperature-balanced sampling (α = 0.5, target 1/4 of the
+    // corpus): per-language ppm rates from exact integer math, applied
+    // as a pure hash filter
+    QueryDef("doc_temperature_sample",
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+         |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS wl FROM c),
+         |s AS (SELECT CAST(sum(wl) AS HUGEINT) AS sw,
+         |  CAST(sum(n) AS HUGEINT) AS total FROM w),
+         |r AS (SELECT lang, CAST(least(
+         |    (CAST(1000000 AS HUGEINT) * ((total * 1) // 4) * wl) // (sw * n),
+         |    1000000) AS BIGINT) AS rate_ppm FROM w, s)
+         |SELECT d.doc_id, d.lang, r.rate_ppm FROM documents d
+         |JOIN r USING (lang)
+         |WHERE ${sqlPhash("lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |  < r.rate_ppm
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      graft.ops.PipelineOps.temperatureSample(load(s, d, "documents"),
+        col("lang"), col("doc_id"), num = 1, den = 4)
+        .select("doc_id", "lang", "rate_ppm")
+        .orderBy("doc_id")
+    },
+
     // multimodal plumbing: binary payload + stubbed decode metadata
     QueryDef("mm_binary_meta",
       s"""SELECT doc_id,
