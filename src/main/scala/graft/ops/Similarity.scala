@@ -152,6 +152,31 @@ object Similarity {
         struct(col("dist2"), col("cell"))).as("m"))
       .select(col("id"), col("m.vec").as("vec"), col("m.cell").as("cell"))
 
+  /** Lloyd's k-means over quantized vectors: `iters` rounds of
+    * centroid aggregation → nearest-centroid reassignment, starting
+    * from the seed assignment in `cell`. Each round's centroid table
+    * is collected to the driver (O(#cells) — the coarse-quantizer
+    * codebook, never data-sized) and re-emitted as a local relation,
+    * which both feeds the broadcast side of the next assignment pass
+    * and cuts the iteration lineage; the data-sized work per round is
+    * one scan-shaped pass whose argmin collapses map-side
+    * ([[ivfAssign]]). Centroids stay exact (integer sums + count), so
+    * assignment — and therefore every subsequent iteration — is
+    * engine-reproducible, empty cells simply drop out, and ties break
+    * on cell id.
+    */
+  def kmeans(vecs: DataFrame, iters: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    var assigned = vecs.select(col("id"), col("vec"), col("cell"))
+    for (_ <- 1 to iters) {
+      val cents = ivfCentroids(assigned, "cell")
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+      assigned = ivfAssign(assigned, local)
+    }
+    assigned
+  }
+
   /** Query-side probe list: the `nprobe` nearest cells per query
     * vector (ties by cell id), one output row per (query, probed
     * cell). The window is sound here because the probe set is the

@@ -22,6 +22,8 @@ object EmbQueries {
   private val K = 10
   private val NearDupThreshold = 0.3
   private val NearDupBands = 8
+  private val KmeansK = 8
+  private val KmeansIters = 2
 
   /** Centroid table collected to the driver and re-emitted as a local
     * relation: one row per cell (bounded like partition cardinality),
@@ -218,5 +220,43 @@ object EmbQueries {
         .agg(sum(col("sv") * col("sv")).cast("long").as("centroid_sq_sum"),
           min("n").as("n_vecs"))
         .orderBy("label")
+    },
+
+    // Lloyd's k-means (k = 8, 2 iterations, hash-mod seed): the full
+    // clustering loop behind IVF training / semantic dedup. The oracle
+    // unrolls the iterations as CTE pairs sharing the exact-integer
+    // distance identity, so the trajectory — not just the final
+    // assignment — is pinned across engines.
+    QueryDef("emb_kmeans", {
+      val iters = (1 to KmeansIters).map { i =>
+        val prev = if (i == 1) "a0" else s"a${i - 1}"
+        s"""u$i AS (SELECT a.cell, generate_subscripts(q.e, 1) AS dim,
+           |       unnest(q.e) AS v FROM q JOIN $prev a USING (vec_id)),
+           |c$i AS (SELECT cell, dim, sum(v) AS sv, count(*) AS n
+           |      FROM u$i GROUP BY cell, dim),
+           |cent$i AS (SELECT cell, list(sv ORDER BY dim) AS svec, min(n) AS n
+           |         FROM c$i GROUP BY cell),
+           |d$i AS (SELECT q.vec_id, cent$i.cell,
+           |  (cent$i.n * cent$i.n * list_dot_product(q.e, q.e)
+           |   - 2 * cent$i.n * list_dot_product(q.e, cent$i.svec)
+           |   + list_dot_product(cent$i.svec, cent$i.svec))
+           |  / (cent$i.n * cent$i.n) AS dist2
+           |  FROM q, cent$i),
+           |a$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+           |  FROM d$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $sqlQuant,
+         |a0 AS (SELECT vec_id, vec_id % $KmeansK AS cell FROM q),
+         |$iters
+         |SELECT vec_id, cell FROM a$KmeansIters ORDER BY vec_id""".stripMargin
+    }) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"),
+          pmod(col("vec_id"), lit(KmeansK.toLong)).as("cell"))
+      Similarity.kmeans(vecs, KmeansIters)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy("vec_id")
     })
 }
