@@ -35,6 +35,21 @@ object GraftFunctions {
   def portableHash(s: Column): Column =
     NativeExpressions.portableHashNative(s)
 
+  /** Sampling hash: [[portableHash]] followed by an affine scramble
+    * mod [[PhMod]]. The polynomial hash of short STRUCTURED keys
+    * ("lang:doc_id") is near-constant in its high digits — same
+    * prefix, same length ⇒ values cluster in bands a few thousand
+    * wide — so `portableHash(k) % 10⁶` is far from uniform and a
+    * fine-grained (ppm) sampler fed by it keeps or drops whole
+    * strata. The multiply stretches each band across ~10³ wraps of
+    * the modulus, restoring uniformity at any practical rate
+    * granularity; the product stays below 2⁶³ (PhMod·a ≈ 1.1·10¹⁸).
+    */
+  val SampleA: Long = 1103515245L
+  val SampleB: Long = 12345L
+  def sampleHash(s: Column): Column =
+    (portableHash(s) * SampleA + SampleB) % PhMod
+
   def portableHashHof(s: Column): Column =
     aggregate(
       transform(filter(split(s, ""), c => c =!= lit("")), c => ascii(c).cast("long")),

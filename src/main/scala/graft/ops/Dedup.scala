@@ -243,4 +243,60 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
+
+  /** Connected components of an undirected edge set (near-duplicate
+    * clustering: every document keeps the min doc id of its component
+    * as the canonical representative) by min-label propagation to
+    * fixpoint.
+    *
+    * Scale design: only vertices incident to an edge enter the loop —
+    * isolated documents are trivially their own component and join
+    * back at the end — so the iterated state is pair-set-sized, never
+    * corpus-sized. Each round is one join of the symmetric edge list
+    * against current labels plus a vertex-keyed min; rounds converge
+    * in O(component diameter), and dup clusters are shallow. Each
+    * round's labels are persisted, re-planned over a LogicalRDD leaf
+    * (constant-size plans — the lineage of an unbounded loop would
+    * otherwise grow without bound), and the previous round's cache is
+    * evicted, so a round recomputes nothing upstream. `maxIters` turns
+    * a pathological chain into a hard error, never a silently-partial
+    * clustering. Returns (id, comp); the result rides the final
+    * round's cache — long-lived sessions should
+    * `spark.catalog.clearCache()`-or-unpersist after consuming it.
+    */
+  def connectedComponents(edges: DataFrame, idA: String, idB: String,
+      maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    sym.persist()
+    var cached = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    cached.persist()
+    var labels = cached
+    var it = 0
+    var changed = 1L
+    while (changed > 0) {
+      it += 1
+      require(it <= maxIters,
+        s"connectedComponents did not converge in $maxIters rounds")
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp"))
+      next.persist()
+      changed = next.filter(col("comp") < col("prev")).count()
+      cached.unpersist()
+      cached = next
+      val flat = next.select("id", "comp")
+      labels = flat.sparkSession.createDataFrame(flat.rdd, flat.schema)
+    }
+    sym.unpersist()
+    labels
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.GraftFunctions.{portableHash, tokens}
+import graft.functions.GraftFunctions.{sampleHash, tokens}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -83,7 +83,7 @@ object PipelineOps {
   }
 
   /** Deterministic per-stratum sampling: keep a row iff
-    * portableHash(stratum ":" id) mod 100 < rate(stratum). Pure
+    * sampleHash(stratum ":" id) mod 100 < rate(stratum). Pure
     * filter — scan-parallel, reproducible across engines and runs,
     * and rows never move between strata when rates change.
     */
@@ -93,7 +93,7 @@ object PipelineOps {
       case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
     }
     df.filter(
-      pmod(portableHash(concat(stratum, lit(":"), id.cast("string"))),
+      pmod(sampleHash(concat(stratum, lit(":"), id.cast("string"))),
         lit(100L)) < rate)
   }
 
@@ -124,7 +124,7 @@ object PipelineOps {
     }
     df.withColumn("rate_ppm", rateCol)
       .filter(
-        pmod(portableHash(concat(stratum, lit(":"), id.cast("string"))),
+        pmod(sampleHash(concat(stratum, lit(":"), id.cast("string"))),
           lit(1000000L)) < col("rate_ppm"))
   }
 }

@@ -24,6 +24,12 @@ object TextQueries {
       s"list_filter(string_split($e, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT)))," +
       s" (a, x) -> (a * 31 + x) % $PhMod)"
 
+  /** DuckDB twin of GraftFunctions.sampleHash (scrambled hash for
+    * fine-grained sampling).
+    */
+  private def sqlSampleHash(e: String): String =
+    s"((${sqlPhash(e)}) * $SampleA + $SampleB) % $PhMod"
+
   // 2 bands x 8 rows: P(candidate) = 1-(1-j^8)^2 — sharp at the 0.95
   // verify threshold (0.88 recall) while keeping low-j candidates,
   // and with them the shuffle volume, near zero.
@@ -160,6 +166,66 @@ object TextQueries {
         MinhashK, RowsPerBand, MinhashJaccard)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
         .orderBy("id_a", "id_b")
+    },
+
+    // near-duplicate CLUSTERING: connected components over the minhash
+    // pair graph, every document labeled with its component's min doc
+    // id (the canonical survivor). Spark runs min-label propagation to
+    // fixpoint over the pair-set-sized subgraph; the oracle computes
+    // the same fixpoint as a recursive transitive-closure CTE — two
+    // very different algorithms agreeing pins both.
+    QueryDef("doc_dup_components", {
+      val sigs = (0 until MinhashK).map(j =>
+        s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $MinhashPrime) AS sig_$j")
+        .mkString(",\n  ")
+      val bandSelects = (0 until MinhashK / RowsPerBand).map { b =>
+        val parts = (0 until RowsPerBand)
+          .map(r => s"sig_${b * RowsPerBand + r}").mkString(", ")
+        s"SELECT doc_id, concat_ws(':', '$b', $parts) AS band_key FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(list_transform(
+         |    list_distinct($sqlToks), tok -> ${sqlPhash("tok")})) AS hs
+         |  FROM documents),
+         |u AS (SELECT doc_id, unnest(hs) AS h FROM t),
+         |sig AS (SELECT doc_id,
+         |  $sigs
+         |  FROM u GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_key)
+         |  WHERE a.doc_id < b.doc_id),
+         |e AS (SELECT id_a, id_b
+         |  FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
+         |  WHERE CAST(least(len(ta.hs), len(tb.hs)) AS DOUBLE) >=
+         |        $MinhashJaccard * greatest(len(ta.hs), len(tb.hs))
+         |    AND CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE) /
+         |        nullif(CAST(len(list_distinct(list_concat(ta.hs, tb.hs))) AS DOUBLE), 0.0)
+         |        >= $MinhashJaccard),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+         |  UNION SELECT id_b, id_a FROM e),
+         |reach AS (
+         |  SELECT src AS id, dst AS r FROM sym
+         |  UNION
+         |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+         |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp,
+         |  d.doc_id = coalesce(c.comp, d.doc_id) AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = load(s, d, "documents")
+        .withColumn("hs", Dedup.tokenHashSet(col("text")))
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "hs",
+        MinhashK, RowsPerBand, MinhashJaccard)
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"),
+          (col("doc_id") === coalesce(col("comp"), col("doc_id")))
+            .as("is_canonical"))
+        .orderBy("doc_id")
     },
 
     QueryDef("doc_simhash", {
@@ -396,7 +462,7 @@ object TextQueries {
     // deterministic stratified sampling by language (en 37%, rest 11%)
     QueryDef("doc_sample_stratified",
       s"""SELECT doc_id, lang FROM documents
-         |WHERE ${sqlPhash("lang || ':' || CAST(doc_id AS VARCHAR)")} % 100
+         |WHERE ${sqlSampleHash("lang || ':' || CAST(doc_id AS VARCHAR)")} % 100
          |  < (CASE WHEN lang = 'en' THEN 37 ELSE 11 END)
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.ops.PipelineOps.stratifiedSample(load(s, d, "documents"),
@@ -486,7 +552,7 @@ object TextQueries {
          |    1000000) AS BIGINT) AS rate_ppm FROM w, s)
          |SELECT d.doc_id, d.lang, r.rate_ppm FROM documents d
          |JOIN r USING (lang)
-         |WHERE ${sqlPhash("lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |WHERE ${sqlSampleHash("lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000000
          |  < r.rate_ppm
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       graft.ops.PipelineOps.temperatureSample(load(s, d, "documents"),

@@ -1,0 +1,111 @@
+package graft
+
+import graft.ops.{Dedup, PipelineOps, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** The session-5 corpus operators: repetition metrics, TF-IDF,
+  * temperature sampling, k-means, and connected components. The CC
+  * fixtures exercise the iteration machinery specifically (a long
+  * chain needs several propagation rounds; the oracle-side recursive
+  * CTE cross-checks the real corpus in doc_dup_components).
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chain converges to min id over many rounds") {
+    // 0-1-2-...-9 as a path: diameter 9 forces multiple iterations
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (0L to 9L).map(_ -> 0L).toMap)
+  }
+
+  test("connectedComponents: disjoint components, reversed ids, self-loop") {
+    val edges = Seq((5L, 3L), (3L, 7L), (10L, 11L), (20L, 20L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the self-loop vertex is dropped (no real edge); isolated vertices
+    // are the caller's coalesce(comp, id) responsibility
+    assert(got == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: maxIters trips instead of silent partial") {
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edges, "id_a", "id_b", maxIters = 2)
+    }
+  }
+
+  test("topTokenCount: run-length fold equals groupBy count") {
+    val df = Seq(
+      "a b a c a b",   // a:3
+      "x",             // x:1
+      "",              // empty -> 0
+      "t t t t"        // t:4
+    ).toDF("text")
+    val got = df.select(
+      TextOps.topTokenCount(graft.functions.GraftFunctions.tokens(col("text"))))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 1L, 0L, 4L))
+  }
+
+  test("repetition stats: all-repeated doc vs all-distinct doc") {
+    val df = Seq((1L, "a a a a a a"), (2L, "q w e r t y")).toDF("doc_id", "text")
+    val r = TextOps.withRepetitionStats(df, col("text"))
+      .select("doc_id", "dup_2gram_frac", "top_token_frac")
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(1L) == ((5 - 1) / 5.0, 1.0))
+    assert(r(2L) == ((0.0, 1 / 6.0)))
+  }
+
+  test("tfidf: corpus-unique term outranks ubiquitous term") {
+    val df = Seq(
+      (1L, "common rare common"),
+      (2L, "common common zz"),
+      (3L, "common only3")).toDF("doc_id", "text")
+    val top = TextOps.tfidfTopTerms(df, col("doc_id"), col("text"),
+      nDocs = 3, k = 1)
+      .select("doc_id", "term").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(top == Map(1L -> "rare", 2L -> "zz", 3L -> "only3"))
+  }
+
+  test("temperatureSample: flattens stratum shares toward sqrt weights") {
+    // 900 'big' vs 100 'small': a 25% uniform sample keeps 9:1; with
+    // alpha=0.5 the weights are 30:10, so the small stratum's keep
+    // RATE must exceed the big one's
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1 to 100).map(i => (i.toLong + 1000, "small")))
+      .toDF("id", "s")
+    val rates = PipelineOps.temperatureSample(df, col("s"), col("id"),
+      num = 1, den = 4)
+      .groupBy("s").agg(count(lit(1)).as("n"), min("rate_ppm").as("ppm"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val big = rates.find(_._1 == "big").get
+    val small = rates.find(_._1 == "small").get
+    // exact rates: target=250, w=(30,10), sw=40: big 250*30/(40*900)
+    // = 208333 ppm, small 250*10/(40*100) = 625000 ppm
+    assert(big._3 == 208333L && small._3 == 625000L)
+    // sampled counts land near rate*n (hash is ~uniform)
+    assert(math.abs(big._2 - 187L) < 60 && math.abs(small._2 - 62L) < 30)
+  }
+
+  test("kmeans: separable clusters are recovered from a skewed seed") {
+    // two tight blobs on opposite axes; the seed misassigns a third of
+    // blob B into blob A's cell (an exactly-even split would park
+    // Lloyd on the symmetric saddle — identical centroids — which no
+    // k-means escapes deterministically)
+    val vecs = ((0 until 20).map(i =>
+      (i.toLong, Array(1000L + i, 0L, 0L))) ++
+      (0 until 20).map(i => (20L + i, Array(0L, 1000L + i, 0L))))
+      .toDF("id", "vec")
+      .withColumn("cell", when(col("id") < 27, 0L).otherwise(1L))
+    val out = Similarity.kmeans(vecs, iters = 3)
+      .select("id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val blobA = out.filter(_._1 < 20).map(_._2).toSet
+    val blobB = out.filter(_._1 >= 20).map(_._2).toSet
+    assert(blobA.size == 1 && blobB.size == 1 && blobA != blobB)
+  }
+}
