@@ -16,10 +16,13 @@ object Bench {
     "cdc_quorum", "cdc_out_of_order", "cdc_tumbling_window",
     "cdc_salted_agg", "cdc_engine_e2e",
     "doc_token_stats", "doc_fingerprint", "doc_exact_dedup",
-    "doc_simhash", "doc_dedup_minhash", "doc_curation_pipeline",
-    "doc_pii_redact", "doc_decontaminate", "doc_pack_greedy",
-    "doc_sample_stratified", "mm_image_meta",
-    "emb_knn_brute", "emb_lsh_buckets", "emb_ivf_knn", "emb_near_dup")
+    "doc_simhash", "doc_dedup_minhash", "doc_dup_components",
+    "doc_curation_pipeline", "doc_repetition_filter", "doc_top_ngrams",
+    "doc_tfidf_topterms", "doc_pii_redact", "doc_decontaminate",
+    "doc_pack_greedy", "doc_sample_stratified", "doc_temperature_sample",
+    "mm_image_meta",
+    "emb_knn_brute", "emb_lsh_buckets", "emb_ivf_knn", "emb_kmeans",
+    "emb_near_dup")
 
   /** One tiny engine run (2 partitions, 4 changes + 2 heartbeats) to
     * compile the engine's plan shapes before measurement.

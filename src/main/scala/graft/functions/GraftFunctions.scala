@@ -78,15 +78,31 @@ object GraftFunctions {
 
   /** Word w-shingles of a token array: positions 0..n-w joined by a
     * single space. Empty array when there are fewer than w tokens.
+    *
+    * Built by zipping w shifted slices of the array so `toks` is only
+    * ever a DIRECT CHILD of slice/zip_with — evaluated once per row —
+    * and never captured inside a lambda: interpreted higher-order
+    * lambdas re-evaluate captured expressions per ELEMENT, which made
+    * the previous element_at formulation quadratic when callers passed
+    * tokens(text) inline (19× on the top-ngrams bench). zip_with pads
+    * the shorter side with null and concat null-propagates, so the
+    * w-1 tail positions collapse to null and one filter drops them
+    * (n < w ⇒ all null ⇒ empty).
     */
-  def wordShingles(toks: Column, w: Int): Column =
-    when(size(toks) >= w,
-      transform(
-        sequence(lit(0), size(toks) - lit(w)),
-        i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + lit(o + 1))): _*)))
-      .otherwise(array().cast("array<string>"))
+  def wordShingles(toks: Column, w: Int): Column = {
+    val shingled = (1 until w).foldLeft(toks) { (acc, o) =>
+      zip_with(acc,
+        slice(toks, lit(o + 1), greatest(size(toks) - o, lit(0))),
+        (x, y) => concat(x, lit(" "), y))
+    }
+    // null toks stays an empty array (the pre-rewrite contract)
+    coalesce(filter(shingled, x => x.isNotNull), array().cast("array<string>"))
+  }
 
-  /** Character n-grams of a string (positions 1..len-n+1). */
+  /** Character n-grams of a string (positions 1..len-n+1). The lambda
+    * captures `s` — pass a bound column, not a computed expression
+    * (see [[wordShingles]] for why).
+    */
   def charNgrams(s: Column, n: Int): Column =
     when(length(s) >= n,
       transform(sequence(lit(1), length(s) - lit(n - 1)), i => substring(s, i, lit(n))))

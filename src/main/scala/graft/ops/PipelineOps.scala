@@ -50,7 +50,9 @@ object PipelineOps {
   def decontaminate(df: DataFrame, id: Column, text: Column,
       isEval: Column, w: Int): DataFrame = {
     val base = df.select(id.as("__id"), isEval.as("__eval"),
-      Dedup.shingleHashes(tokens(text), w).as("__sh"))
+        tokens(text).as("__t"))
+      .select(col("__id"), col("__eval"),
+        Dedup.shingleHashes(col("__t"), w).as("__sh"))
     val exploded = base.select(col("__id"), col("__eval"),
       explode(col("__sh")).as("__h"))
     val evalHashes = exploded.filter(col("__eval"))

@@ -137,7 +137,8 @@ object TextOps {
     */
   def topNgrams(df: DataFrame, id: Column, text: Column, w: Int,
       topK: Int): DataFrame =
-    df.select(id.as("__id"), explode(wordShingles(tokens(text), w)).as("ngram"))
+    df.select(id.as("__id"), tokens(text).as("__t"))
+      .select(col("__id"), explode(wordShingles(col("__t"), w)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n"), count_distinct(col("__id")).as("df"))
       .orderBy(col("n").desc, col("ngram"))
