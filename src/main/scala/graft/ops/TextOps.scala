@@ -128,6 +128,32 @@ object TextOps {
       .select("doc_id", "term", "tf", "df", "score", "rank")
   }
 
+  /** Exact discrete quantiles of an integer-domain column per group,
+    * by value histogram: the corpus collapses to (group × distinct
+    * value) rows in one combiner-friendly shuffle, and the quantile
+    * selection runs over that tiny table — never a per-group sort of
+    * the data (the way window-rank percentiles would shuffle and sort
+    * the full corpus into #groups partitions). Quantiles are exact
+    * rationals num/den; the selected element is the smallest value
+    * whose cumulative count reaches ⌈q·n⌉ — pure integer math, so any
+    * engine agrees. Returns one row per group: n plus one `p_<name>`
+    * column per quantile.
+    */
+  def discQuantiles(df: DataFrame, group: Column, value: Column,
+      qs: Seq[(String, Int, Int)]): DataFrame = {
+    val hist = df.groupBy(group.as("grp"), value.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("grp").orderBy("v")
+    val wAll = Window.partitionBy("grp")
+    val cum = hist.withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+    val aggs = max("n").as("n") +: qs.map { case (name, num, den) =>
+      min(when(col("cum") * den >= col("n") * num, col("v")))
+        .as(s"p_$name")
+    }
+    cum.groupBy("grp").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Corpus-level n-gram heavy hitters (boilerplate detector): the
     * topK most frequent word w-shingles with occurrence and document
     * frequencies. One shuffle on the shingle (count_distinct carries

@@ -561,6 +561,28 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // exact per-language length quantiles via value histogram: the
+    // corpus collapses to (lang × distinct length) in one shuffle and
+    // selection is pure integer math — never a per-group full sort
+    QueryDef("doc_length_quantiles",
+      """WITH h AS (SELECT lang AS grp, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cm AS (SELECT grp, v, c,
+        |  CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum,
+        |  CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n FROM h)
+        |SELECT grp AS lang, max(n) AS n,
+        |  min(CASE WHEN cum * 2 >= n * 1 THEN v END) AS p_50,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p_90,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS p_99
+        |FROM cm GROUP BY grp ORDER BY lang""".stripMargin) { (s, d) =>
+      TextOps.discQuantiles(load(s, d, "documents"), col("lang"),
+        col("n_chars"),
+        Seq(("50", 1, 2), ("90", 9, 10), ("99", 99, 100)))
+        .select(col("grp").as("lang"), col("n"), col("p_50"), col("p_90"),
+          col("p_99"))
+        .orderBy("lang")
+    },
+
     // multimodal plumbing: binary payload + stubbed decode metadata
     QueryDef("mm_binary_meta",
       s"""SELECT doc_id,

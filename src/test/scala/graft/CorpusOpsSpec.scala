@@ -91,6 +91,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(big._2 - 187L) < 60 && math.abs(small._2 - 62L) < 30)
   }
 
+  test("discQuantiles: histogram selection matches hand-computed ranks") {
+    // group a: values 1..10 once each — p50 is the 5th (=5), p90 the
+    // 9th (=9), p99 the 10th (=10); group b: 99 ones and a single 100
+    val rows = (1 to 10).map(v => ("a", v.toLong)) ++
+      (1 to 99).map(_ => ("b", 1L)) :+ ("b", 100L)
+    val df = rows.toDF("g", "v")
+    val got = TextOps.discQuantiles(df, col("g"), col("v"),
+      Seq(("50", 1, 2), ("90", 9, 10), ("99", 99, 100)))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((10L, 5L, 9L, 10L)))
+    assert(got("b") == ((100L, 1L, 1L, 1L)))
+  }
+
   test("kmeans: separable clusters are recovered from a skewed seed") {
     // two tight blobs on opposite axes; the seed misassigns a third of
     // blob B into blob A's cell (an exactly-even split would park
