@@ -281,10 +281,11 @@ object Dedup {
         .select(col("src"), col("src").as("dst")))
     symSelf.persist()
     // the self-loop rows ARE the vertex set: initial labels ride the
-    // same cache
+    // same cache, and counting them both materializes the edge cache
+    // and lets round 1 broadcast instead of sort-merge-joining twice
     var labels: DataFrame = symSelf.filter(col("src") === col("dst"))
       .select(col("src").as("id"), col("src").as("comp"))
-    var labelRows = -1L // unknown until the first round materializes
+    var labelRows = labels.count()
     var cached: DataFrame = null // the persisted round behind `labels`
     var it = 0
     var prevSum: Option[java.math.BigDecimal] = None
