@@ -99,6 +99,37 @@ object PipelineOps {
         lit(100L)) < rate)
   }
 
+  /** Context-length chunking: split each document's token sequence
+    * into windows of `window` tokens advancing by `stride` (overlap =
+    * window − stride), the way corpora are cut for a context-bounded
+    * model. Emits (chunk_id, chunk_start, n_chunk_tokens, chunk_text)
+    * per window; a final short window is kept iff it starts inside
+    * the sequence (the standard drop-nothing policy). Pure
+    * projection + one explode — scan-parallel, no shuffle; the token
+    * array is bound to a column BEFORE the window lambdas so
+    * interpreted HOF evaluation cannot re-tokenize per element.
+    */
+  def chunk(df: DataFrame, text: Column, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val bound = df.withColumn("__toks", tokens(text))
+    // window starts: 0, stride, 2·stride, … < n (an empty doc gets no
+    // chunks); sequence() is inclusive, so step back when n lands on
+    // a stride boundary
+    val n = size(col("__toks"))
+    val starts = when(n > 0, sequence(lit(0),
+      ((n - 1) / stride).cast("int") * stride, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    bound
+      .withColumn("chunk_start", explode(starts))
+      .withColumn("chunk_toks",
+        slice(col("__toks"), col("chunk_start") + 1, lit(window)))
+      .withColumn("chunk_id", (col("chunk_start") / stride).cast("long"))
+      .withColumn("n_chunk_tokens", size(col("chunk_toks")).cast("long"))
+      .withColumn("chunk_text", concat_ws(" ", col("chunk_toks")))
+      .drop("__toks", "chunk_toks")
+  }
+
   /** Temperature-balanced sampling (multilingual-corpus rebalancing):
     * stratum weights w_s = ⌊√n_s⌋ (temperature α = 0.5), overall
     * target = num/den of the corpus, per-stratum keep rate

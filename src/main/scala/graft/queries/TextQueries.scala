@@ -561,6 +561,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // context-length chunking: 32-token windows, stride 24 (8-token
+    // overlap), final short window kept — pure projection + explode,
+    // scan-parallel
+    QueryDef("doc_chunk",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |s AS (SELECT doc_id, w, unnest(CASE WHEN len(w) > 0
+         |    THEN range(0, ((len(w)-1)//24)*24 + 1, 24) ELSE [] END) AS cs
+         |  FROM t)
+         |SELECT doc_id, cs AS chunk_start, CAST(cs // 24 AS BIGINT) AS chunk_id,
+         |  CAST(len(w[cs+1:cs+32]) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(w[cs+1:cs+32], ' ') AS chunk_text
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      graft.ops.PipelineOps.chunk(load(s, d, "documents"), col("text"),
+        window = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_start"), col("chunk_id"),
+          col("n_chunk_tokens"), col("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // exact per-language length quantiles via value histogram: the
     // corpus collapses to (lang × distinct length) in one shuffle and
     // selection is pure integer math — never a per-group full sort

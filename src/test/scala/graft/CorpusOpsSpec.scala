@@ -129,6 +129,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("b") == ((100L, 1L, 1L, 1L)))
   }
 
+  test("chunk: stride boundaries, short tail, empty doc") {
+    val df = Seq(
+      (1L, (1 to 24).map(i => s"t$i").mkString(" ")), // exactly one stride
+      (2L, (1 to 25).map(i => s"t$i").mkString(" ")), // 1-token tail chunk
+      (3L, "")).toDF("doc_id", "text")
+    val got = PipelineOps.chunk(df, col("text"), window = 32, stride = 24)
+      .select("doc_id", "chunk_id", "n_chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 24L), (2L, 0L, 25L), (2L, 1L, 1L)))
+  }
+
   test("kmeans: separable clusters are recovered from a skewed seed") {
     // two tight blobs on opposite axes; the seed misassigns a third of
     // blob B into blob A's cell (an exactly-even split would park
