@@ -267,8 +267,10 @@ object Dedup {
     * diameter), and dup clusters are shallow near-cliques. `maxIters`
     * (far above any real diameter) turns a pathological chain into a
     * hard error, never a silently-partial clustering. Returns
-    * (id, comp); the result rides the final round's cache —
-    * long-lived sessions should unpersist after consuming it.
+    * (id, comp) as the final round's PERSISTED frame, so long-lived
+    * sessions can `result.unpersist()` after consuming it (returning
+    * the loop's LogicalRDD wrapper instead would make that a no-op
+    * and leak the cache for the session).
     */
   def connectedComponents(edges: DataFrame, idA: String, idB: String,
       maxIters: Int = 25, broadcastRows: Long = 4000000L): DataFrame = {
@@ -323,6 +325,6 @@ object Dedup {
       labels = spark.createDataFrame(next.rdd, next.schema)
     }
     symSelf.unpersist()
-    labels
+    cached
   }
 }

@@ -142,8 +142,10 @@ object PipelineOps {
     */
   def temperatureSample(df: DataFrame, stratum: Column, id: Column,
       num: Long, den: Long): DataFrame = {
+    // a null stratum can't equi-match a rate key below — those rows
+    // keep rate 0 (excluded), and the null group must not NPE here
     val counts = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+      .collect().flatMap(r => Option(r.get(0)).map(s => (s.toString, r.getLong(1))))
     val target = BigInt(counts.map(_._2).sum) * num / den
     val weights = counts.map { case (s, n) =>
       (s, n, BigInt(math.sqrt(n.toDouble).toLong)) }

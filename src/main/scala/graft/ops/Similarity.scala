@@ -156,25 +156,38 @@ object Similarity {
     * centroid aggregation → nearest-centroid reassignment, starting
     * from the seed assignment in `cell`. Each round's centroid table
     * is collected to the driver (O(#cells) — the coarse-quantizer
-    * codebook, never data-sized) and re-emitted as a local relation,
-    * which both feeds the broadcast side of the next assignment pass
-    * and cuts the iteration lineage; the data-sized work per round is
-    * one scan-shaped pass whose argmin collapses map-side
-    * ([[ivfAssign]]). Centroids stay exact (integer sums + count), so
-    * assignment — and therefore every subsequent iteration — is
-    * engine-reproducible, empty cells simply drop out, and ties break
-    * on cell id.
+    * codebook, never data-sized) and re-emitted as a local relation
+    * feeding the broadcast side of the next assignment pass; each
+    * round's assignment is persisted, materialized, re-planned over a
+    * LogicalRDD leaf, and the previous round's cache evicted — without
+    * that, round i's centroid collect would recompute assignment
+    * passes 1..i−1 from the source and the loop would pay
+    * O(iters²) corpus scans instead of two passes per round. The
+    * data-sized work per round is one scan-shaped pass whose argmin
+    * collapses map-side ([[ivfAssign]]). Centroids stay exact
+    * (integer sums + count), so assignment — and therefore every
+    * subsequent iteration — is engine-reproducible, empty cells
+    * simply drop out, and ties break on cell id. Returns the final
+    * round's PERSISTED frame: callers in long-lived sessions can
+    * `result.unpersist()` after consuming it.
     */
   def kmeans(vecs: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "kmeans needs at least one iteration")
     val spark = vecs.sparkSession
     var assigned = vecs.select(col("id"), col("vec"), col("cell"))
+    var cached: DataFrame = null
     for (_ <- 1 to iters) {
       val cents = ivfCentroids(assigned, "cell")
       val local = spark.createDataFrame(
         java.util.Arrays.asList(cents.collect(): _*), cents.schema)
-      assigned = ivfAssign(assigned, local)
+      val next = ivfAssign(assigned, local)
+      next.persist()
+      next.count() // materialize BEFORE dropping the cache it reads
+      if (cached != null) cached.unpersist()
+      cached = next
+      assigned = spark.createDataFrame(next.rdd, next.schema)
     }
-    assigned
+    cached
   }
 
   /** Query-side probe list: the `nprobe` nearest cells per query

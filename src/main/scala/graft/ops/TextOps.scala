@@ -141,7 +141,11 @@ object TextOps {
     */
   def discQuantiles(df: DataFrame, group: Column, value: Column,
       qs: Seq[(String, Int, Int)]): DataFrame = {
-    val hist = df.groupBy(group.as("grp"), value.as("v"))
+    // nulls are excluded (the aggregate convention) — also keeps the
+    // cumulative window deterministic across engines, whose null
+    // orderings differ (Spark NULLS FIRST vs DuckDB NULLS LAST)
+    val hist = df.filter(value.isNotNull)
+      .groupBy(group.as("grp"), value.as("v"))
       .agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy("grp").orderBy("v")
     val wAll = Window.partitionBy("grp")

@@ -42,6 +42,13 @@ object TextQueries {
   private val RepDup2Max = 0.05
   private val RepTopTokMax = 0.13
 
+  // temperature-sample target ratio and chunking geometry, shared
+  // with the SQL twins (literals in only one place by construction)
+  private val TempNum = 1
+  private val TempDen = 4
+  private val ChunkWindow = 32
+  private val ChunkStride = 24
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("doc_token_stats",
@@ -491,7 +498,7 @@ object TextQueries {
          |    / nullif(CAST(len(g3) AS DOUBLE), 0.0) AS dup_3gram_frac,
          |  CAST(m.mx AS DOUBLE) / nullif(CAST(m.n AS DOUBLE), 0.0)
          |    AS top_token_frac
-         |  FROM g JOIN m ON g.doc_id = m.doc_id)
+         |  FROM g LEFT JOIN m ON g.doc_id = m.doc_id)
          |SELECT doc_id, dup_2gram_frac, dup_3gram_frac, top_token_frac,
          |  (dup_2gram_frac <= $RepDup2Max AND top_token_frac <= $RepTopTokMax)
          |    AS kept
@@ -548,7 +555,8 @@ object TextQueries {
          |s AS (SELECT CAST(sum(wl) AS HUGEINT) AS sw,
          |  CAST(sum(n) AS HUGEINT) AS total FROM w),
          |r AS (SELECT lang, CAST(least(
-         |    (CAST(1000000 AS HUGEINT) * ((total * 1) // 4) * wl) // (sw * n),
+         |    (CAST(1000000 AS HUGEINT) * ((total * $TempNum) // $TempDen) * wl)
+         |      // (sw * n),
          |    1000000) AS BIGINT) AS rate_ppm FROM w, s)
          |SELECT d.doc_id, d.lang, r.rate_ppm FROM documents d
          |JOIN r USING (lang)
@@ -556,7 +564,7 @@ object TextQueries {
          |  < r.rate_ppm
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       graft.ops.PipelineOps.temperatureSample(load(s, d, "documents"),
-        col("lang"), col("doc_id"), num = 1, den = 4)
+        col("lang"), col("doc_id"), num = TempNum.toLong, den = TempDen.toLong)
         .select("doc_id", "lang", "rate_ppm")
         .orderBy("doc_id")
     },
@@ -567,14 +575,16 @@ object TextQueries {
     QueryDef("doc_chunk",
       s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
          |s AS (SELECT doc_id, w, unnest(CASE WHEN len(w) > 0
-         |    THEN range(0, ((len(w)-1)//24)*24 + 1, 24) ELSE [] END) AS cs
+         |    THEN range(0, ((len(w)-1)//$ChunkStride)*$ChunkStride + 1,
+         |               $ChunkStride) ELSE [] END) AS cs
          |  FROM t)
-         |SELECT doc_id, cs AS chunk_start, CAST(cs // 24 AS BIGINT) AS chunk_id,
-         |  CAST(len(w[cs+1:cs+32]) AS BIGINT) AS n_chunk_tokens,
-         |  array_to_string(w[cs+1:cs+32], ' ') AS chunk_text
+         |SELECT doc_id, cs AS chunk_start,
+         |  CAST(cs // $ChunkStride AS BIGINT) AS chunk_id,
+         |  CAST(len(w[cs+1:cs+$ChunkWindow]) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(w[cs+1:cs+$ChunkWindow], ' ') AS chunk_text
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
       graft.ops.PipelineOps.chunk(load(s, d, "documents"), col("text"),
-        window = 32, stride = 24)
+        window = ChunkWindow, stride = ChunkStride)
         .select(col("doc_id"), col("chunk_start"), col("chunk_id"),
           col("n_chunk_tokens"), col("chunk_text"))
         .orderBy("doc_id", "chunk_id")
@@ -585,7 +595,7 @@ object TextQueries {
     // selection is pure integer math — never a per-group full sort
     QueryDef("doc_length_quantiles",
       """WITH h AS (SELECT lang AS grp, n_chars AS v, count(*) AS c
-        |  FROM documents GROUP BY 1, 2),
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
         |cm AS (SELECT grp, v, c,
         |  CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum,
         |  CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n FROM h)

@@ -129,6 +129,15 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("b") == ((100L, 1L, 1L, 1L)))
   }
 
+  test("temperatureSample: a null stratum neither NPEs nor is sampled") {
+    val df = (Seq(("x", 1L), ("x", 2L), ("x", 3L), ("x", 4L)) :+
+      ((null: String, 99L))).toDF("s", "id")
+    val out = PipelineOps.temperatureSample(df, col("s"), col("id"),
+      num = 1, den = 1)
+    // num=den keeps every non-null stratum at the 1e6 ppm clamp
+    assert(out.collect().map(_.getLong(1)).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("chunk: stride boundaries, short tail, empty doc") {
     val df = Seq(
       (1L, (1 to 24).map(i => s"t$i").mkString(" ")), // exactly one stride
