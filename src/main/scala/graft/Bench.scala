@@ -11,7 +11,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_topk", "q5_regional_revenue",
     "q_window_running", "q_topk_orders", "q_distinct_agg", "q_setops",
-    "q_rollup",
+    "q_rollup", "q_pivot", "q_funnel",
     "cdc_parse_project", "cdc_checkpoint_filter", "cdc_lww_merge",
     "cdc_quorum", "cdc_out_of_order", "cdc_tumbling_window",
     "cdc_salted_agg", "cdc_engine_e2e",

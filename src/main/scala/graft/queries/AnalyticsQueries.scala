@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries {
 
+  /** Order years present at every scale factor (pivot column set —
+    * part of the operator definition, shared with the SQL twin).
+    */
+  private val PivotYears: Seq[Int] = 1995 to 2001
+
+  /** Funnel step window: 7 days in µs. Per-user events in the
+    * synthetic corpus are days apart, so this keeps the step
+    * constraint binding (150 → 144 → 132 at sf0.01) — an unbounded
+    * funnel converts everyone and checks nothing.
+    */
+  private val FunnelWindowUs: Long = 7L * 86400L * 1000000L
+
   val all: Seq[QueryDef] = Seq(
 
     // pricing summary: wide aggregation with decimal-exact sums
@@ -312,5 +324,77 @@ object AnalyticsQueries {
           countDistinct("l_suppkey").as("n_supps"),
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")
+    },
+
+    // pivot: per-nation revenue spread across order years as columns
+    // (Spark's relational pivot; the oracle is the equivalent
+    // conditional aggregation). Exact cents, nation table broadcast,
+    // one shuffle on the group key.
+    QueryDef("q_pivot", {
+      val cols = PivotYears.map(y =>
+        s"CAST(sum(CASE WHEN yr = $y THEN tp END) * 100 AS BIGINT) AS y$y")
+        .mkString(",\n  ")
+      s"""WITH j AS (SELECT n_name, year(o_orderdate) AS yr,
+         |  CAST(o_totalprice AS DECIMAL(18,2)) AS tp
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey)
+         |SELECT n_name,
+         |  $cols
+         |FROM j GROUP BY n_name ORDER BY n_name""".stripMargin
+    }) { (s, d) =>
+      load(s, d, "orders")
+        .join(load(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(load(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), year(col("o_orderdate")).as("yr"),
+          col("o_totalprice").cast("decimal(18,2)").as("tp"))
+        .groupBy("n_name")
+        .pivot("yr", PivotYears)
+        .agg(sum(col("tp")))
+        .select(col("n_name") +: PivotYears.map(y =>
+          (col(y.toString) * 100).cast("long").as(s"y$y")): _*)
+        .orderBy("n_name")
+    },
+
+    // event funnel: signup → click-within-7d → purchase-within-7d,
+    // each step strictly after the user's previous step; per-step
+    // user counts. Three conditional min-aggregations joined on
+    // user_id — the standard declarative funnel (no per-user
+    // sequential scan); the step window keeps the constraint binding.
+    QueryDef("q_funnel",
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS step_us
+         |  FROM events),
+         |s1 AS (SELECT user_id, min(step_us) AS t1 FROM e
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(step_us) AS t2 FROM e
+         |  JOIN s1 USING (user_id)
+         |  WHERE event_type = 'click' AND step_us > t1
+         |    AND step_us <= t1 + $FunnelWindowUs GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(step_us) AS t3 FROM e
+         |  JOIN s2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND step_us > t2
+         |    AND step_us <= t2 + $FunnelWindowUs GROUP BY 1)
+         |SELECT count(*) AS n_signup,
+         |  (SELECT count(*) FROM s2) AS n_then_click,
+         |  (SELECT count(*) FROM s3) AS n_then_purchase
+         |FROM s1""".stripMargin) { (s, d) =>
+      val ev = load(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("step_us"))
+      def step(prev: org.apache.spark.sql.DataFrame, evType: String,
+          tPrev: String, tOut: String) =
+        ev.join(prev, "user_id")
+          .filter(col("event_type") === evType &&
+            col("step_us") > col(tPrev) &&
+            col("step_us") <= col(tPrev) + FunnelWindowUs)
+          .groupBy("user_id").agg(min("step_us").as(tOut))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("step_us").as("t1"))
+      val s2 = step(s1, "click", "t1", "t2")
+      val s3 = step(s2, "purchase", "t2", "t3")
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .agg(count("t1").as("n_signup"), count("t2").as("n_then_click"),
+          count("t3").as("n_then_purchase"))
     })
 }
