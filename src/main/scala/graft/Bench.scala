@@ -22,7 +22,7 @@ object Bench {
     "doc_pack_greedy", "doc_sample_stratified", "doc_temperature_sample",
     "doc_length_quantiles", "doc_chunk", "mm_image_meta",
     "emb_knn_brute", "emb_lsh_buckets", "emb_ivf_knn", "emb_kmeans",
-    "emb_near_dup")
+    "emb_near_dup", "emb_semantic_dedup")
 
   /** One tiny engine run (2 partitions, 4 changes + 2 heartbeats) to
     * compile the engine's plan shapes before measurement.

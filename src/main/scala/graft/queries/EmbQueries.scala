@@ -54,6 +54,34 @@ object EmbQueries {
     s"(CASE WHEN list_dot_product(e, $w) > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" +\n  ")
 
+  /** DuckDB twin of Similarity.kmeans seeded by vec_id % k: CTEs
+    * a0 (seed) through a<KmeansIters> (final assignment), each
+    * iteration a centroid aggregation + exact-integer-identity argmin.
+    * Shared by emb_kmeans and emb_semantic_dedup.
+    */
+  private val sqlKmeansCtes: String = {
+    val iters = (1 to KmeansIters).map { i =>
+      val prev = if (i == 1) "a0" else s"a${i - 1}"
+      s"""u$i AS (SELECT a.cell, generate_subscripts(q.e, 1) AS dim,
+         |       unnest(q.e) AS v FROM q JOIN $prev a USING (vec_id)),
+         |c$i AS (SELECT cell, dim, sum(v) AS sv, count(*) AS n
+         |      FROM u$i GROUP BY cell, dim),
+         |cent$i AS (SELECT cell, list(sv ORDER BY dim) AS svec, min(n) AS n
+         |         FROM c$i GROUP BY cell),
+         |d$i AS (SELECT q.vec_id, cent$i.cell,
+         |  (cent$i.n * cent$i.n * list_dot_product(q.e, q.e)
+         |   - 2 * cent$i.n * list_dot_product(q.e, cent$i.svec)
+         |   + list_dot_product(cent$i.svec, cent$i.svec))
+         |  / (cent$i.n * cent$i.n) AS dist2
+         |  FROM q, cent$i),
+         |a$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+         |  FROM d$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""a0 AS (SELECT vec_id, vec_id % $KmeansK AS cell FROM q),
+       |$iters""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // brute-force exact top-k (the ANN baseline)
@@ -227,30 +255,11 @@ object EmbQueries {
     // unrolls the iterations as CTE pairs sharing the exact-integer
     // distance identity, so the trajectory — not just the final
     // assignment — is pinned across engines.
-    QueryDef("emb_kmeans", {
-      val iters = (1 to KmeansIters).map { i =>
-        val prev = if (i == 1) "a0" else s"a${i - 1}"
-        s"""u$i AS (SELECT a.cell, generate_subscripts(q.e, 1) AS dim,
-           |       unnest(q.e) AS v FROM q JOIN $prev a USING (vec_id)),
-           |c$i AS (SELECT cell, dim, sum(v) AS sv, count(*) AS n
-           |      FROM u$i GROUP BY cell, dim),
-           |cent$i AS (SELECT cell, list(sv ORDER BY dim) AS svec, min(n) AS n
-           |         FROM c$i GROUP BY cell),
-           |d$i AS (SELECT q.vec_id, cent$i.cell,
-           |  (cent$i.n * cent$i.n * list_dot_product(q.e, q.e)
-           |   - 2 * cent$i.n * list_dot_product(q.e, cent$i.svec)
-           |   + list_dot_product(cent$i.svec, cent$i.svec))
-           |  / (cent$i.n * cent$i.n) AS dist2
-           |  FROM q, cent$i),
-           |a$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
-           |  FROM d$i) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
+    QueryDef("emb_kmeans",
       s"""WITH $sqlQuant,
-         |a0 AS (SELECT vec_id, vec_id % $KmeansK AS cell FROM q),
-         |$iters
+         |$sqlKmeansCtes
          |SELECT vec_id, cell FROM a$KmeansIters ORDER BY vec_id""".stripMargin
-    }) { (s, d) =>
+    ) { (s, d) =>
       val vecs = load(s, d, "embeddings")
         .select(col("vec_id").as("id"),
           Similarity.quantize(col("embedding")).as("vec"),
@@ -258,5 +267,39 @@ object EmbQueries {
       Similarity.kmeans(vecs, KmeansIters)
         .select(col("id").as("vec_id"), col("cell"))
         .orderBy("vec_id")
+    },
+
+    // SemDeDup-style semantic dedup: near-duplicate pairs blocked by
+    // the LEARNED k-means cell (composition of emb_kmeans and the
+    // banded-LSH pair machinery) instead of a given label — the shape
+    // a pipeline uses when no labels exist. Shuffles on (cell, band);
+    // never quadratic in the corpus.
+    QueryDef("emb_semantic_dedup", {
+      val bitsPerBand = Planes / NearDupBands
+      val mask = (1L << bitsPerBand) - 1L
+      val bandMatch = (0 until NearDupBands).map { bd =>
+        s"((a.bucket >> ${bd * bitsPerBand}) & $mask) = " +
+          s"((b.bucket >> ${bd * bitsPerBand}) & $mask)"
+      }.mkString("(", "\n  OR ", ")")
+      s"""WITH $sqlQuant,
+         |$sqlKmeansCtes,
+         |bb AS (SELECT q.vec_id, ak.cell, q.e,
+         |  CAST($sqlBucketTerms AS BIGINT) AS bucket
+         |  FROM q JOIN a$KmeansIters ak USING (vec_id))
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round($sqlCos, 6) AS sim
+         |FROM bb a JOIN bb b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  AND $bandMatch
+         |WHERE $sqlCos >= $NearDupThreshold
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"),
+          pmod(col("vec_id"), lit(KmeansK.toLong)).as("cell"))
+      val assigned = Similarity.kmeans(vecs, KmeansIters)
+      Similarity.nearDupPairsLsh(assigned, "cell", NearDupThreshold,
+        Planes, Dims, NearDupBands)
+        .orderBy("id_a", "id_b")
     })
 }
