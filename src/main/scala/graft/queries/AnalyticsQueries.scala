@@ -363,8 +363,8 @@ object AnalyticsQueries {
     // user_id — the standard declarative funnel (no per-user
     // sequential scan); the step window keeps the constraint binding.
     QueryDef("q_funnel",
-      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS step_us
-         |  FROM events),
+      s"""WITH e AS (SELECT user_id, event_type,
+         |  ${OracleDefs.EventStepUs} AS step_us FROM events),
          |s1 AS (SELECT user_id, min(step_us) AS t1 FROM e
          |  WHERE event_type = 'signup' GROUP BY 1),
          |s2 AS (SELECT e.user_id, min(step_us) AS t2 FROM e
@@ -381,7 +381,7 @@ object AnalyticsQueries {
          |FROM s1""".stripMargin) { (s, d) =>
       val ev = load(s, d, "events")
         .select(col("user_id"), col("event_type"),
-          expr("ts div 1000").as("step_us"))
+          Tables.stepUs.as("step_us"))
       def step(prev: org.apache.spark.sql.DataFrame, evType: String,
           tPrev: String, tOut: String) =
         ev.join(prev, "user_id")

@@ -54,6 +54,28 @@ object EmbQueries {
     s"(CASE WHEN list_dot_product(e, $w) > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" +\n  ")
 
+  /** DuckDB twin of the banded-LSH near-dup pair join over a blocked
+    * relation `bb(vec_id, <blockCol>, e, bucket)` — the band
+    * constants are part of the operator definition, kept in ONE
+    * builder so emb_near_dup (given-label blocking) and
+    * emb_semantic_dedup (learned-cell blocking) cannot drift.
+    */
+  private def sqlBandedPairSelect(blockCol: String): String = {
+    val bitsPerBand = Planes / NearDupBands
+    val mask = (1L << bitsPerBand) - 1L
+    val bandMatch = (0 until NearDupBands).map { bd =>
+      s"((a.bucket >> ${bd * bitsPerBand}) & $mask) = " +
+        s"((b.bucket >> ${bd * bitsPerBand}) & $mask)"
+    }.mkString("(", "\n  OR ", ")")
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round($sqlCos, 6) AS sim
+       |FROM bb a JOIN bb b ON a.$blockCol = b.$blockCol
+       |  AND a.vec_id < b.vec_id
+       |  AND $bandMatch
+       |WHERE $sqlCos >= $NearDupThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** DuckDB twin of Similarity.kmeans seeded by vec_id % k: CTEs
     * a0 (seed) through a<KmeansIters> (final assignment), each
     * iteration a centroid aggregation + exact-integer-identity argmin.
@@ -120,23 +142,12 @@ object EmbQueries {
     // DEFINITION (deterministic hyperplanes), so the oracle reproduces
     // it bit-for-bit — and the Spark plan shuffles on (label, band)
     // instead of going quadratic in the hottest label.
-    QueryDef("emb_near_dup", {
-      val bitsPerBand = Planes / NearDupBands
-      val mask = (1L << bitsPerBand) - 1L
-      val bandMatch = (0 until NearDupBands).map { bd =>
-        s"((a.bucket >> ${bd * bitsPerBand}) & $mask) = " +
-          s"((b.bucket >> ${bd * bitsPerBand}) & $mask)"
-      }.mkString("(", "\n  OR ", ")")
+    QueryDef("emb_near_dup",
       s"""WITH $sqlQuant,
          |bb AS (SELECT vec_id, label, e,
          |  CAST($sqlBucketTerms AS BIGINT) AS bucket FROM q)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round($sqlCos, 6) AS sim
-         |FROM bb a JOIN bb b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  AND $bandMatch
-         |WHERE $sqlCos >= $NearDupThreshold
-         |ORDER BY id_a, id_b""".stripMargin
-    }) { (s, d) =>
+         |${sqlBandedPairSelect("label")}""".stripMargin
+    ) { (s, d) =>
       val vecs = load(s, d, "embeddings")
         .select(col("label"), col("vec_id").as("id"),
           Similarity.quantize(col("embedding")).as("vec"))
@@ -274,25 +285,14 @@ object EmbQueries {
     // banded-LSH pair machinery) instead of a given label — the shape
     // a pipeline uses when no labels exist. Shuffles on (cell, band);
     // never quadratic in the corpus.
-    QueryDef("emb_semantic_dedup", {
-      val bitsPerBand = Planes / NearDupBands
-      val mask = (1L << bitsPerBand) - 1L
-      val bandMatch = (0 until NearDupBands).map { bd =>
-        s"((a.bucket >> ${bd * bitsPerBand}) & $mask) = " +
-          s"((b.bucket >> ${bd * bitsPerBand}) & $mask)"
-      }.mkString("(", "\n  OR ", ")")
+    QueryDef("emb_semantic_dedup",
       s"""WITH $sqlQuant,
          |$sqlKmeansCtes,
          |bb AS (SELECT q.vec_id, ak.cell, q.e,
          |  CAST($sqlBucketTerms AS BIGINT) AS bucket
          |  FROM q JOIN a$KmeansIters ak USING (vec_id))
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round($sqlCos, 6) AS sim
-         |FROM bb a JOIN bb b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  AND $bandMatch
-         |WHERE $sqlCos >= $NearDupThreshold
-         |ORDER BY id_a, id_b""".stripMargin
-    }) { (s, d) =>
+         |${sqlBandedPairSelect("cell")}""".stripMargin
+    ) { (s, d) =>
       val vecs = load(s, d, "embeddings")
         .select(col("vec_id").as("id"),
           Similarity.quantize(col("embedding")).as("vec"),

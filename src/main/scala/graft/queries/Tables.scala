@@ -20,6 +20,13 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Event time in µs: the ns long (nanosAsLong read) truncated to
+    * µs. THE ns→µs mapping — every events-based query must use this
+    * (and [[OracleDefs.EventStepUs]] on the SQL side) so the unit
+    * cannot drift between engines.
+    */
+  def stepUs: org.apache.spark.sql.Column = expr("ts div 1000")
+
   /** The CDC-analog view of `events` (shared by all cdc_* queries):
     *  - elementary stream/partition  = user_id % 8
     *  - position (step, arrival)    = (µs timestamp, event_id)
@@ -30,7 +37,7 @@ object Tables {
     */
   def cdcView(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
-      .withColumn("step_us", expr("ts div 1000"))
+      .withColumn("step_us", stepUs)
       .withColumn("part", pmod(col("user_id"), lit(8)))
       .withColumn("op", when(col("event_type") === "error", 1).otherwise(0))
       .withColumn("has_value",
@@ -43,10 +50,13 @@ object Tables {
   * implementations so the two sides can't drift).
   */
 object OracleDefs {
+  /** DuckDB twin of [[Tables.stepUs]] (ns → µs event time). */
+  val EventStepUs: String = "epoch_us(ts)"
+
   /** DuckDB twin of [[Tables.cdcView]]. */
   val cdcView: String =
-    """cdc AS (
-      |  SELECT event_id, epoch_us(ts) AS step_us, user_id,
+    s"""cdc AS (
+      |  SELECT event_id, $EventStepUs AS step_us, user_id,
       |         user_id % 8 AS part, event_type, value, props,
       |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS op,
       |         (event_type <> 'error' AND event_type <> 'view') AS has_value,
