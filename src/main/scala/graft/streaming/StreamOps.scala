@@ -34,6 +34,20 @@ object StreamOps {
       .groupBy(window(col("ts"), width, slide))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup: keep the first arrival per key, with the
+    * dedup state bounded by the watermark (a key older than the
+    * watermark can be forgotten because any replica of it would be
+    * dropped as late anyway). This is the streaming form of the batch
+    * doc_exact_dedup — the state-store analog of the hash shuffle —
+    * and the standard front gate of a continuously-ingesting corpus
+    * pipeline.
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      watermark: String, keyCols: String*): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class SessionInput(userId: Long, tsUs: Long)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(userId: Long, startUs: Long, endUs: Long,

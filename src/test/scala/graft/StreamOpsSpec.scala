@@ -32,6 +32,28 @@ class StreamOpsSpec extends SparkSpec {
       ("2024-01-01 11:00:00", "view", 1L)))
   }
 
+  test("streaming dedup keeps the first arrival per key across batches") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val docs = in.toDF().toDF("ts", "content_hash", "doc_id")
+    val q = StreamOps.dedupWithinWatermark(docs, "ts", "1 hour", "content_hash")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    in.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "h1", 1L),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), "h2", 2L))
+    q.processAllAvailable()
+    // a later micro-batch re-delivers h1 within the watermark
+    in.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "h1", 3L),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), "h3", 4L))
+    q.processAllAvailable()
+    val kept = spark.table("dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept == Set(1L, 2L, 4L)) // doc 3 (duplicate of h1) dropped
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gaps") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[SessionInput]
