@@ -11,7 +11,9 @@ object PlanCheck {
       else Seq("q1_pricing_summary", "q3_shipping_topk", "q5_regional_revenue",
         "cdc_checkpoint_filter", "cdc_lww_merge", "doc_dedup_minhash",
         "doc_ngram_jaccard", "emb_near_dup",
-        "emb_knn_brute", "q_anti_join")
+        "emb_knn_brute", "q_anti_join",
+        "q_pivot", "q_funnel", "doc_top_ngrams", "doc_tfidf_topterms",
+        "doc_length_quantiles", "doc_chunk", "doc_repetition_filter")
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)
       val plan = df.queryExecution.explainString(
