@@ -20,7 +20,8 @@ object Bench {
     "doc_curation_pipeline", "doc_repetition_filter", "doc_top_ngrams",
     "doc_tfidf_topterms", "doc_pii_redact", "doc_decontaminate",
     "doc_pack_greedy", "doc_sample_stratified", "doc_temperature_sample",
-    "doc_length_quantiles", "doc_chunk", "mm_image_meta",
+    "doc_length_quantiles", "doc_chunk", "doc_inverted_index",
+    "mm_image_meta",
     "emb_knn_brute", "emb_lsh_buckets", "emb_ivf_knn", "emb_kmeans",
     "emb_near_dup", "emb_semantic_dedup")
 

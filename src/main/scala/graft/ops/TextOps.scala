@@ -158,6 +158,26 @@ object TextOps {
     cum.groupBy("grp").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Range-blocked inverted index: posting lists sharded by doc-id
+    * range (block k holds a term's postings for doc_ids in
+    * [k·blockDocs, (k+1)·blockDocs)). The block key comes from the
+    * doc id itself — scan-parallel, no per-term global sort — so a
+    * head term never concentrates in one task the way a rank-windowed
+    * build would; one (term, block) shuffle with map-side combine and
+    * within-block postings sorted for determinism. This is the shape
+    * a distributed index build actually writes (per-shard posting
+    * blocks); a monolithic per-term posting row would be data-sized
+    * for head terms.
+    */
+  def invertedIndex(df: DataFrame, id: Column, text: Column,
+      blockDocs: Long): DataFrame =
+    df.select(id.as("doc_id"),
+        explode(array_distinct(tokens(text))).as("term"))
+      .withColumn("block_id", expr(s"doc_id div $blockDocs"))
+      .groupBy("term", "block_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+
   /** Corpus-level n-gram heavy hitters (boilerplate detector): the
     * topK most frequent word w-shingles with occurrence and document
     * frequencies. One shuffle on the shingle (count_distinct carries

@@ -48,6 +48,7 @@ object TextQueries {
   private val TempDen = 4
   private val ChunkWindow = 32
   private val ChunkStride = 24
+  private val IndexBlockDocs = 128L
 
   val all: Seq[QueryDef] = Seq(
 
@@ -588,6 +589,24 @@ object TextQueries {
         .select(col("doc_id"), col("chunk_start"), col("chunk_id"),
           col("n_chunk_tokens"), col("chunk_text"))
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // range-blocked inverted index: posting blocks keyed by (term,
+    // doc-id range) — the sharded shape a distributed index build
+    // writes; no per-term global sort
+    QueryDef("doc_inverted_index",
+      s"""WITH t AS (SELECT doc_id,
+         |  unnest(list_distinct($sqlToks)) AS term FROM documents),
+         |b AS (SELECT term, doc_id // $IndexBlockDocs AS block_id, doc_id
+         |  FROM t)
+         |SELECT term, CAST(block_id AS BIGINT) AS block_id,
+         |  count(*) AS n_docs,
+         |  list(doc_id ORDER BY doc_id) AS postings
+         |FROM b GROUP BY 1, 2 ORDER BY term, block_id""".stripMargin) {
+      (s, d) =>
+        TextOps.invertedIndex(load(s, d, "documents"), col("doc_id"),
+          col("text"), blockDocs = IndexBlockDocs)
+          .orderBy("term", "block_id")
     },
 
     // exact per-language length quantiles via value histogram: the
