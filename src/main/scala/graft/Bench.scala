@@ -4,7 +4,9 @@ object Bench {
   /** Headline queries: one representative per operator family.
     * Excluded by design: the redundant pair-op variants
     * (doc_ngram_jaccard, doc_dedup_simhash cover the same machinery as
-    * doc_dedup_minhash) and the correctness-invariant engine replays
+    * doc_dedup_minhash; doc_dup_rate_by_source re-runs
+    * doc_dup_components' pipeline plus a groupBy) and the
+    * correctness-invariant engine replays
     * (cdc_engine_incremental/restart re-run the same engine
     * cdc_engine_e2e measures, several times over).
     */

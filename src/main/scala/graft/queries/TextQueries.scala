@@ -37,6 +37,57 @@ object TextQueries {
   private val RowsPerBand = 8
   private val MinhashJaccard = 0.95
 
+  /** Shared DuckDB MinHash pipeline: shingle-hash sets → K signatures
+    * → band keys → banded candidates → size-prefiltered exact-Jaccard
+    * scores (CTE `mj(id_a, id_b, jac)`), ready for a caller-appended
+    * consumer. One builder so doc_dedup_minhash, doc_dup_components,
+    * and doc_dup_rate_by_source replay the IDENTICAL candidate
+    * generation.
+    */
+  private val sqlMinhashPairCtes: String = {
+    val sigs = (0 until MinhashK).map(j =>
+      s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $MinhashPrime) AS sig_$j")
+      .mkString(",\n  ")
+    val bandSelects = (0 until MinhashK / RowsPerBand).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => s"sig_${b * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, concat_ws(':', '$b', $parts) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""t AS (SELECT doc_id, list_distinct(list_transform(
+       |    list_distinct($sqlToks), tok -> ${sqlPhash("tok")})) AS hs
+       |  FROM documents),
+       |u AS (SELECT doc_id, unnest(hs) AS h FROM t),
+       |sig AS (SELECT doc_id,
+       |  $sigs
+       |  FROM u GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band_key)
+       |  WHERE a.doc_id < b.doc_id),
+       |mj AS (SELECT id_a, id_b,
+       |  CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE) /
+       |    nullif(CAST(len(list_distinct(list_concat(ta.hs, tb.hs))) AS DOUBLE), 0.0)
+       |    AS jac
+       |  FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
+       |  WHERE CAST(least(len(ta.hs), len(tb.hs)) AS DOUBLE) >=
+       |        $MinhashJaccard * greatest(len(ta.hs), len(tb.hs)))""".stripMargin
+  }
+
+  /** Shared DuckDB connected-components tail over the verified pair
+    * set: CTEs e/sym/reach/comp; `comp(id, comp)` is the min-id
+    * component labeling (see doc_dup_components for the contract).
+    */
+  private val sqlComponentCtes: String =
+    s"""e AS (SELECT id_a, id_b FROM mj WHERE jac >= $MinhashJaccard),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+       |  UNION SELECT id_b, id_a FROM e),
+       |reach AS (
+       |  SELECT src AS id, dst AS r FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+       |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)""".stripMargin
+
   // Gopher-style repetition-filter thresholds (≈p80/p90 of the
   // corpus — non-degenerate verdict), shared with the SQL twin
   private val RepDup2Max = 0.05
@@ -137,37 +188,11 @@ object TextQueries {
     // MinHash + LSH banding + exact-Jaccard verification. The oracle
     // replays the whole pipeline (not just the final predicate) so the
     // candidate-generation recall is itself checked.
-    QueryDef("doc_dedup_minhash", {
-      val sigs = (0 until MinhashK).map(j =>
-        s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $MinhashPrime) AS sig_$j")
-        .mkString(",\n  ")
-      val bandSelects = (0 until MinhashK / RowsPerBand).map { b =>
-        val parts = (0 until RowsPerBand)
-          .map(r => s"sig_${b * RowsPerBand + r}").mkString(", ")
-        s"SELECT doc_id, concat_ws(':', '$b', $parts) AS band_key FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH t AS (SELECT doc_id, list_distinct(list_transform(
-         |    list_distinct($sqlToks), tok -> ${sqlPhash("tok")})) AS hs
-         |  FROM documents),
-         |u AS (SELECT doc_id, unnest(hs) AS h FROM t),
-         |sig AS (SELECT doc_id,
-         |  $sigs
-         |  FROM u GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b USING (band_key)
-         |  WHERE a.doc_id < b.doc_id),
-         |j AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE) /
-         |    nullif(CAST(len(list_distinct(list_concat(ta.hs, tb.hs))) AS DOUBLE), 0.0)
-         |    AS jac
-         |  FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
-         |  WHERE CAST(least(len(ta.hs), len(tb.hs)) AS DOUBLE) >=
-         |        $MinhashJaccard * greatest(len(ta.hs), len(tb.hs)))
-         |SELECT id_a, id_b, round(jac, 6) AS jac FROM j
+    QueryDef("doc_dedup_minhash",
+      s"""WITH $sqlMinhashPairCtes
+         |SELECT id_a, id_b, round(jac, 6) AS jac FROM mj
          |WHERE jac >= $MinhashJaccard ORDER BY id_a, id_b""".stripMargin
-    }) { (s, d) =>
+    ) { (s, d) =>
       val docs = load(s, d, "documents")
         .withColumn("hs", Dedup.tokenHashSet(col("text")))
       Dedup.minhashNearDupPairs(docs, "doc_id", "hs",
@@ -182,46 +207,14 @@ object TextQueries {
     // fixpoint over the pair-set-sized subgraph; the oracle computes
     // the same fixpoint as a recursive transitive-closure CTE — two
     // very different algorithms agreeing pins both.
-    QueryDef("doc_dup_components", {
-      val sigs = (0 until MinhashK).map(j =>
-        s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $MinhashPrime) AS sig_$j")
-        .mkString(",\n  ")
-      val bandSelects = (0 until MinhashK / RowsPerBand).map { b =>
-        val parts = (0 until RowsPerBand)
-          .map(r => s"sig_${b * RowsPerBand + r}").mkString(", ")
-        s"SELECT doc_id, concat_ws(':', '$b', $parts) AS band_key FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH RECURSIVE t AS (SELECT doc_id, list_distinct(list_transform(
-         |    list_distinct($sqlToks), tok -> ${sqlPhash("tok")})) AS hs
-         |  FROM documents),
-         |u AS (SELECT doc_id, unnest(hs) AS h FROM t),
-         |sig AS (SELECT doc_id,
-         |  $sigs
-         |  FROM u GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b USING (band_key)
-         |  WHERE a.doc_id < b.doc_id),
-         |e AS (SELECT id_a, id_b
-         |  FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
-         |  WHERE CAST(least(len(ta.hs), len(tb.hs)) AS DOUBLE) >=
-         |        $MinhashJaccard * greatest(len(ta.hs), len(tb.hs))
-         |    AND CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE) /
-         |        nullif(CAST(len(list_distinct(list_concat(ta.hs, tb.hs))) AS DOUBLE), 0.0)
-         |        >= $MinhashJaccard),
-         |sym AS (SELECT id_a AS src, id_b AS dst FROM e
-         |  UNION SELECT id_b, id_a FROM e),
-         |reach AS (
-         |  SELECT src AS id, dst AS r FROM sym
-         |  UNION
-         |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
-         |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)
+    QueryDef("doc_dup_components",
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |$sqlComponentCtes
          |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp,
          |  d.doc_id = coalesce(c.comp, d.doc_id) AS is_canonical
          |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
-    }) { (s, d) =>
+    ) { (s, d) =>
       val docs = load(s, d, "documents")
         .withColumn("hs", Dedup.tokenHashSet(col("text")))
       val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "hs",
@@ -234,6 +227,38 @@ object TextQueries {
           (col("doc_id") === coalesce(col("comp"), col("doc_id")))
             .as("is_canonical"))
         .orderBy("doc_id")
+    },
+
+    // duplication diagnostics: per-source near-dup rate (share of
+    // documents folded under another canonical) — the operator-output
+    // composition a curation team reads to find the polluting source
+    QueryDef("doc_dup_rate_by_source",
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |$sqlComponentCtes,
+         |lab AS (SELECT d.doc_id, d.source,
+         |  coalesce(c.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(count(*) FILTER (comp <> doc_id) AS BIGINT) AS n_dups,
+         |  CAST(count(*) FILTER (comp <> doc_id) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS dup_rate
+         |FROM lab GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      val docs = load(s, d, "documents")
+        .withColumn("hs", Dedup.tokenHashSet(col("text")))
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "hs",
+        MinhashK, RowsPerBand, MinhashJaccard)
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      docs.select(col("doc_id"), col("source"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("is_dup",
+          coalesce(col("comp"), col("doc_id")) =!= col("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+        .withColumn("dup_rate",
+          col("n_dups").cast("double") / col("n_docs").cast("double"))
+        .orderBy("source")
     },
 
     QueryDef("doc_simhash", {
