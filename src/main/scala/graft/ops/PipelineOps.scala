@@ -67,6 +67,37 @@ object PipelineOps {
         coalesce(col("__contaminated"), lit(false)).as("contaminated"))
   }
 
+  /** Gradated decontamination: instead of a boolean, report each
+    * training document's distinct-shingle overlap with the eval set —
+    * n_shingles, n_contaminated, and the exact fraction (the number a
+    * pipeline thresholds to separate verbatim leaks from incidental
+    * n-gram collisions). Same plan skeleton as [[decontaminate]]: the
+    * eval-hash semi-join keyed on the shingle hash, then one count per
+    * document; a zero-shingle document reports null fraction.
+    */
+  def decontaminateFrac(df: DataFrame, id: Column, text: Column,
+      isEval: Column, w: Int): DataFrame = {
+    val base = df.select(id.as("__id"), isEval.as("__eval"),
+        tokens(text).as("__t"))
+      .select(col("__id"), col("__eval"),
+        Dedup.shingleHashes(col("__t"), w).as("__sh"))
+    val exploded = base.select(col("__id"), col("__eval"),
+      explode(col("__sh")).as("__h"))
+    val evalHashes = exploded.filter(col("__eval"))
+      .select(col("__h")).distinct()
+    val hits = exploded.filter(!col("__eval"))
+      .join(evalHashes, Seq("__h"), "left_semi")
+      .groupBy("__id").agg(count(lit(1)).as("n_contaminated"))
+    base.filter(!col("__eval"))
+      .select(col("__id"), size(col("__sh")).cast("long").as("n_shingles"))
+      .join(hits, Seq("__id"), "left")
+      .select(col("__id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated_frac",
+        col("n_contaminated").cast("double") /
+          nullif(col("n_shingles").cast("double"), lit(0.0d)))
+  }
+
   /** Deterministic offset packing of documents into fixed token
     * budgets: within a group (e.g. source), documents are laid out in
     * id order and a document belongs to the pack where its first token

@@ -100,6 +100,7 @@ object TextQueries {
   private val ChunkWindow = 32
   private val ChunkStride = 24
   private val IndexBlockDocs = 128L
+  private val EvalMod = 7
 
   val all: Seq[QueryDef] = Seq(
 
@@ -445,13 +446,16 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
-    // benchmark decontamination: every 97th document is the "eval
-    // set"; a training document is contaminated when it shares any
-    // 8-token shingle with an eval document (the corpus's built-in
-    // near-duplicates make this non-vacuous)
+    // benchmark decontamination: every EvalMod-th document is the
+    // "eval set"; a training document is contaminated when it shares
+    // any 8-token shingle with an eval document. EvalMod = 7: the
+    // corpus's near-duplicates are token-SET overlaps (word salad), so
+    // exact 8-gram hits are rare — a sparser eval set (the old mod 97)
+    // made the verdict vacuous (zero contaminated at sf0.01; mod 7
+    // yields 9 there and 7 at sf0.001)
     QueryDef("doc_decontaminate", {
       val sh8 = (1 to 8).map(o => s"w[i+$o]").mkString(", ")
-      s"""WITH base AS (SELECT doc_id, doc_id % 97 = 0 AS is_eval,
+      s"""WITH base AS (SELECT doc_id, doc_id % $EvalMod = 0 AS is_eval,
          |    $sqlToks AS w FROM documents),
          |sh AS (SELECT doc_id, is_eval, unnest(list_distinct(list_transform(
          |    list_distinct(list_transform(range(0, greatest(len(w) - 7, 0)),
@@ -464,8 +468,36 @@ object TextQueries {
          |FROM base b WHERE NOT b.is_eval ORDER BY b.doc_id""".stripMargin
     }) { (s, d) =>
       graft.ops.PipelineOps.decontaminate(load(s, d, "documents"),
-        col("doc_id"), col("text"), col("doc_id") % 97 === 0, w = 8)
+        col("doc_id"), col("text"), col("doc_id") % EvalMod === 0, w = 8)
         .select(col("__id").as("doc_id"), col("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // gradated decontamination: distinct-shingle overlap counts and
+    // the exact fraction a pipeline thresholds to separate verbatim
+    // leaks from incidental n-gram collisions
+    QueryDef("doc_decontaminate_frac", {
+      val sh8 = (1 to 8).map(o => s"w[i+$o]").mkString(", ")
+      s"""WITH base AS (SELECT doc_id, doc_id % $EvalMod = 0 AS is_eval,
+         |    list_distinct(list_transform(
+         |    list_distinct(list_transform(range(0, greatest(len(w) - 7, 0)
+         |      ), i -> concat_ws(' ', $sh8))), s -> ${sqlPhash("s")})) AS hs
+         |  FROM (SELECT doc_id, $sqlToks AS w FROM documents)),
+         |sh AS (SELECT doc_id, is_eval, unnest(hs) AS h FROM base),
+         |ev AS (SELECT DISTINCT h FROM sh WHERE is_eval),
+         |hits AS (SELECT s.doc_id, count(*) AS n_contaminated
+         |  FROM sh s JOIN ev ON s.h = ev.h WHERE NOT s.is_eval GROUP BY 1)
+         |SELECT b.doc_id, CAST(len(b.hs) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  CAST(coalesce(h.n_contaminated, 0) AS DOUBLE)
+         |    / nullif(CAST(len(b.hs) AS DOUBLE), 0.0) AS contaminated_frac
+         |FROM base b LEFT JOIN hits h USING (doc_id)
+         |WHERE NOT b.is_eval ORDER BY b.doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.ops.PipelineOps.decontaminateFrac(load(s, d, "documents"),
+        col("doc_id"), col("text"), col("doc_id") % EvalMod === 0, w = 8)
+        .select(col("__id").as("doc_id"), col("n_shingles"),
+          col("n_contaminated"), col("contaminated_frac"))
         .orderBy("doc_id")
     },
 
