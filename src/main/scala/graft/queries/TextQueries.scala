@@ -102,6 +102,28 @@ object TextQueries {
   private val IndexBlockDocs = 128L
   private val EvalMod = 7
 
+  /** The synthetic corpus has NO byte-identical documents, so an
+    * exact-dedup verdict over it is vacuous (is_canonical always
+    * true). Like doc_pii_redact's planted PII, the exact-dedup
+    * fixtures replace every DupMod-th document's text with one shared
+    * boilerplate sentence (the real-world analog: template pages),
+    * giving the canonical-selection logic a real duplicate group to
+    * resolve. The sentence passes the curation quality gates (2×
+    * 'the' ⇒ stopword ratio 0.07; 27 tokens; high distinct ratio), so
+    * in the pipeline the planted docs fail ONLY on canonicity.
+    */
+  private val DupMod = 37
+  private val DupSentinel =
+    "the quick brown fox jumps over the lazy dog while zebra owl mole " +
+      "fits nine boxed jugs from my favorite old farm yard gate post lamp"
+  private def plantedDocs(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("text",
+      when(pmod(col("doc_id"), lit(DupMod.toLong)) === 1, lit(DupSentinel))
+        .otherwise(col("text")))
+  private val sqlPlantedDocs: String =
+    s"""planted AS (SELECT * REPLACE (CASE WHEN doc_id % $DupMod = 1
+       |  THEN '$DupSentinel' ELSE text END AS text) FROM documents)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("doc_token_stats",
@@ -177,11 +199,13 @@ object TextQueries {
     },
 
     QueryDef("doc_exact_dedup",
-      """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents)
-        |SELECT doc_id, content_hash,
-        |  doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
-        |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
-      Dedup.exact(load(s, d, "documents"), col("text"), col("doc_id"))
+      s"""WITH $sqlPlantedDocs,
+         |h AS (SELECT doc_id, md5(text) AS content_hash FROM planted)
+         |SELECT doc_id, content_hash,
+         |  doc_id = min(doc_id) OVER (PARTITION BY content_hash) AS is_canonical
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.exact(plantedDocs(load(s, d, "documents")), col("text"),
+        col("doc_id"))
         .select("doc_id", "content_hash", "is_canonical")
         .orderBy("doc_id")
     },
@@ -375,7 +399,8 @@ object TextQueries {
         s"SELECT doc_id, concat_ws(':', '$b', $parts) AS band_key FROM sig"
       }.mkString("\n  UNION ALL\n  ")
       val sw = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
-      s"""WITH base AS (SELECT doc_id, text, $sqlToks AS w FROM documents),
+      s"""WITH $sqlPlantedDocs,
+         |base AS (SELECT doc_id, text, $sqlToks AS w FROM planted),
          |t AS (SELECT doc_id, list_distinct(list_transform(
          |    list_distinct(w), tok -> ${sqlPhash("tok")})) AS hs, w, text
          |  FROM base),
@@ -409,7 +434,7 @@ object TextQueries {
          |   AND (CASE WHEN swr > 0.02 THEN 'en' ELSE 'other' END) = 'en') AS kept
          |FROM m ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      graft.ops.CurationPipeline.curate(load(s, d, "documents"))
+      graft.ops.CurationPipeline.curate(plantedDocs(load(s, d, "documents")))
         .select("doc_id", "is_canonical", "is_near_dup", "n_tokens",
           "predicted_lang", "kept")
         .orderBy("doc_id")
