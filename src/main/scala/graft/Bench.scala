@@ -5,8 +5,9 @@ object Bench {
     * Excluded by design: the redundant pair-op variants
     * (doc_ngram_jaccard, doc_dedup_simhash cover the same machinery as
     * doc_dedup_minhash; doc_dup_rate_by_source re-runs
-    * doc_dup_components' pipeline plus a groupBy) and the
-    * correctness-invariant engine replays
+    * doc_dup_components' pipeline plus a groupBy;
+    * doc_decontaminate_frac re-runs doc_decontaminate's semi-join plus
+    * a per-doc count) and the correctness-invariant engine replays
     * (cdc_engine_incremental/restart re-run the same engine
     * cdc_engine_e2e measures, several times over).
     */

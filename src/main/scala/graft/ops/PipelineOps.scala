@@ -39,6 +39,24 @@ object PipelineOps {
             PhoneRe, "<PHONE>"),
           Ipv4Re, "<IP>"))
 
+  /** Shared decontamination skeleton: per-doc distinct shingle-hash
+    * sets (`base`), their exploded (doc, hash) rows, and the distinct
+    * eval-side hash set — ONE derivation so the boolean and gradated
+    * verdicts cannot disagree about what counts as contamination.
+    */
+  private def contaminationSets(df: DataFrame, id: Column, text: Column,
+      isEval: Column, w: Int): (DataFrame, DataFrame, DataFrame) = {
+    val base = df.select(id.as("__id"), isEval.as("__eval"),
+        tokens(text).as("__t"))
+      .select(col("__id"), col("__eval"),
+        Dedup.shingleHashes(col("__t"), w).as("__sh"))
+    val exploded = base.select(col("__id"), col("__eval"),
+      explode(col("__sh")).as("__h"))
+    val evalHashes = exploded.filter(col("__eval"))
+      .select(col("__h")).distinct()
+    (base, exploded, evalHashes)
+  }
+
   /** Benchmark decontamination: flag every training document that
     * shares at least one word `w`-shingle with any document of the
     * eval set. The shuffle key is the shingle hash — eval-side
@@ -49,14 +67,7 @@ object PipelineOps {
     */
   def decontaminate(df: DataFrame, id: Column, text: Column,
       isEval: Column, w: Int): DataFrame = {
-    val base = df.select(id.as("__id"), isEval.as("__eval"),
-        tokens(text).as("__t"))
-      .select(col("__id"), col("__eval"),
-        Dedup.shingleHashes(col("__t"), w).as("__sh"))
-    val exploded = base.select(col("__id"), col("__eval"),
-      explode(col("__sh")).as("__h"))
-    val evalHashes = exploded.filter(col("__eval"))
-      .select(col("__h")).distinct()
+    val (base, exploded, evalHashes) = contaminationSets(df, id, text, isEval, w)
     val contaminated = exploded.filter(!col("__eval"))
       .join(evalHashes, Seq("__h"), "left_semi")
       .select(col("__id")).distinct()
@@ -77,14 +88,7 @@ object PipelineOps {
     */
   def decontaminateFrac(df: DataFrame, id: Column, text: Column,
       isEval: Column, w: Int): DataFrame = {
-    val base = df.select(id.as("__id"), isEval.as("__eval"),
-        tokens(text).as("__t"))
-      .select(col("__id"), col("__eval"),
-        Dedup.shingleHashes(col("__t"), w).as("__sh"))
-    val exploded = base.select(col("__id"), col("__eval"),
-      explode(col("__sh")).as("__h"))
-    val evalHashes = exploded.filter(col("__eval"))
-      .select(col("__h")).distinct()
+    val (base, exploded, evalHashes) = contaminationSets(df, id, text, isEval, w)
     val hits = exploded.filter(!col("__eval"))
       .join(evalHashes, Seq("__h"), "left_semi")
       .groupBy("__id").agg(count(lit(1)).as("n_contaminated"))

@@ -170,13 +170,17 @@ object TextOps {
     * for head terms.
     */
   def invertedIndex(df: DataFrame, id: Column, text: Column,
-      blockDocs: Long): DataFrame =
+      blockDocs: Long): DataFrame = {
+    // div 0 would silently fold every posting into one NULL block —
+    // the data-sized monolith this operator exists to avoid
+    require(blockDocs > 0, "blockDocs must be positive")
     df.select(id.as("doc_id"),
         explode(array_distinct(tokens(text))).as("term"))
       .withColumn("block_id", expr(s"doc_id div $blockDocs"))
       .groupBy("term", "block_id")
       .agg(count(lit(1)).as("n_docs"),
         sort_array(collect_list(col("doc_id"))).as("postings"))
+  }
 
   /** Corpus-level n-gram heavy hitters (boilerplate detector): the
     * topK most frequent word w-shingles with occurrence and document

@@ -44,15 +44,24 @@ object TextQueries {
     * and doc_dup_rate_by_source replay the IDENTICAL candidate
     * generation.
     */
-  private val sqlMinhashPairCtes: String = {
-    val sigs = (0 until MinhashK).map(j =>
-      s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $MinhashPrime) AS sig_$j")
-      .mkString(",\n  ")
-    val bandSelects = (0 until MinhashK / RowsPerBand).map { b =>
+  /** The K signature aggregates and the per-band key selects — the
+    * candidate-generation core, shared by [[sqlMinhashPairCtes]] AND
+    * doc_curation_pipeline's bespoke twin so band-key handling cannot
+    * drift anywhere.
+    */
+  private val sqlMinhashSigs: String = (0 until MinhashK).map(j =>
+    s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $MinhashPrime) AS sig_$j")
+    .mkString(",\n  ")
+  private val sqlMinhashBandSelects: String =
+    (0 until MinhashK / RowsPerBand).map { b =>
       val parts = (0 until RowsPerBand)
         .map(r => s"sig_${b * RowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, concat_ws(':', '$b', $parts) AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
+
+  private val sqlMinhashPairCtes: String = {
+    val sigs = sqlMinhashSigs
+    val bandSelects = sqlMinhashBandSelects
     s"""t AS (SELECT doc_id, list_distinct(list_transform(
        |    list_distinct($sqlToks), tok -> ${sqlPhash("tok")})) AS hs
        |  FROM documents),
@@ -108,9 +117,11 @@ object TextQueries {
     * fixtures replace every DupMod-th document's text with one shared
     * boilerplate sentence (the real-world analog: template pages),
     * giving the canonical-selection logic a real duplicate group to
-    * resolve. The sentence passes the curation quality gates (2×
-    * 'the' ⇒ stopword ratio 0.07; 27 tokens; high distinct ratio), so
-    * in the pipeline the planted docs fail ONLY on canonicity.
+    * resolve. The sentence passes the curation quality gates (26
+    * tokens ≥ 20; 2× 'the' ⇒ stopword ratio 0.077 ∈ (0.02, 0.5];
+    * high distinct ratio), so in the pipeline the planted docs fail
+    * on canonicity — and, being identical, the non-canonical ones are
+    * flagged near-dup as well — never on a quality gate.
     */
   private val DupMod = 37
   private val DupSentinel =
@@ -390,14 +401,8 @@ object TextQueries {
     // → quality gates → language filter, as one auditable verdict per
     // document
     QueryDef("doc_curation_pipeline", {
-      val sigs = (0 until MinhashK).map(j =>
-        s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $MinhashPrime) AS sig_$j")
-        .mkString(",\n  ")
-      val bandSelects = (0 until MinhashK / RowsPerBand).map { b =>
-        val parts = (0 until RowsPerBand)
-          .map(r => s"sig_${b * RowsPerBand + r}").mkString(", ")
-        s"SELECT doc_id, concat_ws(':', '$b', $parts) AS band_key FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
+      val sigs = sqlMinhashSigs
+      val bandSelects = sqlMinhashBandSelects
       val sw = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
       s"""WITH $sqlPlantedDocs,
          |base AS (SELECT doc_id, text, $sqlToks AS w FROM planted),
