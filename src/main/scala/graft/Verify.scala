@@ -6,8 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional extra args: run only the named queries (local iteration)
+    // optional extra args: run only the named queries (local iteration).
+    // Unknown names fail fast — a typo would otherwise filter the run to
+    // zero queries and exit 0, reading as a green verify.
     val only = args.drop(2).toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

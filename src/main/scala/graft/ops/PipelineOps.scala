@@ -177,24 +177,32 @@ object PipelineOps {
     */
   def temperatureSample(df: DataFrame, stratum: Column, id: Column,
       num: Long, den: Long): DataFrame = {
+    // bind the stratum's string rendering ONCE — the count, the rate
+    // match, and the hash key all read the same column, so a non-string
+    // stratum cannot mis-bucket through divergent implicit casts
+    val bound = df.withColumn("__s", stratum.cast("string"))
     // a null stratum can't equi-match a rate key below — those rows
-    // keep rate 0 (excluded), and the null group must not NPE here
-    val counts = df.groupBy(stratum.as("__s")).agg(count(lit(1)).as("__n"))
-      .collect().flatMap(r => Option(r.get(0)).map(s => (s.toString, r.getLong(1))))
+    // drop out of the inner join (rate 0 semantics)
+    val counts = bound.groupBy("__s").agg(count(lit(1)).as("__n"))
+      .collect().flatMap(r => Option(r.getString(0)).map((_, r.getLong(1))))
     val target = BigInt(counts.map(_._2).sum) * num / den
     val weights = counts.map { case (s, n) =>
       (s, n, BigInt(math.sqrt(n.toDouble).toLong)) }
     val sumW = weights.map(_._3).sum
-    val ppm = weights.map { case (s, n, w) =>
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = weights.toSeq.map { case (s, n, w) =>
       val r = BigInt(1000000) * target * w / (sumW * n)
       (s, r.min(BigInt(1000000)).toLong)
-    }.toMap
-    val rateCol = ppm.foldLeft(lit(0L)) {
-      case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
-    }
-    df.withColumn("rate_ppm", rateCol)
+    }.toDF("__s", "rate_ppm")
+    // the O(#strata) rate table joins in as a broadcast — plan size is
+    // stratum-count-independent, unlike a when-chain that folds every
+    // stratum into one expression and bloats the plan at high
+    // cardinality (domain × lang strata)
+    bound.join(broadcast(rates), Seq("__s"), "inner")
       .filter(
-        pmod(sampleHash(concat(stratum, lit(":"), id.cast("string"))),
+        pmod(sampleHash(concat(col("__s"), lit(":"), id.cast("string"))),
           lit(1000000L)) < col("rate_ppm"))
+      .drop("__s")
   }
 }

@@ -680,7 +680,9 @@ object TextQueries {
 
     // range-blocked inverted index: posting blocks keyed by (term,
     // doc-id range) — the sharded shape a distributed index build
-    // writes; no per-term global sort
+    // writes; no per-term global sort. The array postings are rendered
+    // as a space-joined scalar here (the operator itself keeps the
+    // array) so the driver's hash comparator can sort the column.
     QueryDef("doc_inverted_index",
       s"""WITH t AS (SELECT doc_id,
          |  unnest(list_distinct($sqlToks)) AS term FROM documents),
@@ -688,11 +690,12 @@ object TextQueries {
          |  FROM t)
          |SELECT term, CAST(block_id AS BIGINT) AS block_id,
          |  count(*) AS n_docs,
-         |  list(doc_id ORDER BY doc_id) AS postings
+         |  array_to_string(list(doc_id ORDER BY doc_id), ' ') AS postings
          |FROM b GROUP BY 1, 2 ORDER BY term, block_id""".stripMargin) {
       (s, d) =>
         TextOps.invertedIndex(load(s, d, "documents"), col("doc_id"),
           col("text"), blockDocs = IndexBlockDocs)
+          .withColumn("postings", array_join(col("postings"), " "))
           .orderBy("term", "block_id")
     },
 

@@ -138,6 +138,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(1)).toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("temperatureSample: plan size is stratum-count-independent") {
+    // the rate table is broadcast-joined, not folded into a when-chain,
+    // so 4 strata and 200 strata must optimize to the same plan shape
+    def planNodes(nStrata: Int): Int = {
+      val df = (1 to 1000).map(i => (i.toLong, s"s${i % nStrata}"))
+        .toDF("id", "s")
+      val out = PipelineOps.temperatureSample(df, col("s"), col("id"),
+        num = 1, den = 2)
+      out.queryExecution.optimizedPlan.collect { case p => p }.size
+    }
+    assert(planNodes(4) == planNodes(200))
+  }
+
+  test("temperatureSample: non-string stratum buckets by one rendering") {
+    // integer strata: the count, rate match, and hash key must all see
+    // the same string cast — with EQUAL-size strata and num=den the
+    // rate is exactly 1e6 ppm everywhere, so mis-bucketing (rate 0)
+    // would drop whole strata
+    val df = (1 to 21).map(i => (i.toLong, (i % 3).toLong)).toDF("id", "s")
+    val out = PipelineOps.temperatureSample(df, col("s"), col("id"),
+      num = 1, den = 1)
+    assert(out.count() == 21L)
+    assert(out.select("rate_ppm").distinct().collect()
+      .map(_.getLong(0)).toList == List(1000000L))
+  }
+
   test("chunk: stride boundaries, short tail, empty doc") {
     val df = Seq(
       (1L, (1 to 24).map(i => s"t$i").mkString(" ")), // exactly one stride
