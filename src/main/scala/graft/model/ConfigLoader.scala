@@ -24,9 +24,10 @@ import scala.jdk.CollectionConverters._
   *     problem_strategy: stop     # stop | continue | cmd_queue
   * }}}
   *
-  * The engine applies ONE strategy; per-stream strategies collapse to
-  * the strictest configured (stop > cmd_queue > continue), since a
-  * FATAL on any stream halts the shared transaction pipeline anyway.
+  * Each stream keeps ITS OWN strategy (reference: per-stream
+  * problem_strategy dispatch in the processor): a late change FATALs
+  * the engine only if its stream says stop; a continue stream's late
+  * rows go to the DLQ without halting the others.
   */
 object ConfigLoader {
 
@@ -64,6 +65,16 @@ object ConfigLoader {
       throw new IllegalArgumentException("streams list is empty")
 
     val streams = streamMaps.zipWithIndex.map { case (m, i) =>
+      // verify strategy per stream (config.go
+      // verifyStreamProblemStrategy: empty = stop, unknown = hard error)
+      val strategy = m.get("problem_strategy").map(_.toString.toLowerCase) match {
+        case None | Some("") | Some("stop") => ProblemStrategy.Stop
+        case Some("continue") => ProblemStrategy.Continue
+        case Some("cmd_queue") => ProblemStrategy.CmdQueue
+        case Some(other) =>
+          throw new IllegalArgumentException(
+            s"unknown stream problem strategy '$other'")
+      }
       StreamConfig(
         tableId = i,
         srcPath = m.getOrElse("src_path",
@@ -72,31 +83,14 @@ object ConfigLoader {
         dstTable = m.getOrElse("dst_table",
           throw new IllegalArgumentException(s"stream $i: dst_table required"))
           .toString,
-        partitions = m.get("partitions").map(_.toString.toInt).getOrElse(1))
+        partitions = m.get("partitions").map(_.toString.toInt).getOrElse(1),
+        problemStrategy = Some(strategy))
     }
-
-    // verify + collapse strategies (config.go verifyStreamProblemStrategy:
-    // empty = stop, anything unknown = hard error)
-    val strategies = streamMaps.map { m =>
-      m.get("problem_strategy").map(_.toString.toLowerCase) match {
-        case None | Some("") | Some("stop") => ProblemStrategy.Stop
-        case Some("continue") => ProblemStrategy.Continue
-        case Some("cmd_queue") => ProblemStrategy.CmdQueue
-        case Some(other) =>
-          throw new IllegalArgumentException(
-            s"unknown stream problem strategy '$other'")
-      }
-    }
-    val strategy =
-      if (strategies.contains(ProblemStrategy.Stop)) ProblemStrategy.Stop
-      else if (strategies.contains(ProblemStrategy.CmdQueue)) ProblemStrategy.CmdQueue
-      else ProblemStrategy.Continue
 
     EngineConfig(
       instanceId = instanceId,
       streams = streams,
       dstRoot = dstRoot,
-      problemStrategy = strategy,
       maxBatchSize = num("max_batch_size", 1000L).toInt,
       buckets = num("buckets", 64L).toInt,
       maxExpectedHbIntervalMs = num("max_expected_heartbeat_interval", 0L) * 1000L,

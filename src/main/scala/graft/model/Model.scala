@@ -102,18 +102,23 @@ object ProblemStrategy {
 
 /** One configured source stream (topic analog): a directory (or Kafka
   * topic) of CDC JSON with a known partition count and a destination
-  * table name.
+  * table name. `problemStrategy` is this stream's late-change policy
+  * (reference: per-stream problem_strategy, config.go
+  * verifyStreamProblemStrategy); None inherits
+  * [[EngineConfig.problemStrategy]].
   */
 final case class StreamConfig(
     tableId: Int,
     srcPath: String,
     dstTable: String,
-    partitions: Int)
+    partitions: Int,
+    problemStrategy: Option[ProblemStrategy] = None)
 
 final case class EngineConfig(
     instanceId: String,
     streams: Seq[StreamConfig],
     dstRoot: String,
+    // default late-change policy for streams that don't set their own
     problemStrategy: ProblemStrategy = ProblemStrategy.Stop,
     maxBatchSize: Int = 1000,     // initial-scan per-txn cap
     buckets: Int = 64,            // destination copy-on-write bucket count

@@ -37,6 +37,19 @@ final class CdcEngine(
   private val expectedParts: Set[(Int, Long)] =
     cfg.streams.flatMap(s => (0 until s.partitions)
       .map(p => (s.tableId, p.toLong))).toSet
+  /** Per-stream late-change policy (reference: per-stream
+    * problem_strategy dispatch); a stream without its own setting
+    * inherits the engine default. A tableId outside the configured
+    * streams resolves to Stop — the strict default.
+    */
+  private val strategyByTable: Map[Int, ProblemStrategy] =
+    cfg.streams.map(s =>
+      s.tableId -> s.problemStrategy.getOrElse(cfg.problemStrategy)).toMap
+  private val continueIds: Seq[Int] =
+    strategyByTable.collect { case (t, ProblemStrategy.Continue) => t }.toSeq
+  private val cmdQueueIds: Seq[Int] =
+    strategyByTable.collect { case (t, ProblemStrategy.CmdQueue) => t }.toSeq
+  private val anyCmdQueue: Boolean = cmdQueueIds.nonEmpty
   private val tracker = new HeartbeatTracker(expectedParts)
 
   /** ST6 gauges: when the engine started waiting for a quorum
@@ -131,7 +144,7 @@ final class CdcEngine(
     def writeMalformedDlq(): Unit =
       appendDlq(CdcParser.malformed(parsedCached)
         .withColumn("reason", lit("malformed")))
-    if (cfg.problemStrategy == ProblemStrategy.CmdQueue) writeMalformedDlq()
+    if (anyCmdQueue) writeMalformedDlq()
     var cleanupFn: () => Unit = () => ()
     val releaseCaches = scala.collection.mutable.ListBuffer.empty[() => Unit]
     try {
@@ -207,7 +220,7 @@ final class CdcEngine(
       phase("hb-track")
       // deferred malformed DLQ write — still before emission and any
       // commit
-      if (cfg.problemStrategy != ProblemStrategy.CmdQueue && nMalformed > 0L)
+      if (!anyCmdQueue && nMalformed > 0L)
         writeMalformedDlq()
       // the order gate fires HERE — the materializer full-scanned the
       // observed subtree, and nothing has committed or mutated yet
@@ -543,15 +556,15 @@ final class CdcEngine(
   private case class Resolved(changes: DataFrame, lateGate: () => Unit,
       cleanup: () => Unit)
 
-  /** Blocking read of an Observation metric. Every caller arranges a
-    * FULL-scan action over the observed subtree before reading (a
+  /** Blocking read of an Observation's metrics. Every caller arranges
+    * a FULL-scan action over the observed subtree before reading (a
     * partial scan — limit/isEmpty — would complete the observation
     * with a partial value); the forced count is a never-expected
     * safety net, since Observation offers no public non-blocking
-    * probe.
+    * probe. Returns every metric as a Long (absent/non-numeric = 0).
     */
   private def awaitObserved(obs: org.apache.spark.sql.Observation,
-      observed: DataFrame, metric: String): Long = {
+      observed: DataFrame): Map[String, Long] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -562,7 +575,9 @@ final class CdcEngine(
           observed.agg(count(lit(1))).head()
           obs.get
       }
-    m.get(metric).collect { case x: Number => x.longValue() }.getOrElse(0L)
+    m.map { case (k, v) =>
+      k -> (v match { case x: Number => x.longValue(); case _ => 0L })
+    }
   }
 
   private def lateDlqFrame(late: DataFrame, reason: String): DataFrame =
@@ -570,45 +585,71 @@ final class CdcEngine(
       to_json(struct(col("keyJson"), col("step"), col("txId"))).as("value"))
       .withColumn("reason", lit(reason))
 
+  /** A late row resolves through ITS stream's strategy (per-stream
+    * dispatch, like the reference's processor): continue-stream rows
+    * go to the DLQ, cmd-queue rows consult the command topic, and a
+    * stop-stream row FATALs — a tableId not in the config counts as
+    * stop, the strict default.
+    */
   private def resolveLate(tagged: DataFrame): Resolved =
-    cfg.problemStrategy match {
-      case ProblemStrategy.CmdQueue =>
-        val t = tagged.persist()
-        val late = t.filter(col("isLate"))
-        val cmds = readCommands()
-        val dec = late.join(cmds,
-          late("tableId") === cmds("cmdTableId") &&
-            late("keyJson") === cmds("cmdKey") &&
-            late("step") === cmds("cmdStep") && late("txId") === cmds("cmdTxId"),
-          "left")
-        val undecided = dec.filter(col("action").isNull)
-        if (!undecided.isEmpty) {
-          persistFatal("out-of-order change with no command-queue instruction")
-          throw new IllegalStateException("FATAL: unresolved out-of-order change")
-        }
-        val skipped = dec.filter(col("action") === "skip")
-        appendDlq(lateDlqFrame(skipped, "cmd-skip"))
-        val keepLate = dec.filter(col("action") === "apply")
-          .select(t.columns.map(col): _*)
-        Resolved(t.filter(!col("isLate")).unionByName(keepLate).drop("isLate"),
-          () => (), () => { t.unpersist(); () })
-      case strat =>
-        val obs = org.apache.spark.sql.Observation()
-        val observed = tagged.observe(obs,
-          sum(when(col("isLate"), 1L).otherwise(0L)).as("nLate"))
-        val gate = () => {
-          val n = awaitObserved(obs, observed, "nLate")
-          if (n > 0) {
-            val late = observed.filter(col("isLate"))
-            appendDlq(lateDlqFrame(late, "out-of-order"))
-            if (strat == ProblemStrategy.Stop) {
-              persistFatal("out-of-order change; strategy=stop")
-              throw new IllegalStateException(
-                "FATAL: out-of-order change (strategy=stop)")
-            }
+    if (anyCmdQueue) {
+      // eager path: command resolution must settle before emission
+      // anyway, so the per-class splits run as explicit jobs
+      val t = tagged.persist()
+      val late = t.filter(col("isLate"))
+      val lateCont = late.filter(col("tableId").isInCollection(continueIds))
+      appendDlq(lateDlqFrame(lateCont, "out-of-order"))
+      val lateStop = late.filter(
+        !col("tableId").isInCollection(continueIds ++ cmdQueueIds))
+      if (!lateStop.isEmpty) {
+        appendDlq(lateDlqFrame(lateStop, "out-of-order"))
+        persistFatal("out-of-order change; strategy=stop")
+        t.unpersist()
+        throw new IllegalStateException(
+          "FATAL: out-of-order change (strategy=stop)")
+      }
+      val lateCmd = late.filter(col("tableId").isInCollection(cmdQueueIds))
+      val cmds = readCommands()
+      val dec = lateCmd.join(cmds,
+        lateCmd("tableId") === cmds("cmdTableId") &&
+          lateCmd("keyJson") === cmds("cmdKey") &&
+          lateCmd("step") === cmds("cmdStep") &&
+          lateCmd("txId") === cmds("cmdTxId"),
+        "left")
+      val undecided = dec.filter(col("action").isNull)
+      if (!undecided.isEmpty) {
+        persistFatal("out-of-order change with no command-queue instruction")
+        throw new IllegalStateException("FATAL: unresolved out-of-order change")
+      }
+      val skipped = dec.filter(col("action") === "skip")
+      appendDlq(lateDlqFrame(skipped, "cmd-skip"))
+      val keepLate = dec.filter(col("action") === "apply")
+        .select(t.columns.map(col): _*)
+      Resolved(t.filter(!col("isLate")).unionByName(keepLate).drop("isLate"),
+        () => (), () => { t.unpersist(); () })
+    } else {
+      // optimistic path: ONE Observation carries both the total late
+      // count and the stop-stream late count; the happy path spends
+      // zero extra jobs
+      val stopCond = col("isLate") &&
+        !col("tableId").isInCollection(continueIds)
+      val obs = org.apache.spark.sql.Observation()
+      val observed = tagged.observe(obs,
+        sum(when(col("isLate"), 1L).otherwise(0L)).as("nLate"),
+        sum(when(stopCond, 1L).otherwise(0L)).as("nLateStop"))
+      val gate = () => {
+        val m = awaitObserved(obs, observed)
+        if (m.getOrElse("nLate", 0L) > 0) {
+          val late = observed.filter(col("isLate"))
+          appendDlq(lateDlqFrame(late, "out-of-order"))
+          if (m.getOrElse("nLateStop", 0L) > 0) {
+            persistFatal("out-of-order change; strategy=stop")
+            throw new IllegalStateException(
+              "FATAL: out-of-order change (strategy=stop)")
           }
         }
-        Resolved(observed.filter(!col("isLate")).drop("isLate"), gate, () => ())
+      }
+      Resolved(observed.filter(!col("isLate")).drop("isLate"), gate, () => ())
     }
 
   /** Command topic (S10): JSON lines

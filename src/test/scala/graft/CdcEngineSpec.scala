@@ -316,6 +316,49 @@ class CdcEngineSpec extends SparkSpec {
     assert(users(e).contains(2L))
   }
 
+  test("per-stream strategies: only the stop stream's late change FATALs") {
+    val ordersMeta = TableMeta("orders", StructType(Seq(
+      StructField("id", LongType), StructField("total", IntegerType))), Seq("id"))
+    val root = Files.createTempDirectory("graft-perstream").toString
+    val cfg = EngineConfig("inst1",
+      Seq(
+        StreamConfig(0, s"$root/src0", "users", partitions = 1,
+          problemStrategy = Some(ProblemStrategy.Continue)),
+        StreamConfig(1, s"$root/src1", "orders", partitions = 1,
+          problemStrategy = Some(ProblemStrategy.Stop))),
+      s"$root/dst", buckets = 4)
+    val e = new CdcEngine(spark, cfg, Map(0 -> usersMeta, 1 -> ordersMeta))
+    e.bootstrap()
+    def rows(t: Int, lines: (String, Long, Long)*) =
+      lines.toSeq.toDF("value", "partitionId", "offset")
+        .withColumn("tableId", lit(t))
+
+    // batch 0: a late change on the CONTINUE stream (below its own
+    // partition's in-batch heartbeat) next to a clean stop-stream
+    // update — the noisy stream must not halt the critical one
+    e.processBatch(rows(0,
+      ("""{"resolved":[10,0]}""", 0L, 0L),
+      ("""{"update":{"name":"x"},"key":[1],"ts":[4,1]}""", 0L, 1L))
+      .unionByName(rows(1,
+        ("""{"update":{"total":7},"key":[5],"ts":[11,1]}""", 0L, 0L),
+        ("""{"resolved":[12,0]}""", 0L, 1L))), 0L)
+    assert(e.state.state == EngineState.Ok)
+    val dlq = spark.read.parquet(s"$root/dst/dlq")
+    assert(dlq.filter(col("reason") === "out-of-order").count() == 1)
+    assert(e.readTable("orders").collect().map(_.getAs[Long]("id")).toSet
+      == Set(5L))
+    assert(!users(e).contains(1L))
+
+    // batch 1: a late change on the STOP stream (above the checkpoint,
+    // below its partition's in-batch heartbeat) → FATAL persisted
+    intercept[IllegalStateException] {
+      e.processBatch(rows(1,
+        ("""{"resolved":[20,0]}""", 0L, 2L),
+        ("""{"update":{"total":9},"key":[6],"ts":[15,1]}""", 0L, 3L)), 1L)
+    }
+    assert(e.state.state == EngineState.Fatal)
+  }
+
   test("multi-table transaction: both tables + checkpoint commit atomically, or neither") {
     val ordersMeta = TableMeta("orders", StructType(Seq(
       StructField("id", LongType), StructField("total", IntegerType))), Seq("id"))

@@ -35,11 +35,12 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.maxExpectedHbIntervalMs == 10000L)
     assert(cfg.maxBatchSize == 500 && cfg.buckets == 32)
     assert(cfg.standbyMaxWaitMillis == 1234L)
+    // each stream keeps its own strategy (per-stream dispatch)
     assert(cfg.streams == Seq(
-      StreamConfig(0, "/data/src/events", "users", 8),
-      StreamConfig(1, "/data/src/orders", "orders", 1)))
-    // strictest strategy wins across streams
-    assert(cfg.problemStrategy == ProblemStrategy.Stop)
+      StreamConfig(0, "/data/src/events", "users", 8,
+        Some(ProblemStrategy.Continue)),
+      StreamConfig(1, "/data/src/orders", "orders", 1,
+        Some(ProblemStrategy.Stop))))
   }
 
   test("load reads from a file") {
@@ -56,13 +57,13 @@ class ConfigLoaderSpec extends AnyFunSuite {
         |  - src_path: /s
         |    dst_table: t
         |""".stripMargin)
-    assert(cfg.problemStrategy == ProblemStrategy.Stop)
+    assert(cfg.streams.head.problemStrategy.contains(ProblemStrategy.Stop))
     assert(cfg.streams.head.partitions == 1)
     assert(cfg.maxExpectedHbIntervalMs == 0L)
     assert(!cfg.multipleInstancesMode)
   }
 
-  test("cmd_queue beats continue when no stream says stop") {
+  test("mixed strategies survive the load unfused") {
     val cfg = ConfigLoader.parse(
       """instance_id: a
         |dst_root: /d
@@ -70,7 +71,8 @@ class ConfigLoaderSpec extends AnyFunSuite {
         |  - {src_path: /s1, dst_table: t1, problem_strategy: continue}
         |  - {src_path: /s2, dst_table: t2, problem_strategy: cmd_queue}
         |""".stripMargin)
-    assert(cfg.problemStrategy == ProblemStrategy.CmdQueue)
+    assert(cfg.streams.map(_.problemStrategy) == Seq(
+      Some(ProblemStrategy.Continue), Some(ProblemStrategy.CmdQueue)))
   }
 
   test("unknown strategy / missing fields are hard errors") {
