@@ -197,4 +197,30 @@ object TextOps {
       .agg(count(lit(1)).as("n"), count_distinct(col("__id")).as("df"))
       .orderBy(col("n").desc, col("ngram"))
       .limit(topK)
+
+  /** Approximate-df variant of [[topNgrams]] — the extreme-scale form
+    * the exact operator's comment promises. Document frequency is
+    * estimated from a deterministic 1-in-`rate` hash sample of doc
+    * ids (df_approx = rate · |distinct sampled ids|): the sample
+    * condition is a pure function of the id, so the estimate is
+    * reproducible across engines and runs — unlike an HLL sketch —
+    * while the per-ngram distinct state shrinks by the sample rate
+    * (the reason approximate counting exists at 100 TB; relative
+    * error ~ 1/sqrt(df/rate) on the head terms that matter here).
+    * Ranking stays on the EXACT occurrence count, so the emitted
+    * top-k rows match [[topNgrams]].
+    */
+  def topNgramsApprox(df: DataFrame, id: Column, text: Column, w: Int,
+      topK: Int, rate: Int): DataFrame = {
+    require(rate > 0, "rate must be positive")
+    df.select(id.as("__id"), tokens(text).as("__t"))
+      .select(col("__id"), explode(wordShingles(col("__t"), w)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"),
+        (count_distinct(when(
+          pmod(sampleHash(col("__id").cast("string")), lit(rate.toLong)) === 0,
+          col("__id"))) * rate).as("df_approx"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(topK)
+  }
 }

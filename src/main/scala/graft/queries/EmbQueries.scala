@@ -104,6 +104,27 @@ object EmbQueries {
        |$iters""".stripMargin
   }
 
+  /** DuckDB twin of the IVF coarse assignment (label-seeded centroids,
+    * exact-integer distance identity, ties by cell) — ONE builder for
+    * emb_ivf_knn / emb_ivf_knn_nprobe2 / emb_ivf_recall.
+    */
+  private val sqlIvfAssignCtes =
+    """u AS (SELECT label, generate_subscripts(e, 1) AS dim,
+      |       unnest(e) AS v FROM q),
+      |c AS (SELECT label AS cell, dim, sum(v) AS sv, count(*) AS n
+      |      FROM u GROUP BY label, dim),
+      |cent AS (SELECT cell, list(sv ORDER BY dim) AS svec, min(n) AS n
+      |         FROM c GROUP BY cell),
+      |d AS (SELECT q.vec_id, cent.cell,
+      |  (cent.n * cent.n * list_dot_product(q.e, q.e)
+      |   - 2 * cent.n * list_dot_product(q.e, cent.svec)
+      |   + list_dot_product(cent.svec, cent.svec))
+      |  / (cent.n * cent.n) AS dist2
+      |  FROM q, cent),
+      |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+      |  FROM d) WHERE rn = 1)""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // brute-force exact top-k (the ANN baseline)
@@ -162,21 +183,7 @@ object EmbQueries {
     // shuffles once on cell id and no cross product forms
     QueryDef("emb_ivf_knn",
       s"""WITH $sqlQuant,
-         |u AS (SELECT label, generate_subscripts(e, 1) AS dim,
-         |       unnest(e) AS v FROM q),
-         |c AS (SELECT label AS cell, dim, sum(v) AS sv, count(*) AS n
-         |      FROM u GROUP BY label, dim),
-         |cent AS (SELECT cell, list(sv ORDER BY dim) AS svec, min(n) AS n
-         |         FROM c GROUP BY cell),
-         |d AS (SELECT q.vec_id, cent.cell,
-         |  (cent.n * cent.n * list_dot_product(q.e, q.e)
-         |   - 2 * cent.n * list_dot_product(q.e, cent.svec)
-         |   + list_dot_product(cent.svec, cent.svec))
-         |  / (cent.n * cent.n) AS dist2
-         |  FROM q, cent),
-         |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
-         |  FROM d) WHERE rn = 1),
+         |$sqlIvfAssignCtes,
          |qa AS (SELECT q.vec_id, q.e, a.cell FROM q JOIN assign a USING (vec_id)),
          |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, $sqlCos AS sim
          |  FROM qa a JOIN qa b ON a.cell = b.cell AND b.vec_id <> a.vec_id
@@ -202,21 +209,7 @@ object EmbQueries {
     // cell), so the oracle reproduces the candidate set bit-for-bit.
     QueryDef("emb_ivf_knn_nprobe2",
       s"""WITH $sqlQuant,
-         |u AS (SELECT label, generate_subscripts(e, 1) AS dim,
-         |       unnest(e) AS v FROM q),
-         |c AS (SELECT label AS cell, dim, sum(v) AS sv, count(*) AS n
-         |      FROM u GROUP BY label, dim),
-         |cent AS (SELECT cell, list(sv ORDER BY dim) AS svec, min(n) AS n
-         |         FROM c GROUP BY cell),
-         |d AS (SELECT q.vec_id, cent.cell,
-         |  (cent.n * cent.n * list_dot_product(q.e, q.e)
-         |   - 2 * cent.n * list_dot_product(q.e, cent.svec)
-         |   + list_dot_product(cent.svec, cent.svec))
-         |  / (cent.n * cent.n) AS dist2
-         |  FROM q, cent),
-         |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
-         |  FROM d) WHERE rn = 1),
+         |$sqlIvfAssignCtes,
          |probe AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
          |  FROM d WHERE vec_id < 8) WHERE rn <= 2),
@@ -301,5 +294,73 @@ object EmbQueries {
       Similarity.nearDupPairsLsh(assigned, "cell", NearDupThreshold,
         Planes, Dims, NearDupBands)
         .orderBy("id_a", "id_b")
+    },
+
+    // ANN quality metric: recall@k of IVF at nprobe=1 AND nprobe=2
+    // against the brute-force exact top-k on the same queries — the
+    // number an ANN user asks first, with the nprobe recall lever
+    // visible in the same row. Both top-k sets are deterministic
+    // (exact integer sims, rank ties by candidate id), so the overlap
+    // counts and ppm recalls are exact integers; per-query rows keep
+    // the weak cells visible instead of averaging them away.
+    QueryDef("emb_ivf_recall",
+      s"""WITH $sqlQuant,
+         |bscored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, $sqlCos AS sim
+         |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 8),
+         |btop AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM bscored)
+         |  WHERE rank <= $K),
+         |$sqlIvfAssignCtes,
+         |probe AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+         |  FROM d WHERE vec_id < 8) WHERE rn <= 2),
+         |qa AS (SELECT q.vec_id, q.e, a.cell FROM q JOIN assign a USING (vec_id)),
+         |qp AS (SELECT q.vec_id, q.e, p.cell FROM q JOIN probe p USING (vec_id)),
+         |iscored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, $sqlCos AS sim
+         |  FROM qa a JOIN qa b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 8),
+         |itop AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM iscored)
+         |  WHERE rank <= $K),
+         |iscored2 AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, $sqlCos AS sim
+         |  FROM qp a JOIN qa b ON a.cell = b.cell AND b.vec_id <> a.vec_id),
+         |itop2 AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM iscored2)
+         |  WHERE rank <= $K)
+         |SELECT b.q_id,
+         |  CAST(sum(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // $K AS BIGINT) AS recall_ppm,
+         |  CAST(sum(CASE WHEN i2.c_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // $K AS BIGINT) AS recall_ppm_probe2
+         |FROM btop b
+         |LEFT JOIN itop i ON b.q_id = i.q_id AND b.c_id = i.c_id
+         |LEFT JOIN itop2 i2 ON b.q_id = i2.q_id AND b.c_id = i2.c_id
+         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"),
+          col("label").as("cell"))
+      val queries = vecs.filter(col("id") < 8)
+      val brute = Similarity.knnBrute(queries, vecs, K)
+        .select(col("q_id"), col("c_id"))
+      val cents = localCentroids(s, vecs)
+      val assigned = Similarity.ivfAssign(vecs, cents)
+      val ivf1 = Similarity.knnIvf(
+          assigned.filter(col("id") < 8), assigned, K)
+        .select(col("q_id"), col("c_id"), lit(1L).as("__h1"))
+      val probed = Similarity.ivfProbe(
+        queries.select(col("id"), col("vec")), cents, 2)
+      val ivf2 = Similarity.knnIvf(probed, assigned, K)
+        .select(col("q_id"), col("c_id"), lit(1L).as("__h2"))
+      brute.join(ivf1, Seq("q_id", "c_id"), "left")
+        .join(ivf2, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("__h1"), lit(0L))).as("n1"),
+          sum(coalesce(col("__h2"), lit(0L))).as("n2"))
+        .select(col("q_id"),
+          expr(s"n1 * 1000000 div $K").as("recall_ppm"),
+          expr(s"n2 * 1000000 div $K").as("recall_ppm_probe2"))
+        .orderBy("q_id")
     })
 }

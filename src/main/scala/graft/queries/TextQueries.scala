@@ -110,6 +110,9 @@ object TextQueries {
   private val ChunkStride = 24
   private val IndexBlockDocs = 128L
   private val EvalMod = 7
+  // doc-id sample rate for the approximate-df n-gram variant, shared
+  // with the SQL twin
+  private val NgramSampleRate = 16
 
   /** The synthetic corpus has NO byte-identical documents, so an
     * exact-dedup verdict over it is vacuous (is_canonical always
@@ -612,6 +615,25 @@ object TextQueries {
       (s, d) =>
         TextOps.topNgrams(load(s, d, "documents"), col("doc_id"), col("text"),
           w = 3, topK = 20)
+    },
+
+    // the approx-df variant the exact operator's comment promises:
+    // doc frequency from a deterministic 1-in-16 doc-id hash sample
+    // (reproducible across engines, unlike an HLL sketch), ranking
+    // still on the exact occurrence count
+    QueryDef("doc_top_ngrams_approx",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-1),
+         |  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngram FROM t),
+         |c AS (SELECT ngram, count(*) AS n,
+         |  count(DISTINCT CASE WHEN
+         |    ${sqlSampleHash("CAST(doc_id AS VARCHAR)")} % $NgramSampleRate = 0
+         |    THEN doc_id END) * $NgramSampleRate AS df_approx
+         |  FROM g GROUP BY 1)
+         |SELECT ngram, n, df_approx FROM c
+         |ORDER BY n DESC, ngram LIMIT 20""".stripMargin) { (s, d) =>
+      TextOps.topNgramsApprox(load(s, d, "documents"), col("doc_id"),
+        col("text"), w = 3, topK = 20, rate = NgramSampleRate)
     },
 
     // per-document TF-IDF top terms; score = tf·N/df as one exact

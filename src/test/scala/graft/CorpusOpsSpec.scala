@@ -138,6 +138,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(1)).toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("topNgramsApprox: sampled df tracks exact df on a head term") {
+    // 400 docs share one trigram: a 1-in-4 doc-id hash sample should
+    // estimate df within ~3/sqrt(100) ≈ 30%; ranking (exact n) and the
+    // emitted row set must match the exact variant
+    val df = (1 to 400).map(i => (i.toLong, s"alpha beta gamma tail$i"))
+      .toDF("doc_id", "text")
+    val got = TextOps.topNgramsApprox(df, col("doc_id"), col("text"),
+      w = 3, topK = 1, rate = 4).collect().head
+    assert(got.getAs[String]("ngram") == "alpha beta gamma")
+    assert(got.getAs[Long]("n") == 400L)
+    val est = got.getAs[Long]("df_approx")
+    assert(est >= 280L && est <= 520L, s"df_approx=$est far from 400")
+  }
+
   test("temperatureSample: plan size is stratum-count-independent") {
     // the rate table is broadcast-joined, not folded into a when-chain,
     // so 4 strata and 200 strata must optimize to the same plan shape
