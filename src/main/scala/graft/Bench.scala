@@ -1,32 +1,16 @@
 package graft
 
 object Bench {
-  /** Headline queries: one representative per operator family.
-    * Excluded by design: the redundant pair-op variants
-    * (doc_ngram_jaccard, doc_dedup_simhash cover the same machinery as
-    * doc_dedup_minhash; doc_dup_rate_by_source re-runs
-    * doc_dup_components' pipeline plus a groupBy;
-    * doc_decontaminate_frac re-runs doc_decontaminate's semi-join plus
-    * a per-doc count) and the correctness-invariant engine replays
-    * (cdc_engine_incremental/restart re-run the same engine
-    * cdc_engine_e2e measures, several times over).
+  /** Headline = EVERY declared query, in sorted order — a regression
+    * anywhere on the oracle surface is visible in the bench artifact,
+    * not just in the operator families a curated list happened to
+    * cover. Each query runs `reps` times (default 3) and records the
+    * MINIMUM: the host throttles unpredictably (documented ±5x drift
+    * between quiet and busy windows), so a single-shot number is
+    * noise — the min over repeats is the stable estimate of what the
+    * code costs, and it keeps sf0.1/sf1 artifacts mutually consistent.
     */
-  val headline: Seq[String] = Seq(
-    "q1_pricing_summary", "q3_shipping_topk", "q5_regional_revenue",
-    "q_window_running", "q_topk_orders", "q_distinct_agg", "q_setops",
-    "q_rollup", "q_pivot", "q_funnel",
-    "cdc_parse_project", "cdc_checkpoint_filter", "cdc_lww_merge",
-    "cdc_quorum", "cdc_out_of_order", "cdc_tumbling_window",
-    "cdc_salted_agg", "cdc_engine_e2e",
-    "doc_token_stats", "doc_fingerprint", "doc_exact_dedup",
-    "doc_simhash", "doc_dedup_minhash", "doc_dup_components",
-    "doc_curation_pipeline", "doc_repetition_filter", "doc_top_ngrams",
-    "doc_tfidf_topterms", "doc_pii_redact", "doc_decontaminate",
-    "doc_pack_greedy", "doc_sample_stratified", "doc_temperature_sample",
-    "doc_length_quantiles", "doc_chunk", "doc_inverted_index",
-    "mm_image_meta",
-    "emb_knn_brute", "emb_lsh_buckets", "emb_ivf_knn", "emb_kmeans",
-    "emb_near_dup", "emb_semantic_dedup")
+  def headline: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   /** One tiny engine run (2 partitions, 4 changes + 2 heartbeats) to
     * compile the engine's plan shapes before measurement.
@@ -80,6 +64,8 @@ object Bench {
         headline.filter(asked)
       case None => headline
     }
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    require(reps > 0, "SPARK_GRAFT_BENCH_REPS must be positive")
     val spark = GraftSession.get()
     // amortize session/JIT startup so the first measured query isn't
     // charged for codegen warmup
@@ -100,24 +86,29 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString.replace("\"", "'").take(200)
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < reps && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.replace("\"", "'").take(200)
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        // outside the timed section: a cache an iterative operator
+        // left behind must not pressure the next measurement
+        spark.catalog.clearCache()
+        rep += 1
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // outside the timed section: a cache an iterative operator left
-      // behind must not pressure the NEXT query's measurement
-      spark.catalog.clearCache()
-      name -> elapsed
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -205,4 +205,41 @@ object PipelineOps {
           lit(1000000L)) < col("rate_ppm"))
       .drop("__s")
   }
+
+  /** Token-budget mixture sampling: downsample each stratum so the
+    * SAMPLED corpus hits a target token mixture — the "30% code, 70%
+    * web, capped at B tokens" knob of a pretraining data recipe.
+    * `shares` maps stratum → relative target weight (need not sum to
+    * anything); the keep rate for stratum s with token mass T_s is
+    * min(1, budget·share_s / (Σshare · T_s)) in ppm, computed
+    * driver-side in BigInt over the O(#strata) token-mass table and
+    * applied exactly like [[temperatureSample]]: a broadcast-joined
+    * deterministic hash filter, scan-parallel over the corpus, rows
+    * never migrating between strata when rates change. A stratum
+    * absent from `shares` (or with null stratum) gets rate 0.
+    */
+  def mixtureSample(df: DataFrame, stratum: Column, id: Column,
+      nTokens: Column, shares: Map[String, Long],
+      budgetTokens: Long): DataFrame = {
+    require(shares.values.forall(_ > 0), "shares must be positive")
+    val bound = df.withColumn("__s", stratum.cast("string"))
+      .withColumn("__nt", nTokens.cast("long"))
+    val masses = bound.groupBy("__s").agg(sum("__nt").as("__t"))
+      .collect().flatMap(r => Option(r.getString(0))
+        .filter(shares.contains).map((_, r.getLong(1))))
+    val sumShare = BigInt(shares.values.sum)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = masses.toSeq.map { case (s, t) =>
+      val r =
+        if (t <= 0L) BigInt(0)
+        else BigInt(1000000) * budgetTokens * shares(s) / (sumShare * t)
+      (s, r.min(BigInt(1000000)).toLong)
+    }.toDF("__s", "rate_ppm")
+    bound.join(broadcast(rates), Seq("__s"), "inner")
+      .filter(
+        pmod(sampleHash(concat(col("__s"), lit(":"), id.cast("string"))),
+          lit(1000000L)) < col("rate_ppm"))
+      .drop("__s", "__nt")
+  }
 }

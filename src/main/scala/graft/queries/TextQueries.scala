@@ -113,6 +113,12 @@ object TextQueries {
   // doc-id sample rate for the approximate-df n-gram variant, shared
   // with the SQL twin
   private val NgramSampleRate = 16
+  // token-budget mixture recipe (target shares by lang + token
+  // budget), shared with the SQL twin; fr/es intentionally absent —
+  // an unlisted stratum must sample at rate 0
+  private val MixShares: Seq[(String, Long)] =
+    Seq("en" -> 7L, "zh" -> 2L, "de" -> 1L)
+  private val MixBudgetTokens = 4000L
 
   /** The synthetic corpus has NO byte-identical documents, so an
     * exact-dedup verdict over it is vacuous (is_canonical always
@@ -350,10 +356,14 @@ object TextQueries {
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
     }) { (s, d) =>
+      // both band-join sides derive from the exploded-token simhash
+      // aggregation — persist it once (released by the harness's
+      // per-query clearCache)
       val sims = Dedup.simhash32(
         load(s, d, "documents").withColumn("toks", tokens(col("text"))),
         col("toks"))
         .select(col("doc_id"), col("simhash"))
+        .persist()
       Dedup.simhashPairs(sims, "doc_id", bands = 4, bitsPerBand = 8, maxDist = 3)
         .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
         .orderBy("id_a", "id_b")
@@ -383,12 +393,18 @@ object TextQueries {
          |    nullif(CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 0.0)
          |    >= 0.3
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      // the char-ngram hash-set projection is the dominant cost and is
+      // read FOUR times downstream (token-df aggregate, prefix explode,
+      // both verify sides) — persist it once; the harness's per-query
+      // clearCache releases it, and a production pipeline would keep
+      // this as a materialized intermediate table anyway
       val g = load(s, d, "documents")
         .filter(length(col("text")) >= 4)
         .select(col("doc_id"), col("lang"), col("source"),
           array_sort(array_distinct(transform(
             array_distinct(charNgrams(col("text"), 4)),
             ng => portableHash(ng)))).as("s"))
+        .persist()
       val cands = Dedup.prefixFilterCandidates(g, "doc_id", "s",
         Seq("lang", "source"), tNum = 3, tDen = 10)
       val a = g.select(col("doc_id").as("id_a"), col("s").as("s_a"))
@@ -675,6 +691,37 @@ object TextQueries {
          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
       graft.ops.PipelineOps.temperatureSample(load(s, d, "documents"),
         col("lang"), col("doc_id"), num = TempNum.toLong, den = TempDen.toLong)
+        .select("doc_id", "lang", "rate_ppm")
+        .orderBy("doc_id")
+    },
+
+    // token-budget mixture sampling: downsample each lang so the
+    // sampled corpus hits the 7:2:1 en/zh/de token recipe within a
+    // 4000-token budget; unlisted strata (fr/es) drop out entirely.
+    // Rates are exact BigInt ppm over the O(#strata) token-mass
+    // table, applied as the same broadcast-joined hash filter as the
+    // temperature sampler
+    QueryDef("doc_mixture_sample", {
+      val sumShare = MixShares.map(_._2).sum
+      val shareCase = MixShares.map { case (k, v) =>
+        s"WHEN '$k' THEN $v" }.mkString("CASE lang ", " ", " END")
+      val langList = MixShares.map { case (k, _) => s"'$k'" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, len($sqlToks) AS nt FROM documents),
+         |m AS (SELECT lang, sum(nt) AS tmass FROM t GROUP BY 1),
+         |r AS (SELECT lang, LEAST(1000000,
+         |    (CAST(1000000 AS BIGINT) * $MixBudgetTokens * ($shareCase))
+         |      // ($sumShare * tmass)) AS rate_ppm
+         |  FROM m WHERE lang IN ($langList)),
+         |d AS (SELECT doc_id, lang FROM documents)
+         |SELECT d.doc_id, d.lang, r.rate_ppm
+         |FROM d JOIN r USING (lang)
+         |WHERE ${sqlSampleHash("lang || ':' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |  < r.rate_ppm
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.ops.PipelineOps.mixtureSample(load(s, d, "documents"),
+        col("lang"), col("doc_id"), size(tokens(col("text"))),
+        shares = MixShares.toMap, budgetTokens = MixBudgetTokens)
         .select("doc_id", "lang", "rate_ppm")
         .orderBy("doc_id")
     },

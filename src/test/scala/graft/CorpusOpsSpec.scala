@@ -178,6 +178,22 @@ class CorpusOpsSpec extends SparkSpec {
       .map(_.getLong(0)).toList == List(1000000L))
   }
 
+  test("mixtureSample: rates follow the token recipe; unlisted strata drop") {
+    // strata a/b with token masses 1000/500; shares 1:1, budget 600 →
+    // per-stratum token target 300 → rate_a = 300k ppm, rate_b = 600k
+    // ppm; stratum c is not in the recipe and must vanish
+    val df = ((1 to 100).map(i => (i.toLong, "a", 10L)) ++
+      (1 to 50).map(i => (i.toLong + 200, "b", 10L)) ++
+      (1 to 30).map(i => (i.toLong + 400, "c", 10L)))
+      .toDF("id", "s", "nt")
+    val out = PipelineOps.mixtureSample(df, col("s"), col("id"), col("nt"),
+      shares = Map("a" -> 1L, "b" -> 1L), budgetTokens = 600L)
+    val rates = out.groupBy("s").agg(min("rate_ppm").as("r"), count(lit(1)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rates.keySet == Set("a", "b"))
+    assert(rates("a") == 300000L && rates("b") == 600000L)
+  }
+
   test("chunk: stride boundaries, short tail, empty doc") {
     val df = Seq(
       (1L, (1 to 24).map(i => s"t$i").mkString(" ")), // exactly one stride
