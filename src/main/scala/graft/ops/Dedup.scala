@@ -141,6 +141,36 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Exact substring-overlap pairs: documents sharing at least
+    * `minShared` DISTINCT w-token spans — verbatim copying evidence
+    * (the substring-dedup signal of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"), complementary to
+    * the Jaccard/MinHash ESTIMATORS: a 30-token lift inside a long
+    * document moves Jaccard barely but shares 30−w+1 exact spans.
+    * The join key is the shingle hash itself — no banding needed —
+    * and spans with document frequency above `dfCap` are dropped
+    * first: corpus-wide boilerplate is not evidence one document
+    * copies another, and the cap bounds per-key fanout (≤ dfCap²
+    * pairs per span), so the pair join cannot go quadratic on a hot
+    * span at any corpus size. Returns (id_a, id_b, n_shared) with
+    * id_a < id_b.
+    */
+  def spanOverlapPairs(sets: DataFrame, id: String, hsCol: String,
+      dfCap: Int, minShared: Int): DataFrame = {
+    require(dfCap > 1 && minShared > 0, "need dfCap > 1, minShared > 0")
+    val sh = sets.select(col(id).as("__id"), explode(col(hsCol)).as("__h"))
+    // per-document shingle hashes are distinct, so the per-hash row
+    // count IS document frequency
+    val rare = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select("__h")
+    val kept = sh.join(rare, Seq("__h"), "left_semi")
+    val a = kept.select(col("__h"), col("__id").as("id_a"))
+    val b = kept.select(col("__h"), col("__id").as("id_b"))
+    a.join(b, Seq("__h")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** End-to-end MinHash near-dup pairs in a SINGLE pass over the
     * corpus: signatures and band keys are computed in the same
     * projection as the hash sets, and the sets ride along through the

@@ -119,6 +119,12 @@ object TextQueries {
   private val MixShares: Seq[(String, Long)] =
     Seq("en" -> 7L, "zh" -> 2L, "de" -> 1L)
   private val MixBudgetTokens = 4000L
+  // span-overlap geometry: 3-token spans, boilerplate df cap, minimum
+  // shared spans — the cap is chosen so the planted duplicate group
+  // (~corpus/37 docs) SURVIVES at the sf0.01 oracle scale but trips
+  // the boilerplate cutoff at sf0.1+, exercising both paths
+  private val SpanDfCap = 40
+  private val SpanMinShared = 2
 
   /** The synthetic corpus has NO byte-identical documents, so an
     * exact-dedup verdict over it is vacuous (is_canonical always
@@ -413,6 +419,36 @@ object TextQueries {
         .withColumn("jac", Dedup.jaccardSorted(col("s_a"), col("s_b")))
         .filter(col("jac") >= 0.3)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // exact substring-overlap pairs (verbatim-copy evidence, the
+    // substring-dedup signal): docs sharing >= 2 distinct rare
+    // 3-token spans; spans above the df cap are boilerplate, not
+    // copying evidence, and capping them bounds the per-key fanout
+    QueryDef("doc_span_overlap",
+      s"""WITH $sqlPlantedDocs,
+         |t AS (SELECT doc_id, $sqlToks AS w FROM planted),
+         |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    list_distinct(list_transform(range(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
+         |    sp -> ${sqlPhash("sp")}))) AS h
+         |  FROM t),
+         |rare AS (SELECT h FROM g GROUP BY h HAVING count(*) <= $SpanDfCap),
+         |f AS (SELECT doc_id, h FROM g WHERE h IN (SELECT h FROM rare))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $SpanMinShared
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      // the shingle-hash projection feeds the df count and both pair
+      // sides — persist it once (released by per-query clearCache)
+      val sets = plantedDocs(load(s, d, "documents"))
+        .select(col("doc_id"),
+          Dedup.shingleHashes(tokens(col("text")), 3).as("hs"))
+        .persist()
+      Dedup.spanOverlapPairs(sets, "doc_id", "hs",
+        dfCap = SpanDfCap, minShared = SpanMinShared)
         .orderBy("id_a", "id_b")
     },
 

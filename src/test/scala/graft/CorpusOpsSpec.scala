@@ -178,6 +178,27 @@ class CorpusOpsSpec extends SparkSpec {
       .map(_.getLong(0)).toList == List(1000000L))
   }
 
+  test("spanOverlapPairs: df cap drops boilerplate, minShared gates pairs") {
+    import graft.functions.GraftFunctions.tokens
+    // docs 1/2 share two rare trigrams ("a b c d" ⊃ {a b c, b c d});
+    // doc 3 shares only ONE trigram with doc 1 (below minShared);
+    // "x x x" appears in ALL docs (df 4 > cap 3) and must not pair
+    val df = Seq(
+      (1L, "a b c d x x x"),
+      (2L, "a b c d p x x x"),
+      (3L, "a b c q r s x x x"),
+      (4L, "zz yy ww vv x x x")).toDF("doc_id", "text")
+    val sets = df.select(col("doc_id"),
+      graft.ops.Dedup.shingleHashes(tokens(col("text")), 3).as("hs"))
+    val got = graft.ops.Dedup.spanOverlapPairs(sets, "doc_id", "hs",
+      dfCap = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.map(p => (p._1, p._2)) == Set((1L, 2L)))
+    // 1↔2 share {a b c, b c d, c d x}? "c d x" in doc1="...c d x",
+    // doc2 has "c d p" — so exactly {a b c, b c d} = 2 spans
+    assert(got.head._3 == 2L)
+  }
+
   test("mixtureSample: rates follow the token recipe; unlisted strata drop") {
     // strata a/b with token masses 1000/500; shares 1:1, budget 600 →
     // per-stratum token target 300 → rate_a = 300k ppm, rate_b = 600k
