@@ -111,8 +111,10 @@ object TextQueries {
   private val IndexBlockDocs = 128L
   private val EvalMod = 7
   // doc-id sample rate for the approximate-df n-gram variant, shared
-  // with the SQL twin
-  private val NgramSampleRate = 16
+  // with the SQL twin. 4 (not a production-scale 64+) because the
+  // fixture's head terms have df ≈ 7 — a sparser sample would zero
+  // most estimates and leave the oracle weakly discriminating
+  private val NgramSampleRate = 4
   // token-budget mixture recipe (target shares by lang + token
   // budget), shared with the SQL twin; fr/es intentionally absent —
   // an unlisted stratum must sample at rate 0
@@ -670,7 +672,7 @@ object TextQueries {
     },
 
     // the approx-df variant the exact operator's comment promises:
-    // doc frequency from a deterministic 1-in-16 doc-id hash sample
+    // doc frequency from a deterministic 1-in-4 doc-id hash sample
     // (reproducible across engines, unlike an HLL sketch), ranking
     // still on the exact occurrence count
     QueryDef("doc_top_ngrams_approx",
