@@ -13,7 +13,9 @@ object PlanCheck {
         "doc_ngram_jaccard", "emb_near_dup",
         "emb_knn_brute", "q_anti_join",
         "q_pivot", "q_funnel", "doc_top_ngrams", "doc_tfidf_topterms",
-        "doc_length_quantiles", "doc_chunk", "doc_repetition_filter")
+        "doc_length_quantiles", "doc_chunk", "doc_repetition_filter",
+        "doc_top_ngrams_approx", "doc_mixture_sample", "doc_span_overlap",
+        "emb_ivf_recall")
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)
       val plan = df.queryExecution.explainString(

@@ -83,6 +83,41 @@ class SimJoinSpec extends SparkSpec {
     assert(again == bandedPairs)
   }
 
+  test("span-overlap pairs equal the driver-side brute force, counts included") {
+    import graft.functions.GraftFunctions.tokens
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    var prev = "aa bb cc dd ee"
+    val docs = (0 until 50).map { i =>
+      // every 5th doc lifts a 5-token span from an earlier doc, so
+      // multi-span pairs exist alongside organic single-span collisions
+      val salad = Seq.fill(6 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+      val text = if (i % 5 == 4) s"$salad $prev" else salad
+      if (i % 5 == 2) prev = text.split(" ").take(5).mkString(" ")
+      (i.toLong, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val sets = df.select(col("doc_id"),
+      Dedup.shingleHashes(tokens(col("text")), 3).as("hs"))
+    val (dfCap, minShared) = (20, 2)
+    val got = Dedup.spanOverlapPairs(sets, "doc_id", "hs", dfCap, minShared)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver-side brute force over the same hash sets
+    val local = sets.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val freq = local.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val rare = freq.filter(_._2 <= dfCap).keys.toSet
+    val expected = (for {
+      a <- local.keys; b <- local.keys if a < b
+      n = (local(a) & local(b) & rare).size if n >= minShared
+    } yield (a, b, n.toLong)).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.nonEmpty && expected.exists(_._3 >= 3),
+      "degenerate fixture: need multi-span pairs")
+  }
+
   test("IVF multi-probe: nprobe cells per query, recall never below nprobe=1") {
     val rnd = new scala.util.Random(7)
     // 4 well-separated clusters + per-cluster jitter, labels used only
