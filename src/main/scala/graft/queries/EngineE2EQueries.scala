@@ -292,5 +292,103 @@ object EngineE2EQueries {
         .unionByName(engine.readTable("odd").withColumn("tag", lit("odd")))
         .select("tag", "user_id", "value", "props")
         .orderBy("tag", "user_id")
+    },
+
+    // per-stream problem strategies through the REAL engine: a
+    // continue stream ("keep") and a stop stream ("strict") share one
+    // engine; after the initial apply, the keep stream re-sends one
+    // event with a SENTINEL value at a position above the checkpoint
+    // but below its partition's carried heartbeat — a protocol
+    // violation. Under per-stream dispatch the row must go to the DLQ
+    // (checked as the tag='dlq' output row) without halting the
+    // engine, and neither table's hash may move (an engine that
+    // applied the sentinel, or FATALed, diverges).
+    QueryDef("cdc_engine_mixed_strategy", {
+      def lwwFor(parity: Int, tag: String) =
+        s"""SELECT '$tag' AS tag, user_id,
+           |  max_by(value, rn) FILTER (WHERE op = 0 AND has_value
+           |    AND rn > coalesce(erase_rn, 0)) AS value,
+           |  max_by(props, rn) FILTER (WHERE op = 0 AND has_props
+           |    AND rn > coalesce(erase_rn, 0)) AS props
+           |FROM (SELECT *, max(CASE WHEN op = 1 THEN rn END) OVER
+           |        (PARTITION BY user_id) AS erase_rn
+           |      FROM (SELECT *, row_number() OVER
+           |        (PARTITION BY user_id ORDER BY step_us, event_id) AS rn
+           |      FROM cdc WHERE user_id % 2 = $parity))
+           |GROUP BY user_id HAVING max_by(op, rn) = 0""".stripMargin
+      s"""WITH $CDC
+         |SELECT * FROM (${lwwFor(0, "keep")} UNION ALL ${lwwFor(1, "strict")}
+         |  UNION ALL SELECT 'dlq' AS tag, CAST(1 AS BIGINT) AS user_id,
+         |    CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS props)
+         |ORDER BY tag, user_id""".stripMargin
+    }) { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-mix-q").toString
+      val cdc = Tables.cdcView(s, d).persist()
+      val mx = cdc.agg(max("step_us"), max("event_id")).head()
+      val maxPos = mx.getLong(0) + 1L
+      val maxOff = mx.getLong(1) + 1L
+
+      def tableFrame(parity: Int) =
+        changeFrame(cdc.filter(pmod(col("user_id"), lit(2)) === parity))
+          .withColumn("tableId", lit(parity))
+      def tableHbs(parity: Int, pos: Long, off: Long) =
+        hbFrame(s, pos, off).withColumn("tableId", lit(parity))
+
+      val keepMeta = usersMeta.copy(name = "keep")
+      val strictMeta = usersMeta.copy(name = "strict")
+      val cfg = EngineConfig("mix-query",
+        Seq(
+          StreamConfig(0, s"$root/src0", "keep", partitions = 8,
+            problemStrategy = Some(ProblemStrategy.Continue)),
+          StreamConfig(1, s"$root/src1", "strict", partitions = 8,
+            problemStrategy = Some(ProblemStrategy.Stop))),
+        s"$root/dst", maxBatchSize = Int.MaxValue, buckets = 32)
+      val engine = new CdcEngine(s, cfg, Map(0 -> keepMeta, 1 -> strictMeta))
+      engine.bootstrap()
+
+      // batch 0: all events + full heartbeat sets; the keep stream's
+      // partition 0 gets an EXTRA heartbeat running ahead of the
+      // quorum, so its tracker slot survives eviction into batch 1
+      val aheadHb = s.range(1).select(
+        concat(lit("""{"resolved":["""), lit(maxPos + 10L), lit(",0]}"))
+          .as("value"),
+        lit(0L).as("partitionId"), lit(maxOff + 1L).as("offset"))
+        .withColumn("tableId", lit(0))
+      val cols = tableFrame(0).columns
+      engine.processBatch(
+        tableFrame(0)
+          .unionByName(tableFrame(1))
+          .unionByName(tableHbs(0, maxPos, maxOff).select(cols.map(col): _*))
+          .unionByName(tableHbs(1, maxPos, maxOff).select(cols.map(col): _*))
+          .unionByName(aheadHb.select(cols.map(col): _*)), 0L)
+
+      // batch 1: the keep stream re-sends one even-parity user with a
+      // sentinel value at (maxPos+5) — above the checkpoint, below
+      // partition 0's carried heartbeat (maxPos+10) → late
+      val lateUid = cdc.filter(pmod(col("user_id"), lit(2)) === 0)
+        .agg(min("user_id")).head().getLong(0)
+      val lateResend = s.range(1).select(
+        lit(s"""{"update":{"value":"999.5"},"key":["$lateUid"],""" +
+          s""""ts":[${maxPos + 5L},0]}""").as("value"),
+        lit(0L).as("partitionId"), lit(maxOff + 2L).as("offset"))
+        .withColumn("tableId", lit(0))
+      engine.processBatch(
+        lateResend
+          .unionByName(tableHbs(0, maxPos + 20L, maxOff + 3L)
+            .select(cols.map(col): _*))
+          .unionByName(tableHbs(1, maxPos + 20L, maxOff + 3L)
+            .select(cols.map(col): _*)), 1L)
+      cdc.unpersist()
+
+      val nDlq = s.read.parquet(s"$root/dst/dlq")
+        .filter(col("reason") === "out-of-order").count()
+      val dlqRow = s.range(1).select(lit("dlq").as("tag"),
+        lit(nDlq).as("user_id"), lit(null).cast("double").as("value"),
+        lit(null).cast("string").as("props"))
+      engine.readTable("keep").withColumn("tag", lit("keep"))
+        .unionByName(engine.readTable("strict").withColumn("tag", lit("strict")))
+        .select("tag", "user_id", "value", "props")
+        .unionByName(dlqRow)
+        .orderBy("tag", "user_id")
     })
 }
