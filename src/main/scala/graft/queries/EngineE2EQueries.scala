@@ -390,5 +390,97 @@ object EngineE2EQueries {
         .select("tag", "user_id", "value", "props")
         .unionByName(dlqRow)
         .orderBy("tag", "user_id")
+    },
+
+    // the command-queue strategy through the REAL engine: two late
+    // re-sends arrive with instructions on the command topic — one
+    // 'apply' (its sentinel value must WIN the LWW merge, preserving
+    // the stored props through the copy-on-write mask) and one 'skip'
+    // (must reach the DLQ as reason=cmd-skip, pinned by the
+    // user_id=-1 count row, with the stored row untouched). An engine
+    // that skipped the apply, applied the skip, or FATALed diverges.
+    QueryDef("cdc_engine_cmd_queue",
+      s"""WITH $CDC,
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY user_id ORDER BY step_us, event_id) AS rn
+         |      FROM cdc),
+         |e AS (SELECT *, max(CASE WHEN op = 1 THEN rn END) OVER
+         |        (PARTITION BY user_id) AS erase_rn FROM r),
+         |base AS (SELECT user_id,
+         |  max_by(value, rn) FILTER (WHERE op = 0 AND has_value
+         |    AND rn > coalesce(erase_rn, 0)) AS value,
+         |  max_by(props, rn) FILTER (WHERE op = 0 AND has_props
+         |    AND rn > coalesce(erase_rn, 0)) AS props
+         |  FROM e GROUP BY user_id
+         |  HAVING max_by(op, rn) = 0),
+         |au AS (SELECT min(user_id) AS u FROM cdc)
+         |SELECT user_id, value, props FROM base
+         |  WHERE user_id <> (SELECT u FROM au)
+         |UNION ALL SELECT (SELECT u FROM au), CAST(999.5 AS DOUBLE),
+         |  (SELECT props FROM base WHERE user_id = (SELECT u FROM au))
+         |UNION ALL SELECT CAST(-1 AS BIGINT), CAST(1 AS DOUBLE),
+         |  CAST(NULL AS VARCHAR)
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-cq-q").toString
+      val cdc = Tables.cdcView(s, d).persist()
+      val mx = cdc.agg(max("step_us"), max("event_id"),
+        min("user_id"), max("user_id")).head()
+      val maxPos = mx.getLong(0) + 1L
+      val maxOff = mx.getLong(1) + 1L
+      val applyUid = mx.getLong(2)
+      val skipUid = mx.getLong(3)
+
+      val cfg = EngineConfig("cmdq-query",
+        Seq(StreamConfig(0, s"$root/src", "users", partitions = 8,
+          problemStrategy = Some(ProblemStrategy.CmdQueue))),
+        s"$root/dst", maxBatchSize = Int.MaxValue, buckets = 32)
+      val engine = new CdcEngine(s, cfg, Map(0 -> usersMeta))
+      engine.bootstrap()
+
+      // command topic: one 'apply' and one 'skip', written before the
+      // late rows arrive (the reference's operator workflow)
+      val cmdDir = java.nio.file.Paths.get(s"$root/dst/commands")
+      java.nio.file.Files.createDirectories(cmdDir)
+      java.nio.file.Files.writeString(cmdDir.resolve("cmds.jsonl"),
+        s"""{"aardapel_instance_id":"cmdq-query","path":"users","key":["$applyUid"],"ts":[${maxPos + 5L},0],"action":"apply"}
+           |{"aardapel_instance_id":"cmdq-query","path":"users","key":["$skipUid"],"ts":[${maxPos + 6L},0],"action":"skip"}
+           |""".stripMargin)
+
+      // batch 0: all events + heartbeats; partition 0's extra
+      // heartbeat survives quorum eviction into batch 1
+      val changes = changeFrame(cdc)
+      val aheadHb = s.range(1).select(
+        concat(lit("""{"resolved":["""), lit(maxPos + 10L), lit(",0]}"))
+          .as("value"),
+        lit(0L).as("partitionId"), lit(maxOff + 1L).as("offset"))
+        .withColumn("tableId", lit(0))
+      val cols = changes.columns
+      engine.processBatch(
+        changes
+          .unionByName(hbFrame(s, maxPos, maxOff).select(cols.map(col): _*))
+          .unionByName(aheadHb.select(cols.map(col): _*)), 0L)
+
+      // batch 1: two late re-sends below partition 0's carried
+      // heartbeat, resolved by the command topic
+      def lateRow(uid: Long, v: String, pos: Long, off: Long) =
+        s.range(1).select(
+          lit(s"""{"update":{"value":"$v"},"key":["$uid"],"ts":[$pos,0]}""")
+            .as("value"),
+          lit(0L).as("partitionId"), lit(off).as("offset"))
+          .withColumn("tableId", lit(0))
+      engine.processBatch(
+        lateRow(applyUid, "999.5", maxPos + 5L, maxOff + 2L)
+          .unionByName(lateRow(skipUid, "111.5", maxPos + 6L, maxOff + 3L))
+          .unionByName(hbFrame(s, maxPos + 20L, maxOff + 4L)
+            .select(cols.map(col): _*)), 1L)
+      cdc.unpersist()
+
+      val nSkip = s.read.parquet(s"$root/dst/dlq")
+        .filter(col("reason") === "cmd-skip").count()
+      engine.readTable("users")
+        .unionByName(s.range(1).select(lit(-1L).as("user_id"),
+          lit(nSkip).cast("double").as("value"),
+          lit(null).cast("string").as("props")))
+        .orderBy("user_id")
     })
 }
