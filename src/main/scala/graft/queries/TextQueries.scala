@@ -200,6 +200,63 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // one-pass corpus report: the panel a pipeline run prints first.
+    // All integer sums with ONE final division (exact across engines —
+    // never an engine-ordered double mean)
+    QueryDef("doc_corpus_stats",
+      s"""WITH t AS (SELECT doc_id, text, lang, source, $sqlToks AS w
+         |  FROM documents)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(sum(len(w)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS avg_tokens_per_doc
+         |FROM t""".stripMargin) { (s, d) =>
+      load(s, d, "documents")
+        .select(col("lang"), col("source"),
+          length(col("text")).cast("long").as("nc"),
+          size(tokens(col("text"))).cast("long").as("nt"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("nt").as("n_tokens"),
+          sum("nc").as("n_chars"),
+          count_distinct(col("lang")).as("n_langs"),
+          count_distinct(col("source")).as("n_sources"))
+        .withColumn("avg_tokens_per_doc",
+          col("n_tokens").cast("double") / col("n_docs").cast("double"))
+    },
+
+    // per-source quality breakdown (the monitoring cut a curation run
+    // slices by): integer sums per source, single exact divisions
+    QueryDef("doc_quality_by_source", {
+      val sw = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH t AS (SELECT source, $sqlToks AS w FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(list_filter(w, x -> list_contains($sw, x))))
+         |      AS DOUBLE)
+         |    / nullif(CAST(sum(len(w)) AS DOUBLE), 0.0) AS stopword_rate,
+         |  CAST(sum(len(list_distinct(w))) AS DOUBLE)
+         |    / nullif(CAST(sum(len(w)) AS DOUBLE), 0.0) AS distinct_rate
+         |FROM t GROUP BY source ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val swArr = array(TextOps.EnStopwords.map(lit): _*)
+      load(s, d, "documents")
+        .select(col("source"), tokens(col("text")).as("w"))
+        .select(col("source"), size(col("w")).cast("long").as("nt"),
+          size(filter(col("w"), t => array_contains(swArr, t)))
+            .cast("long").as("nstop"),
+          size(array_distinct(col("w"))).cast("long").as("ndist"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"),
+          (sum("nstop").cast("double") /
+            nullif(sum("nt").cast("double"), lit(0.0d))).as("stopword_rate"),
+          (sum("ndist").cast("double") /
+            nullif(sum("nt").cast("double"), lit(0.0d))).as("distinct_rate"))
+        .orderBy("source")
+    },
+
     QueryDef("doc_langid",
       s"""WITH t AS (SELECT doc_id, lang, $sqlToks AS w FROM documents),
          |p AS (SELECT lang, CASE WHEN
