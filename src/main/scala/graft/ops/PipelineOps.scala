@@ -119,6 +119,27 @@ object PipelineOps {
       .withColumn("pack_id", floor(col("cum_before") / budget))
   }
 
+  /** Deterministic train/val/test split assignment: a row's split is a
+    * pure function of its id (`sampleHash(id) mod 100` against
+    * cumulative percent cutoffs), so membership is reproducible across
+    * runs and engines, never drifts when the corpus grows (existing
+    * rows keep their split), and needs no shuffle — the standard
+    * reproducible-split primitive. `cuts` maps split name → percent;
+    * percents must sum to 100.
+    */
+  def splitAssign(df: DataFrame, id: Column,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.map(_._2).sum == 100 && cuts.forall(_._2 > 0),
+      "split percents must be positive and sum to 100")
+    val h = pmod(sampleHash(id.cast("string")), lit(100L))
+    // fold from the last cut backwards: h < cum(i) picks split i
+    val assigned = cuts.zip(cuts.scanLeft(0)(_ + _._2).tail).reverse
+      .foldLeft(lit(null).cast("string")) { case (acc, ((name, _), cum)) =>
+        when(h < cum, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff
     * sampleHash(stratum ":" id) mod 100 < rate(stratum). Pure
     * filter — scan-parallel, reproducible across engines and runs,

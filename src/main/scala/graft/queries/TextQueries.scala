@@ -821,6 +821,22 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // deterministic 90/5/5 train/val/test split: membership is a pure
+    // hash of the doc id — reproducible across engines/runs, stable
+    // under corpus growth, shuffle-free
+    QueryDef("doc_split_assign",
+      s"""SELECT doc_id,
+         |  CASE WHEN ${sqlSampleHash("CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |    THEN 'train'
+         |  WHEN ${sqlSampleHash("CAST(doc_id AS VARCHAR)")} % 100 < 95
+         |    THEN 'val' ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.PipelineOps.splitAssign(load(s, d, "documents"),
+        col("doc_id"), Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
+
     // context-length chunking: 32-token windows, stride 24 (8-token
     // overlap), final short window kept — pure projection + explode,
     // scan-parallel

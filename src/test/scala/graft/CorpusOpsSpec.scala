@@ -199,6 +199,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.head._3 == 2L)
   }
 
+  test("splitAssign: growth never reassigns, exhaustive, cuts validated") {
+    def assign(n: Int) = PipelineOps.splitAssign(
+      (1 to n).map(_.toLong).toDF("id"), col("id"),
+      Seq("tr" -> 90, "va" -> 5, "te" -> 5))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (a, b) = (assign(300), assign(600))
+    assert((1L to 300L).forall(i => a(i) == b(i)), "growth reassigned a row")
+    assert(a.values.toSet.subsetOf(Set("tr", "va", "te")))
+    intercept[IllegalArgumentException] {
+      PipelineOps.splitAssign(Seq(1L).toDF("id"), col("id"), Seq("x" -> 50))
+    }
+  }
+
   test("mixtureSample: rates follow the token recipe; unlisted strata drop") {
     // strata a/b with token masses 1000/500; shares 1:1, budget 600 →
     // per-stratum token target 300 → rate_a = 300k ppm, rate_b = 600k
