@@ -103,12 +103,44 @@ object Bench {
       }
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size}}""")
+    // Two outputs, one constraint: the harness keeps only the LAST
+    // ~2000 chars of process output, and the sbt [success] trailer eats
+    // ~80 of them. A full-precision line over the whole headline
+    // (84+ queries x 17-digit doubles) is ~3.3k chars and would be
+    // HEAD-truncated into garbage. So:
+    //  (1) full precision for every query -> a JSON file next to the
+    //      repo (committed as the round's local bench evidence);
+    //  (2) stdout gets a compact line -- 3-decimal seconds, slowest
+    //      queries first, filled to a hard budget; whatever doesn't fit
+    //      is aggregated into rest_n/rest_sec so the total still
+    //      reconciles. The slow tail is where regressions live; the
+    //      omitted entries are the sub-0.3 s scans.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sfBase = new java.io.File(sfDir).getName
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_LOCAL_$sfBase.json")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size}}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      fullLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    val bySlowest = results.sortBy(-_._2)
+    val budget = 1550 // chars for the queries body; keeps the line <1850
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 0
+    bySlowest.foreach { case (k, v) =>
+      val entry = k.length + f3(v).length + 4 // quotes + colon + comma
+      if (used + entry <= budget) { kept += ((k, v)); used += entry }
+    }
+    val omitted = bySlowest.filterNot(kept.contains)
+    val qs = kept.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size},"rest_n":${omitted.size},"rest_sec":${f3(omitted.map(_._2).sum)},"full":"$outFile"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
