@@ -210,6 +210,45 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental near-dup gate: verdict each INCOMING document against
+    * an existing CORPUS — the production ingest shape, where a new
+    * crawl batch is deduplicated against the standing index without
+    * ever recomputing corpus-internal pairs. Candidates are incoming ×
+    * corpus docs sharing a MinHash band (identical banding to
+    * [[minhashNearDupPairs]]); survivors verify with exact Jaccard on
+    * the pre-hashed shingle sets riding through the band shuffle.
+    *
+    * Scale shape: the only data-sized shuffle key is the band key. At
+    * 100 TB the corpus side is a PRECOMPUTED signature/band table
+    * (written once, bucketed by band_key), so each batch costs one
+    * pass over the batch plus a co-located probe — the corpus is never
+    * rescanned — and a small batch side auto-broadcasts under AQE.
+    *
+    * Returns one row per incoming doc with a verified corpus match:
+    * (`id`, dup_of = min matching corpus id, best_jac = max Jaccard).
+    */
+  def incrementalNearDup(corpusSets: DataFrame, incomingSets: DataFrame,
+      id: String, hsCol: String, k: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive")
+    def bandsOf(df: DataFrame, idAs: String, hsAs: String): DataFrame =
+      minhashFromHashes(
+        df.select(col(id).as(idAs), col(hsCol).as(hsAs))
+          .filter(size(col(hsAs)) > 0), col(hsAs), k)
+        .select(col(idAs), col(hsAs),
+          bandKeyExplode(k, rowsPerBand).as("band_key"))
+    val c = bandsOf(corpusSets, "id_c", "h_c")
+    val i = bandsOf(incomingSets, "id_i", "h_i")
+    i.join(c, Seq("band_key"))
+      .filter(least(size(col("h_i")), size(col("h_c"))).cast("double") >=
+        greatest(size(col("h_i")), size(col("h_c"))) * threshold)
+      .withColumn("jac", jaccardSorted(col("h_i"), col("h_c")))
+      .filter(col("jac") >= threshold)
+      .groupBy(col("id_i"))
+      .agg(min(col("id_c")).as("dup_of"), max(col("jac")).as("best_jac"))
+      .withColumnRenamed("id_i", id)
+  }
+
   /** Exact Jaccard similarity of two array columns (distinct element
     * sets).
     */

@@ -128,6 +128,41 @@ object TextOps {
       .select("doc_id", "term", "tf", "df", "score", "rank")
   }
 
+  /** Boilerplate coverage (the line-dedup signal of CCNet/RefinedWeb
+    * re-expressed over token spans, since this corpus has no line
+    * structure): the fraction of a document's distinct w-token
+    * shingles that are corpus-frequent (document frequency ≥ `minDf`).
+    * A high fraction marks template/boilerplate text that near-dup
+    * pair detection misses — no single pair is similar, but the
+    * content is corpus-wide filler.
+    *
+    * Shape at scale: explode to (doc, shingle-hash) → one count
+    * shuffle on the hash for document frequency (per-doc shingles are
+    * distinct, so plain count IS df) → semi-join back on the same key
+    * (no re-shuffle of the frequency side under co-partitioning) →
+    * per-doc count. Never materializes pairs; the frequency table is
+    * |distinct shingles|, far below corpus size.
+    *
+    * Returns (doc_id, n_shingles, n_boiler, boiler_frac) — exact
+    * integer counts and one IEEE division, engine-reproducible.
+    */
+  def boilerplateCoverage(df: DataFrame, id: Column, text: Column,
+      w: Int, minDf: Long): DataFrame = {
+    val base = df.select(id.as("doc_id"),
+      Dedup.shingleHashes(tokens(text), w).as("__hs"))
+    val sh = base.select(col("doc_id"), explode(col("__hs")).as("__h"))
+    val frequent = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf).select("__h")
+    val boiler = sh.join(frequent, Seq("__h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    base.select(col("doc_id"),
+        size(col("__hs")).cast("long").as("n_shingles"))
+      .join(boiler, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_boiler"))
+      .withColumn("boiler_frac", col("n_boiler").cast("double") /
+        nullif(col("n_shingles").cast("double"), lit(0.0d)))
+  }
+
   /** Exact discrete quantiles of an integer-domain column per group,
     * by value histogram: the corpus collapses to (group × distinct
     * value) rows in one combiner-friendly shuffle, and the quantile

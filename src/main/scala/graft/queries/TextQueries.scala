@@ -59,7 +59,12 @@ object TextQueries {
       s"SELECT doc_id, concat_ws(':', '$b', $parts) AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
 
-  private val sqlMinhashPairCtes: String = {
+  /** Hash-set → signatures → band-key CTEs (t/u/sig/bands), the
+    * candidate-generation front half shared by the within-corpus pair
+    * CTEs AND the incremental (batch-vs-corpus) twin — one text so the
+    * banding cannot drift between the two framings.
+    */
+  private val sqlMinhashBandCtes: String = {
     val sigs = sqlMinhashSigs
     val bandSelects = sqlMinhashBandSelects
     s"""t AS (SELECT doc_id, list_distinct(list_transform(
@@ -70,7 +75,11 @@ object TextQueries {
        |  $sigs
        |  FROM u GROUP BY doc_id),
        |bands AS (
-       |  $bandSelects),
+       |  $bandSelects)""".stripMargin
+  }
+
+  private val sqlMinhashPairCtes: String =
+    s"""$sqlMinhashBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b USING (band_key)
        |  WHERE a.doc_id < b.doc_id),
@@ -81,7 +90,6 @@ object TextQueries {
        |  FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
        |  WHERE CAST(least(len(ta.hs), len(tb.hs)) AS DOUBLE) >=
        |        $MinhashJaccard * greatest(len(ta.hs), len(tb.hs)))""".stripMargin
-  }
 
   /** Shared DuckDB connected-components tail over the verified pair
     * set: CTEs e/sym/reach/comp; `comp(id, comp)` is the min-id
@@ -127,6 +135,10 @@ object TextQueries {
   // the boilerplate cutoff at sf0.1+, exercising both paths
   private val SpanDfCap = 40
   private val SpanMinShared = 2
+  // boilerplate-coverage document-frequency cutoff: the sf0.01 corpus
+  // tops out at df=7 (151 shingles at df>=5), so 5 keeps both the
+  // frequent and non-frequent branches live at the oracle scale
+  private val BoilerMinDf = 5L
 
   /** The synthetic corpus has NO byte-identical documents, so an
     * exact-dedup verdict over it is vacuous (is_canonical always
@@ -369,6 +381,41 @@ object TextQueries {
         .withColumn("dup_rate",
           col("n_dups").cast("double") / col("n_docs").cast("double"))
         .orderBy("source")
+    },
+
+    // INCREMENTAL near-dup: verdict an incoming batch (odd doc ids)
+    // against the standing corpus (even doc ids) without recomputing
+    // corpus-internal pairs — the production ingest shape. The oracle
+    // replays the identical banding CTEs and splits by the same
+    // parity, so candidate generation recall is checked across the
+    // batch/corpus boundary too.
+    QueryDef("doc_incremental_dedup",
+      s"""WITH $sqlMinhashBandCtes,
+         |inc AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+         |cor AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+         |cand AS (SELECT DISTINCT i.doc_id AS id_i, c.doc_id AS id_c
+         |  FROM inc i JOIN cor c USING (band_key)),
+         |v AS (SELECT id_i, id_c,
+         |  CAST(len(list_intersect(ti.hs, tc.hs)) AS DOUBLE) /
+         |    nullif(CAST(len(list_distinct(list_concat(ti.hs, tc.hs))) AS DOUBLE), 0.0)
+         |    AS jac
+         |  FROM cand JOIN t ti ON ti.doc_id = id_i JOIN t tc ON tc.doc_id = id_c
+         |  WHERE CAST(least(len(ti.hs), len(tc.hs)) AS DOUBLE) >=
+         |        $MinhashJaccard * greatest(len(ti.hs), len(tc.hs)))
+         |SELECT id_i AS doc_id, min(id_c) AS dup_of,
+         |  round(max(jac), 6) AS best_jac
+         |FROM v WHERE jac >= $MinhashJaccard
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val docs = load(s, d, "documents")
+        .withColumn("hs", Dedup.tokenHashSet(col("text")))
+      Dedup.incrementalNearDup(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "hs", MinhashK, RowsPerBand, MinhashJaccard)
+        .select(col("doc_id"), col("dup_of"),
+          round(col("best_jac"), 6).as("best_jac"))
+        .orderBy("doc_id")
     },
 
     QueryDef("doc_simhash", {
@@ -745,6 +792,32 @@ object TextQueries {
          |ORDER BY n DESC, ngram LIMIT 20""".stripMargin) { (s, d) =>
       TextOps.topNgramsApprox(load(s, d, "documents"), col("doc_id"),
         col("text"), w = 3, topK = 20, rate = NgramSampleRate)
+    },
+
+    // boilerplate coverage: fraction of each doc's distinct 3-token
+    // shingles that are corpus-frequent (df >= cap). The oracle
+    // rebuilds the same distinct-shingle-hash domain, so hashing and
+    // distinctness agree with the Spark side by construction.
+    QueryDef("doc_boilerplate",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |h AS (SELECT doc_id, list_distinct(list_transform(
+         |  list_distinct(list_transform(range(1, len(w)-1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
+         |  x -> ${sqlPhash("x")})) AS hs FROM t),
+         |u AS (SELECT doc_id, unnest(hs) AS sh FROM h),
+         |f AS (SELECT sh FROM u GROUP BY sh HAVING count(*) >= $BoilerMinDf),
+         |b AS (SELECT doc_id, count(*) AS n_boiler FROM u
+         |  JOIN f USING (sh) GROUP BY 1)
+         |SELECT h.doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+         |  coalesce(b.n_boiler, 0) AS n_boiler,
+         |  CAST(coalesce(b.n_boiler, 0) AS DOUBLE) /
+         |    nullif(CAST(len(hs) AS DOUBLE), 0.0) AS boiler_frac
+         |FROM h LEFT JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      TextOps.boilerplateCoverage(load(s, d, "documents"), col("doc_id"),
+        col("text"), w = 3, minDf = BoilerMinDf)
+        .select("doc_id", "n_shingles", "n_boiler", "boiler_frac")
+        .orderBy("doc_id")
     },
 
     // per-document TF-IDF top terms; score = tf·N/df as one exact

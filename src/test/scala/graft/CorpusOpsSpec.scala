@@ -239,6 +239,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Set((1L, 0L, 24L), (2L, 0L, 25L), (2L, 1L, 1L)))
   }
 
+  test("incrementalNearDup: verdicts batch-vs-corpus only, min match id") {
+    // identical sets guarantee identical signatures → a band hit; the
+    // [100,101] vs [100,101,102] pair fails the size prefilter at 0.95
+    val corpus = Seq(
+      (2L, Seq(1L, 2L, 3L, 4L)),
+      (4L, Seq(1L, 2L, 3L, 4L)),
+      (6L, Seq(100L, 101L))).toDF("doc_id", "hs")
+    val incoming = Seq(
+      (1L, Seq(1L, 2L, 3L, 4L)),   // dups corpus 2 AND 4 → dup_of = 2
+      (3L, Seq(50L, 60L)),         // no corpus relative
+      (5L, Seq(100L, 101L, 102L)), // jac 2/3 with corpus 6 — below 0.95
+      (7L, Seq(7L, 8L, 9L)),       // dups ANOTHER INCOMING doc only —
+      (9L, Seq(7L, 8L, 9L)))       //   must NOT be reported
+      .toDF("doc_id", "hs")
+    val got = Dedup.incrementalNearDup(corpus, incoming, "doc_id", "hs",
+      k = 16, rowsPerBand = 8, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("boilerplateCoverage: df gate, zero-boiler doc, short-doc null") {
+    val df = Seq(
+      (1L, "the quick brown fox"),   // shingles: {the quick brown, quick brown fox}
+      (2L, "the quick brown cat"),   // shares "the quick brown" → df 2
+      (3L, "totally different words here"),
+      (4L, "one two")                // < 3 tokens → no shingles
+    ).toDF("doc_id", "text")
+    val got = TextOps.boilerplateCoverage(df, col("doc_id"), col("text"),
+      w = 3, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got(0) == ((1L, 2L, 1L, Some(0.5))))
+    assert(got(1) == ((2L, 2L, 1L, Some(0.5))))
+    assert(got(2) == ((3L, 2L, 0L, Some(0.0))))
+    assert(got(3) == ((4L, 0L, 0L, None)))
+  }
+
   test("kmeans: separable clusters are recovered from a skewed seed") {
     // two tight blobs on opposite axes; the seed misassigns a third of
     // blob B into blob A's cell (an exactly-even split would park
