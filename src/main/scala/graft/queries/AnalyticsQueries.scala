@@ -24,6 +24,18 @@ object AnalyticsQueries {
     */
   private val FunnelWindowUs: Long = 7L * 86400L * 1000000L
 
+  /** Session gap: 12 h in µs. The synthetic per-user median gap is
+    * ~7 h with p90 ≈ 25 h, so 12 h yields several multi-event
+    * sessions per user — both the break and the continue branch stay
+    * live at the oracle scale.
+    */
+  private val SessionGapUs: Long = 12L * 3600L * 1000000L
+
+  /** Retention cohort bucket: one week in µs (the corpus spans ~30
+    * days → ~5 cohorts × ~5 offsets).
+    */
+  private val WeekUs: Long = 7L * 86400L * 1000000L
+
   val all: Seq[QueryDef] = Seq(
 
     // pricing summary: wide aggregation with decimal-exact sums
@@ -396,5 +408,72 @@ object AnalyticsQueries {
       s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
         .agg(count("t1").as("n_signup"), count("t2").as("n_then_click"),
           count("t3").as("n_then_purchase"))
+    },
+
+    // gap-based batch sessionization: one window pass partitioned by
+    // user (the only data-sized shuffle) assigns session indexes via
+    // break-flag running sum; the session rollup then groups within
+    // the same user partitioning. The streaming twin lives in
+    // StreamOps.sessionize — this is the backfill shape.
+    QueryDef("q_sessions",
+      s"""WITH e AS (SELECT user_id, event_id,
+         |  ${OracleDefs.EventStepUs} AS t FROM events),
+         |l AS (SELECT user_id, event_id, t, lag(t) OVER
+         |  (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM e),
+         |f AS (SELECT user_id, t, CASE WHEN pt IS NULL
+         |  OR t - pt > $SessionGapUs THEN 1 ELSE 0 END AS brk FROM l),
+         |s AS (SELECT user_id, t, sum(brk) OVER
+         |  (PARTITION BY user_id ORDER BY t
+         |   ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+         |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+         |  count(*) AS n_events, min(t) AS start_us, max(t) AS end_us,
+         |  max(t) - min(t) AS duration_us
+         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      val e = load(s, d, "events")
+        .select(col("user_id"), col("event_id"), Tables.stepUs.as("t"))
+        .withColumn("pt", lag("t", 1).over(w))
+        .withColumn("brk", when(col("pt").isNull ||
+          col("t") - col("pt") > SessionGapUs, 1L).otherwise(0L))
+        .withColumn("sid", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy(col("user_id"), col("sid").as("session_id"))
+        .agg(count(lit(1)).as("n_events"), min("t").as("start_us"),
+          max("t").as("end_us"),
+          (max("t") - min("t")).as("duration_us"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // weekly cohort retention: cohort = each user's first-PURCHASE
+    // week, activity = distinct purchase (user, week) — the curve
+    // every growth dashboard reads. Conditioning on purchase is what
+    // makes the table non-degenerate here: every synthetic user has
+    // SOME event every week, but first purchases spread over three
+    // weeks. Two key shuffles (per-user min, then the cohort×offset
+    // count); the event_type predicate pushes into the scan.
+    QueryDef("q_retention",
+      s"""WITH e AS (SELECT user_id,
+         |  ${OracleDefs.EventStepUs} // $WeekUs AS wk FROM events
+         |  WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+         |a AS (SELECT DISTINCT e.user_id, cohort_wk, wk - cohort_wk AS off
+         |  FROM e JOIN c USING (user_id))
+         |SELECT CAST(cohort_wk AS BIGINT) AS cohort_wk,
+         |  CAST(off AS BIGINT) AS week_offset, count(*) AS n_users
+         |FROM a GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin
+    ) { (s, d) =>
+      val e = load(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), Tables.stepUs.as("step_us"))
+        .withColumn("wk", expr(s"step_us div ${WeekUs}L"))
+      val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      e.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_wk"),
+          (col("wk") - col("cohort_wk")).as("week_offset"))
+        .distinct()
+        .groupBy("cohort_wk", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "week_offset")
     })
 }

@@ -383,6 +383,53 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // curation decision table: within each near-dup component keep the
+    // HIGHEST-QUALITY member (type-token ratio, doc-id tiebreak), not
+    // the min-id one — the survivor choice a real curation pipeline
+    // makes. Spark picks the winner with one max(struct) partial agg
+    // (no per-component sort); the oracle uses a rank window — two
+    // different algorithms, same table.
+    QueryDef("doc_cluster_best",
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |$sqlComponentCtes,
+         |tq AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |q AS (SELECT doc_id, CAST(len(list_distinct(w)) AS DOUBLE)
+         |  / nullif(CAST(len(w) AS DOUBLE), 0.0) AS score FROM tq),
+         |lab AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |r AS (SELECT lab.doc_id, comp, score,
+         |  row_number() OVER (PARTITION BY comp
+         |    ORDER BY score DESC NULLS LAST, lab.doc_id) AS rn
+         |  FROM lab JOIN q USING (doc_id)),
+         |k AS (SELECT comp, doc_id AS keep_id FROM r WHERE rn = 1)
+         |SELECT r.doc_id, r.comp, k.keep_id, r.doc_id = k.keep_id AS kept
+         |FROM r JOIN k USING (comp) ORDER BY r.doc_id""".stripMargin
+    ) { (s, d) =>
+      val docs = load(s, d, "documents")
+        .withColumn("hs", Dedup.tokenHashSet(col("text")))
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "hs",
+        MinhashK, RowsPerBand, MinhashJaccard)
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val toks = tokens(col("text"))
+      val scored = load(s, d, "documents").select(col("doc_id"),
+        (size(array_distinct(toks)).cast("double") /
+          nullif(size(toks).cast("double"), lit(0.0d))).as("score"))
+      val lab = docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+        .join(scored, "doc_id")
+      // max(struct) orders null score below any value (NULLS LAST in
+      // the window twin) and -doc_id breaks exact-score ties toward
+      // the smaller id — same winner as rn = 1
+      val keep = lab.groupBy("comp")
+        .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("b"))
+        .select(col("comp"), (-col("b.nid")).as("keep_id"))
+      lab.join(keep, "comp")
+        .select(col("doc_id"), col("comp"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).as("kept"))
+        .orderBy("doc_id")
+    },
+
     // INCREMENTAL near-dup: verdict an incoming batch (odd doc ids)
     // against the standing corpus (even doc ids) without recomputing
     // corpus-internal pairs — the production ingest shape. The oracle
