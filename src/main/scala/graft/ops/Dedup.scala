@@ -229,16 +229,38 @@ object Dedup {
     */
   def incrementalNearDup(corpusSets: DataFrame, incomingSets: DataFrame,
       id: String, hsCol: String, k: Int, rowsPerBand: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    incrementalNearDupBands(
+      bandTable(corpusSets, id, hsCol, k, rowsPerBand),
+      bandTable(incomingSets, id, hsCol, k, rowsPerBand), id, threshold)
+
+  /** The persistable MinHash band table of a corpus: one row per
+    * (doc, band) with the shingle-hash set riding along for exact
+    * verification — `(id, hs, band_key)`. This is the state a
+    * standing dedup index stores (written once, bucketed/partitioned
+    * by `band_key` at scale) so incoming batches probe it without
+    * ever recomputing corpus signatures. Empty sets are dropped: they
+    * can never reach a positive Jaccard, and their NULL signatures
+    * would otherwise collapse into one quadratic bucket per band.
+    */
+  def bandTable(sets: DataFrame, id: String, hsCol: String, k: Int,
+      rowsPerBand: Int): DataFrame =
+    minhashFromHashes(
+      sets.select(col(id), col(hsCol).as("hs")).filter(size(col("hs")) > 0),
+      col("hs"), k)
+      .select(col(id), col("hs"), bandKeyExplode(k, rowsPerBand).as("band_key"))
+
+  /** [[incrementalNearDup]] over PRE-BUILT band tables (both sides
+    * shaped like [[bandTable]] output): the probe path a streaming
+    * ingest gate runs per batch against its stored corpus index.
+    */
+  def incrementalNearDupBands(corpusBands: DataFrame,
+      incomingBands: DataFrame, id: String, threshold: Double): DataFrame = {
     require(threshold > 0.0, "threshold must be positive")
-    def bandsOf(df: DataFrame, idAs: String, hsAs: String): DataFrame =
-      minhashFromHashes(
-        df.select(col(id).as(idAs), col(hsCol).as(hsAs))
-          .filter(size(col(hsAs)) > 0), col(hsAs), k)
-        .select(col(idAs), col(hsAs),
-          bandKeyExplode(k, rowsPerBand).as("band_key"))
-    val c = bandsOf(corpusSets, "id_c", "h_c")
-    val i = bandsOf(incomingSets, "id_i", "h_i")
+    val c = corpusBands.select(col("band_key"), col(id).as("id_c"),
+      col("hs").as("h_c"))
+    val i = incomingBands.select(col("band_key"), col(id).as("id_i"),
+      col("hs").as("h_i"))
     i.join(c, Seq("band_key"))
       .filter(least(size(col("h_i")), size(col("h_c"))).cast("double") >=
         greatest(size(col("h_i")), size(col("h_c"))) * threshold)

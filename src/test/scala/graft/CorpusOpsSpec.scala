@@ -259,6 +259,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("incrementalNearDup equals the pair detector restricted to the split") {
+    // same banding on both framings ⇒ EXACT agreement, including which
+    // candidates the bands recall. Random sets with planted near-copies
+    // (identical or one-element-dropped) generate real pairs.
+    for (seed <- Seq(7, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val base = (0 until 30).map { i =>
+        (i.toLong, (0 until 30 + rnd.nextInt(20))
+          .map(_ => rnd.nextInt(2000).toLong).distinct.sorted)
+      }
+      val copies = (0 until 12).map { j =>
+        val (src, hs) = base(rnd.nextInt(base.size))
+        val mut = if (j % 3 == 0) hs.drop(1) else hs
+        (100L + j, mut)
+      }
+      val all = (base ++ copies).toDF("doc_id", "hs")
+      val corpus = all.filter(col("doc_id") % 2 === 0)
+      val incoming = all.filter(col("doc_id") % 2 === 1)
+      val got = Dedup.incrementalNearDup(corpus, incoming, "doc_id", "hs",
+        k = 16, rowsPerBand = 8, threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val pairs = Dedup.minhashNearDupPairs(all, "doc_id", "hs",
+        k = 16, rowsPerBand = 8, threshold = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val expected = pairs
+        .flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+        .filter { case (i, c, _) => i % 2 == 1 && c % 2 == 0 }
+        .groupBy(_._1)
+        .map { case (i, ms) =>
+          (i, ms.map(_._2).min, ms.map(_._3).max) }
+        .toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("boilerplateCoverage: df gate, zero-boiler doc, short-doc null") {
     val df = Seq(
       (1L, "the quick brown fox"),   // shingles: {the quick brown, quick brown fox}
