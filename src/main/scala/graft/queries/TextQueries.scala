@@ -465,6 +465,53 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // the ACTUAL streaming ingest gate as an oracle-checked query:
+    // two real applyBatch calls (even docs, then odd docs) over a
+    // temp state dir, verdicts hash-checked against a pure-SQL
+    // statement of the gate semantics — greedy in-batch self-dedup
+    // (any verified smaller-id same-batch partner), then a corpus
+    // probe against batch 0's ADMITTED survivors. Pair recall is
+    // exactly the shared mj CTE: signatures are per-doc, so banding
+    // over a batch subset equals banding over the corpus restricted
+    // to that subset.
+    QueryDef("doc_ingest_gate_e2e",
+      s"""WITH $sqlMinhashPairCtes,
+         |p AS (SELECT id_a, id_b, jac FROM mj WHERE jac >= $MinhashJaccard),
+         |ids AS (SELECT doc_id FROM documents),
+         |ib AS (SELECT id_b AS doc_id, min(id_a) AS dup_of,
+         |    max(jac) AS best_jac
+         |  FROM p WHERE id_a % 2 = id_b % 2 GROUP BY 1),
+         |adm0 AS (SELECT doc_id FROM ids WHERE doc_id % 2 = 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM ib)),
+         |sym AS (SELECT id_a AS x, id_b AS y, jac FROM p
+         |  UNION ALL SELECT id_b, id_a, jac FROM p),
+         |cp AS (SELECT sym.x AS doc_id, min(sym.y) AS dup_of,
+         |    max(jac) AS best_jac
+         |  FROM sym JOIN adm0 ON adm0.doc_id = sym.y
+         |  WHERE sym.x % 2 = 1 GROUP BY 1)
+         |SELECT ids.doc_id, CAST(ids.doc_id % 2 AS BIGINT) AS batch,
+         |  CASE WHEN ib.doc_id IS NOT NULL THEN 'dup_in_batch'
+         |       WHEN cp.doc_id IS NOT NULL THEN 'dup_of_corpus'
+         |       ELSE 'admitted' END AS verdict,
+         |  coalesce(ib.dup_of, cp.dup_of) AS dup_of,
+         |  round(coalesce(ib.best_jac, cp.best_jac), 6) AS best_jac
+         |FROM ids LEFT JOIN ib USING (doc_id)
+         |  LEFT JOIN cp ON cp.doc_id = ids.doc_id
+         |ORDER BY ids.doc_id""".stripMargin
+    ) { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft-gate-q").toString
+      val gate = new graft.streaming.IngestGate(s, root,
+        k = MinhashK, rowsPerBand = RowsPerBand, threshold = MinhashJaccard)
+      val docs = load(s, d, "documents").select(col("doc_id"), col("text"))
+      gate.applyBatch(docs.filter(col("doc_id") % 2 === 0), 0L)
+      gate.applyBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
+      gate.readVerdicts()
+        .select(col("doc_id"), col("batch").cast("long").as("batch"),
+          col("verdict"), col("dup_of"),
+          round(col("best_jac"), 6).as("best_jac"))
+        .orderBy("doc_id")
+    },
+
     QueryDef("doc_simhash", {
       val sums = (0 until 32)
         .map(i => s"CAST(sum((h >> $i) & 1) AS BIGINT) AS s_$i").mkString(",\n  ")
