@@ -1,0 +1,84 @@
+package graft.ops
+
+/** Pure-JVM WAV (RIFF) header codec — the audio analog of
+  * [[ImageCodec]]: REAL metadata decode for the multimodal seam
+  * without any native codec dependency. Parses the `fmt ` and `data`
+  * chunks by walking the RIFF chunk list (the JDK and ffmpeg both
+  * emit extra chunks like `LIST`/`fact`, so fixed-offset parsing is
+  * wrong); the declared `data` size is trusted even when the payload
+  * is truncated — metadata extraction must not require the full
+  * media bytes (at 100 TB the header read IS the point: range-read
+  * the first KB, never the payload).
+  *
+  * Validated in ImageCodecSpec against `javax.sound.sampled`'s own
+  * WAVE writer, the same pattern as the image parsers vs ImageIO.
+  */
+object AudioCodec {
+
+  final case class AudioMeta(channels: Int, sampleRate: Long,
+      bitsPerSample: Int, nFrames: Long) {
+    /** Exact integer duration in µs (floor). */
+    def durationUs: Long = nFrames * 1000000L / sampleRate
+  }
+
+  private def u16le(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Decode WAV metadata from (at least) the header bytes. None for
+    * non-WAV / non-PCM / malformed payloads — callers route those to
+    * a malformed sink, mirroring [[ImageCodec.decodeMeta]].
+    */
+  def decodeMeta(b: Array[Byte]): Option[AudioMeta] = {
+    if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
+      return None
+    var i = 12
+    var channels = 0; var rate = 0L; var bits = 0; var fmtOk = false
+    var dataSize = -1L
+    while (i + 8 <= b.length && (dataSize < 0 || !fmtOk)) {
+      val id = tag(b, i); val size = u32le(b, i + 4)
+      if (id == "fmt " && i + 8 + 16 <= b.length) {
+        val audioFormat = u16le(b, i + 8)
+        // PCM or WAVE_FORMAT_EXTENSIBLE wrapping PCM
+        fmtOk = audioFormat == 1 || audioFormat == 0xfffe
+        channels = u16le(b, i + 10)
+        rate = u32le(b, i + 12)
+        bits = u16le(b, i + 22)
+      } else if (id == "data") {
+        dataSize = size
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (!fmtOk || channels <= 0 || rate <= 0 || bits <= 0 || dataSize < 0)
+      None
+    else {
+      val frameBytes = channels.toLong * (bits / 8).max(1)
+      Some(AudioMeta(channels, rate, bits, dataSize / frameBytes))
+    }
+  }
+
+  /** Canonical 44-byte PCM WAV header (no sample payload — the
+    * declared data size stands in for it, which [[decodeMeta]]
+    * honors by design).
+    */
+  def wavHeader(channels: Int, sampleRate: Long, bitsPerSample: Int,
+      nFrames: Long): Array[Byte] = {
+    val frameBytes = channels * (bitsPerSample / 8)
+    val dataSize = nFrames * frameBytes
+    val o = new java.io.ByteArrayOutputStream(44)
+    def le16(v: Int): Unit = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = (0 until 4).foreach(s => o.write(((v >> (8 * s)) & 0xff).toInt))
+    def ascii(s: String): Unit = o.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    ascii("RIFF"); le32(36L + dataSize); ascii("WAVE")
+    ascii("fmt "); le32(16L); le16(1); le16(channels)
+    le32(sampleRate); le32(sampleRate * frameBytes)
+    le16(frameBytes); le16(bitsPerSample)
+    ascii("data"); le32(dataSize)
+    o.toByteArray
+  }
+}

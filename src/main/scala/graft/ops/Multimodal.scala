@@ -72,6 +72,27 @@ object Multimodal {
     })
   }
 
+  final case class AudioMetaRow(
+      doc_id: Long, channels: Long, sample_rate: Long, bits: Long,
+      n_audio_frames: Long, duration_us: Long)
+
+  /** REAL audio metadata decode through the same codec seam as
+    * [[decodeImageMeta]]: channels / rate / depth / frame count /
+    * exact integer duration parsed from the WAV header bytes
+    * ([[AudioCodec.decodeMeta]], pure JVM). Unrecognized payloads map
+    * to all -1 rather than dropping.
+    */
+  def decodeAudioMeta(ds: Dataset[(Long, Array[Byte])]): Dataset[AudioMetaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      AudioCodec.decodeMeta(bytes) match {
+        case Some(m) => AudioMetaRow(id, m.channels.toLong, m.sampleRate,
+          m.bitsPerSample.toLong, m.nFrames, m.durationUs)
+        case None => AudioMetaRow(id, -1L, -1L, -1L, -1L, -1L)
+      }
+    })
+  }
+
   /** Frame sampling plumbing: treat the payload as `frameSize`-byte
     * frames, take every `stride`-th, extract a (stubbed) per-frame
     * feature — the first byte's code point.

@@ -1106,6 +1106,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // REAL audio-header decode through the same seam: per-doc WAV
+    // headers synthesized deterministically from doc_id (every 7th
+    // payload malformed → the all -1 branch), parsed back by the
+    // pure-JVM RIFF walker; the oracle is the closed form. The
+    // duration is exact integer µs — floor division on both sides.
+    QueryDef("mm_audio_meta",
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN -1
+        |    ELSE 1 + doc_id % 2 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN -1
+        |    WHEN doc_id % 3 = 0 THEN 8000 WHEN doc_id % 3 = 1 THEN 16000
+        |    ELSE 44100 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN -1
+        |    WHEN doc_id % 5 = 0 THEN 8 ELSE 16 END AS BIGINT) AS bits,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN -1
+        |    ELSE doc_id % 50000 + 100 END AS BIGINT) AS n_audio_frames,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN -1
+        |    ELSE (doc_id % 50000 + 100) * 1000000 //
+        |      (CASE WHEN doc_id % 3 = 0 THEN 8000
+        |            WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END)
+        |    END AS BIGINT) AS duration_us
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val payload = load(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes =
+            if (id % 7 == 0) "not audio".getBytes("US-ASCII")
+            else graft.ops.AudioCodec.wavHeader(
+              (1 + id % 2).toInt,
+              Seq(8000L, 16000L, 44100L)((id % 3).toInt),
+              if (id % 5 == 0) 8 else 16,
+              id % 50000 + 100)
+          (id, bytes)
+        })
+      Multimodal.decodeAudioMeta(payload).toDF()
+        .select("doc_id", "channels", "sample_rate", "bits",
+          "n_audio_frames", "duration_us")
+        .orderBy("doc_id")
+    },
+
     // multimodal frame-sampling plumbing (stub feature)
     QueryDef("mm_frame_sample",
       """WITH f AS (SELECT doc_id,
