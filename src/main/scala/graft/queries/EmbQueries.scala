@@ -362,5 +362,50 @@ object EmbQueries {
           expr(s"n1 * 1000000 div $K").as("recall_ppm"),
           expr(s"n2 * 1000000 div $K").as("recall_ppm_probe2"))
         .orderBy("q_id")
+    },
+
+    // HYBRID dedup: connected components over the UNION of the
+    // lexical (MinHash Jaccard on token sets) and semantic
+    // (banded-LSH cosine on embeddings, doc_id = vec_id) near-dup
+    // pair graphs — the FineWeb/SemDeDup composition: paraphrases
+    // that token overlap misses fold in through the embedding edges,
+    // verbatim-ish copies through the lexical ones. Both edge
+    // generators are the exact audited operators with their own green
+    // oracles; the twin replays both pipelines plus the recursive
+    // min-label fixpoint.
+    QueryDef("hybrid_dup_components",
+      s"""WITH RECURSIVE ${TextQueries.sqlMinhashPairCtes},
+         |$sqlQuant,
+         |bb AS (SELECT vec_id, label, e,
+         |  CAST($sqlBucketTerms AS BIGINT) AS bucket FROM q),
+         |sem AS (${sqlBandedPairSelect("label")}),
+         |e AS (SELECT id_a, id_b FROM mj
+         |    WHERE jac >= ${TextQueries.MinhashJaccard}
+         |  UNION SELECT id_a, id_b FROM sem),
+         |${TextQueries.sqlComponentTail}
+         |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp,
+         |  d.doc_id = coalesce(c.comp, d.doc_id) AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    ) { (s, d) =>
+      val docs = load(s, d, "documents")
+        .withColumn("hs", graft.ops.Dedup.tokenHashSet(col("text")))
+      val lex = graft.ops.Dedup.minhashNearDupPairs(docs, "doc_id", "hs",
+        TextQueries.MinhashK, TextQueries.RowsPerBand,
+        TextQueries.MinhashJaccard).select("id_a", "id_b")
+      val vecs = load(s, d, "embeddings")
+        .select(col("label"), col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"))
+      val sem = Similarity.nearDupPairsLsh(vecs, "label", NearDupThreshold,
+        Planes, Dims, NearDupBands).select("id_a", "id_b")
+      val comp = graft.ops.Dedup.connectedComponents(
+        lex.unionByName(sem).distinct(), "id_a", "id_b")
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"),
+          (col("doc_id") === coalesce(col("comp"), col("doc_id")))
+            .as("is_canonical"))
+        .orderBy("doc_id")
     })
 }

@@ -33,9 +33,9 @@ object TextQueries {
   // 2 bands x 8 rows: P(candidate) = 1-(1-j^8)^2 — sharp at the 0.95
   // verify threshold (0.88 recall) while keeping low-j candidates,
   // and with them the shuffle volume, near zero.
-  private val MinhashK = 16
-  private val RowsPerBand = 8
-  private val MinhashJaccard = 0.95
+  private[queries] val MinhashK = 16
+  private[queries] val RowsPerBand = 8
+  private[queries] val MinhashJaccard = 0.95
 
   /** Shared DuckDB MinHash pipeline: shingle-hash sets → K signatures
     * → band keys → banded candidates → size-prefiltered exact-Jaccard
@@ -78,7 +78,7 @@ object TextQueries {
        |  $bandSelects)""".stripMargin
   }
 
-  private val sqlMinhashPairCtes: String =
+  private[queries] val sqlMinhashPairCtes: String =
     s"""$sqlMinhashBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b USING (band_key)
@@ -95,15 +95,22 @@ object TextQueries {
     * set: CTEs e/sym/reach/comp; `comp(id, comp)` is the min-id
     * component labeling (see doc_dup_components for the contract).
     */
-  private val sqlComponentCtes: String =
-    s"""e AS (SELECT id_a, id_b FROM mj WHERE jac >= $MinhashJaccard),
-       |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+  /** The min-label fixpoint tail alone (sym/reach/comp over a
+    * caller-supplied edge CTE `e(id_a, id_b)`) — shared with the
+    * hybrid lexical+semantic composition in EmbQueries.
+    */
+  private[queries] val sqlComponentTail: String =
+    s"""sym AS (SELECT id_a AS src, id_b AS dst FROM e
        |  UNION SELECT id_b, id_a FROM e),
        |reach AS (
        |  SELECT src AS id, dst AS r FROM sym
        |  UNION
        |  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
        |comp AS (SELECT id, least(id, min(r)) AS comp FROM reach GROUP BY id)""".stripMargin
+
+  private val sqlComponentCtes: String =
+    s"""e AS (SELECT id_a, id_b FROM mj WHERE jac >= $MinhashJaccard),
+       |$sqlComponentTail""".stripMargin
 
   // Gopher-style repetition-filter thresholds (≈p80/p90 of the
   // corpus — non-degenerate verdict), shared with the SQL twin
