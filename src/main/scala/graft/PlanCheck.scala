@@ -15,7 +15,9 @@ object PlanCheck {
         "q_pivot", "q_funnel", "doc_top_ngrams", "doc_tfidf_topterms",
         "doc_length_quantiles", "doc_chunk", "doc_repetition_filter",
         "doc_top_ngrams_approx", "doc_mixture_sample", "doc_span_overlap",
-        "emb_ivf_recall")
+        "emb_ivf_recall", "doc_incremental_dedup", "doc_boilerplate",
+        "doc_cluster_best", "q_sessions", "q_retention",
+        "hybrid_dup_components", "mm_audio_meta")
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)
       val plan = df.queryExecution.explainString(
