@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * Functions: graft_phash(str), graft_dot(arr, arr),
   * graft_sorted_intersect_size(arr, arr), graft_token_hash_set(str),
-  * graft_cdc_envelope(str).
+  * graft_cdc_envelope(str), graft_minhash_sigs(arr, k).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -53,5 +53,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("graft_cdc_envelope",
       "one-pass CDC JSON envelope parse (from_json-equivalent)",
       NativeExpressions.CdcEnvelopeExpr))
+    // k is an operator parameter, not data: require a foldable int so
+    // the signature count is fixed at plan time
+    ext.injectFunction((FunctionIdentifier("graft_minhash_sigs"),
+      info("graft_minhash_sigs",
+        "k MinHash signatures of a bigint hash-set array; k literal"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "graft_minhash_sigs expects 2 arguments")
+        require(args(1).foldable &&
+          args(1).dataType == org.apache.spark.sql.types.IntegerType,
+          "graft_minhash_sigs: k must be an INT literal")
+        NativeExpressions.MinhashSigsExpr(args(0),
+          args(1).eval().asInstanceOf[Int])
+      }))
   }
 }

@@ -43,7 +43,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  graft_dot(array(1L,2L,3L), array(4L,5L,6L)) AS d,
         |  graft_sorted_intersect_size(array(1L,3L,5L), array(3L,5L,9L)) AS i,
         |  size(graft_token_hash_set('a b a c')) AS t,
-        |  graft_cdc_envelope('{"resolved":[42,7]}').resolved[0] AS hb
+        |  graft_cdc_envelope('{"resolved":[42,7]}').resolved[0] AS hb,
+        |  size(graft_minhash_sigs(graft_token_hash_set('a b c'), 16)) AS m
         |""".stripMargin).head()
     assert(r.getLong(0) == graft.functions.NativeImpl.portableHash(
       org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
@@ -51,6 +52,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 2L)
     assert(r.getInt(3) == 3)
     assert(r.getLong(4) == 42L)
+    assert(r.getInt(5) == 16)
+    // non-literal k is a plan-time error, not a runtime surprise
+    intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sigs(array(1L), CAST(id AS INT)) " +
+        "FROM range(1)").head()
+    }
     }
   }
 }
