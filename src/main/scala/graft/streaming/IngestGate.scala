@@ -42,6 +42,15 @@ final class IngestGate(spark: SparkSession, stateDir: String,
   private val corpusDir = s"$stateDir/corpus"
   private val verdictsDir = s"$stateDir/verdicts"
 
+  /** Per-batch admission counters, observed on the verdicts write
+    * itself (no extra job — the EngineMetrics pattern).
+    */
+  final case class GateStats(batchId: Long, nAdmitted: Long,
+      nDupInBatch: Long, nDupCorpus: Long)
+
+  @volatile private var lastStatsVar: Option[GateStats] = None
+  def lastStats: Option[GateStats] = lastStatsVar
+
   private val bandSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("hs", ArrayType(LongType)),
@@ -94,8 +103,20 @@ final class IngestGate(spark: SparkSession, stateDir: String,
     // verdicts first: a crash between the writes leaves a replayable
     // batch (corpus filter excludes the partial partition), never a
     // corpus row without its verdict
-    verdicts.coalesce(1).write.mode("overwrite")
+    val obs = org.apache.spark.sql.Observation(
+      s"gate-$batchId-${System.nanoTime()}")
+    // coalesce: sum over an EMPTY batch is null, not 0
+    def cnt(v: String) =
+      coalesce(sum(when(col("verdict") === v, 1L).otherwise(0L)), lit(0L)).as(v)
+    verdicts.observe(obs, cnt("admitted"), cnt("dup_in_batch"),
+        cnt("dup_of_corpus"))
+      .coalesce(1).write.mode("overwrite")
       .parquet(s"$verdictsDir/batch=$batchId")
+    val m = obs.get
+    lastStatsVar = Some(GateStats(batchId,
+      m("admitted").asInstanceOf[Long],
+      m("dup_in_batch").asInstanceOf[Long],
+      m("dup_of_corpus").asInstanceOf[Long]))
     survivors.write.mode("overwrite")
       .parquet(s"$corpusDir/batch=$batchId")
   }

@@ -44,6 +44,10 @@ class IngestGateSpec extends SparkSpec {
     val corpusIds = spark.read.parquet(s"$state/corpus")
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(corpusIds == Set(1L, 2L, 5L))
+    // batch stats observed on the verdicts write itself
+    val st = gate.lastStats.get
+    assert((st.batchId, st.nAdmitted, st.nDupInBatch, st.nDupCorpus) ==
+      ((1L, 1L, 0L, 1L)))
   }
 
   test("gate: batch replay overwrites its own partition (idempotent)") {
