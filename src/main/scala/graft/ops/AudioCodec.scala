@@ -36,23 +36,27 @@ object AudioCodec {
   def decodeMeta(b: Array[Byte]): Option[AudioMeta] = {
     if (b == null || b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE")
       return None
-    var i = 12
+    // the cursor is a Long: a hostile u32 chunk size near 2^32 must
+    // walk PAST the buffer and end the loop, not wrap negative (an
+    // Int cursor spins forever on size 0xFFFFFFF8)
+    var i = 12L
     var channels = 0; var rate = 0L; var bits = 0; var fmtOk = false
     var dataSize = -1L
     while (i + 8 <= b.length && (dataSize < 0 || !fmtOk)) {
-      val id = tag(b, i); val size = u32le(b, i + 4)
+      val at = i.toInt
+      val id = tag(b, at); val size = u32le(b, at + 4)
       if (id == "fmt " && i + 8 + 16 <= b.length) {
-        val audioFormat = u16le(b, i + 8)
+        val audioFormat = u16le(b, at + 8)
         // PCM or WAVE_FORMAT_EXTENSIBLE wrapping PCM
         fmtOk = audioFormat == 1 || audioFormat == 0xfffe
-        channels = u16le(b, i + 10)
-        rate = u32le(b, i + 12)
-        bits = u16le(b, i + 22)
+        channels = u16le(b, at + 10)
+        rate = u32le(b, at + 12)
+        bits = u16le(b, at + 22)
       } else if (id == "data") {
         dataSize = size
       }
       // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      i += 8L + size + (size & 1L)
     }
     if (!fmtOk || channels <= 0 || rate <= 0 || bits <= 0 || dataSize < 0)
       None

@@ -245,9 +245,12 @@ object PipelineOps {
     require(shares.values.forall(_ > 0), "shares must be positive")
     val bound = df.withColumn("__s", stratum.cast("string"))
       .withColumn("__nt", nTokens.cast("long"))
+    // a stratum whose token counts are ALL null sums to null — treat
+    // as mass 0 (rate 0 below) instead of NPEing on getLong
     val masses = bound.groupBy("__s").agg(sum("__nt").as("__t"))
       .collect().flatMap(r => Option(r.getString(0))
-        .filter(shares.contains).map((_, r.getLong(1))))
+        .filter(shares.contains)
+        .map((_, if (r.isNullAt(1)) 0L else r.getLong(1))))
     val sumShare = BigInt(shares.values.sum)
     val spark = df.sparkSession
     import spark.implicits._

@@ -148,17 +148,25 @@ object TextOps {
     */
   def boilerplateCoverage(df: DataFrame, id: Column, text: Column,
       w: Int, minDf: Long): DataFrame = {
-    val base = df.select(id.as("doc_id"),
-      Dedup.shingleHashes(tokens(text), w).as("__hs"))
-    val sh = base.select(col("doc_id"), explode(col("__hs")).as("__h"))
+    // ONE shingle-hash projection: both counters aggregate the same
+    // exploded frame (co-partitioned groupBys), so the expensive
+    // tokenize+shingle+hash pass runs once; the id universe rejoins
+    // from a doc_id-only scan (zero-shingle docs must still appear,
+    // with a null fraction)
+    val sh = df.select(id.as("doc_id"),
+        explode(Dedup.shingleHashes(tokens(text), w)).as("__h"))
     val frequent = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select("__h")
+    // per-doc shingle hashes are distinct, so the row count IS the
+    // shingle count
+    val perDoc = sh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"))
     val boiler = sh.join(frequent, Seq("__h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-    base.select(col("doc_id"),
-        size(col("__hs")).cast("long").as("n_shingles"))
+    df.select(id.as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
       .join(boiler, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_boiler"))
+      .na.fill(0L, Seq("n_shingles", "n_boiler"))
       .withColumn("boiler_frac", col("n_boiler").cast("double") /
         nullif(col("n_shingles").cast("double"), lit(0.0d)))
   }

@@ -420,10 +420,10 @@ object AnalyticsQueries {
          |  ${OracleDefs.EventStepUs} AS t FROM events),
          |l AS (SELECT user_id, event_id, t, lag(t) OVER
          |  (PARTITION BY user_id ORDER BY t, event_id) AS pt FROM e),
-         |f AS (SELECT user_id, t, CASE WHEN pt IS NULL
+         |f AS (SELECT user_id, event_id, t, CASE WHEN pt IS NULL
          |  OR t - pt > $SessionGapUs THEN 1 ELSE 0 END AS brk FROM l),
          |s AS (SELECT user_id, t, sum(brk) OVER
-         |  (PARTITION BY user_id ORDER BY t
+         |  (PARTITION BY user_id ORDER BY t, event_id
          |   ROWS UNBOUNDED PRECEDING) AS sid FROM f)
          |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
          |  count(*) AS n_events, min(t) AS start_us, max(t) AS end_us,

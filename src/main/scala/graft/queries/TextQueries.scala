@@ -418,13 +418,15 @@ object TextQueries {
         MinhashK, RowsPerBand, MinhashJaccard)
       val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
       val toks = tokens(col("text"))
+      // the scored frame doubles as the id universe — one scan serves
+      // both the label join and the score, instead of a third pass
       val scored = load(s, d, "documents").select(col("doc_id"),
         (size(array_distinct(toks)).cast("double") /
           nullif(size(toks).cast("double"), lit(0.0d))).as("score"))
-      val lab = docs.select(col("doc_id"))
+      val lab = scored
         .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
-        .join(scored, "doc_id")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"),
+          col("score"))
       // max(struct) orders null score below any value (NULLS LAST in
       // the window twin) and -doc_id breaks exact-score ties toward
       // the smaller id — same winner as rn = 1

@@ -619,6 +619,7 @@ final class CdcEngine(
       val undecided = dec.filter(col("action").isNull)
       if (!undecided.isEmpty) {
         persistFatal("out-of-order change with no command-queue instruction")
+        t.unpersist()
         throw new IllegalStateException("FATAL: unresolved out-of-order change")
       }
       val skipped = dec.filter(col("action") === "skip")

@@ -57,17 +57,24 @@ final class IngestGate(spark: SparkSession, stateDir: String,
     StructField("band_key", StringType)))
 
   /** Corpus band rows admitted by batches strictly before `batchId`
-    * (empty on the first batch / a fresh state dir).
+    * (empty on the first batch / a fresh state dir). The existence
+    * probe goes through the Hadoop FileSystem of the path — a
+    * java.io.File check would silently report an hdfs:// or s3a://
+    * state dir as absent and admit every duplicate.
     */
-  def corpusBands(batchId: Long): DataFrame =
-    if (new java.io.File(corpusDir).isDirectory &&
-        new java.io.File(corpusDir).listFiles().exists(_.getName.startsWith("batch=")))
+  def corpusBands(batchId: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
+    if (hasBatches)
       spark.read.option("basePath", corpusDir).parquet(corpusDir)
         .filter(col("batch") < batchId)
         .select("doc_id", "hs", "band_key")
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         bandSchema)
+  }
 
   /** Admit one micro-batch: write verdicts and the survivors' band
     * rows under `batch=<batchId>`. Idempotent per batchId.
@@ -75,7 +82,12 @@ final class IngestGate(spark: SparkSession, stateDir: String,
   def applyBatch(batch: DataFrame, batchId: Long): Unit = {
     val sets = batch.select(col("doc_id"),
       Dedup.tokenHashSet(col("text")).as("hs"))
+    // bands and both verdict frames feed TWO actions (the verdicts
+    // write and the survivors write) — persist so the tokenize/
+    // MinHash/pair-join/corpus-probe lineage runs once per batch,
+    // not once per write
     val bands = Dedup.bandTable(sets, "doc_id", "hs", k, rowsPerBand)
+      .persist()
     // greedy in-batch self-dedup: a doc with ANY verified smaller-id
     // partner in the same batch is dropped (what a production gate
     // does — full transitive clustering per micro-batch buys little
@@ -84,9 +96,17 @@ final class IngestGate(spark: SparkSession, stateDir: String,
       k, rowsPerBand, threshold)
       .groupBy(col("id_b").as("doc_id"))
       .agg(min("id_a").as("dup_of"), max("jac").as("best_jac"))
+      .persist()
     val probe = bands.join(inDup.select("doc_id"), Seq("doc_id"), "left_anti")
     val corpDup = Dedup.incrementalNearDupBands(
       corpusBands(batchId), probe, "doc_id", threshold)
+      .persist()
+    try { applyBatchWrites(batch, batchId, inDup, corpDup, probe) }
+    finally { bands.unpersist(); inDup.unpersist(); corpDup.unpersist() }
+  }
+
+  private def applyBatchWrites(batch: DataFrame, batchId: Long,
+      inDup: DataFrame, corpDup: DataFrame, probe: DataFrame): Unit = {
     val verdicts = batch.select(col("doc_id"))
       .join(inDup.withColumnRenamed("dup_of", "dup_in")
         .withColumnRenamed("best_jac", "jac_in"), Seq("doc_id"), "left")
