@@ -138,34 +138,36 @@ object TextOps {
     *
     * Shape at scale: explode to (doc, shingle-hash) → one count
     * shuffle on the hash for document frequency (per-doc shingles are
-    * distinct, so plain count IS df) → semi-join back on the same key
+    * distinct, so plain count IS df) → flag-join back on the same key
     * (no re-shuffle of the frequency side under co-partitioning) →
-    * per-doc count. Never materializes pairs; the frequency table is
-    * |distinct shingles|, far below corpus size.
+    * ONE per-doc aggregation yielding both counters. Never
+    * materializes pairs; the frequency table is |distinct shingles|,
+    * far below corpus size.
     *
     * Returns (doc_id, n_shingles, n_boiler, boiler_frac) — exact
     * integer counts and one IEEE division, engine-reproducible.
     */
   def boilerplateCoverage(df: DataFrame, id: Column, text: Column,
       w: Int, minDf: Long): DataFrame = {
-    // ONE shingle-hash projection: both counters aggregate the same
-    // exploded frame (co-partitioned groupBys), so the expensive
-    // tokenize+shingle+hash pass runs once; the id universe rejoins
-    // from a doc_id-only scan (zero-shingle docs must still appear,
-    // with a null fraction)
+    // BOTH counters come from ONE aggregation over the frequency-
+    // flagged exploded frame: per-doc shingle hashes are distinct, so
+    // the row count IS the shingle count and the flag sum IS the
+    // boiler count — one groupBy(doc_id) shuffle instead of two, and
+    // the tokenize+shingle+hash projection is evaluated only for the
+    // df build and the probe (never a third time for sizes). The id
+    // universe rejoins from a doc_id-only scan: zero-shingle docs
+    // must still appear, with a null fraction.
     val sh = df.select(id.as("doc_id"),
         explode(Dedup.shingleHashes(tokens(text), w)).as("__h"))
     val frequent = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDf).select("__h")
-    // per-doc shingle hashes are distinct, so the row count IS the
-    // shingle count
-    val perDoc = sh.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"))
-    val boiler = sh.join(frequent, Seq("__h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+      .withColumn("__f", lit(1L))
+    val counts = sh.join(frequent, Seq("__h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__f"), lit(0L))).as("n_boiler"))
     df.select(id.as("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .join(boiler, Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_shingles", "n_boiler"))
       .withColumn("boiler_frac", col("n_boiler").cast("double") /
         nullif(col("n_shingles").cast("double"), lit(0.0d)))
