@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.GraftShims
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Native Catalyst expressions (with `doGenCode`) for the two hot
   * inner loops the higher-order-function formulations leave
@@ -201,4 +202,41 @@ object NativeExpressions {
   def dotLongNative(a: Column, b: Column): Column =
     GraftShims.column(ArrayDotLongExpr(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Bloom-membership probe over a long key — the runtime-filter
+    * pattern: a filter built once by a distributed aggregation is
+    * probed per row inside whole-stage-generated Java, pruning a
+    * scan-side explode before its shuffle. The SERIALIZED bytes ride
+    * the expression (small, immutable, closure-friendly); the filter
+    * object materializes from them lazily once per deserialized
+    * instance, and the codegen path ships the materialized filter
+    * through the `references` array. Bloom semantics: `false` is
+    * definitive (no false negatives), `true` is a candidate — so
+    * filtering with this in front of an exact join changes the rows
+    * shuffled, never the result.
+    */
+  case class BloomMightContainExpr(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nodeName: String = "graft_bloom_might_contain"
+
+    @transient private lazy val filter: BloomFilter =
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
+
+    override protected def nullSafeEval(input: Any): Any =
+      filter.mightContainLong(input.asInstanceOf[Long])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bf = ctx.addReferenceObj("graftBloom", filter,
+        classOf[BloomFilter].getName)
+      defineCodeGen(ctx, ev, c => s"$bf.mightContainLong($c)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def bloomMightContain(key: Column, bloomBytes: Array[Byte]): Column =
+    GraftShims.column(BloomMightContainExpr(
+      GraftShims.expression(key), bloomBytes))
 }

@@ -78,6 +78,42 @@ object PipelineOps {
         coalesce(col("__contaminated"), lit(false)).as("contaminated"))
   }
 
+  /** [[decontaminate]] with a Bloom prefilter in front of the exact
+    * eval-hash join — the shape for corpus-scale membership. The exact
+    * semi-join shuffles every training-side (doc, shingle-hash) row,
+    * and at 100 TB almost none of those hashes are in the eval set, so
+    * that exchange is nearly all waste. Building a Bloom filter over
+    * the eval hashes (one distributed aggregation, `fpp`-sized) and
+    * probing it scan-side lets only true hits plus an `fpp` sliver of
+    * false positives into the shuffle — the runtime-filter idea Spark
+    * applies inside joins, applied across the explode. Bloom filters
+    * have no false negatives and survivors still pass the exact join,
+    * so the output is IDENTICAL to [[decontaminate]]; the filter only
+    * prunes. Driver/executor footprint is the serialized filter,
+    * O(n·ln(1/fpp)) bits — far below the exact hash set a broadcast
+    * join would need, which is what stops scaling first.
+    */
+  def decontaminateBloom(df: DataFrame, id: Column, text: Column,
+      isEval: Column, w: Int, fpp: Double = 0.01): DataFrame = {
+    val (base, exploded, evalHashes) = contaminationSets(df, id, text, isEval, w)
+    // two O(1)-result jobs over the small (eval) side only: the exact
+    // distinct-hash count, then the bloom aggregation sized to it
+    val nEval = evalHashes.count()
+    val bloom = evalHashes.stat.bloomFilter(col("__h"), math.max(nEval, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val candidates = exploded.filter(!col("__eval"))
+      .filter(graft.functions.NativeExpressions.bloomMightContain(
+        col("__h"), bos.toByteArray))
+    val contaminated = candidates.join(evalHashes, Seq("__h"), "left_semi")
+      .select(col("__id")).distinct()
+      .withColumn("__contaminated", lit(true))
+    base.filter(!col("__eval"))
+      .join(contaminated, Seq("__id"), "left")
+      .select(col("__id"),
+        coalesce(col("__contaminated"), lit(false)).as("contaminated"))
+  }
+
   /** Gradated decontamination: instead of a boolean, report each
     * training document's distinct-shingle overlap with the eval set —
     * n_shingles, n_contaminated, and the exact fraction (the number a

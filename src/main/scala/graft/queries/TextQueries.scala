@@ -125,6 +125,25 @@ object TextQueries {
   private val ChunkStride = 24
   private val IndexBlockDocs = 128L
   private val EvalMod = 7
+  // boolean-decontamination oracle, shared VERBATIM by the exact plan
+  // (doc_decontaminate) and the Bloom-prefiltered plan
+  // (doc_decontaminate_bloom): the prefilter may only prune the
+  // shuffle, never change the verdict, and two queries hashing against
+  // one SQL is the proof
+  private lazy val decontamBoolSql: String = {
+    val sh8 = (1 to 8).map(o => s"w[i+$o]").mkString(", ")
+    s"""WITH base AS (SELECT doc_id, doc_id % $EvalMod = 0 AS is_eval,
+       |    $sqlToks AS w FROM documents),
+       |sh AS (SELECT doc_id, is_eval, unnest(list_distinct(list_transform(
+       |    list_distinct(list_transform(range(0, greatest(len(w) - 7, 0)),
+       |      i -> concat_ws(' ', $sh8))), s -> ${sqlPhash("s")}))) AS h
+       |  FROM base),
+       |ev AS (SELECT DISTINCT h FROM sh WHERE is_eval),
+       |c AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev ON s.h = ev.h
+       |      WHERE NOT s.is_eval)
+       |SELECT b.doc_id, b.doc_id IN (SELECT doc_id FROM c) AS contaminated
+       |FROM base b WHERE NOT b.is_eval ORDER BY b.doc_id""".stripMargin
+  }
   // doc-id sample rate for the approximate-df n-gram variant, shared
   // with the SQL twin. 4 (not a production-scale 64+) because the
   // fixture's head terms have df ≈ 7 — a sparser sample would zero
@@ -747,21 +766,20 @@ object TextQueries {
     // exact 8-gram hits are rare — a sparser eval set (the old mod 97)
     // made the verdict vacuous (zero contaminated at sf0.01; mod 7
     // yields 9 there and 7 at sf0.001)
-    QueryDef("doc_decontaminate", {
-      val sh8 = (1 to 8).map(o => s"w[i+$o]").mkString(", ")
-      s"""WITH base AS (SELECT doc_id, doc_id % $EvalMod = 0 AS is_eval,
-         |    $sqlToks AS w FROM documents),
-         |sh AS (SELECT doc_id, is_eval, unnest(list_distinct(list_transform(
-         |    list_distinct(list_transform(range(0, greatest(len(w) - 7, 0)),
-         |      i -> concat_ws(' ', $sh8))), s -> ${sqlPhash("s")}))) AS h
-         |  FROM base),
-         |ev AS (SELECT DISTINCT h FROM sh WHERE is_eval),
-         |c AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev ON s.h = ev.h
-         |      WHERE NOT s.is_eval)
-         |SELECT b.doc_id, b.doc_id IN (SELECT doc_id FROM c) AS contaminated
-         |FROM base b WHERE NOT b.is_eval ORDER BY b.doc_id""".stripMargin
-    }) { (s, d) =>
+    QueryDef("doc_decontaminate", decontamBoolSql) { (s, d) =>
       graft.ops.PipelineOps.decontaminate(load(s, d, "documents"),
+        col("doc_id"), col("text"), col("doc_id") % EvalMod === 0, w = 8)
+        .select(col("__id").as("doc_id"), col("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // the same verdict through the Bloom-prefiltered plan (the corpus-
+    // scale shape: a bloom probe prunes the training-side explode
+    // before its shuffle; no false negatives + exact confirm join ⇒
+    // result identical to doc_decontaminate, so the oracle SQL is
+    // shared verbatim — the driver proving equality IS the point)
+    QueryDef("doc_decontaminate_bloom", decontamBoolSql) { (s, d) =>
+      graft.ops.PipelineOps.decontaminateBloom(load(s, d, "documents"),
         col("doc_id"), col("text"), col("doc_id") % EvalMod === 0, w = 8)
         .select(col("__id").as("doc_id"), col("contaminated"))
         .orderBy("doc_id")

@@ -313,6 +313,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(3) == ((4L, 0L, 0L, None)))
   }
 
+  test("decontaminateBloom == decontaminate, and both verdicts non-vacuous") {
+    // eval doc 0 plants the 2-shingle "alpha beta"; docs 1-2 carry it
+    // (contaminated), 3-4 do not; a second eval doc 5 shares nothing
+    val rnd = new scala.util.Random(99)
+    def noise(n: Int) = Seq.fill(n)(rnd.alphanumeric.take(5).mkString.toLowerCase).mkString(" ")
+    val df = (Seq(
+      (0L, true, "alpha beta gamma delta"),
+      (1L, false, s"${noise(4)} alpha beta ${noise(3)}"),
+      (2L, false, s"alpha beta ${noise(6)}"),
+      (3L, false, s"beta alpha ${noise(6)}"), // reversed — NOT the shingle
+      (4L, false, noise(8)),
+      (5L, true, noise(8))
+    ) ++ (6L to 40L).map(i => (i, false, noise(10)))).toDF("doc_id", "is_eval", "text")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.orderBy("__id").collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val exact = run(PipelineOps.decontaminate(
+      df, col("doc_id"), col("text"), col("is_eval"), w = 2))
+    val bloomed = run(PipelineOps.decontaminateBloom(
+      df, col("doc_id"), col("text"), col("is_eval"), w = 2))
+    assert(bloomed == exact)
+    val verdict = exact.toMap
+    assert(verdict(1L) && verdict(2L) && !verdict(3L) && !verdict(4L))
+    assert(!verdict.contains(0L) && !verdict.contains(5L)) // eval rows excluded
+  }
+
   test("kmeans: separable clusters are recovered from a skewed seed") {
     // two tight blobs on opposite axes; the seed misassigns a third of
     // blob B into blob A's cell (an exactly-even split would park

@@ -33,6 +33,34 @@ class NativeExprSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("hof")).isEmpty)
   }
 
+  test("bloomMightContain: no false negatives, real pruning, null passthrough") {
+    val members = (0L until 2000L).map(_ * 7919L)
+    val bloom = members.toDF("k").stat.bloomFilter(col("k"), members.size.toLong, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val bytes = bos.toByteArray
+    // probe members and non-members through the expression (RDD-backed
+    // so the projection actually executes, see CODEGEN_ONLY comment)
+    val probe = spark.createDataFrame(spark.sparkContext.parallelize(
+      (members.map((_, true)) ++ (1L to 5000L).map(i => (i * 7919L + 3L, false)))
+        .map { case (k, m) => Tuple2(k, m) }, 4))
+      .toDF("k", "is_member")
+      .select(col("is_member"), graft.functions.NativeExpressions
+        .bloomMightContain(col("k"), bytes).as("hit"))
+    // every inserted key MUST hit — a false negative would let the
+    // decontamination prefilter drop a true contamination
+    assert(probe.filter(col("is_member") && !col("hit")).isEmpty)
+    // and the filter must actually prune: at fpp=0.01 the 5000
+    // non-members should pass only rarely (generous 5x bound)
+    val fp = probe.filter(!col("is_member") && col("hit")).count()
+    assert(fp < 250, s"false-positive count $fp way over fpp bound")
+    // null key → null verdict (UnaryExpression default null handling)
+    val n = Seq[java.lang.Long](null).toDF("k")
+      .select(graft.functions.NativeExpressions.bloomMightContain(col("k"), bytes))
+      .collect()
+    assert(n(0).isNullAt(0))
+  }
+
   test("CODEGEN_ONLY: native exprs compile and run with fallback disabled") {
     // With factoryMode=CODEGEN_ONLY + codegen.fallback=false, a Janino
     // compile failure in the generated Java is a hard error instead of
@@ -87,6 +115,17 @@ class NativeExprSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       assert(below == Set(3L))
       assert(above == Set(7L, -1L))
+      // the bloom probe ships its filter via addReferenceObj — it must
+      // compile under Janino too (reference-array access, no literal)
+      val bf = Seq(42L).toDF("k").stat.bloomFilter(col("k"), 1L, 0.01)
+      val bbos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bbos)
+      val hits = spark.createDataFrame(spark.sparkContext.parallelize(
+        Seq(Tuple1(42L), Tuple1(43L)), 1)).toDF("k")
+        .select(graft.functions.NativeExpressions
+          .bloomMightContain(col("k"), bbos.toByteArray).as("hit"))
+        .collect().map(_.getBoolean(0))
+      assert(hits(0))
     } finally {
       prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(v => conf.set("spark.sql.codegen.factoryMode", v))
       prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(v => conf.set("spark.sql.codegen.fallback", v))
