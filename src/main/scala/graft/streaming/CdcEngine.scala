@@ -704,9 +704,19 @@ final class CdcEngine(
   /** Blocked-key filter (P5/J1): anti-join against root/blocked_keys
     * (parquet: serializedKey string). The filter table is broadcast —
     * matching the reference's in-memory key map — only while it fits
-    * the session's autoBroadcastJoinThreshold; past that (millions of
-    * blocked keys) the hint is dropped and the anti-join shuffles,
-    * which is the only plan that survives at scale.
+    * the session's autoBroadcastJoinThreshold. Past that (millions of
+    * blocked keys) the anti-join must shuffle — but shuffling the
+    * WHOLE batch against it is almost all waste, because almost no
+    * change carries a blocked key. So the scale path splits on a
+    * Bloom probe of the blocked set: bloom-negative rows pass without
+    * touching the join (no false negatives — a negative is
+    * definitively unblocked), and only bloom-positive candidates
+    * (true hits + an fpp sliver) enter the exact anti-join. The
+    * filter is memoized on the directory's content signature — the
+    * table only changes through [[blockKeys]] appends — so the
+    * rebuild aggregation runs once per filter-table version, not per
+    * micro-batch (the reference holds the key map in memory for the
+    * same reason, key_filter.go).
     */
   private[graft] def applyKeyFilter(changes: DataFrame): DataFrame = {
     val dir = java.nio.file.Paths.get(root, "blocked_keys")
@@ -719,16 +729,57 @@ final class CdcEngine(
       .select(col("serializedKey").as("__sk"))
     val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
-    val filterBytes = {
+    val (filterBytes, contentSig) = {
       val s = java.nio.file.Files.walk(dir)
-      try s.filter(java.nio.file.Files.isRegularFile(_))
-        .mapToLong(java.nio.file.Files.size(_)).sum
-      finally s.close()
+      try {
+        val files = s.filter(java.nio.file.Files.isRegularFile(_))
+          .sorted().iterator()
+        var bytes = 0L
+        val sig = new StringBuilder
+        files.forEachRemaining { p =>
+          val sz = java.nio.file.Files.size(p)
+          bytes += sz
+          sig.append(p.getFileName).append(':').append(sz).append(':')
+            .append(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+            .append(';')
+        }
+        (bytes, sig.toString)
+      } finally s.close()
     }
-    val rhs = if (threshold > 0 && filterBytes <= threshold)
-      broadcast(blocked) else blocked
-    withKey.join(rhs, Seq("__sk"), "left_anti").drop("__sk")
+    if (threshold > 0 && filterBytes <= threshold)
+      withKey.join(broadcast(blocked), Seq("__sk"), "left_anti").drop("__sk")
+    else {
+      // xxhash64 maps the string key into the long-keyed bloom; a hash
+      // collision only sends an extra row through the exact join (the
+      // join stays keyed on the string), and xxhash64(null) is the
+      // seed, not null, so a null key routes deterministically and
+      // survives either branch — same as anti-join semantics
+      val bloomBytes = keyFilterBloom match {
+        case Some((sig, b)) if sig == contentSig => b
+        case _ =>
+          val n = blocked.count()
+          val bf = blocked.stat.bloomFilter(
+            xxhash64(col("__sk")), math.max(n, 1L), 0.01)
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          val b = bos.toByteArray
+          keyFilterBloom = Some((contentSig, b))
+          b
+      }
+      val probe = graft.functions.NativeExpressions.bloomMightContain(
+        xxhash64(col("__sk")), bloomBytes)
+      val pass = withKey.filter(!probe)
+      val candidates = withKey.filter(probe)
+        .join(blocked, Seq("__sk"), "left_anti")
+      pass.unionByName(candidates).drop("__sk")
+    }
   }
+
+  /** Serialized Bloom filter over the blocked-key table, tagged with
+    * the file-listing signature it was built from (see
+    * [[applyKeyFilter]]).
+    */
+  @volatile private var keyFilterBloom: Option[(String, Array[Byte])] = None
 
   private def appendDlq(df: DataFrame): Unit =
     if (!df.isEmpty)

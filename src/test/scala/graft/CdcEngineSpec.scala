@@ -155,7 +155,7 @@ class CdcEngineSpec extends SparkSpec {
       s"marginal batch ran ${jobs.get()} jobs — the fixed floor regressed")
   }
 
-  test("blocked-keys filter broadcasts while small, shuffles above the size gate") {
+  test("blocked-keys filter broadcasts while small, bloom-splits above the size gate") {
     val root = Files.createTempDirectory("graft-kf").toString
     val e = mkEngine(root)
     e.blockKeys(Seq(("users", Seq("1")), ("users", Seq("3")))
@@ -175,14 +175,31 @@ class CdcEngineSpec extends SparkSpec {
     assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
       "small blocked-keys table must broadcast")
 
-    // above the threshold the hint is dropped and the join shuffles —
-    // same rows survive, no broadcast of a table that would OOM at scale
+    // above the threshold the join may not broadcast a table that
+    // would OOM at scale; instead a Bloom probe of the blocked set
+    // splits the batch — negatives pass join-free, only candidates
+    // reach the exact anti-join — and the same rows survive
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
     try {
-      val big = e.applyKeyFilter(changes)
+      // RDD-backed: over a LocalRelation the optimizer evaluates the
+      // bloom probe at plan time (ConvertToLocalRelation) and the
+      // plan-shape assertions would look at folded-away nodes
+      val changesRdd = spark.createDataFrame(changes.rdd, changes.schema)
+      val big = e.applyKeyFilter(changesRdd)
       assert(surviving(big) == Set("2"))
-      assert(!big.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      val plan = big.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
         "oversized blocked-keys table must not broadcast")
+      assert(plan.contains("graft_bloom_might_contain"),
+        "scale path must bloom-prefilter the anti-join")
+      // memoization: an unchanged filter table must not rebuild the
+      // bloom (the rebuild is a Spark aggregation per call otherwise)
+      val again = e.applyKeyFilter(changes)
+      assert(surviving(again) == Set("2"))
+      // growing the table invalidates the signature and the new key
+      // is honored through the rebuilt bloom
+      e.blockKeys(Seq(("users", Seq("2"))).toDF("tableName", "keyJson"))
+      assert(surviving(e.applyKeyFilter(changes)).isEmpty)
     } finally
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
   }
