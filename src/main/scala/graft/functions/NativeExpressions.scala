@@ -220,6 +220,17 @@ object NativeExpressions {
     override def dataType: DataType = BooleanType
     override def nodeName: String = "graft_bloom_might_contain"
 
+    // Array[Byte] equality is by reference — override to content so
+    // byte-identical probes stay semantically equal (subexpression
+    // elimination, canonicalized plan matching)
+    override def equals(other: Any): Boolean = other match {
+      case BloomMightContainExpr(c, b) =>
+        c == child && java.util.Arrays.equals(b, bloomBytes)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
     @transient private lazy val filter: BloomFilter =
       BloomFilter.readFrom(new java.io.ByteArrayInputStream(bloomBytes))
 
@@ -239,4 +250,34 @@ object NativeExpressions {
   def bloomMightContain(key: Column, bloomBytes: Array[Byte]): Column =
     GraftShims.column(BloomMightContainExpr(
       GraftShims.expression(key), bloomBytes))
+
+  /** Build a serialized Bloom filter over a LONG key column by a
+    * per-partition put + bitwise-OR merge (treeAggregate). Why not
+    * `df.stat.bloomFilter`: that routes through `bloom_filter_agg`,
+    * whose capacity is silently clamped by the runtime-filter confs
+    * (maxNumItems 4M / maxNumBits 8M default) — at exactly the
+    * tens-of-millions-of-keys scale these probes target, the clamp
+    * under-sizes the filter and the requested fpp quietly degrades
+    * toward 1 — and it returns a NULL buffer for empty input (NPE at
+    * readFrom). This builder sizes to the true count, and an empty
+    * input yields a valid all-negative filter — which is the correct
+    * prefilter for an empty membership set. The RDD fold is the
+    * sanctioned per-partition imperative case (a mutable sketch
+    * accumulator); rows stream through it, nothing collects but the
+    * O(filter-size) merge tree.
+    */
+  def buildBloomBytes(df: org.apache.spark.sql.DataFrame, key: Column,
+      fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.functions.col
+    val longs = df.select(key.cast("long").as("__k"))
+      .filter(col("__k").isNotNull)
+    val n = longs.count()
+    val bf = longs.rdd.treeAggregate(
+      BloomFilter.create(math.max(n, 1L), fpp))(
+      (f, r) => { f.putLong(r.getLong(0)); f },
+      (a, b) => { a.mergeInPlace(b); a })
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
 }

@@ -96,16 +96,20 @@ object PipelineOps {
   def decontaminateBloom(df: DataFrame, id: Column, text: Column,
       isEval: Column, w: Int, fpp: Double = 0.01): DataFrame = {
     val (base, exploded, evalHashes) = contaminationSets(df, id, text, isEval, w)
-    // two O(1)-result jobs over the small (eval) side only: the exact
-    // distinct-hash count, then the bloom aggregation sized to it
-    val nEval = evalHashes.count()
-    val bloom = evalHashes.stat.bloomFilter(col("__h"), math.max(nEval, 1L), fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
+    // the eval-hash derivation (tokenize+shingle+explode+distinct) has
+    // THREE consumers — the sizing count, the bloom fold, and the
+    // exact confirm join — so it is persisted once; the caller (or
+    // the per-query clearCache in Verify) releases it after the
+    // result is consumed. An empty eval set builds a valid
+    // all-negative filter: everything prunes, nothing confirms, all
+    // verdicts false — exactly [[decontaminate]] on the same input.
+    val evalCached = evalHashes.persist()
+    val bloomBytes = graft.functions.NativeExpressions.buildBloomBytes(
+      evalCached, col("__h"), fpp)
     val candidates = exploded.filter(!col("__eval"))
       .filter(graft.functions.NativeExpressions.bloomMightContain(
-        col("__h"), bos.toByteArray))
-    val contaminated = candidates.join(evalHashes, Seq("__h"), "left_semi")
+        col("__h"), bloomBytes))
+    val contaminated = candidates.join(evalCached, Seq("__h"), "left_semi")
       .select(col("__id")).distinct()
       .withColumn("__contaminated", lit(true))
     base.filter(!col("__eval"))

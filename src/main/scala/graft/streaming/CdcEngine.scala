@@ -174,7 +174,9 @@ final class CdcEngine(
       phase("order-verify")
 
       // key filter (P5): blocked keys are a broadcast anti-join
-      val filtered = applyKeyFilter(changes)
+      // (bloom-split above the size gate; its cache joins the batch's
+      // release list)
+      val filtered = applyKeyFilter(changes, f => { releaseCaches += f; () })
       phase("key-filter")
 
       // Working-set declaration. Everything below needs only the
@@ -718,7 +720,8 @@ final class CdcEngine(
     * micro-batch (the reference holds the key map in memory for the
     * same reason, key_filter.go).
     */
-  private[graft] def applyKeyFilter(changes: DataFrame): DataFrame = {
+  private[graft] def applyKeyFilter(changes: DataFrame,
+      register: (() => Unit) => Unit = _ => ()): DataFrame = {
     val dir = java.nio.file.Paths.get(root, "blocked_keys")
     if (!java.nio.file.Files.isDirectory(dir)) return changes
     val nameById = tables.map { case (tid, m) => m.name -> tid }
@@ -757,19 +760,24 @@ final class CdcEngine(
       val bloomBytes = keyFilterBloom match {
         case Some((sig, b)) if sig == contentSig => b
         case _ =>
-          val n = blocked.count()
-          val bf = blocked.stat.bloomFilter(
-            xxhash64(col("__sk")), math.max(n, 1L), 0.01)
-          val bos = new java.io.ByteArrayOutputStream()
-          bf.writeTo(bos)
-          val b = bos.toByteArray
+          // sized to the true key count (no bloom_filter_agg clamp);
+          // an empty filter table yields a valid all-negative bloom —
+          // every row passes join-free, same as anti-join on empty
+          val b = graft.functions.NativeExpressions.buildBloomBytes(
+            blocked, xxhash64(col("__sk")), 0.01)
           keyFilterBloom = Some((contentSig, b))
           b
       }
+      // the batch subtree feeds BOTH branches of the union — persist
+      // it so the pre-filter pipeline (parse cut, late tagging)
+      // executes once, not once per branch; the caller's registrar
+      // releases it with the batch's other caches
+      val wk = withKey.persist()
+      register(() => { wk.unpersist(); () })
       val probe = graft.functions.NativeExpressions.bloomMightContain(
         xxhash64(col("__sk")), bloomBytes)
-      val pass = withKey.filter(!probe)
-      val candidates = withKey.filter(probe)
+      val pass = wk.filter(!probe)
+      val candidates = wk.filter(probe)
         .join(blocked, Seq("__sk"), "left_anti")
       pass.unionByName(candidates).drop("__sk")
     }

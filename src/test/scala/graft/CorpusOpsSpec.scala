@@ -336,6 +336,13 @@ class CorpusOpsSpec extends SparkSpec {
     val verdict = exact.toMap
     assert(verdict(1L) && verdict(2L) && !verdict(3L) && !verdict(4L))
     assert(!verdict.contains(0L) && !verdict.contains(5L)) // eval rows excluded
+    // empty eval set: the bloom path must not NPE (the stat.bloomFilter
+    // failure mode) and must agree with the exact plan: all false
+    val noEval = run(PipelineOps.decontaminateBloom(
+      df, col("doc_id"), col("text"), lit(false), w = 2))
+    assert(noEval == run(PipelineOps.decontaminate(
+      df, col("doc_id"), col("text"), lit(false), w = 2)))
+    assert(noEval.forall(!_._2) && noEval.size == 41)
   }
 
   test("kmeans: separable clusters are recovered from a skewed seed") {

@@ -35,10 +35,8 @@ class NativeExprSpec extends SparkSpec {
 
   test("bloomMightContain: no false negatives, real pruning, null passthrough") {
     val members = (0L until 2000L).map(_ * 7919L)
-    val bloom = members.toDF("k").stat.bloomFilter(col("k"), members.size.toLong, 0.01)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    val bytes = bos.toByteArray
+    val bytes = graft.functions.NativeExpressions.buildBloomBytes(
+      members.toDF("k"), col("k"), 0.01)
     // probe members and non-members through the expression (RDD-backed
     // so the projection actually executes, see CODEGEN_ONLY comment)
     val probe = spark.createDataFrame(spark.sparkContext.parallelize(
@@ -59,6 +57,21 @@ class NativeExprSpec extends SparkSpec {
       .select(graft.functions.NativeExpressions.bloomMightContain(col("k"), bytes))
       .collect()
     assert(n(0).isNullAt(0))
+    // empty input builds a valid ALL-NEGATIVE filter (stat.bloomFilter
+    // NPEs here — the reason buildBloomBytes exists)
+    val emptyBytes = graft.functions.NativeExpressions.buildBloomBytes(
+      Seq.empty[Long].toDF("k"), col("k"), 0.01)
+    val none = Seq(1L, 42L).toDF("k")
+      .select(graft.functions.NativeExpressions
+        .bloomMightContain(col("k"), emptyBytes).as("hit"))
+      .collect().map(_.getBoolean(0))
+    assert(none.forall(_ == false))
+    // byte-identical probes are structurally equal (content equality —
+    // reference equality would defeat subexpression elimination)
+    import graft.functions.NativeExpressions.BloomMightContainExpr
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(BloomMightContainExpr(Literal(1L), bytes.clone()) ==
+      BloomMightContainExpr(Literal(1L), bytes.clone()))
   }
 
   test("CODEGEN_ONLY: native exprs compile and run with fallback disabled") {
