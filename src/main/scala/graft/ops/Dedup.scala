@@ -290,6 +290,30 @@ object Dedup {
       nullif((size(a) + size(b) - inter).cast("double"), lit(0.0d))
   }
 
+  /** Best near-dup match per document from an undirected similarity
+    * pair list (id_a, id_b, score with id_a < id_b): symmetrize so
+    * each pair serves both endpoints, then ONE max_by aggregation
+    * picks each doc's highest-scoring partner (ties broken by the
+    * larger partner id — any deterministic rule works, this one is a
+    * single struct max). This is the OUTPUT-LINEAR consumption of a
+    * pair detector whose full pair list grows super-linearly with
+    * duplicate density (the dominant sf1 bench cost is literally
+    * emitting pairs): output is ≤ one row per matched document no
+    * matter how dense the duplicate clusters get, and the aggregation
+    * is map-side-combinable before its only shuffle.
+    */
+  def bestMatchPerDoc(pairs: DataFrame, idA: String, idB: String,
+      score: String): DataFrame = {
+    val sym = pairs.select(col(idA).as("doc_id"),
+        col(idB).as("match_id"), col(score).as("__s"))
+      .unionByName(pairs.select(col(idB).as("doc_id"),
+        col(idA).as("match_id"), col(score).as("__s")))
+    sym.groupBy("doc_id")
+      .agg(max(struct(col("__s"), col("match_id"))).as("__m"))
+      .select(col("doc_id"), col("__m.match_id").as("match_id"),
+        col("__m.__s").as(score))
+  }
+
   /** 32-bit SimHash of a token array using the portable hash: bit i is
     * set when more tokens have bit i set than clear.
     */

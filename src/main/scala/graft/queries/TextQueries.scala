@@ -125,6 +125,51 @@ object TextQueries {
   private val ChunkStride = 24
   private val IndexBlockDocs = 128L
   private val EvalMod = 7
+  // char-4-gram Jaccard pair generation, shared by the full pair query
+  // (doc_ngram_jaccard) and the per-doc best-match reduction
+  // (doc_best_match) — ONE definition of block keys, threshold, and
+  // the jaccard expression on both the Spark and SQL sides
+  private lazy val ngramPairSqlCte: String =
+    s"""g AS (SELECT doc_id, lang, source,
+       |  list_distinct(list_transform(
+       |    list_distinct(list_transform(range(1, length(text) - 2),
+       |      i -> substr(text, i::INT, 4))), ng -> ${sqlPhash("ng")})) AS s
+       |  FROM documents WHERE length(text) >= 4),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |    nullif(CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 0.0)
+       |    AS jac
+       |FROM g a JOIN g b
+       |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |    nullif(CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 0.0)
+       |    >= 0.3)""".stripMargin
+  /** (id_a, id_b, jac unrounded) at jac >= 0.3 within (lang, source)
+    * blocks; the Spark twin of [[ngramPairSqlCte]]'s `p`. The
+    * char-ngram hash-set projection is the dominant cost and is read
+    * FOUR times downstream (token-df aggregate, prefix explode, both
+    * verify sides) — persisted once; the harness's per-query
+    * clearCache releases it, and a production pipeline would keep it
+    * as a materialized intermediate table anyway.
+    */
+  private def ngramJaccardPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val g = load(s, d, "documents")
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"), col("lang"), col("source"),
+        array_sort(array_distinct(transform(
+          array_distinct(charNgrams(col("text"), 4)),
+          ng => portableHash(ng)))).as("s"))
+      .persist()
+    val cands = Dedup.prefixFilterCandidates(g, "doc_id", "s",
+      Seq("lang", "source"), tNum = 3, tDen = 10)
+    val a = g.select(col("doc_id").as("id_a"), col("s").as("s_a"))
+    val b = g.select(col("doc_id").as("id_b"), col("s").as("s_b"))
+    cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("jac", Dedup.jaccardSorted(col("s_a"), col("s_b")))
+      .filter(col("jac") >= 0.3)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
   // boolean-decontamination oracle, shared VERBATIM by the exact plan
   // (doc_decontaminate) and the Bloom-prefiltered plan
   // (doc_decontaminate_bloom): the prefilter may only prune the
@@ -612,42 +657,33 @@ object TextQueries {
     // STAYS all-pairs: DuckDB independently reproducing the same rows
     // is what proves the pruning lossless.)
     QueryDef("doc_ngram_jaccard",
-      s"""WITH g AS (SELECT doc_id, lang, source,
-         |  list_distinct(list_transform(
-         |    list_distinct(list_transform(range(1, length(text) - 2),
-         |      i -> substr(text, i::INT, 4))), ng -> ${sqlPhash("ng")})) AS s
-         |  FROM documents WHERE length(text) >= 4)
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |    nullif(CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 0.0),
-         |    6) AS jac
-         |FROM g a JOIN g b
-         |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-         |    nullif(CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 0.0)
-         |    >= 0.3
+      s"""WITH $ngramPairSqlCte
+         |SELECT id_a, id_b, round(jac, 6) AS jac FROM p
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      // the char-ngram hash-set projection is the dominant cost and is
-      // read FOUR times downstream (token-df aggregate, prefix explode,
-      // both verify sides) — persist it once; the harness's per-query
-      // clearCache releases it, and a production pipeline would keep
-      // this as a materialized intermediate table anyway
-      val g = load(s, d, "documents")
-        .filter(length(col("text")) >= 4)
-        .select(col("doc_id"), col("lang"), col("source"),
-          array_sort(array_distinct(transform(
-            array_distinct(charNgrams(col("text"), 4)),
-            ng => portableHash(ng)))).as("s"))
-        .persist()
-      val cands = Dedup.prefixFilterCandidates(g, "doc_id", "s",
-        Seq("lang", "source"), tNum = 3, tDen = 10)
-      val a = g.select(col("doc_id").as("id_a"), col("s").as("s_a"))
-      val b = g.select(col("doc_id").as("id_b"), col("s").as("s_b"))
-      cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
-        .withColumn("jac", Dedup.jaccardSorted(col("s_a"), col("s_b")))
-        .filter(col("jac") >= 0.3)
+      ngramJaccardPairs(s, d)
         .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
         .orderBy("id_a", "id_b")
+    },
+
+    // best near-dup match per document — the OUTPUT-LINEAR consumption
+    // of the pair detector above: the full pair list grows with the
+    // square of duplicate-cluster size (emitting it is the dominant
+    // sf1 bench cost), but what a curation pipeline usually needs is
+    // each doc's strongest partner, which is one map-side-combinable
+    // max_by over the symmetrized pairs — ≤ one output row per doc
+    // regardless of cluster density
+    QueryDef("doc_best_match",
+      s"""WITH $ngramPairSqlCte,
+         |sym AS (SELECT id_a AS doc_id, id_b AS match_id, jac FROM p
+         |  UNION ALL SELECT id_b AS doc_id, id_a AS match_id, jac FROM p),
+         |r AS (SELECT doc_id, match_id, jac, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY jac DESC, match_id DESC) AS rn
+         |  FROM sym)
+         |SELECT doc_id, match_id, round(jac, 6) AS jac FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.bestMatchPerDoc(ngramJaccardPairs(s, d), "id_a", "id_b", "jac")
+        .select(col("doc_id"), col("match_id"), round(col("jac"), 6).as("jac"))
+        .orderBy("doc_id")
     },
 
     // exact substring-overlap pairs (verbatim-copy evidence, the

@@ -345,6 +345,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(noEval.forall(!_._2) && noEval.size == 41)
   }
 
+  test("bestMatchPerDoc: symmetrized, max score wins, ties to larger id") {
+    val pairs = Seq(
+      (1L, 2L, 0.9), // 1's and 2's best
+      (1L, 3L, 0.5),
+      (3L, 4L, 0.5), // ties 3 between partners 1 and 4 -> larger id 4
+      (5L, 6L, 0.4)  // isolated pair
+    ).toDF("id_a", "id_b", "jac")
+    val got = Dedup.bestMatchPerDoc(pairs, "id_a", "id_b", "jac")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 0.9)), 2L -> ((1L, 0.9)),
+      3L -> ((4L, 0.5)), 4L -> ((3L, 0.5)),
+      5L -> ((6L, 0.4)), 6L -> ((5L, 0.4))))
+  }
+
   test("kmeans: separable clusters are recovered from a skewed seed") {
     // two tight blobs on opposite axes; the seed misassigns a third of
     // blob B into blob A's cell (an exactly-even split would park
