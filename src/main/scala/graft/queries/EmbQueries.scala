@@ -177,6 +177,34 @@ object EmbQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // best semantic match per vector — the output-linear reduction of
+    // the pair detector above (same rationale as doc_best_match: the
+    // pair list is quadratic in cluster density, the strongest-partner
+    // view is ≤ one row per vector); shares the banded-pair builder so
+    // the two twins cannot drift
+    QueryDef("emb_best_match",
+      s"""WITH $sqlQuant,
+         |bb AS (SELECT vec_id, label, e,
+         |  CAST($sqlBucketTerms AS BIGINT) AS bucket FROM q),
+         |p AS (${sqlBandedPairSelect("label")}),
+         |sym AS (SELECT id_a AS vec_id, id_b AS match_id, sim FROM p
+         |  UNION ALL SELECT id_b AS vec_id, id_a AS match_id, sim FROM p),
+         |r AS (SELECT vec_id, match_id, sim, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY sim DESC, match_id DESC) AS rn
+         |  FROM sym)
+         |SELECT vec_id, match_id, sim FROM r WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("label"), col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"))
+      val pairs = Similarity.nearDupPairsLsh(vecs, "label",
+        NearDupThreshold, Planes, Dims, NearDupBands)
+      graft.ops.Dedup.bestMatchPerDoc(pairs, "id_a", "id_b", "sim")
+        .select(col("doc_id").as("vec_id"), col("match_id"), col("sim"))
+        .orderBy("vec_id")
+    },
+
     // full IVF ANN: train centroids from the label seed assignment,
     // re-assign every vector to its nearest centroid, then search only
     // the query's cell (nprobe=1) — the scale path where the corpus
