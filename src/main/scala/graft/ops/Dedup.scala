@@ -86,15 +86,86 @@ object Dedup {
           col(s"sig_${b * rowsPerBand + r}"))): _*)
     }: _*))
 
-  def lshCandidates(sigs: DataFrame, id: String, k: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(sigs: DataFrame, id: String, k: Int, rowsPerBand: Int,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     val bands = sigs.select(col(id).as("__id"),
       bandKeyExplode(k, rowsPerBand).as("band_key"))
-    val a = bands.select(col("__id").as("id_a"), col("band_key"))
-    val b = bands.select(col("__id").as("id_b"), col("band_key"))
-    a.join(b, Seq("band_key"))
-      .filter(col("id_a") < col("id_b"))
+    bandedPairs(bands, Nil, bucketCap)
       .select("id_a", "id_b").distinct()
   }
+
+  /** Exact within-bucket all-pairs of a `(__id, band_key, payload…)`
+    * frame: the band-key self-join every LSH family reduces to. Kept
+    * as the shared primitive so the skew guard below wraps ALL of
+    * lshCandidates / minhashNearDupPairs / simhashPairs identically.
+    * Payload columns come back suffixed `_a` / `_b`.
+    */
+  private def bucketSelfJoin(bands: DataFrame, payload: Seq[String]): DataFrame = {
+    val a = bands.select(col("band_key") +: col("__id").as("id_a") +:
+      payload.map(p => col(p).as(p + "_a")): _*)
+    val b = bands.select(col("band_key") +: col("__id").as("id_b") +:
+      payload.map(p => col(p).as(p + "_b")): _*)
+    a.join(b, Seq("band_key")).filter(col("id_a") < col("id_b"))
+  }
+
+  /** Band-bucket SKEW GUARD. The band-key self-join is a shuffle on a
+    * key whose cardinality collapses under boilerplate: m identical
+    * documents land in ONE bucket and the join emits m²/2 rows — the
+    * classic quadratic blowup banding alone does not prevent (a 10⁶-doc
+    * bucket at 100 TB is 10¹² join rows in one task). Guard: buckets at
+    * or under `cap` keep the exact all-pairs join; heavier buckets
+    * collapse to a STAR around the bucket's min-id hub — every member
+    * pairs with the hub only, O(m) rows instead of O(m²) — and the star
+    * edges still flow through the caller's EXACT verifier, so nothing
+    * unverified is ever emitted. The pair LIST over a heavy bucket is
+    * intentionally sparser (that quadratic list is itself the scale
+    * bug), but hub edges keep every verified member CONNECTED to the
+    * hub, so component labels, canonical/dup verdicts, and
+    * cluster-best selection — the consumers of these pairs — are
+    * preserved for the homogeneous clusters that create heavy buckets
+    * (equivalence spec'd in DedupSkewSpec). Same df-cap idea as
+    * [[spanOverlapPairs]], which bounds per-key fanout at dfCap².
+    *
+    * Plan shape: bucket size and hub come from ONE window over the
+    * band_key exchange (no second scan of the signature pipeline, no
+    * driver collect), and both join sides reuse that exchange. With
+    * `cap = Int.MaxValue` (the default everywhere) the window is
+    * skipped entirely and the plan is the historical exact one.
+    */
+  private def bandedPairs(bands: DataFrame, payload: Seq[String],
+      cap: Int): DataFrame = {
+    if (cap == Int.MaxValue) bucketSelfJoin(bands, payload)
+    else {
+      require(cap > 1, "bucketCap must be > 1")
+      val w = Window.partitionBy(col("band_key"))
+      val marked = bands
+        .withColumn("__bn", count(lit(1)).over(w))
+        .withColumn("__hub",
+          min(struct(col("__id") +: payload.map(col): _*)).over(w))
+      val light = bucketSelfJoin(
+        marked.filter(col("__bn") <= cap)
+          .select(col("__id") +: col("band_key") +: payload.map(col): _*),
+        payload)
+      // hub = min id of the bucket, so id_a < id_b holds by construction
+      val heavy = marked.filter(col("__bn") > cap)
+        .filter(col("__id") =!= col("__hub.__id"))
+        .select(col("band_key") +: col("__hub.__id").as("id_a") +:
+          col("__id").as("id_b") +:
+          (payload.map(p => col(s"__hub.$p").as(p + "_a")) ++
+            payload.map(p => col(p).as(p + "_b"))): _*)
+      light.unionByName(heavy)
+    }
+  }
+
+  /** Monitoring side output for the skew guard: the band buckets whose
+    * size exceeds `cap` — `(band_key, bucket_n)`. A production run logs
+    * or sinks this so heavy boilerplate clusters are visible instead of
+    * silently star-collapsed. `bands` is shaped like [[bandTable]]
+    * output (any frame with a `band_key` column).
+    */
+  def heavyBandBuckets(bands: DataFrame, cap: Int): DataFrame =
+    bands.groupBy("band_key").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
 
   /** EXACT similarity-join candidate pairs by prefix filtering (the
     * AllPairs / SSJoin family — Bayardo et al., "Scaling Up All Pairs
@@ -184,7 +255,8 @@ object Dedup {
     * shuffle. Returns (id_a, id_b, jac) with id_a < id_b, distinct.
     */
   def minhashNearDupPairs(sets: DataFrame, id: String, hsCol: String,
-      k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      k: Int, rowsPerBand: Int, threshold: Double,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0.0, "threshold must be positive")
     // empty sets have NULL signatures; concat_ws would collapse them
     // all into one shared bucket per band, going quadratic in the
@@ -195,16 +267,11 @@ object Dedup {
         .filter(size(col("__hs")) > 0), col("__hs"), k)
     val bands = sigs.select(col("__id"), col("__hs"),
       bandKeyExplode(k, rowsPerBand).as("band_key"))
-    val a = bands.select(col("band_key"), col("__id").as("id_a"),
-      col("__hs").as("h_a"))
-    val b = bands.select(col("band_key"), col("__id").as("id_b"),
-      col("__hs").as("h_b"))
-    a.join(b, Seq("band_key"))
-      .filter(col("id_a") < col("id_b"))
+    bandedPairs(bands, Seq("__hs"), bucketCap)
       // size-ratio prefilter: jaccard ≤ min/max of the set sizes
-      .filter(least(size(col("h_a")), size(col("h_b"))).cast("double") >=
-        greatest(size(col("h_a")), size(col("h_b"))) * threshold)
-      .withColumn("jac", jaccardSorted(col("h_a"), col("h_b")))
+      .filter(least(size(col("__hs_a")), size(col("__hs_b"))).cast("double") >=
+        greatest(size(col("__hs_a")), size(col("__hs_b"))) * threshold)
+      .withColumn("jac", jaccardSorted(col("__hs_a"), col("__hs_b")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
       .distinct()
@@ -346,7 +413,8 @@ object Dedup {
     * (id, simhash).
     */
   def simhashPairs(sims: DataFrame, id: String, bands: Int,
-      bitsPerBand: Int, maxDist: Int): DataFrame = {
+      bitsPerBand: Int, maxDist: Int,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     require(maxDist < bands, "pigeonhole needs maxDist < bands")
     val banded = (0 until bands).map { b =>
       sims.select(col(id).as("__id"), col("simhash"),
@@ -354,13 +422,9 @@ object Dedup {
           shiftright(col("simhash"), b * bitsPerBand)
             .bitwiseAND((1L << bitsPerBand) - 1L)).as("band_key"))
     }.reduce(_ unionByName _)
-    val a = banded.select(col("__id").as("id_a"), col("simhash").as("sh_a"),
-      col("band_key"))
-    val b = banded.select(col("__id").as("id_b"), col("simhash").as("sh_b"),
-      col("band_key"))
-    a.join(b, Seq("band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+    bandedPairs(banded, Seq("simhash"), bucketCap)
+      .select(col("id_a"), col("id_b"), col("simhash_a").as("sh_a"),
+        col("simhash_b").as("sh_b")).distinct()
       .withColumn("dist", hamming(col("sh_a"), col("sh_b")))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))

@@ -78,18 +78,48 @@ object TextQueries {
        |  $bandSelects)""".stripMargin
   }
 
-  private[queries] val sqlMinhashPairCtes: String =
-    s"""$sqlMinhashBandCtes,
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b USING (band_key)
-       |  WHERE a.doc_id < b.doc_id),
-       |mj AS (SELECT id_a, id_b,
+  /** The exact-Jaccard verify tail over a caller-supplied `cand(id_a,
+    * id_b)` CTE — shared by the exact and the skew-capped pair CTEs so
+    * verification cannot drift between them.
+    */
+  private val sqlMinhashVerifyCte: String =
+    s"""mj AS (SELECT id_a, id_b,
        |  CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE) /
        |    nullif(CAST(len(list_distinct(list_concat(ta.hs, tb.hs))) AS DOUBLE), 0.0)
        |    AS jac
        |  FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
        |  WHERE CAST(least(len(ta.hs), len(tb.hs)) AS DOUBLE) >=
        |        $MinhashJaccard * greatest(len(ta.hs), len(tb.hs)))""".stripMargin
+
+  private[queries] val sqlMinhashPairCtes: String =
+    s"""$sqlMinhashBandCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band_key)
+       |  WHERE a.doc_id < b.doc_id),
+       |$sqlMinhashVerifyCte""".stripMargin
+
+  /** Skew-guarded twin of [[sqlMinhashPairCtes]]: band buckets over
+    * [[MinhashBucketCap]] docs collapse to a star around the min-id
+    * hub (Dedup.bandedPairs semantics) instead of the quadratic
+    * within-bucket all-pairs; light buckets stay exact. sf0.01 has
+    * buckets of 159 and 138 docs, so the heavy branch is LIVE in this
+    * oracle, not dormant.
+    */
+  private[queries] val MinhashBucketCap = 16
+  private[queries] val SimhashBucketCap = 32
+  private[queries] val sqlMinhashCappedPairCtes: String =
+    s"""$sqlMinhashBandCtes,
+       |bc AS (SELECT band_key, count(*) AS bn, min(doc_id) AS hub
+       |  FROM bands GROUP BY band_key),
+       |cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b USING (band_key) JOIN bc USING (band_key)
+       |  WHERE bc.bn <= $MinhashBucketCap AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT bc.hub AS id_a, bands.doc_id AS id_b
+       |  FROM bands JOIN bc USING (band_key)
+       |  WHERE bc.bn > $MinhashBucketCap AND bands.doc_id <> bc.hub),
+       |$sqlMinhashVerifyCte""".stripMargin
 
   /** Shared DuckDB connected-components tail over the verified pair
     * set: CTEs e/sym/reach/comp; `comp(id, comp)` is the min-id
@@ -394,6 +424,25 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // the same detector behind the band-bucket SKEW GUARD: buckets
+    // over MinhashBucketCap docs star-collapse around their min-id
+    // hub (O(m) rows, not m²/2 — the boilerplate-at-100-TB guard),
+    // light buckets stay exact, every emitted edge still
+    // exact-verified. The oracle replays the capped candidate
+    // generation independently, so the guard itself is hash-checked.
+    QueryDef("doc_dedup_minhash_capped",
+      s"""WITH $sqlMinhashCappedPairCtes
+         |SELECT id_a, id_b, round(jac, 6) AS jac FROM mj
+         |WHERE jac >= $MinhashJaccard ORDER BY id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      val docs = load(s, d, "documents")
+        .withColumn("hs", Dedup.tokenHashSet(col("text")))
+      Dedup.minhashNearDupPairs(docs, "doc_id", "hs",
+        MinhashK, RowsPerBand, MinhashJaccard, bucketCap = MinhashBucketCap)
+        .select(col("id_a"), col("id_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("id_a", "id_b")
+    },
+
     // near-duplicate CLUSTERING: connected components over the minhash
     // pair graph, every document labeled with its component's min doc
     // id (the canonical survivor). Spark runs min-label propagation to
@@ -644,6 +693,55 @@ object TextQueries {
         .select(col("doc_id"), col("simhash"))
         .persist()
       Dedup.simhashPairs(sims, "doc_id", bands = 4, bitsPerBand = 8, maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // the simhash detector behind the same band-bucket skew guard:
+    // sf0.01 has a 481-doc band bucket (the 8-bit band space is tiny),
+    // so the star-collapse branch is live here, verified by hamming on
+    // every emitted edge, and the oracle replays the capped generation
+    QueryDef("doc_dedup_simhash_capped", {
+      val sums = (0 until 32)
+        .map(i => s"CAST(sum((h >> $i) & 1) AS BIGINT) AS s_$i").mkString(",\n  ")
+      val bits = (0 until 32)
+        .map(i => s"(CASE WHEN 2 * s_$i > n THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      val bandSel = (0 until 4).map { b =>
+        s"SELECT doc_id, simhash, concat_ws(':', '$b', (simhash >> ${b * 8}) & 255)" +
+          " AS band_key FROM sh"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+         |hh AS (SELECT doc_id, ${sqlPhash("tok")} AS h FROM u),
+         |agg AS (SELECT doc_id, count(*) AS n,
+         |  $sums
+         |  FROM hh GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM agg),
+         |bands AS (
+         |  $bandSel),
+         |bc AS (SELECT band_key, count(*) AS bn, min(doc_id) AS hub
+         |  FROM bands GROUP BY band_key),
+         |cand AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM bands a JOIN bands b USING (band_key) JOIN bc USING (band_key)
+         |  WHERE bc.bn <= $SimhashBucketCap AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT bc.hub, bands.doc_id, hs.simhash, bands.simhash
+         |  FROM bands JOIN bc USING (band_key) JOIN sh hs ON hs.doc_id = bc.hub
+         |  WHERE bc.bn > $SimhashBucketCap AND bands.doc_id <> bc.hub)
+         |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS dist
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, d) =>
+      val sims = Dedup.simhash32(
+        load(s, d, "documents").withColumn("toks", tokens(col("text"))),
+        col("toks"))
+        .select(col("doc_id"), col("simhash"))
+        .persist()
+      Dedup.simhashPairs(sims, "doc_id", bands = 4, bitsPerBand = 8,
+        maxDist = 3, bucketCap = SimhashBucketCap)
         .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
         .orderBy("id_a", "id_b")
     },
@@ -1033,9 +1131,9 @@ object TextQueries {
       val langList = MixShares.map { case (k, _) => s"'$k'" }.mkString(", ")
       s"""WITH t AS (SELECT doc_id, lang, len($sqlToks) AS nt FROM documents),
          |m AS (SELECT lang, sum(nt) AS tmass FROM t GROUP BY 1),
-         |r AS (SELECT lang, LEAST(1000000,
+         |r AS (SELECT lang, CAST(LEAST(1000000,
          |    (CAST(1000000 AS BIGINT) * $MixBudgetTokens * ($shareCase))
-         |      // ($sumShare * tmass)) AS rate_ppm
+         |      // ($sumShare * tmass)) AS BIGINT) AS rate_ppm
          |  FROM m WHERE lang IN ($langList)),
          |d AS (SELECT doc_id, lang FROM documents)
          |SELECT d.doc_id, d.lang, r.rate_ppm

@@ -1,0 +1,143 @@
+package graft
+
+import graft.functions.GraftFunctions.tokens
+import graft.ops.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Band-bucket skew guard (`bucketCap`): a boilerplate-heavy corpus
+  * collapses many documents into ONE LSH band bucket, and the uncapped
+  * band self-join then emits m²/2 rows — the quadratic blowup banding
+  * alone does not prevent. These tests pin the three guard contracts:
+  *
+  *  1. guard idle (cap ≥ every bucket) ⇒ output EXACTLY equals the
+  *     historical uncapped plan;
+  *  2. heavy bucket ⇒ intermediate candidate rows are O(m) (star), not
+  *     O(m²), at m = 10⁴ — the scale the uncapped join could not
+  *     materialize in a test budget at all (5·10⁷ rows);
+  *  3. the verdict-level consumers (connected components / canonical
+  *     labeling) are UNCHANGED by the guard on homogeneous clusters —
+  *     star edges keep every verified member connected to the hub.
+  */
+class DedupSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+    "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+    "november", "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+
+  private def randomDocs(n: Int, seed: Int, idBase: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val words = Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      (idBase + i, words.mkString(" "))
+    }
+  }
+
+  private def withSets(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("doc_id", "text")
+      .withColumn("hs", Dedup.tokenHashSet(col("text")))
+
+  private def componentMap(pairs: DataFrame): Map[Long, Long] =
+    Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+  test("guard idle: capped output equals uncapped exactly") {
+    val docs = withSets(randomDocs(120, seed = 7, idBase = 0L))
+    val exact = Dedup.minhashNearDupPairs(docs, "doc_id", "hs", 16, 8, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.minhashNearDupPairs(docs, "doc_id", "hs", 16, 8, 0.8,
+      bucketCap = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == exact)
+    val candExact = Dedup.lshCandidates(
+      Dedup.minhashFromHashes(docs.select(col("doc_id"), col("hs")),
+        col("hs"), 16), "doc_id", 16, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candCapped = Dedup.lshCandidates(
+      Dedup.minhashFromHashes(docs.select(col("doc_id"), col("hs")),
+        col("hs"), 16), "doc_id", 16, 8, bucketCap = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candCapped == candExact)
+  }
+
+  test("heavy bucket: 10^4 identical docs emit O(m) star candidates") {
+    val m = 10000
+    // identical text ⇒ identical signatures ⇒ all m docs share every
+    // band bucket; uncapped candidates would be m(m-1)/2 ≈ 5·10⁷
+    val boiler = (0 until m).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again"))
+    val docs = withSets(boiler ++ randomDocs(50, seed = 3, idBase = 100000L))
+    val sigs = Dedup.minhashFromHashes(
+      docs.select(col("doc_id"), col("hs")), col("hs"), 16)
+    val cand = Dedup.lshCandidates(sigs, "doc_id", 16, 8, bucketCap = 100)
+    // the heavy cluster contributes exactly m-1 hub edges (hub = min
+    // id); the 50 random docs contribute at most their own pairs
+    val n = cand.count()
+    assert(n >= (m - 1).toLong && n <= (m - 1).toLong + 50L * 49L / 2L,
+      s"candidate count $n not O(m)")
+    val starOnly = cand.filter(col("id_b") < 100000L)
+    assert(starOnly.count() == (m - 1).toLong)
+    assert(starOnly.agg(max(col("id_a"))).head.getLong(0) == 0L,
+      "every heavy-bucket edge must use the min-id hub")
+    // the monitoring side output sees the heavy buckets
+    val bands = Dedup.bandTable(docs, "doc_id", "hs", 16, 8)
+    val heavy = Dedup.heavyBandBuckets(bands, 100)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(heavy.nonEmpty && heavy.forall(_ >= m.toLong))
+    // verified star pairs: all identical ⇒ jac = 1.0, m-1 rows
+    val verified = Dedup.minhashNearDupPairs(docs, "doc_id", "hs", 16, 8,
+      0.95, bucketCap = 100).filter(col("id_b") < 100000L)
+    val vRows = verified.collect()
+    assert(vRows.length == m - 1)
+    assert(vRows.forall(_.getDouble(2) == 1.0d))
+  }
+
+  test("verdict-level equivalence: components unchanged by the guard") {
+    // heavy homogeneous cluster + near-dup pair + noise: the capped
+    // pair LIST is sparser, but the component labeling must agree
+    val cluster = (0 until 300).map(i =>
+      (1000L + i, "one two three four five six seven eight nine ten"))
+    val nearA = (5000L, "zebra yak xray wolf viper unicorn tiger snake raven")
+    val nearB = (5001L, "zebra yak xray wolf viper unicorn tiger snake quail")
+    val docs = withSets(cluster ++ Seq(nearA, nearB) ++
+      randomDocs(80, seed = 11, idBase = 9000L))
+    val exactPairs = Dedup.minhashNearDupPairs(docs, "doc_id", "hs", 16, 8, 0.8)
+    val cappedPairs = Dedup.minhashNearDupPairs(docs, "doc_id", "hs", 16, 8,
+      0.8, bucketCap = 20)
+    assert(cappedPairs.count() < exactPairs.count(),
+      "guard must actually fire on the heavy cluster")
+    assert(componentMap(cappedPairs) == componentMap(exactPairs))
+  }
+
+  test("simhash guard: star collapse, verified dist, same components") {
+    val cluster = (0 until 2000).map(i =>
+      (i.toLong, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+    val docs = Dedup.simhash32(
+      withSets(cluster ++ randomDocs(60, seed = 5, idBase = 50000L)),
+      tokens(col("text")))
+    val capped = Dedup.simhashPairs(docs, "doc_id", bands = 4,
+      bitsPerBand = 8, maxDist = 3, bucketCap = 50)
+    val star = capped.filter(col("id_b") < 50000L)
+    assert(star.count() == 1999L)
+    assert(star.filter(col("dist") =!= 0).count() == 0L)
+    // verdict equivalence at a scale where uncapped is feasible. The
+    // noise docs get unique single tokens: SimHash's 8-bit band space
+    // is tiny, so RANDOM near-vocab noise forms MIXED heavy buckets
+    // whose noise-noise edges star collapse legitimately drops (the
+    // guarantee is for homogeneous clusters — scaladoc'd); far-apart
+    // tokens give noise docs no verified edges under EITHER variant,
+    // pinning that the homogeneous cluster collapses identically and
+    // the guard invents nothing. The token text is Knuth-scrambled:
+    // the portable hash is a base-31 polynomial, so SEQUENTIAL token
+    // strings would hash to adjacent values — hamming 1-2 apart,
+    // accidental real near-dups.
+    val far = (0 until 60).map(i =>
+      (50000L + i, s"t${i * 2654435761L}"))
+    val small = Dedup.simhash32(withSets(cluster.take(120) ++ far),
+      tokens(col("text")))
+    val exactP = Dedup.simhashPairs(small, "doc_id", 4, 8, 3)
+    val cappedP = Dedup.simhashPairs(small, "doc_id", 4, 8, 3, bucketCap = 15)
+    assert(componentMap(cappedP) == componentMap(exactP))
+  }
+}
