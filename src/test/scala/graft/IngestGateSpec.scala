@@ -50,6 +50,105 @@ class IngestGateSpec extends SparkSpec {
       ((1L, 1L, 0L, 1L)))
   }
 
+  test("gate: duplicate doc_ids within one batch collapse to one row") {
+    val state = tmp()
+    val gate = new IngestGate(spark, state)
+    // strict id_a < id_b pairing can never pair identical ids, so
+    // without the dropDuplicates guard BOTH copies would be admitted
+    val b0 = Seq((1L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "unrelated words entirely")).toDF("doc_id", "text")
+    gate.applyBatch(b0, 0L)
+    val v = gate.readVerdicts().select("doc_id").as[Long].collect().toSeq
+    assert(v.sorted == Seq(1L, 2L), "one verdict row per doc_id")
+    val bandRows = spark.read.parquet(s"$state/corpus")
+      .filter(col("doc_id") === 1L).count()
+    assert(bandRows == 2L, "one band-row set (k/rowsPerBand bands), not two")
+  }
+
+  test("gate: compaction preserves verdicts and probes base scan-side") {
+    val stateA = tmp(); val stateB = tmp()
+    val gateA = new IngestGate(spark, stateA, numBuckets = 4)
+    val gateB = new IngestGate(spark, stateB, numBuckets = 4)
+    val b0 = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally different content here")).toDF("doc_id", "text")
+    val b1 = Seq((5L, "novel fresh unrelated words")).toDF("doc_id", "text")
+    // doc 10 matches base (batch 0's doc 1), doc 11 matches the
+    // not-yet-folded recent partition (batch 1's doc 5), doc 12 fresh
+    val b2 = Seq((10L, "alpha beta gamma delta epsilon"),
+      (11L, "novel fresh unrelated words"),
+      (12L, "yet another brand new document")).toDF("doc_id", "text")
+    for (g <- Seq(gateA, gateB)) { g.applyBatch(b0, 0L); g.applyBatch(b1, 1L) }
+    // compact gate A only: folds batch 0 into base gen 1, keeps batch 1
+    assert(gateA.compact() == 1L)
+    // idempotent: nothing new below the watermark to fold
+    assert(gateA.compact() == 1L)
+    assert(gateA.baseIndex().isDefined)
+    gateA.applyBatch(b2, 2L); gateB.applyBatch(b2, 2L)
+    def verdicts(g: IngestGate) = g.readVerdicts()
+      .select("doc_id", "verdict", "dup_of", "best_jac", "batch")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)), r.getInt(4))).toSet
+    assert(verdicts(gateA) == verdicts(gateB),
+      "split-probe over compacted base must equal the uncompacted gate")
+    // plan shape: joining the bucketed base on band_key shuffles ONLY
+    // the probe side — the corpus scan itself carries the partitioning
+    val (aqe, bcast) = (spark.conf.get("spark.sql.adaptive.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Seq((99L, Array(1L, 2L), "0:k")).toDF("doc_id", "hs", "band_key")
+      val joined = gateA.baseIndex().get.select("doc_id", "hs", "band_key")
+        .join(probe, Seq("band_key"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"base side must be a bucketed scan:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"only the probe side may shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
+  test("gate: vacuum reclaims folded, orphaned, and superseded state") {
+    val state = tmp()
+    val gate = new IngestGate(spark, state, numBuckets = 4)
+    gate.applyBatch(Seq((1L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text"), 0L)
+    gate.applyBatch(Seq((2L, "unrelated words entirely"))
+      .toDF("doc_id", "text"), 1L)
+    gate.applyBatch(Seq((3L, "third batch fresh text"))
+      .toDF("doc_id", "text"), 2L)
+    // orphan: a crashed future attempt beyond the committed mark —
+    // never probed (batch < n guard) but polluting readVerdicts
+    gate.applyBatch(Seq((9L, "orphan attempt content"))
+      .toDF("doc_id", "text"), 7L)
+    // the committed position caps the watermark: folds batches 0 and
+    // 1, keeps batch 2 (replayable) AND refuses to let orphan dir 7
+    // masquerade as the high-water mark
+    assert(gate.compact(currentBatchId = 2L) == 2L)
+    val removed = gate.vacuum(currentBatchId = 2L)
+    // corpus: batch=0, batch=1 (folded) + batch=7 (orphan); verdicts:
+    // batch=7 (orphan) — base gen 1 is current, nothing superseded yet
+    assert(removed == 4, s"expected 4 dirs removed, got $removed")
+    assert(gate.readVerdicts().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    // the probe still sees every admitted doc: a copy of doc 1 (now
+    // base-resident) is recognized after vacuum
+    gate.applyBatch(Seq((20L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text"), 3L)
+    val v3 = gate.readVerdicts().filter(col("batch") === 3)
+      .select("verdict", "dup_of").collect().head
+    assert((v3.getString(0), v3.getLong(1)) == (("dup_of_corpus", 1L)))
+    // second compaction supersedes gen 1; vacuum drops it
+    gate.applyBatch(Seq((21L, "one more closing batch"))
+      .toDF("doc_id", "text"), 4L)
+    assert(gate.compact(currentBatchId = 4L) == 4L)
+    assert(gate.vacuum(currentBatchId = 4L) >= 3)
+  }
+
   test("gate: batch replay overwrites its own partition (idempotent)") {
     val state = tmp()
     val gate = new IngestGate(spark, state)
