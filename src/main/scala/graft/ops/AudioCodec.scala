@@ -45,10 +45,18 @@ object AudioCodec {
     while (i + 8 <= b.length && (dataSize < 0 || !fmtOk)) {
       val at = i.toInt
       val id = tag(b, at); val size = u32le(b, at + 4)
-      if (id == "fmt " && i + 8 + 16 <= b.length) {
+      // the chunk's DECLARED size must cover the 16 base fmt bytes —
+      // a smaller declared size with enough buffer left would read
+      // channel/rate/bits out of the NEXT chunk's bytes
+      if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length) {
         val audioFormat = u16le(b, at + 8)
-        // PCM or WAVE_FORMAT_EXTENSIBLE wrapping PCM
-        fmtOk = audioFormat == 1 || audioFormat == 0xfffe
+        // PCM outright, or WAVE_FORMAT_EXTENSIBLE whose extension
+        // carries the PCM SubFormat GUID (first 2 GUID bytes encode
+        // the wrapped format tag; accepting any 0xfffe would decode
+        // float-extensible files as if integer PCM)
+        fmtOk = audioFormat == 1 ||
+          (audioFormat == 0xfffe && size >= 40 && i + 8 + 26 <= b.length &&
+            u16le(b, at + 32) == 1)
         channels = u16le(b, at + 10)
         rate = u32le(b, at + 12)
         bits = u16le(b, at + 22)

@@ -1075,10 +1075,11 @@ object TextQueries {
          |f AS (SELECT sh FROM u GROUP BY sh HAVING count(*) >= $BoilerMinDf),
          |b AS (SELECT doc_id, count(*) AS n_boiler FROM u
          |  JOIN f USING (sh) GROUP BY 1)
-         |SELECT h.doc_id, CAST(len(hs) AS BIGINT) AS n_shingles,
+         |SELECT h.doc_id,
+         |  CAST(coalesce(len(hs), 0) AS BIGINT) AS n_shingles,
          |  coalesce(b.n_boiler, 0) AS n_boiler,
          |  CAST(coalesce(b.n_boiler, 0) AS DOUBLE) /
-         |    nullif(CAST(len(hs) AS DOUBLE), 0.0) AS boiler_frac
+         |    nullif(CAST(coalesce(len(hs), 0) AS DOUBLE), 0.0) AS boiler_frac
          |FROM h LEFT JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       TextOps.boilerplateCoverage(load(s, d, "documents"), col("doc_id"),

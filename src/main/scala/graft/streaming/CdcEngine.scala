@@ -721,17 +721,24 @@ final class CdcEngine(
     * same reason, key_filter.go).
     */
   private[graft] def applyKeyFilter(changes: DataFrame,
-      register: (() => Unit) => Unit = _ => ()): DataFrame = {
+      // default: release the branch-shared cache immediately — the
+      // persist degrades to a no-op (both union branches recompute)
+      // instead of LEAKING a cached partition per call; the engine
+      // always passes its per-batch registrar for the real lifecycle
+      register: (() => Unit) => Unit = cb => cb()): DataFrame = {
     val dir = java.nio.file.Paths.get(root, "blocked_keys")
     if (!java.nio.file.Files.isDirectory(dir)) return changes
     val nameById = tables.map { case (tid, m) => m.name -> tid }
     val mapping = typedLit(nameById.map(_.swap).map { case (k, v) => (k, v) })
     val withKey = changes.withColumn("__sk",
       serializeKey(element_at(mapping, col("tableId")), col("keyJson")))
-    val blocked = spark.read.parquet(dir.toString)
-      .select(col("serializedKey").as("__sk"))
     val threshold = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    // signature BEFORE the table read: spark.read.parquet lists the
+    // directory eagerly, so reading first and signing second would let
+    // a blockKeys append land between the two — a bloom built from the
+    // older snapshot memoized under the newer signature would pass the
+    // just-blocked key on every batch until the NEXT append
     val (filterBytes, contentSig) = {
       val s = java.nio.file.Files.walk(dir)
       try {
@@ -749,6 +756,8 @@ final class CdcEngine(
         (bytes, sig.toString)
       } finally s.close()
     }
+    val blocked = spark.read.parquet(dir.toString)
+      .select(col("serializedKey").as("__sk"))
     if (threshold > 0 && filterBytes <= threshold)
       withKey.join(broadcast(blocked), Seq("__sk"), "left_anti").drop("__sk")
     else {
