@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   *   <dir>/centroids/           one row per cell: (cell, svec, n, ss)
-  *   <dir>/assignments/cell=<c>/  corpus vectors, Hive-partitioned by
-  *                                their nearest-centroid cell
+  *   <dir>/assignments/cell=<c>/batch=<b>/
+  *                              corpus vectors, Hive-partitioned by
+  *                              nearest-centroid cell then ingest
+  *                              batch (batch 0 = [[build]]; later
+  *                              batches = [[append]] maintenance)
   * }}}
   *
   * Scale shape: partitioning the assignments BY CELL is what makes
@@ -52,12 +55,38 @@ object AnnIndex {
     val local = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), cents.schema)
     Similarity.ivfAssign(trained, local)
-      .select(col("id"), col("vec"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+      .select(col("id"), col("vec"), col("cell"), lit(0L).as("batch"))
+      .write.mode("overwrite").partitionBy("cell", "batch")
       .parquet(s"$dir/assignments")
     trained.unpersist()
     local.write.mode("overwrite").parquet(s"$dir/centroids")
     rows.length.toLong
+  }
+
+  /** Index MAINTENANCE: assign a new vector batch (id, vec) against
+    * the STORED codebook and fold it into the cell partitions — no
+    * retraining, no touch of the standing assignment files (each cell
+    * dir just gains a `batch=<id>` leaf, so probe-side partition
+    * pruning is unchanged). This is the ingest path's shape: the
+    * codebook drifts from the true centroids as appends accumulate —
+    * that drift is the documented tradeoff, and a periodic [[build]]
+    * is the rebuild. Idempotent per `batch`: dynamic partition
+    * overwrite replaces exactly the (cell, batch) leaves a replayed
+    * batch writes (assignment against a FIXED codebook is
+    * deterministic, so a replay lands in the same cells).
+    */
+  def append(spark: SparkSession, dir: String, vecs: DataFrame,
+      batch: Long): Unit = {
+    require(batch > 0L, "batch 0 is the build generation")
+    val cents = centroids(spark, dir)
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    Similarity.ivfAssign(vecs.select(col("id"), col("vec")), local)
+      .select(col("id"), col("vec"), col("cell"), lit(batch).as("batch"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "batch")
+      .parquet(s"$dir/assignments")
   }
 
   /** The stored centroid codebook (small: one row per cell). */
@@ -74,11 +103,12 @@ object AnnIndex {
     */
   def assignments(spark: SparkSession, dir: String,
       cells: Option[Seq[Long]] = None): DataFrame = {
-    // an explicit schema pins the partition column to LONG — inference
-    // would type it int, and the coercion cast on `cell IN (...)`
-    // could keep the predicate out of the scan's PartitionFilters
+    // an explicit schema pins the partition columns to LONG —
+    // inference would type them int, and the coercion cast on
+    // `cell IN (...)` could keep the predicate out of the scan's
+    // PartitionFilters
     val all = spark.read
-      .schema("id BIGINT, vec ARRAY<BIGINT>, cell BIGINT")
+      .schema("id BIGINT, vec ARRAY<BIGINT>, cell BIGINT, batch BIGINT")
       .option("basePath", s"$dir/assignments")
       .parquet(s"$dir/assignments")
     cells.fold(all)(cs => all.filter(col("cell").isin(cs: _*)))

@@ -345,6 +345,58 @@ object EmbQueries {
         .orderBy("q_id", "rank")
     },
 
+    // INCREMENTAL index maintenance: the index is built on three
+    // quarters of the corpus, the last quarter is APPENDED by
+    // assigning against the stored codebook (no retraining), and the
+    // probe searches the combined index. The twin trains k-means on
+    // the same subset in SQL and assigns EVERY vector against the
+    // resulting codebook — which is exactly what stored-build (closing
+    // assign round) plus append (same codebook) produce — so a green
+    // row pins the whole build→append→probe lifecycle.
+    QueryDef("emb_index_incremental",
+      s"""WITH qall AS (SELECT vec_id, label,
+         |  list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |q AS (SELECT * FROM qall WHERE vec_id % 4 <> 3),
+         |$sqlKmeansCtes,
+         |${sqlKmeansIter(KmeansIters + 1)},
+         |dall AS (SELECT qall.vec_id, c.cell,
+         |  (c.n * c.n * list_dot_product(qall.e, qall.e)
+         |   - 2 * c.n * list_dot_product(qall.e, c.svec)
+         |   + list_dot_product(c.svec, c.svec))
+         |  / (c.n * c.n) AS dist2
+         |  FROM qall, cent${KmeansIters + 1} c),
+         |aall AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+         |  FROM dall) WHERE rn = 1),
+         |qa AS (SELECT qall.vec_id, qall.e, a.cell
+         |  FROM qall JOIN aall a USING (vec_id)),
+         |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, $sqlCos AS sim
+         |  FROM qa a JOIN qa b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 8),
+         |r AS (SELECT q_id, c_id, sim, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM scored)
+         |SELECT q_id, c_id, rank, round(sim, 6) AS sim FROM r
+         |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val dir = TempState.dir(
+          "annidx-inc|" + s.sparkContext.applicationId + "|" + d) { root =>
+        val vecs = load(s, d, "embeddings")
+          .select(col("vec_id").as("id"),
+            Similarity.quantize(col("embedding")).as("vec"),
+            pmod(col("vec_id"), lit(KmeansK.toLong)).as("cell"))
+        graft.ops.AnnIndex.build(
+          vecs.filter(col("id") % 4 =!= 3), root, KmeansIters)
+        graft.ops.AnnIndex.append(s, root,
+          vecs.filter(col("id") % 4 === 3).select("id", "vec"), batch = 1L)
+      }
+      val queries = load(s, d, "embeddings").filter(col("vec_id") < 8)
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"))
+      graft.ops.AnnIndex.probeKnn(s, dir, queries, K, nprobe = 1)
+        .orderBy("q_id", "rank")
+    },
+
     // SemDeDup-style semantic dedup: near-duplicate pairs blocked by
     // the LEARNED k-means cell (composition of emb_kmeans and the
     // banded-LSH pair machinery) instead of a given label — the shape

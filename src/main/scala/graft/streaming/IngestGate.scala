@@ -345,10 +345,29 @@ final class IngestGate(spark: SparkSession, stateDir: String,
   def readVerdicts(): DataFrame =
     spark.read.option("basePath", verdictsDir).parquet(verdictsDir)
 
-  /** Start the gate over a streaming `(doc_id, text)` frame. */
-  def start(docs: DataFrame, checkpointDir: String): StreamingQuery =
+  /** Start the gate over a streaming `(doc_id, text)` frame.
+    *
+    * `compactEvery = n` runs the maintenance pass ([[compact]] +
+    * [[vacuum]]) inside the micro-batch loop after every n-th batch —
+    * the production wiring, so the standing index never degrades into
+    * unbounded per-batch partitions without an operator remembering
+    * to schedule maintenance out of band. The pass runs AFTER the
+    * batch's own writes with `currentBatchId = id`: the newest batch
+    * dir always survives for replay, and a restart that re-runs batch
+    * id re-runs an idempotent compaction (the META rename commits,
+    * folded dirs are ignored by the probe either way). 0 disables.
+    */
+  def start(docs: DataFrame, checkpointDir: String,
+      compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch((b: DataFrame, id: Long) => applyBatch(b, id))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b, id)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          compact(currentBatchId = id)
+          vacuum(currentBatchId = id)
+        }
+        ()
+      }
       .start()
 }

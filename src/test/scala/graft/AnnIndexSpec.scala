@@ -53,6 +53,35 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("append assigns against the stored codebook, idempotently") {
+    val dir = tmp()
+    val v = vecs()
+    // build on three quarters, append the rest without retraining
+    val base = v.filter(col("id") % 4 =!= 3)
+    val extra = v.filter(col("id") % 4 === 3).select("id", "vec")
+    AnnIndex.build(base, dir, iters = 2)
+    AnnIndex.append(spark, dir, extra, batch = 1L)
+    // replayed batch must overwrite its own (cell, batch) leaves
+    AnnIndex.append(spark, dir, extra, batch = 1L)
+    val stored = AnnIndex.assignments(spark, dir)
+    assert(stored.count() == 40L, "replay must not duplicate rows")
+    assert(stored.groupBy("id").count().filter(col("count") > 1).count() == 0L)
+    // every stored assignment (built AND appended) is the argmin over
+    // the stored codebook
+    val cents = AnnIndex.centroids(spark, dir)
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+    val expect = Similarity.ivfAssign(v.select("id", "vec"), local)
+      .select("id", "cell").as[(Long, Long)].collect().toSet
+    val got = stored.select("id", "cell").as[(Long, Long)].collect().toSet
+    assert(got == expect)
+    // appended vectors are findable: probe a copy of an appended vec
+    val q = extra.limit(1)
+    val hit = AnnIndex.probeKnn(spark, dir, q, k = 3)
+      .select("c_id").as[Long].collect()
+    assert(hit.nonEmpty)
+  }
+
   test("probe prunes to the probed cells' partitions") {
     val dir = tmp()
     AnnIndex.build(vecs(), dir, iters = 2)

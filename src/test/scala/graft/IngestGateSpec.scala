@@ -149,6 +149,32 @@ class IngestGateSpec extends SparkSpec {
     assert(gate.vacuum(currentBatchId = 4L) >= 3)
   }
 
+  test("gate: compactEvery runs maintenance inside the streaming loop") {
+    implicit val sq = spark.sqlContext
+    val state = tmp()
+    val in = MemoryStream[(Long, String)]
+    val gate = new IngestGate(spark, state, numBuckets = 4)
+    val q = gate.start(in.toDF().toDF("doc_id", "text"), tmp(),
+      compactEvery = 2)
+    in.addData((1L, "alpha beta gamma delta epsilon")); q.processAllAvailable()
+    in.addData((2L, "totally different content here")); q.processAllAvailable()
+    in.addData((3L, "third batch novel words")); q.processAllAvailable()
+    // batch 2 triggered compact+vacuum: batches 0 and 1 folded into
+    // base gen 1 and their corpus dirs reclaimed, batch 2 kept
+    assert(gate.baseIndex().isDefined, "maintenance must have committed a base")
+    val corpusDirs = new java.io.File(s"$state/corpus").listFiles()
+      .map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(corpusDirs == Set("batch=2"), s"got $corpusDirs")
+    // a copy of the base-resident doc 1 is still recognized
+    in.addData((4L, "alpha beta gamma delta epsilon")); q.processAllAvailable()
+    q.stop()
+    val v = gate.readVerdicts().filter(col("batch") === 3)
+      .select("verdict", "dup_of").collect().head
+    assert((v.getString(0), v.getLong(1)) == (("dup_of_corpus", 1L)))
+    assert(gate.readVerdicts().select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 4L))
+  }
+
   test("gate: batch replay overwrites its own partition (idempotent)") {
     val state = tmp()
     val gate = new IngestGate(spark, state)
