@@ -306,4 +306,31 @@ object PipelineOps {
           lit(1000000L)) < col("rate_ppm"))
       .drop("__s", "__nt")
   }
+
+  /** Deterministic seeded global shuffle into training shards: the
+    * last pipeline stage, fixing the order examples are consumed in.
+    * Each document gets `ord = sampleHash("<seed>:<id>")` (uniform,
+    * engine-reproducible, reshuffled by changing the seed), a shard
+    * `ord % nShards`, and its in-shard position. Returns
+    * (doc_id, shard, ord, pos).
+    *
+    * Scale shape: ONE shuffle on the shard key, then a per-shard sort
+    * of corpus/nShards rows — the window partitions by shard, so
+    * there is never a global single-reducer sort; nShards is the
+    * parallelism knob (a 100 TB corpus wants thousands of shards, at
+    * which point each sort is executor-local work feeding one output
+    * file per shard). A pipeline that instead needs ONE totally
+    * ordered sequence range-partitions by `ord` — Spark's sort shape
+    * — but training wants addressable shards, so that is not this
+    * operator.
+    */
+  def shuffleShards(df: DataFrame, id: Column, seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+    df.select(id.as("doc_id"),
+        sampleHash(concat(lit(s"$seed:"), id.cast("string"))).as("ord"))
+      .withColumn("shard", col("ord") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

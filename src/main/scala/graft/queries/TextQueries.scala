@@ -168,6 +168,8 @@ object TextQueries {
   private val TempDen = 4
   private val ChunkWindow = 32
   private val ChunkStride = 24
+  private val ShuffleSeed = 42L
+  private val ShuffleShards = 16
   private val IndexBlockDocs = 128L
   private val EvalMod = 7
   // char-4-gram Jaccard pair generation, shared by the full pair query
@@ -1175,6 +1177,25 @@ object TextQueries {
       graft.ops.PipelineOps.splitAssign(load(s, d, "documents"),
         col("doc_id"), Seq("train" -> 90, "val" -> 5, "test" -> 5))
         .select("doc_id", "split")
+        .orderBy("doc_id")
+    },
+
+    // seeded global shuffle into training shards: deterministic order
+    // key, shard = ord % 16, in-shard position — the last pipeline
+    // stage before writing training files. One shuffle on the shard
+    // key, per-shard sorts only (nShards is the parallelism knob);
+    // never a global single-reducer sort.
+    QueryDef("doc_shuffle_shards",
+      s"""WITH o AS (SELECT doc_id,
+         |  ${sqlSampleHash(s"'$ShuffleSeed:' || CAST(doc_id AS VARCHAR)")}
+         |    AS ord FROM documents)
+         |SELECT doc_id, ord % $ShuffleShards AS shard, ord,
+         |  row_number() OVER (PARTITION BY ord % $ShuffleShards
+         |    ORDER BY ord, doc_id) AS pos
+         |FROM o ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.PipelineOps.shuffleShards(load(s, d, "documents"),
+        col("doc_id"), seed = ShuffleSeed, nShards = ShuffleShards)
+        .select("doc_id", "shard", "ord", "pos")
         .orderBy("doc_id")
     },
 

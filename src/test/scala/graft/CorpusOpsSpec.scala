@@ -377,4 +377,27 @@ class CorpusOpsSpec extends SparkSpec {
     val blobB = out.filter(_._1 >= 20).map(_._2).toSet
     assert(blobA.size == 1 && blobB.size == 1 && blobA != blobB)
   }
+
+  test("shuffleShards: deterministic, balanced, contiguous positions") {
+    val docs = (0L until 800L).toDF("doc_id")
+    def run() = PipelineOps.shuffleShards(docs, col("doc_id"),
+        seed = 7L, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val a = run()
+    assert(a.toSeq == run().toSeq, "same seed must reproduce the order")
+    // different seed actually reshuffles
+    val b = PipelineOps.shuffleShards(docs, col("doc_id"), seed = 8L,
+        nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(a.map(t => (t._1, t._2)).toSet != b.map(t => (t._1, t._2)).toSet)
+    // shards are roughly balanced (uniform hash: 100 +/- 50 at n=800)
+    val sizes = a.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size == 8 && sizes.values.forall(s => s > 50 && s < 150),
+      s"unbalanced shards: ${sizes.toMap}")
+    // positions are contiguous 1..size within every shard
+    a.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $sh positions not contiguous")
+    }
+  }
 }
