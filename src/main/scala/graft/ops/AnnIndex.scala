@@ -46,6 +46,13 @@ object AnnIndex {
     * centroids, the invariant a probe relies on; without the closing
     * half-round the codebook would be one generation newer than the
     * assignments it indexes). Returns the number of non-empty cells.
+    *
+    * NOT crash-atomic: assignments and codebook are two writes, so a
+    * crash between them leaves a mixed-generation index. A deployment
+    * that rebuilds in place should build into a fresh dir and swap a
+    * pointer (the IngestGate META pattern); kept out of this operator
+    * because an ANN index rebuild naturally targets a new versioned
+    * location.
     */
   def build(vecs: DataFrame, dir: String, iters: Int): Long = {
     val spark = vecs.sparkSession
