@@ -460,6 +460,63 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // RECALL of the banded MinHash candidate generator against exact
+    // ground truth (the lexical twin of emb_ivf_recall): truth = every
+    // pair at Jaccard >= threshold, computed WITHOUT banding by the
+    // exact prefix-filter AllPairs join (no false negatives by
+    // construction), caught = truth pairs the band join also surfaces.
+    // With 2 bands x 8 rows at j = 0.95 the expected per-pair recall
+    // is 1-(1-j^8)^2 ~ 0.88 — this query turns that design constant
+    // into a measured, oracle-checked number, the dial a curation team
+    // reads before trading bands against shuffle volume. The DuckDB
+    // twin computes truth by brute all-pairs — two different exact
+    // algorithms agreeing on the ground-truth set pins the prefix
+    // filter itself. n_caught counts join hits (count(col), not
+    // sum(flag)) so both engines emit BIGINT.
+    QueryDef("doc_minhash_recall",
+      s"""WITH $sqlMinhashBandCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_key)
+         |  WHERE a.doc_id < b.doc_id),
+         |truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+         |  WHERE len(a.hs) > 0 AND len(b.hs) > 0
+         |    AND CAST(least(len(a.hs), len(b.hs)) AS DOUBLE) >=
+         |        $MinhashJaccard * greatest(len(a.hs), len(b.hs))
+         |    AND CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) /
+         |      nullif(CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE), 0.0)
+         |      >= $MinhashJaccard)
+         |SELECT count(*) AS n_true, count(c.id_a) AS n_caught,
+         |  round(CAST(count(c.id_a) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS recall
+         |FROM truth LEFT JOIN cand c
+         |  ON c.id_a = truth.id_a AND c.id_b = truth.id_b""".stripMargin
+    ) { (s, d) =>
+      val docs = load(s, d, "documents")
+        .withColumn("hs", Dedup.tokenHashSet(col("text")))
+        .filter(size(col("hs")) > 0)
+      // exact truth: AllPairs prefix filter at 19/20 = MinhashJaccard,
+      // then the same size prefilter + verified Jaccard as the detector
+      val cands = Dedup.prefixFilterCandidates(docs, "doc_id", "hs",
+        Nil, tNum = 19, tDen = 20)
+      val a = docs.select(col("doc_id").as("id_a"), col("hs").as("s_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("hs").as("s_b"))
+      val truth = cands.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .filter(least(size(col("s_a")), size(col("s_b"))).cast("double") >=
+          greatest(size(col("s_a")), size(col("s_b"))) * MinhashJaccard)
+        .filter(Dedup.jaccardSorted(col("s_a"), col("s_b")) >= MinhashJaccard)
+        .select("id_a", "id_b")
+      val banded = Dedup.lshCandidates(
+        Dedup.minhashFromHashes(docs.select(col("doc_id").as("__id"),
+          col("hs")), col("hs"), MinhashK), "__id", MinhashK, RowsPerBand)
+      truth.join(banded.withColumn("__hit", lit(1)),
+          Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_caught"))
+        .withColumn("recall",
+          round(col("n_caught").cast("double") / col("n_true").cast("double"),
+            6))
+    },
+
     // near-duplicate CLUSTERING: connected components over the minhash
     // pair graph, every document labeled with its component's min doc
     // id (the canonical survivor). Spark runs min-label propagation to
