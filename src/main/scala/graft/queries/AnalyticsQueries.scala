@@ -391,9 +391,10 @@ object AnalyticsQueries {
          |  (SELECT count(*) FROM s2) AS n_then_click,
          |  (SELECT count(*) FROM s3) AS n_then_purchase
          |FROM s1""".stripMargin) { (s, d) =>
-      val ev = load(s, d, "events")
+      val evRaw = load(s, d, "events")
+      val ev = evRaw
         .select(col("user_id"), col("event_type"),
-          Tables.stepUs.as("step_us"))
+          Tables.stepUs(evRaw).as("step_us"))
       def step(prev: org.apache.spark.sql.DataFrame, evType: String,
           tPrev: String, tOut: String) =
         ev.join(prev, "user_id")
@@ -431,8 +432,9 @@ object AnalyticsQueries {
          |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
     ) { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("t", "event_id")
-      val e = load(s, d, "events")
-        .select(col("user_id"), col("event_id"), Tables.stepUs.as("t"))
+      val evRaw = load(s, d, "events")
+      val e = evRaw
+        .select(col("user_id"), col("event_id"), Tables.stepUs(evRaw).as("t"))
         .withColumn("pt", lag("t", 1).over(w))
         .withColumn("brk", when(col("pt").isNull ||
           col("t") - col("pt") > SessionGapUs, 1L).otherwise(0L))
@@ -463,9 +465,10 @@ object AnalyticsQueries {
          |  CAST(off AS BIGINT) AS week_offset, count(*) AS n_users
          |FROM a GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""".stripMargin
     ) { (s, d) =>
-      val e = load(s, d, "events")
+      val evRaw = load(s, d, "events")
+      val e = evRaw
         .filter(col("event_type") === "purchase")
-        .select(col("user_id"), Tables.stepUs.as("step_us"))
+        .select(col("user_id"), Tables.stepUs(evRaw).as("step_us"))
         .withColumn("wk", expr(s"step_us div ${WeekUs}L"))
       val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
       e.join(cohort, "user_id")

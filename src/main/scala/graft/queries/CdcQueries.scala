@@ -31,11 +31,11 @@ object CdcQueries {
       s"""WITH $CDC
          |SELECT event_id, step_us, part, op FROM cdc
          |WHERE step_us > $CheckpointUs ORDER BY event_id""".stripMargin) { (s, d) =>
-      // filter on the RAW ns column (integer-equivalent to the µs
+      // filter on the RAW ts column (integer-equivalent to the µs
       // predicate) so it pushes into the parquet scan; a predicate on
-      // the derived `ts div 1000` cannot be pushed
-      cdcView(s, d)
-        .filter(col("ts") > CheckpointUs * 1000L + 999L)
+      // the derived step_us expression cannot be pushed
+      val v = cdcView(s, d)
+      v.filter(Tables.tsAfterUs(v, CheckpointUs))
         .select(col("event_id"), col("step_us"), col("part"), col("op"))
         .orderBy("event_id")
     },

@@ -20,12 +20,44 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Event time in µs: the ns long (nanosAsLong read) truncated to
-    * µs. THE ns→µs mapping — every events-based query must use this
-    * (and [[OracleDefs.EventStepUs]] on the SQL side) so the unit
-    * cannot drift between engines.
+  /** Event time in µs. THE event-time mapping — every events-based
+    * query must use this (and [[OracleDefs.EventStepUs]] on the SQL
+    * side) so the unit cannot drift between engines.
+    *
+    * The driver's `events.parquet` has carried two physical shapes
+    * across rounds: TIMESTAMP(NANOS) (which the nanosAsLong conf
+    * surfaces as a ns long) and timestamp[us] (which Spark reads as
+    * TIMESTAMP_NTZ). Both truncate/convert to the same integral µs,
+    * so the mapping adapts to the schema actually bound; DuckDB's
+    * `epoch_us(ts)` is the twin of both branches.
     */
-  def stepUs: org.apache.spark.sql.Column = expr("ts div 1000")
+  def stepUs(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      // NTZ→timestamp cast interprets the naive value in the session
+      // zone (pinned UTC in GraftSession) — same instant DuckDB's
+      // naive epoch_us sees.
+      case _ => expr("unix_micros(cast(ts as timestamp))")
+    }
+
+  /** Pushdown-safe raw-column predicate equivalent to
+    * `stepUs > us` — compares the UNTOUCHED `ts` column to a literal
+    * in its own type so the filter reaches parquet row-group stats
+    * (a predicate on the derived µs expression cannot be pushed).
+    */
+  def tsAfterUs(df: DataFrame, us: Long): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      // ns long: step_us > us  ≡  ts > us*1000 + 999
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") > (us * 1000L + 999L)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        col("ts") > lit(java.time.LocalDateTime.ofEpochSecond(
+          us / 1000000L, ((us % 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
+      case _ =>
+        col("ts") > lit(java.time.Instant.ofEpochSecond(
+          us / 1000000L, (us % 1000000L) * 1000L))
+    }
 
   /** The CDC-analog view of `events` (shared by all cdc_* queries):
     *  - elementary stream/partition  = user_id % 8
@@ -35,15 +67,17 @@ object Tables {
     *    view sets only `props`, other types set both
     * The same mapping is expressed in SQL by [[OracleDefs.cdcView]].
     */
-  def cdcView(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("step_us", stepUs)
+  def cdcView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    ev
+      .withColumn("step_us", stepUs(ev))
       .withColumn("part", pmod(col("user_id"), lit(8)))
       .withColumn("op", when(col("event_type") === "error", 1).otherwise(0))
       .withColumn("has_value",
         col("op") === 0 && col("event_type") =!= "view")
       .withColumn("has_props",
         col("op") === 0 && col("event_type") =!= "click")
+  }
 }
 
 /** SQL fragments shared by every oracle (kept beside the Spark

@@ -69,18 +69,33 @@ object GenScale {
         .withColumn("l_partkey", col("l_partkey") + i * pSpan)
         .withColumn("l_suppkey", col("l_suppkey") + i * sSpan)))
 
-    // events: ts is read as a long of nanoseconds (nanosAsLong); each
-    // copy occupies a disjoint time range so CDC positions never
-    // collide across copies
+    // events: each copy occupies a disjoint time range so CDC
+    // positions never collide across copies. ts may be a ns long
+    // (legacy nanosAsLong shape) or a µs timestamp — shift in the
+    // column's own unit either way.
     val events = read("events")
     val eSpan = span(events, "event_id")
     val uSpan = span(events, "user_id")
-    val tRow = events.agg(min(col("ts")), max(col("ts"))).head()
-    val tSpan = tRow.getLong(1) - tRow.getLong(0) + 1000000L
+    val tsIsLong = events.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    val tSpan: Long =
+      if (tsIsLong) {
+        val r = events.agg(min(col("ts")), max(col("ts"))).head()
+        r.getLong(1) - r.getLong(0) + 1000000L // ns span + 1 ms
+      } else {
+        val r = events
+          .agg(min(expr("unix_micros(cast(ts as timestamp))")),
+            max(expr("unix_micros(cast(ts as timestamp))"))).head()
+        r.getLong(1) - r.getLong(0) + 1000L // µs span + 1 ms
+      }
+    def shiftTs(d: DataFrame, i: Int) =
+      if (tsIsLong) d.withColumn("ts", col("ts") + i * tSpan)
+      else d.withColumn("ts",
+        expr(s"timestampadd(MICROSECOND, ${i * tSpan}L, ts)"))
     write("events", replicate(events)((d, i) =>
-      d.withColumn("event_id", col("event_id") + i * eSpan)
-        .withColumn("user_id", col("user_id") + i * uSpan)
-        .withColumn("ts", col("ts") + i * tSpan)))
+      shiftTs(d, i)
+        .withColumn("event_id", col("event_id") + i * eSpan)
+        .withColumn("user_id", col("user_id") + i * uSpan)))
 
     // documents: per-copy token suffix (see scaladoc)
     val documents = read("documents")
