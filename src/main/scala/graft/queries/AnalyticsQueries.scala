@@ -36,6 +36,9 @@ object AnalyticsQueries {
     */
   private val WeekUs: Long = 7L * 86400L * 1000000L
 
+  /** Range/as-of join window: one hour in µs. */
+  private val HourUs: Long = 3600L * 1000000L
+
   val all: Seq[QueryDef] = Seq(
 
     // pricing summary: wide aggregation with decimal-exact sums
@@ -478,5 +481,71 @@ object AnalyticsQueries {
         .groupBy("cohort_wk", "week_offset")
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_wk", "week_offset")
+    },
+
+    // binned range join (graft.ops.RangeJoin): purchases within one
+    // hour AFTER an error by the same user — point-in-interval
+    // attribution. The engine quantizes time into 1 h bins so
+    // containment becomes an equi-join on (user_id, bin): no
+    // BroadcastNestedLoopJoin anywhere in the plan (RangeJoinSpec
+    // asserts this), shuffle volume |points| + 2×|intervals|. The
+    // DuckDB twin is the naive inequality join — two different
+    // algorithms, same rows.
+    QueryDef("q_range_join",
+      s"""WITH e AS (SELECT event_id, user_id,
+         |  ${OracleDefs.EventStepUs} AS t, event_type, value FROM events),
+         |err AS (SELECT user_id, event_id AS err_id, t AS t0,
+         |  t + $HourUs AS t1 FROM e WHERE event_type = 'error'),
+         |buy AS (SELECT user_id, event_id AS buy_id, t, value FROM e
+         |  WHERE event_type = 'purchase')
+         |SELECT err_id, buy_id, CAST(buy.t - err.t0 AS BIGINT) AS lag_us
+         |FROM err JOIN buy USING (user_id)
+         |WHERE buy.t >= err.t0 AND buy.t <= err.t1
+         |ORDER BY err_id, buy_id""".stripMargin) { (s, d) =>
+      val evRaw = load(s, d, "events")
+      val e = evRaw.select(col("event_id"), col("user_id"),
+        Tables.stepUs(evRaw).as("t"), col("event_type"))
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("t").as("t0"), (col("t") + HourUs).as("t1"))
+      val buy = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"), col("t"))
+      graft.ops.RangeJoin.pointInInterval(buy, err,
+          pointCol = "t", startCol = "t0", endCol = "t1",
+          binWidth = HourUs, keys = Seq("user_id"))
+        .select(col("err_id"), col("buy_id"),
+          (col("t") - col("t0")).as("lag_us"))
+        .orderBy("err_id", "buy_id")
+    },
+
+    // two-table as-of join (graft.ops.AsOfJoin): each purchase gets
+    // the user's most recent click value at-or-before it. Spark side
+    // runs the union+window shape (ONE shuffle on user_id,
+    // intermediate |L|+|R|); the DuckDB twin is its NATIVE ASOF JOIN
+    // — two independent as-of implementations pinned to the same
+    // rows. Clicks are pre-aggregated to one row per (user_id, t)
+    // (max value) so "latest" is well-defined in both engines.
+    QueryDef("q_asof_join",
+      s"""WITH e AS (SELECT event_id, user_id,
+         |  ${OracleDefs.EventStepUs} AS t, event_type, value FROM events),
+         |clk AS (SELECT user_id, t, max(value) AS click_value FROM e
+         |  WHERE event_type = 'click' GROUP BY 1, 2),
+         |buy AS (SELECT event_id, user_id, t FROM e
+         |  WHERE event_type = 'purchase')
+         |SELECT buy.event_id, clk.click_value AS asof_click_value
+         |FROM buy ASOF LEFT JOIN clk
+         |  ON buy.user_id = clk.user_id AND clk.t <= buy.t
+         |ORDER BY buy.event_id""".stripMargin) { (s, d) =>
+      val evRaw = load(s, d, "events")
+      val e = evRaw.select(col("event_id"), col("user_id"),
+        Tables.stepUs(evRaw).as("t"), col("event_type"), col("value"))
+      val clk = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "t").agg(max("value").as("click_value"))
+      val buy = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "t")
+      graft.ops.AsOfJoin.backward(buy, clk, keys = Seq("user_id"),
+          leftTime = "t", rightTime = "t", valueCols = Seq("click_value"))
+        .select("event_id", "asof_click_value")
+        .orderBy("event_id")
     })
 }
