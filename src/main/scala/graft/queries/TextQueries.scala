@@ -487,8 +487,8 @@ object TextQueries {
          |      nullif(CAST(len(list_distinct(list_concat(a.hs, b.hs))) AS DOUBLE), 0.0)
          |      >= $MinhashJaccard)
          |SELECT count(*) AS n_true, count(c.id_a) AS n_caught,
-         |  round(CAST(count(c.id_a) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-         |    AS recall
+         |  round(CAST(count(c.id_a) AS DOUBLE) /
+         |    nullif(CAST(count(*) AS DOUBLE), 0.0), 6) AS recall
          |FROM truth LEFT JOIN cand c
          |  ON c.id_a = truth.id_a AND c.id_b = truth.id_b""".stripMargin
     ) { (s, d) =>
@@ -513,8 +513,8 @@ object TextQueries {
           Seq("id_a", "id_b"), "left")
         .agg(count(lit(1)).as("n_true"), count(col("__hit")).as("n_caught"))
         .withColumn("recall",
-          round(col("n_caught").cast("double") / col("n_true").cast("double"),
-            6))
+          round(col("n_caught").cast("double") /
+            nullif(col("n_true").cast("double"), lit(0.0)), 6))
     },
 
     // near-duplicate CLUSTERING: connected components over the minhash
