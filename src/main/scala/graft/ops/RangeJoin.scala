@@ -59,6 +59,33 @@ object RangeJoin {
       .drop("__bin")
   }
 
+  /** Interval×interval OVERLAP join on the same binning: rows of `a`
+    * and `b` whose [lo, hi] ranges intersect (inclusive ends),
+    * optionally matching on `keys`. Both sides explode to their
+    * covered bins, but a pair is kept only in the bin containing the
+    * OVERLAP START (`max(a.lo, b.lo)`) — a bin both sides provably
+    * cover — so each overlapping pair survives in exactly one bin and
+    * no distinct/dedup pass is needed. Same scale shape as
+    * [[pointInInterval]]: one hash exchange per side on (keys…, bin),
+    * never a nested loop.
+    */
+  def intervalOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      aLo: String, aHi: String,
+      bLo: String, bHi: String,
+      binWidth: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bin", explode(sequence(
+        floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
+    binned(a, aLo, aHi).join(binned(b, bLo, bHi), keys :+ "__bin")
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi) &&
+        col("__bin") === floor(greatest(col(aLo), col(bLo)) / binWidth))
+      .drop("__bin")
+  }
+
   /** Brute-force twin of [[pointInInterval]] (broadcast nested loop)
     * — the oracle for specs, never the production path.
     */
@@ -77,5 +104,19 @@ object RangeJoin {
     // collapse the duplicated key columns to match the equi-join shape
     keys.foldLeft(joined)((d, k) =>
       d.drop(intervals(k)))
+  }
+
+  /** Brute-force twin of [[intervalOverlap]] — spec oracle only. */
+  def intervalOverlapBrute(
+      a: DataFrame,
+      b: DataFrame,
+      aLo: String, aHi: String,
+      bLo: String, bHi: String,
+      keys: Seq[String] = Nil): DataFrame = {
+    val cond: Column = keys
+      .map(k => a(k) === b(k))
+      .foldLeft(a(aLo) <= b(bHi) && b(bLo) <= a(aHi))(_ && _)
+    val joined = a.join(b, cond)
+    keys.foldLeft(joined)((d, k) => d.drop(b(k)))
   }
 }

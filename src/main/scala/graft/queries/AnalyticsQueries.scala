@@ -547,5 +547,41 @@ object AnalyticsQueries {
           leftTime = "t", rightTime = "t", valueCols = Seq("click_value"))
         .select("event_id", "asof_click_value")
         .orderBy("event_id")
+    },
+
+    // interval×interval overlap join (graft.ops.RangeJoin): a user's
+    // 30-min error windows intersecting their 60-min signup windows,
+    // with the overlap length. Both sides explode to 1 h bins but a
+    // pair survives only in the bin holding the OVERLAP START, so
+    // each pair is emitted exactly once without a distinct pass. The
+    // DuckDB twin is the naive inequality join.
+    QueryDef("q_interval_overlap",
+      s"""WITH e AS (SELECT event_id, user_id,
+         |  ${OracleDefs.EventStepUs} AS t, event_type FROM events),
+         |err AS (SELECT user_id, event_id AS err_id, t AS elo,
+         |  t + ${HourUs / 2} AS ehi FROM e WHERE event_type = 'error'),
+         |sgn AS (SELECT user_id, event_id AS sgn_id, t AS slo,
+         |  t + $HourUs AS shi FROM e WHERE event_type = 'signup')
+         |SELECT err_id, sgn_id,
+         |  CAST(least(ehi, shi) - greatest(elo, slo) AS BIGINT) AS overlap_us
+         |FROM err JOIN sgn USING (user_id)
+         |WHERE elo <= shi AND slo <= ehi
+         |ORDER BY err_id, sgn_id""".stripMargin) { (s, d) =>
+      val evRaw = load(s, d, "events")
+      val e = evRaw.select(col("event_id"), col("user_id"),
+        Tables.stepUs(evRaw).as("t"), col("event_type"))
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("t").as("elo"), (col("t") + HourUs / 2).as("ehi"))
+      val sgn = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("sgn_id"),
+          col("t").as("slo"), (col("t") + HourUs).as("shi"))
+      graft.ops.RangeJoin.intervalOverlap(err, sgn,
+          "elo", "ehi", "slo", "shi", binWidth = HourUs,
+          keys = Seq("user_id"))
+        .select(col("err_id"), col("sgn_id"),
+          (least(col("ehi"), col("shi")) -
+            greatest(col("elo"), col("slo"))).as("overlap_us"))
+        .orderBy("err_id", "sgn_id")
     })
 }

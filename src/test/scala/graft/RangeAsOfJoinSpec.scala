@@ -68,6 +68,35 @@ class RangeAsOfJoinSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"nested loop in plan:\n$plan")
   }
 
+  test("intervalOverlap equals the brute twin and emits each pair once") {
+    check(Prop.forAll(intervalsGen, intervalsGen) { (as, bs) =>
+      val a = as.zipWithIndex
+        .map { case ((k, lo, len), i) => (i.toLong, k, lo, lo + len) }
+        .toDF("aid", "k", "alo", "ahi")
+      val b = bs.zipWithIndex
+        .map { case ((k, lo, len), i) => (100L + i, k, lo, lo + len) }
+        .toDF("bid", "k", "blo", "bhi")
+      val fast = RangeJoin.intervalOverlap(a, b,
+        "alo", "ahi", "blo", "bhi", binWidth = 64L, keys = Seq("k"))
+      val brute = RangeJoin.intervalOverlapBrute(a, b,
+        "alo", "ahi", "blo", "bhi", keys = Seq("k"))
+      // exact multiset equality: a pair surviving in two bins would
+      // show up here as a duplicate row fast has and brute lacks
+      sortedRows(fast) == sortedRows(brute)
+    })
+  }
+
+  test("intervalOverlap touches at a single shared point and stays keyed") {
+    val a = Seq((1L, 0L, 10L, 20L), (2L, 0L, 30L, 40L), (3L, 1L, 10L, 20L))
+      .toDF("aid", "k", "alo", "ahi")
+    val b = Seq((9L, 0L, 20L, 25L), (8L, 0L, 41L, 50L)).toDF("bid", "k", "blo", "bhi")
+    val got = RangeJoin.intervalOverlap(a, b, "alo", "ahi", "blo", "bhi",
+        binWidth = 7L, keys = Seq("k"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // touching endpoints (20,20) overlap; (2) misses (40 < 41); key 1 never joins key 0
+    assert(got == Seq((1L, 9L)))
+  }
+
   private val rightGen = Gen.listOfN(30,
     Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 500L), Gen.choose(-50, 50)))
   private val leftGen = Gen.listOfN(40,
