@@ -42,8 +42,10 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     val leftCols = left.columns.toSeq
     val asofNames = valueCols.map(v => s"asof_$v")
 
@@ -51,9 +53,11 @@ object AsOfJoin {
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__vals", lit(null).cast(
-        // same struct type the right side carries
-        org.apache.spark.sql.types.StructType(valueCols.map(v =>
-          org.apache.spark.sql.types.StructField(v,
+        // same struct type the right side carries (match time first)
+        org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("__rt",
+            right.schema(rightTime).dataType) +:
+          valueCols.map(v => org.apache.spark.sql.types.StructField(v,
             right.schema(v).dataType)))))
       .select((keys ++ leftCols.filterNot(keys.contains)).map(col) ++
         Seq(col("__t"), col("__side"), col("__vals")): _*)
@@ -61,7 +65,8 @@ object AsOfJoin {
     val r = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-      .withColumn("__vals", struct(valueCols.map(col): _*))
+      .withColumn("__vals",
+        struct(col(rightTime).as("__rt") +: valueCols.map(col): _*))
       .select(keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) ++
@@ -71,14 +76,44 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    val carried = l.unionByName(r)
+    val carried0 = l.unionByName(r)
       .withColumn("__asof", last(col("__vals"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    // a match staler than the tolerance is no match at all
+    val carried = tolerance match {
+      case Some(tol) => carried0.withColumn("__asof",
+        when(col("__t") - col("__asof").getField("__rt") <= tol,
+          col("__asof")))
+      case None => carried0
+    }
 
     valueCols.zip(asofNames).foldLeft(carried) { case (d, (v, out)) =>
         d.withColumn(out, col("__asof").getField(v))
       }
       .select((leftCols ++ asofNames).map(col): _*)
+  }
+
+  /** Forward as-of join: the EARLIEST right row with `rightTime >=
+    * leftTime` per key (optionally within `tolerance`). Runs
+    * [[backward]] on negated times — same one-shuffle plan.
+    * Time columns must be numeric (negatable); Long.MinValue inputs
+    * are out of contract.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val negL = left.withColumn(leftTime, -col(leftTime))
+    val negR = right.withColumn(rightTime, -col(rightTime))
+    backward(negL, negR, keys, leftTime, rightTime, valueCols, tolerance)
+      // restore the caller's time column; asof_* values were never negated
+      .withColumn(leftTime, -col(leftTime))
+      .select((leftCols ++ valueCols.map(v => s"asof_$v")).map(col): _*)
   }
 
   /** Brute-force twin (inequality join + argmax) — spec oracle only. */

@@ -128,6 +128,48 @@ class RangeAsOfJoinSpec extends SparkSpec {
     assert(got == Map(1L -> Some(5L), 2L -> Some(4L), 3L -> None))
   }
 
+  test("forward as-of equals an independent inequality-join argmin (randomized)") {
+    check(Prop.forAll(leftGen, rightGen) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      val right = rs.map { case (k, rt, v) => (k, rt, v.toLong) }
+        .toDF("k", "rt", "v")
+        .groupBy("k", "rt").agg(max("v").as("v"))
+      val fast = AsOfJoin.forward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      // independent brute: min (rt, v) struct over rt >= t matches
+      val lk = left.withColumnRenamed("k", "lk").withColumnRenamed("t", "lt")
+      val brute = lk.join(right,
+          lk("lk") === right("k") && right("rt") >= lk("lt"), "left")
+        .groupBy("lid")
+        .agg(first("lk").as("k"), first("lt").as("t"),
+          min(struct(col("rt"), col("v"))).as("__best"))
+        .select(col("lid"), col("k"), col("t"),
+          col("__best.v").as("asof_v"))
+      sortedRows(fast) == sortedRows(brute)
+    })
+  }
+
+  test("as-of tolerance voids stale matches, backward and forward") {
+    val left = Seq((1L, 0L, 100L), (2L, 0L, 200L)).toDF("lid", "k", "t")
+    val right = Seq((0L, 95L, 7L)).toDF("k", "rt", "v")
+    val bw = AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Seq("v"),
+        tolerance = Some(10L))
+      .select("lid", "asof_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // t=100: 100-95=5 <= 10 matches; t=200: 105 > 10 voided
+    assert(bw == Map(1L -> Some(7L), 2L -> None))
+    val left2 = Seq((1L, 0L, 90L), (2L, 0L, 50L)).toDF("lid", "k", "t")
+    val fw = AsOfJoin.forward(left2, right, Seq("k"), "t", "rt", Seq("v"),
+        tolerance = Some(10L))
+      .select("lid", "asof_v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // t=90: 95-90=5 <= 10 matches; t=50: 45 > 10 voided
+    assert(fw == Map(1L -> Some(7L), 2L -> None))
+  }
+
   test("backward as-of shuffles once (union+window, no join exchange pair)") {
     val left = (0L until 200L).map(i => (i, i % 5, i * 3)).toDF("lid", "k", "t")
     val right = (0L until 100L).map(i => (i % 5, i * 7, i)).toDF("k", "rt", "v")
