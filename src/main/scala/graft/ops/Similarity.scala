@@ -285,4 +285,85 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
       .distinct()
   }
+
+  // ───────────────────────── product quantization ─────────────────────────
+  // The production memory shape for vector search at corpus scale:
+  // the corpus is stored as M small integer codes per vector (one
+  // nearest-centroid id per dimension-subspace) instead of the full
+  // vector, and query distance is approximated as the sum of
+  // per-subspace distances read from a (query × codebook) lookup
+  // table. At 100 TB the full-vector corpus never moves: only codes
+  // join the broadcast LUT. Training reuses the exact-integer Lloyd
+  // machinery above per subspace, so codes — and therefore ADC ranks
+  // — are engine-reproducible (the DuckDB twin re-derives them).
+
+  /** The j-th of `m` contiguous dimension-subspaces of a vector. */
+  def pqSlice(vec: Column, j: Int, subDim: Int): Column =
+    slice(vec, j * subDim + 1, subDim)
+
+  /** Train per-subspace codebooks and encode the corpus.
+    * `vecs`: (id, vec quantized) with `dims` dimensions. Returns
+    * (codebook, codes): codebook = (sub, cell, svec, n, ss) — m·k
+    * rows, the broadcastable index; codes = (id, sub, code) — the
+    * compressed corpus, M integers per vector. Per subspace: Lloyd
+    * from an id-seeded assignment, then codebook-consistent closing
+    * assignment (the AnnIndex pattern), so stored codes always match
+    * the stored codebook.
+    */
+  def pqTrainEncode(vecs: DataFrame, m: Int, dims: Int, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val spark = vecs.sparkSession
+    val subDim = dims / m
+    val parts = (0 until m).map { j =>
+      val sv = vecs.select(col("id"),
+        pqSlice(col("vec"), j, subDim).as("vec"),
+        pmod(col("id"), lit(k.toLong)).as("cell"))
+      val trained = kmeans(sv, iters)
+      val cents = ivfCentroids(trained, "cell")
+      val localCents = spark.createDataFrame(
+        java.util.Arrays.asList(cents.collect(): _*), cents.schema)
+      val codes = ivfAssign(trained, localCents)
+        .select(col("id"), lit(j).as("sub"), col("cell").as("code"))
+      trained.unpersist()
+      (localCents.withColumn("sub", lit(j)), codes)
+    }
+    (parts.map(_._1).reduce(_ unionByName _),
+      parts.map(_._2).reduce(_ unionByName _))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus.
+    * `queries`: (id, vec) full-dimension; `codebook`/`codes` from
+    * [[pqTrainEncode]]. The LUT is (queries × m × k) rows — tiny, one
+    * broadcast — and the corpus side touches only its codes: the
+    * full-vector scan disappears, which is the entire point of PQ.
+    * The per-subspace distances are summed in SUBSPACE ORDER via an
+    * explicit fold (not a float sum whose order the engine picks), so
+    * the total — and the (adist, c_id) rank — is deterministic and
+    * cross-engine reproducible.
+    */
+  def pqAdcTopK(queries: DataFrame, codebook: DataFrame, codes: DataFrame,
+      m: Int, dims: Int, k: Int): DataFrame = {
+    val subDim = dims / m
+    val lut = queries.select(col("id").as("q_id"), col("vec"))
+      .withColumn("sub", explode(array((0 until m).map(lit(_)): _*)))
+      .withColumn("qv",
+        slice(col("vec"), col("sub") * subDim + 1, lit(subDim)))
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d2",
+        dist2ToCentroid(col("qv"), col("svec"), col("n"), col("ss")))
+      .select(col("q_id"), col("sub"), col("cell").as("code"), col("d2"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("id").as("c_id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("d2")))),
+          e => e.getField("d2")),
+        lit(0.0d), (acc, x) => acc + x).as("adist"))
+    val w = Window.partitionBy("q_id").orderBy(col("adist"), col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        round(col("adist"), 6).as("adist"))
+  }
 }

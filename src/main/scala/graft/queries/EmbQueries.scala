@@ -139,6 +139,77 @@ object EmbQueries {
       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
       |  FROM d) WHERE rn = 1)""".stripMargin
 
+  // ───────────── product quantization (emb_pq_knn) ─────────────
+  private val PqM = 4          // subspaces
+  private val PqK = 8          // codes per subspace
+  private val PqIters = 2      // Lloyd rounds per subspace
+  private val PqSubDim = Dims / PqM
+
+  /** DuckDB twin of one per-subspace Lloyd iteration (same
+    * exact-integer identity as [[sqlKmeansIter]], names prefixed
+    * `s<j>` and running over the sliced relation `s<j>q`).
+    */
+  private def sqlPqIter(j: Int, i: Int): String = {
+    val prev = if (i == 1) s"s${j}a0" else s"s${j}a${i - 1}"
+    s"""s${j}u$i AS (SELECT a.cell, generate_subscripts(sq.e, 1) AS dim,
+       |       unnest(sq.e) AS v FROM s${j}q sq JOIN $prev a USING (vec_id)),
+       |s${j}c$i AS (SELECT cell, dim, sum(v) AS sv, count(*) AS n
+       |      FROM s${j}u$i GROUP BY cell, dim),
+       |s${j}cent$i AS (SELECT cell, list(sv ORDER BY dim) AS svec, min(n) AS n
+       |         FROM s${j}c$i GROUP BY cell),
+       |s${j}d$i AS (SELECT sq.vec_id, ct.cell,
+       |  (ct.n * ct.n * list_dot_product(sq.e, sq.e)
+       |   - 2 * ct.n * list_dot_product(sq.e, ct.svec)
+       |   + list_dot_product(ct.svec, ct.svec))
+       |  / (ct.n * ct.n) AS dist2
+       |  FROM s${j}q sq, s${j}cent$i ct),
+       |s${j}a$i AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+       |  FROM s${j}d$i) WHERE rn = 1)""".stripMargin
+  }
+
+  /** All CTEs for subspace j: slice, seed, PqIters rounds, plus the
+    * CLOSING round (codebook `s<j>cent<PqIters+1>` + codes
+    * `s<j>a<PqIters+1>`) mirroring pqTrainEncode's
+    * codebook-consistent final assignment.
+    */
+  private def sqlPqSubspace(j: Int): String = {
+    val lo = j * PqSubDim + 1
+    val hi = (j + 1) * PqSubDim
+    s"""s${j}q AS (SELECT vec_id, e[$lo:$hi] AS e FROM q),
+       |s${j}a0 AS (SELECT vec_id, vec_id % $PqK AS cell FROM s${j}q),
+       |${(1 to PqIters + 1).map(sqlPqIter(j, _)).mkString(",\n")}""".stripMargin
+  }
+
+  /** The PQ LUT + ADC scoring in SQL: per-subspace query-to-centroid
+    * distances unioned over subspaces, joined to the codes, summed in
+    * SUBSPACE ORDER (list(d2 ORDER BY sub) fold — matching the Spark
+    * side's explicit ordered fold, so float addition order cannot
+    * drift between engines).
+    */
+  private val sqlPqAdc: String = {
+    val fin = PqIters + 1
+    val lutPer = (0 until PqM).map { j =>
+      val lo = j * PqSubDim + 1
+      val hi = (j + 1) * PqSubDim
+      s"""SELECT qq.vec_id AS q_id, $j AS sub, ct.cell AS code,
+         |  (ct.n * ct.n * list_dot_product(qq.e[$lo:$hi], qq.e[$lo:$hi])
+         |   - 2 * ct.n * list_dot_product(qq.e[$lo:$hi], ct.svec)
+         |   + list_dot_product(ct.svec, ct.svec))
+         |  / (ct.n * ct.n) AS d2
+         |FROM q qq, s${j}cent$fin ct WHERE qq.vec_id < 8""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val codesPer = (0 until PqM).map { j =>
+      s"SELECT vec_id, $j AS sub, cell AS code FROM s${j}a$fin"
+    }.mkString("\nUNION ALL\n")
+    s"""lut AS ($lutPer),
+       |codes AS ($codesPer),
+       |adc AS (SELECT lut.q_id, codes.vec_id AS c_id,
+       |  list_sum(list(d2 ORDER BY lut.sub)) AS adist
+       |  FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.code
+       |  WHERE codes.vec_id <> lut.q_id GROUP BY 1, 2)""".stripMargin
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // brute-force exact top-k (the ANN baseline)
@@ -531,5 +602,33 @@ object EmbQueries {
           (col("doc_id") === coalesce(col("comp"), col("doc_id")))
             .as("is_canonical"))
         .orderBy("doc_id")
+    },
+
+    // PRODUCT QUANTIZATION (IVF-PQ's memory half): per-subspace
+    // exact-integer k-means codebooks, the corpus stored as PqM small
+    // codes per vector, queries scored by ADC — per-subspace
+    // distances from a broadcast (query × codebook) LUT, summed in
+    // subspace order. At corpus scale the full-vector column never
+    // moves: only the codes join the LUT, which is why PQ is the
+    // production shape for 100 TB vector search. The oracle re-derives
+    // every per-subspace Lloyd trajectory, the closing
+    // codebook-consistent codes, the LUT, and the ordered float sum —
+    // a green row pins the COMPRESSED index, not just a score.
+    QueryDef("emb_pq_knn",
+      s"""WITH $sqlQuant,
+         |${(0 until PqM).map(sqlPqSubspace).mkString(",\n")},
+         |$sqlPqAdc,
+         |r AS (SELECT q_id, c_id, adist, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY adist, c_id) AS rank FROM adc)
+         |SELECT q_id, c_id, rank, round(adist, 6) AS adist FROM r
+         |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"))
+      val (codebook, codes) =
+        Similarity.pqTrainEncode(vecs, PqM, Dims, PqK, PqIters)
+      Similarity.pqAdcTopK(vecs.filter(col("id") < 8), codebook, codes,
+          PqM, Dims, K)
+        .orderBy("q_id", "rank")
     })
 }
