@@ -630,5 +630,45 @@ object EmbQueries {
       Similarity.pqAdcTopK(vecs.filter(col("id") < 8), codebook, codes,
           PqM, Dims, K)
         .orderBy("q_id", "rank")
+    },
+
+    // PQ recall@K against the exact brute-force top-K — the
+    // compression-quality dial (how much nearest-neighbor truth the
+    // M-code representation keeps), the PQ twin of emb_ivf_recall.
+    // Exact integer ppm so the metric itself is engine-reproducible.
+    QueryDef("emb_pq_recall",
+      s"""WITH $sqlQuant,
+         |bscored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, $sqlCos AS sim
+         |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 8),
+         |btop AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM bscored)
+         |  WHERE rank <= $K),
+         |${(0 until PqM).map(sqlPqSubspace).mkString(",\n")},
+         |$sqlPqAdc,
+         |ptop AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY adist, c_id) AS rank FROM adc)
+         |  WHERE rank <= $K)
+         |SELECT b.q_id,
+         |  CAST(sum(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // $K AS BIGINT) AS recall_ppm
+         |FROM btop b
+         |LEFT JOIN ptop p ON b.q_id = p.q_id AND b.c_id = p.c_id
+         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"))
+      val queries = vecs.filter(col("id") < 8)
+      val brute = Similarity.knnBrute(queries, vecs, K)
+        .select(col("q_id"), col("c_id"))
+      val (codebook, codes) =
+        Similarity.pqTrainEncode(vecs, PqM, Dims, PqK, PqIters)
+      val pq = Similarity.pqAdcTopK(queries, codebook, codes, PqM, Dims, K)
+        .select(col("q_id"), col("c_id"), lit(1L).as("__h"))
+      brute.join(pq, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("__h"), lit(0L))).as("n"))
+        .select(col("q_id"), expr(s"n * 1000000 div $K").as("recall_ppm"))
+        .orderBy("q_id")
     })
 }
