@@ -85,4 +85,55 @@ object StreamOps {
           closed.result().iterator
       }
   }
+
+  final case class AsofInput(key: Long, tsUs: Long, isEvent: Boolean,
+      value: Double)
+  final case class AsofState(updates: List[(Long, Double)])
+  final case class AsofOut(key: Long, tsUs: Long, asofTs: Option[Long],
+      asofValue: Option[Double])
+
+  /** Streaming backward as-of enrichment: one mixed stream of
+    * reference UPDATES (isEvent=false) and EVENTS (isEvent=true) per
+    * key; every event is emitted with the latest update at-or-before
+    * its event time (ties resolve to the update — the `<=` contract,
+    * same as [[graft.ops.AsOfJoin.backward]], whose batch result the
+    * spec pins this against).
+    *
+    * State per key is the retained update list, walked in event-time
+    * order WITHIN each micro-batch (so intra-batch disorder resolves
+    * exactly); an event arriving in a later batch than a
+    * yet-to-arrive older update resolves against what has been seen —
+    * the standard quote-lookup contract. State is pruned to updates
+    * within `retainUs` of the newest timestamp seen, PLUS the single
+    * newest older update (still the correct answer for events at the
+    * horizon), so state is bounded by update rate × retention, never
+    * by stream length.
+    */
+  def asofEnrich(in: Dataset[AsofInput], retainUs: Long): Dataset[AsofOut] = {
+    import in.sparkSession.implicits._
+    in.groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[AsofInput], state: GroupState[AsofState]) =>
+          // updates sort before events at equal time: <= semantics
+          val sorted = rows.toSeq.sortBy(r => (r.tsUs, r.isEvent))
+          var ups = state.getOption.map(_.updates).getOrElse(Nil) // asc ts
+          val out = Seq.newBuilder[AsofOut]
+          sorted.foreach { r =>
+            if (!r.isEvent) {
+              // last-wins on equal update time, list kept ascending
+              ups = (ups.filterNot(_._1 == r.tsUs) :+ (r.tsUs -> r.value))
+                .sortBy(_._1)
+            } else {
+              val m = ups.filter(_._1 <= r.tsUs).lastOption
+              out += AsofOut(key, r.tsUs, m.map(_._1), m.map(_._2))
+            }
+          }
+          val seenMax = (sorted.map(_.tsUs) ++ ups.map(_._1))
+            .foldLeft(Long.MinValue)(math.max)
+          val (old, recent) = ups.partition(_._1 < seenMax - retainUs)
+          state.update(AsofState(old.takeRight(1) ++ recent))
+          out.result().iterator
+      }
+  }
 }

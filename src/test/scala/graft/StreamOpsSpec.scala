@@ -54,6 +54,68 @@ class StreamOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L)) // doc 3 (duplicate of h1) dropped
   }
 
+  test("streaming as-of enrichment matches the batch as-of join") {
+    import graft.streaming.StreamOps.{AsofInput, AsofOut}
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[AsofInput]
+    val q = StreamOps.asofEnrich(in.toDS(), retainUs = 100000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof").start()
+    // batch 1: out-of-order WITHIN the batch (event at t=30 arrives
+    // before the t=20 update that should enrich it) + an exact tie
+    in.addData(
+      AsofInput(1, 30L, isEvent = true, 0.0),
+      AsofInput(1, 10L, isEvent = false, 1.5),
+      AsofInput(1, 20L, isEvent = false, 2.5),
+      AsofInput(1, 20L, isEvent = true, 0.0), // tie → the t=20 update
+      AsofInput(2, 5L, isEvent = true, 0.0))  // no update yet → null
+    q.processAllAvailable()
+    // batch 2: state carries across batches
+    in.addData(
+      AsofInput(1, 40L, isEvent = true, 0.0),
+      AsofInput(2, 50L, isEvent = false, 9.0),
+      AsofInput(2, 60L, isEvent = true, 0.0))
+    q.processAllAvailable()
+    val got = spark.table("asof").as[AsofOut].collect()
+      .map(o => (o.key, o.tsUs) -> o.asofValue).toMap
+    q.stop()
+    assert(got == Map(
+      (1L, 20L) -> Some(2.5), (1L, 30L) -> Some(2.5),
+      (1L, 40L) -> Some(2.5), (2L, 5L) -> None, (2L, 60L) -> Some(9.0)))
+    // the batch operator agrees row-for-row on the same data
+    val left = Seq((1L, 20L), (1L, 30L), (1L, 40L), (2L, 5L), (2L, 60L))
+      .toDF("k", "t")
+    val right = Seq((1L, 10L, 1.5), (1L, 20L, 2.5), (2L, 50L, 9.0))
+      .toDF("k", "rt", "v")
+    val batch = graft.ops.AsOfJoin.backward(left, right, Seq("k"),
+        "t", "rt", Seq("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(batch == got)
+  }
+
+  test("as-of enrichment state stays bounded by the retention window") {
+    import graft.streaming.StreamOps.AsofInput
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[AsofInput]
+    val q = StreamOps.asofEnrich(in.toDS(), retainUs = 10L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asofprune").start()
+    // many updates far apart: after the last batch only the newest
+    // in-window updates plus ONE older survivor may remain, and an
+    // event at the horizon still enriches correctly from the survivor
+    in.addData((0 until 50).map(i =>
+      AsofInput(1, i * 100L, isEvent = false, i.toDouble)): _*)
+    q.processAllAvailable()
+    in.addData(AsofInput(1, 4905L, isEvent = true, 0.0))
+    q.processAllAvailable()
+    val got = spark.table("asofprune")
+      .select("asofValue").collect().map(_.getDouble(0)).toSeq
+    q.stop()
+    assert(got == Seq(49.0)) // newest update <= 4905 is t=4900 (value 49)
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gaps") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[SessionInput]
