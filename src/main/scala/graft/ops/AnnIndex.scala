@@ -144,4 +144,38 @@ object AnnIndex {
     val cells = probedRows.map(_.getAs[Long]("cell")).distinct.toSeq
     Similarity.knnIvf(probedLocal, assignments(spark, dir, Some(cells)), k)
   }
+
+  // ───────────────────── PQ storage (the memory half) ─────────────────────
+
+  /** Train per-subspace PQ codebooks over `vecs` (id, vec quantized)
+    * and persist the COMPRESSED corpus under `dir`:
+    * `<dir>/pq/codebook` (m·k rows — the only full-precision piece)
+    * and `<dir>/pq/codes` (M integers per vector). The stored pair is
+    * self-consistent by [[Similarity.pqTrainEncode]]'s closing
+    * assignment. Where the IVF half of this index prunes WHICH
+    * vectors a probe scans, the PQ half shrinks WHAT a scan reads —
+    * codes instead of vectors; a deployment serving both stores them
+    * side by side under one dir.
+    */
+  def buildPq(vecs: DataFrame, dir: String, m: Int, dims: Int, k: Int,
+      iters: Int): Unit = {
+    val (codebook, codes) =
+      Similarity.pqTrainEncode(vecs, m, dims, k, iters)
+    codes.write.mode("overwrite").parquet(s"$dir/pq/codes")
+    codebook.write.mode("overwrite").parquet(s"$dir/pq/codebook")
+  }
+
+  /** ADC top-k from the STORED compressed corpus: the codebook (m·k
+    * rows) is the only full-precision read and the only collect; the
+    * corpus side reads codes only. Output matches
+    * [[Similarity.pqAdcTopK]] on the in-memory pair.
+    */
+  def probePq(spark: SparkSession, dir: String, queries: DataFrame,
+      m: Int, dims: Int, k: Int): DataFrame = {
+    val cb = spark.read.parquet(s"$dir/pq/codebook")
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(cb.collect(): _*), cb.schema)
+    Similarity.pqAdcTopK(queries, local,
+      spark.read.parquet(s"$dir/pq/codes"), m, dims, k)
+  }
 }

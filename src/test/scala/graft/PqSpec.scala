@@ -59,4 +59,18 @@ class PqSpec extends SparkSpec {
     assert(dup._3 == best,
       s"duplicate adist ${dup._3} != rank-1 adist $best")
   }
+
+  test("probe-from-stored PQ equals train-then-probe") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val v = vecs()
+    val (codebook, codes) = Similarity.pqTrainEncode(v, M, Dims, K, 2)
+    val mem = Similarity.pqAdcTopK(v.filter(col("id") < 4), codebook,
+        codes, M, Dims, 5)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    graft.ops.AnnIndex.buildPq(v, dir, M, Dims, K, 2)
+    val stored = graft.ops.AnnIndex.probePq(spark, dir,
+        v.filter(col("id") < 4), M, Dims, 5)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(stored.toSeq == mem.toSeq)
+  }
 }
