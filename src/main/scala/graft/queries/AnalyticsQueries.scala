@@ -549,6 +549,38 @@ object AnalyticsQueries {
         .orderBy("event_id")
     },
 
+    // the tolerance form of the as-of join: a click older than one
+    // hour is no match at all (the quote-staleness contract). The
+    // DuckDB twin applies the same bound as a post-ASOF CASE — the
+    // single as-of match either passes the freshness check or the row
+    // reports null, exactly AsOfJoin.backward(tolerance = 1 h).
+    QueryDef("q_asof_join_tol",
+      s"""WITH e AS (SELECT event_id, user_id,
+         |  ${OracleDefs.EventStepUs} AS t, event_type, value FROM events),
+         |clk AS (SELECT user_id, t, max(value) AS click_value FROM e
+         |  WHERE event_type = 'click' GROUP BY 1, 2),
+         |buy AS (SELECT event_id, user_id, t FROM e
+         |  WHERE event_type = 'purchase')
+         |SELECT buy.event_id,
+         |  CASE WHEN buy.t - clk.t <= $HourUs THEN clk.click_value END
+         |    AS asof_click_value
+         |FROM buy ASOF LEFT JOIN clk
+         |  ON buy.user_id = clk.user_id AND clk.t <= buy.t
+         |ORDER BY buy.event_id""".stripMargin) { (s, d) =>
+      val evRaw = load(s, d, "events")
+      val e = evRaw.select(col("event_id"), col("user_id"),
+        Tables.stepUs(evRaw).as("t"), col("event_type"), col("value"))
+      val clk = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "t").agg(max("value").as("click_value"))
+      val buy = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "t")
+      graft.ops.AsOfJoin.backward(buy, clk, keys = Seq("user_id"),
+          leftTime = "t", rightTime = "t", valueCols = Seq("click_value"),
+          tolerance = Some(HourUs))
+        .select("event_id", "asof_click_value")
+        .orderBy("event_id")
+    },
+
     // interval×interval overlap join (graft.ops.RangeJoin): a user's
     // 30-min error windows intersecting their 60-min signup windows,
     // with the overlap length. Both sides explode to 1 h bins but a
