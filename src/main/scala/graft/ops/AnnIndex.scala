@@ -163,6 +163,7 @@ object AnnIndex {
       Similarity.pqTrainEncode(vecs, m, dims, k, iters)
     codes.write.mode("overwrite").parquet(s"$dir/pq/codes")
     codebook.write.mode("overwrite").parquet(s"$dir/pq/codebook")
+    codes.unpersist()
   }
 
   /** ADC top-k from the STORED compressed corpus: the codebook (m·k

@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   * well-defined; pre-aggregate the right side otherwise (equal-time
   * right rows would make every engine's "latest" arbitrary).
   *
+  * NULL keys follow SQL join semantics: a null-keyed right row never
+  * matches anything (they are dropped before the union — the window
+  * would otherwise group NULLs together and hand them to null-keyed
+  * left rows, diverging from DuckDB ASOF JOIN). Null-keyed LEFT rows
+  * are preserved with null `asof_*` columns, like a left join.
+  *
   * The composed single-table form of the same idiom is
   * `cdc_asof_join` (CdcQueries); this operator generalizes it to two
   * inputs with payload columns.
@@ -63,6 +69,7 @@ object AsOfJoin {
         Seq(col("__t"), col("__side"), col("__vals")): _*)
 
     val r = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__vals",

@@ -309,6 +309,12 @@ object Similarity {
     * from an id-seeded assignment, then codebook-consistent closing
     * assignment (the AnnIndex pattern), so stored codes always match
     * the stored codebook.
+    *
+    * The returned `codes` comes back PERSISTED and materialized (it
+    * is computed while each subspace's k-means cache is still alive —
+    * unpersisting the training caches first would force the whole
+    * per-subspace Lloyd lineage to recompute when the caller writes
+    * codes out). Call `codes.unpersist()` after consuming it.
     */
   def pqTrainEncode(vecs: DataFrame, m: Int, dims: Int, k: Int,
       iters: Int): (DataFrame, DataFrame) = {
@@ -325,11 +331,12 @@ object Similarity {
         java.util.Arrays.asList(cents.collect(): _*), cents.schema)
       val codes = ivfAssign(trained, localCents)
         .select(col("id"), lit(j).as("sub"), col("cell").as("code"))
-      trained.unpersist()
-      (localCents.withColumn("sub", lit(j)), codes)
+      (localCents.withColumn("sub", lit(j)), codes, trained)
     }
-    (parts.map(_._1).reduce(_ unionByName _),
-      parts.map(_._2).reduce(_ unionByName _))
+    val codesAll = parts.map(_._2).reduce(_ unionByName _).persist()
+    codesAll.count() // materialize BEFORE dropping the kmeans caches
+    parts.foreach(_._3.unpersist())
+    (parts.map(_._1).reduce(_ unionByName _), codesAll)
   }
 
   /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus.

@@ -44,6 +44,13 @@ object Tables {
     * `stepUs > us` — compares the UNTOUCHED `ts` column to a literal
     * in its own type so the filter reaches parquet row-group stats
     * (a predicate on the derived µs expression cannot be pushed).
+    *
+    * The ns-long branch (`ts > us*1000 + 999`) equals
+    * `ts div 1000 > us` only for NON-NEGATIVE `ts`: Spark's `div`
+    * truncates toward zero, so a pre-1970 (negative) instant would
+    * classify differently than [[stepUs]]. Event time here is
+    * post-epoch by construction; a dataset with pre-epoch timestamps
+    * needs a floor-division variant of both sides.
     */
   def tsAfterUs(df: DataFrame, us: Long): org.apache.spark.sql.Column =
     df.schema("ts").dataType match {

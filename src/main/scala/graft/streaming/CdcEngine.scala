@@ -181,7 +181,8 @@ final class CdcEngine(
 
       // Working-set declaration. Everything below needs only the
       // pre-batch tracker snapshot (already captured in `carried`), so
-      // its materializer can run concurrently with heartbeat tracking.
+      // its stats ride the same fused pre-emission job as heartbeat
+      // tracking.
       val incoming = filtered.select(pendingSchema.fieldNames.map(col): _*)
       val unioned = pendingDF(man).unionByName(incoming)
       val pendingCached = (if (batchId > man.lastBatchId) unioned
@@ -189,37 +190,54 @@ final class CdcEngine(
         .persist()
       releaseCaches += (() => { pendingCached.unpersist(); () })
 
-      // TWO independent full-scan jobs, in flight CONCURRENTLY:
-      //  - heartbeat maxima FUSED with the malformed count, over the
-      //    parse: feeds the driver tracker and decides the deferred
-      //    DLQ write (an aggregation, not an Observation — observation
-      //    metrics are per-execution and a concurrent job filling the
-      //    same cache would complete them with a partial count);
-      //  - the working-set materializer: ONE job computing count +
-      //    max(position) + min(ux step), which populates the cache,
-      //    full-scans the observed subtree so the late-count
-      //    Observation completes (ITS CollectMetrics node is above
-      //    the parse cut, in this job's own plan), and supplies the
-      //    stats the initial-scan drain needed anyway.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val hbFut = Future(BatchOrder
-        .partitionMaximaWithMalformed(parsed, checkpoint).collect())
-      val statFut = Future(pendingCached.agg(
+      // ONE full-scan job for everything the batch must know before
+      // emission — the per-partition heartbeat maxima fused with the
+      // malformed count (over the parse) UNIONED with the working-set
+      // stats (count + max(position) + min(ux step) over the pending
+      // cache). A single action means:
+      //  - the late-count Observation completes exactly once with
+      //    full counts (the old two-racing-futures shape could not
+      //    put the malformed count on an Observation precisely
+      //    because a concurrent job filling the same cache would
+      //    complete it partially — with one action the hazard is
+      //    gone);
+      //  - the parse cache is materialized by the same job that
+      //    consumes it (the union's two branches share the cached
+      //    parse blocks; independent stages still run concurrently
+      //    inside the one job);
+      //  - a fixture-sized batch pays ONE job-scheduling floor here,
+      //    not two. The phase label says what the time IS: the
+      //    one-time JSON parse + the pre-emission aggregates — the
+      //    old log filed all of it under "hb-track" and pointed the
+      //    profile at the wrong suspect (driver-side tracking is
+      //    microseconds).
+      val hbAgg =
+        BatchOrder.partitionMaximaWithMalformed(parsed, checkpoint)
+      val statAgg = pendingCached.agg(
         count(lit(1)).as("n"),
         max(struct(ux(col("step")).as("s"), ux(col("txId")).as("t"),
           col("step"), col("txId"))).as("m"),
-        min(ux(col("step"))).as("mn")).head())
+        min(ux(col("step"))).as("mn"))
+      val hbT = org.apache.spark.sql.types.StructType(hbAgg.schema.fields)
+      val stT = org.apache.spark.sql.types.StructType(statAgg.schema.fields)
+      val fusedRows = hbAgg
+        .select(struct(col("*")).as("hb"), lit(null).cast(stT).as("st"))
+        .unionByName(statAgg.select(
+          lit(null).cast(hbT).as("hb"), struct(col("*")).as("st")))
+        .collect()
       var nMalformed = 0L
-      Await.result(hbFut, Duration.Inf).foreach { r =>
-        nMalformed += r.getAs[Long]("nMal")
-        if (!r.isNullAt(r.fieldIndex("step")))
-          tracker.add(r.getAs[Int]("tableId"), r.getAs[Long]("partitionId"),
-            Position(r.getAs[Long]("step"), r.getAs[Long]("txId")))
+      var statRow: org.apache.spark.sql.Row = null
+      fusedRows.foreach { r =>
+        if (!r.isNullAt(0)) {
+          val hb = r.getStruct(0)
+          nMalformed += hb.getAs[Long]("nMal")
+          if (!hb.isNullAt(hb.fieldIndex("step")))
+            tracker.add(hb.getAs[Int]("tableId"),
+              hb.getAs[Long]("partitionId"),
+              Position(hb.getAs[Long]("step"), hb.getAs[Long]("txId")))
+        } else statRow = r.getStruct(1)
       }
-      val statRow = Await.result(statFut, Duration.Inf)
-      phase("hb-track")
+      phase("parse-scan-agg")
       // deferred malformed DLQ write — still before emission and any
       // commit
       if (!anyCmdQueue && nMalformed > 0L)

@@ -56,33 +56,86 @@ object StreamOps {
   /** Gap-based sessionization with explicit state —
     * flatMapGroupsWithState keyed by user. A session closes when a
     * later event for the same key arrives beyond the gap (event-time
-    * driven, deterministic; a production variant would add an
-    * EventTimeTimeout to flush idle keys). The batch-checkable twin is
-    * the cdc_sessionize oracle query.
+    * driven, deterministic — the batch-twin pinning form; idle keys
+    * hold their open session, so production use wants
+    * [[sessionizeTimeout]], which flushes them via the watermark).
+    * The batch-checkable twin is the cdc_sessionize oracle query.
     */
   def sessionize(events: Dataset[SessionInput], gapUs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[SessionInput],
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionGroup(gapUs, timeout = false))
+  }
+
+  /** The per-group session fold, shared by the NoTimeout form above
+    * (deterministic batch-twin pinning) and the EventTimeTimeout form
+    * below (production state hygiene). On a timeout firing the open
+    * session is closed and the key's state removed.
+    */
+  private def sessionGroup(gapUs: Long, timeout: Boolean)(
+      userId: Long, rows: Iterator[SessionInput],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    if (timeout && state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(SessionOut(userId, s.startUs, s.lastUs, s.nEvents))
+    } else {
+      val sorted = rows.toSeq.sortBy(_.tsUs)
+      var cur = state.getOption
+      val closed = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.tsUs - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = e.tsUs, nEvents = s.nEvents + 1))
+          case Some(s) =>
+            closed += SessionOut(userId, s.startUs, s.lastUs, s.nEvents)
+            cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+          case None =>
+            cur = Some(SessionState(e.tsUs, e.tsUs, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close via watermark once the gap has provably elapsed
+        if (timeout) state.setTimeoutTimestamp(math.max(
+          (s.lastUs + gapUs) / 1000L + 1L, state.getCurrentWatermarkMs + 1L))
+      }
+      closed.result().iterator
+    }
+  }
+
+  /** [[sessionize]] with idle-key flush: EventTimeTimeout closes an
+    * open session (and frees its state) once the watermark passes
+    * lastEvent + gap — an idle key EMITS its session instead of
+    * holding it forever, and state size tracks the live-key set, not
+    * the all-time key set. `events` needs (`userCol` long, `tsCol`
+    * timestamp); the watermark is declared here because the timeout
+    * clock IS the watermark.
+    */
+  final case class SessionInputT(userId: Long, tsUs: Long,
+      ts: java.sql.Timestamp)
+
+  def sessionizeTimeout(events: DataFrame, gapUs: Long,
+      watermark: String = "10 minutes", userCol: String = "user_id",
+      tsCol: String = "ts"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark(tsCol, watermark)
+      // the watermarked attribute must SURVIVE into the
+      // flatMapGroupsWithState input (Spark's event-time-timeout
+      // check looks for it there), hence the wider input type
+      .select(col(userCol).as("userId"), unix_micros(col(tsCol)).as("tsUs"),
+        col(tsCol).as("ts"))
+      .as[SessionInputT]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionInputT],
             state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.tsUs)
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.tsUs - s.lastUs <= gapUs =>
-                cur = Some(s.copy(lastUs = e.tsUs, nEvents = s.nEvents + 1))
-              case Some(s) =>
-                closed += SessionOut(userId, s.startUs, s.lastUs, s.nEvents)
-                cur = Some(SessionState(e.tsUs, e.tsUs, 1))
-              case None =>
-                cur = Some(SessionState(e.tsUs, e.tsUs, 1))
-            }
-          }
-          cur.foreach(state.update)
-          closed.result().iterator
+          sessionGroup(gapUs, timeout = true)(
+            userId, rows.map(r => SessionInput(r.userId, r.tsUs)), state)
       }
   }
 
@@ -113,27 +166,86 @@ object StreamOps {
     import in.sparkSession.implicits._
     in.groupByKey(_.key)
       .flatMapGroupsWithState[AsofState, AsofOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[AsofInput], state: GroupState[AsofState]) =>
-          // updates sort before events at equal time: <= semantics
-          val sorted = rows.toSeq.sortBy(r => (r.tsUs, r.isEvent))
-          var ups = state.getOption.map(_.updates).getOrElse(Nil) // asc ts
-          val out = Seq.newBuilder[AsofOut]
-          sorted.foreach { r =>
-            if (!r.isEvent) {
-              // last-wins on equal update time, list kept ascending
-              ups = (ups.filterNot(_._1 == r.tsUs) :+ (r.tsUs -> r.value))
-                .sortBy(_._1)
-            } else {
-              val m = ups.filter(_._1 <= r.tsUs).lastOption
-              out += AsofOut(key, r.tsUs, m.map(_._1), m.map(_._2))
-            }
-          }
-          val seenMax = (sorted.map(_.tsUs) ++ ups.map(_._1))
-            .foldLeft(Long.MinValue)(math.max)
-          val (old, recent) = ups.partition(_._1 < seenMax - retainUs)
-          state.update(AsofState(old.takeRight(1) ++ recent))
-          out.result().iterator
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        asofGroup(retainUs, expire = false))
+  }
+
+  /** Ordered insert into the ascending update list: one O(n) walk
+    * (replacing an equal-time entry last-wins) instead of the
+    * filter + append + full re-sort the first cut did per update.
+    */
+  private def insertUpdate(ups: List[(Long, Double)], t: Long,
+      v: Double): List[(Long, Double)] = {
+    val (before, rest) = ups.span(_._1 < t)
+    before ++ ((t -> v) :: rest.dropWhile(_._1 == t))
+  }
+
+  private def asofGroup(retainUs: Long, expire: Boolean)(
+      key: Long, rows: Iterator[AsofInput],
+      state: GroupState[AsofState]): Iterator[AsofOut] = {
+    if (expire && state.hasTimedOut) {
+      // retention elapsed with no activity: every stored update is
+      // older than any future in-watermark event's lookback window,
+      // so the state answers nothing a tolerance contract would keep
+      state.remove()
+      Iterator.empty
+    } else {
+      // updates sort before events at equal time: <= semantics
+      val sorted = rows.toSeq.sortBy(r => (r.tsUs, r.isEvent))
+      var ups = state.getOption.map(_.updates).getOrElse(Nil) // asc ts
+      val out = Seq.newBuilder[AsofOut]
+      sorted.foreach { r =>
+        if (!r.isEvent) ups = insertUpdate(ups, r.tsUs, r.value)
+        else {
+          val m = ups.filter(_._1 <= r.tsUs).lastOption
+          out += AsofOut(key, r.tsUs, m.map(_._1), m.map(_._2))
+        }
+      }
+      val seenMax = (sorted.map(_.tsUs) ++ ups.map(_._1))
+        .foldLeft(Long.MinValue)(math.max)
+      val (old, recent) = ups.partition(_._1 < seenMax - retainUs)
+      state.update(AsofState(old.takeRight(1) ++ recent))
+      if (expire) state.setTimeoutTimestamp(math.max(
+        (seenMax + retainUs) / 1000L + 1L, state.getCurrentWatermarkMs + 1L))
+      out.result().iterator
+    }
+  }
+
+  /** [[asofEnrich]] with idle-key expiry: EventTimeTimeout drops a
+    * key's update list once the watermark passes its last activity +
+    * retention. Contract change vs the NoTimeout form, stated
+    * plainly: after expiry a late-arriving event gets NO match (the
+    * horizon update is gone) — the same answer the batch
+    * [[graft.ops.AsOfJoin.backward]] with `tolerance = retainUs`
+    * gives, since every expired update is staler than the tolerance.
+    * State size tracks keys active within retention, not stream
+    * lifetime. `in` needs (key long, ts timestamp, isEvent boolean,
+    * value double) with event time in `tsCol`.
+    */
+  final case class AsofInputT(key: Long, tsUs: Long, isEvent: Boolean,
+      value: Double, ts: java.sql.Timestamp)
+
+  def asofEnrichTimeout(in: DataFrame, retainUs: Long,
+      watermark: String = "10 minutes",
+      tsCol: String = "ts"): Dataset[AsofOut] = {
+    val spark = in.sparkSession
+    import spark.implicits._
+    in.withWatermark(tsCol, watermark)
+      // wider input type: the watermarked attribute must reach the
+      // flatMapGroupsWithState input for EventTimeTimeout
+      .select(col("key").cast("long").as("key"),
+        unix_micros(col(tsCol)).as("tsUs"),
+        col("isEvent"), col("value").cast("double").as("value"),
+        col(tsCol).as("ts"))
+      .as[AsofInputT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[AsofInputT],
+            state: GroupState[AsofState]) =>
+          asofGroup(retainUs, expire = true)(key,
+            rows.map(r => AsofInput(r.key, r.tsUs, r.isEvent, r.value)),
+            state)
       }
   }
 }

@@ -131,4 +131,62 @@ class StreamOpsSpec extends SparkSpec {
     assert(closed.contains(SessionOut(1, 1000000, 1500000, 2)))
     assert(!closed.exists(s => s.userId == 1 && s.startUs == 7000000)) // open
   }
+
+  test("sessionizeTimeout flushes an idle key's open session via the watermark") {
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = in.toDF().toDF("user_id", "ts")
+    val q = StreamOps.sessionizeTimeout(events, gapUs = 1000000L,
+        watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessto").start()
+    in.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.5")))
+    q.processAllAvailable()
+    // user 1 goes idle; OTHER keys advance the watermark past its gap
+    in.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    in.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 10:02:00")))
+    q.processAllAvailable()
+    val closed = spark.table("sessto").as[SessionOut].collect().toSet
+    val stateRows = q.lastProgress.stateOperators.toSeq
+      .map(_.numRowsTotal).sum
+    q.stop()
+    // the idle key's session closed WITHOUT another event of its own
+    assert(closed.exists(s => s.userId == 1 && s.nEvents == 2))
+    // and its state is gone: only user 2's open session remains
+    assert(stateRows == 1)
+  }
+
+  test("asofEnrichTimeout expires idle keys; state tracks live keys under churn") {
+    import graft.streaming.StreamOps.AsofOut
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Boolean, Double)]
+    val df = in.toDF().toDF("key", "ts", "isEvent", "value")
+    val q = StreamOps.asofEnrichTimeout(df, retainUs = 1000000L,
+        watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asofto").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // churn: each batch a NEW key posts an update, older keys idle out
+    in.addData((1L, ts("2024-01-01 10:00:00"), false, 1.0))
+    q.processAllAvailable()
+    in.addData((2L, ts("2024-01-01 10:00:10"), false, 2.0))
+    q.processAllAvailable()
+    in.addData((3L, ts("2024-01-01 10:00:20"), false, 3.0))
+    q.processAllAvailable()
+    in.addData((4L, ts("2024-01-01 10:00:30"), false, 4.0))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.toSeq
+      .map(_.numRowsTotal).sum
+    // key 1..2 expired (idle > retention when the watermark advanced);
+    // an expired key's late event gets NO match — the tolerance answer
+    in.addData((1L, ts("2024-01-01 10:00:31"), true, 0.0))
+    q.processAllAvailable()
+    val got = spark.table("asofto").as[AsofOut].collect()
+      .filter(_.key == 1L).map(_.asofValue).toSeq
+    q.stop()
+    assert(stateRows <= 2, s"state should track live keys, got $stateRows")
+    assert(got == Seq(None))
+  }
 }
