@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
+  /** `bucketCap` defaults FINITE here — the pipeline is the
+    * production entry point, and a caller composing it over a real
+    * corpus must not silently inherit the quadratic uncapped band
+    * join (one boilerplate bucket of 10⁶ docs is 10¹² join rows).
+    * The Dedup primitives keep `Int.MaxValue` defaults for exact
+    * oracle semantics; opting OUT here is explicit:
+    * `Config(bucketCap = Int.MaxValue)`.
+    */
   final case class Config(
       minhashK: Int = 16,
       rowsPerBand: Int = 8,
@@ -20,7 +28,8 @@ object CurationPipeline {
       minTokens: Int = 20,
       maxStopwordRatio: Double = 0.5,
       minTypeTokenRatio: Double = 0.2,
-      keepLang: String = "en")
+      keepLang: String = "en",
+      bucketCap: Int = 32)
 
   /** `docs`: (doc_id long, text string). Returns the kept documents
     * with the per-stage decision columns (for auditability).
@@ -38,7 +47,7 @@ object CurationPipeline {
     // broadcast of the doc→set table); the higher id of every
     // verified edge is dropped
     val dropIds = Dedup.minhashNearDupPairs(base, "doc_id", "hs",
-        cfg.minhashK, cfg.rowsPerBand, cfg.nearDupJaccard)
+        cfg.minhashK, cfg.rowsPerBand, cfg.nearDupJaccard, cfg.bucketCap)
       .select(col("id_b").as("doc_id")).distinct()
 
     // stages 3+4: quality + language gates (pure column predicates)

@@ -320,12 +320,42 @@ object Dedup {
   /** [[incrementalNearDup]] over PRE-BUILT band tables (both sides
     * shaped like [[bandTable]] output): the probe path a streaming
     * ingest gate runs per batch against its stored corpus index.
+    *
+    * `probeCap` is the probe-side analog of [[bandedPairs]]' skew
+    * guard: a corpus band holding m rows fans EVERY incoming row in
+    * that band across all m (one boilerplate band at 100 TB turns a
+    * batch probe into a corpus scan). Bands at or under the cap keep
+    * the exact probe; heavier bands are collapsed to their min-id
+    * HUB row before the join — each incoming row compares against
+    * the hub only (still exact-verified), so join fan-out per
+    * incoming row is bounded by `probeCap` per light band + 1 per
+    * heavy band. Trade, stated plainly: an incoming doc whose only
+    * matching corpus partner is a NON-hub member of a heavy band is
+    * admitted — the same homogeneous-cluster bet the pair guard
+    * makes (heavy bands come from near-identical boilerplate, so the
+    * hub represents the band). The cap applies per corpus source the
+    * caller probes. Default keeps the historical exact plan.
     */
   def incrementalNearDupBands(corpusBands: DataFrame,
-      incomingBands: DataFrame, id: String, threshold: Double): DataFrame = {
+      incomingBands: DataFrame, id: String, threshold: Double,
+      probeCap: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0.0, "threshold must be positive")
-    val c = corpusBands.select(col("band_key"), col(id).as("id_c"),
+    val c0 = corpusBands.select(col("band_key"), col(id).as("id_c"),
       col("hs").as("h_c"))
+    val c =
+      if (probeCap == Int.MaxValue) c0
+      else {
+        require(probeCap >= 1, "probeCap must be >= 1")
+        // one window over the corpus side's own partitioning (the
+        // compacted base is band_key-bucketed, so no Exchange —
+        // only its already-sorted order feeds the frame)
+        val w = Window.partitionBy(col("band_key"))
+        c0.withColumn("__bn", count(lit(1)).over(w))
+          .withColumn("__minId", min(col("id_c")).over(w))
+          .filter(col("__bn") <= probeCap ||
+            col("id_c") === col("__minId"))
+          .drop("__bn", "__minId")
+      }
     val i = incomingBands.select(col("band_key"), col(id).as("id_i"),
       col("hs").as("h_i"))
     i.join(c, Seq("band_key"))

@@ -887,10 +887,13 @@ object TextQueries {
 
     // the composed curation pipeline: exact dedup → LSH near-dup drop
     // → quality gates → language filter, as one auditable verdict per
-    // document
+    // document. The pipeline's near-dup stage now DEFAULTS to capped
+    // band buckets (the production guard), so the twin replays the
+    // same star-collapsed candidate generation at the same cap.
     QueryDef("doc_curation_pipeline", {
       val sigs = sqlMinhashSigs
       val bandSelects = sqlMinhashBandSelects
+      val cap = graft.ops.CurationPipeline.Config().bucketCap
       val sw = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
       s"""WITH $sqlPlantedDocs,
          |base AS (SELECT doc_id, text, $sqlToks AS w FROM planted),
@@ -901,9 +904,16 @@ object TextQueries {
          |sig AS (SELECT doc_id, $sigs FROM u GROUP BY doc_id),
          |bands AS (
          |  $bandSelects),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b USING (band_key)
-         |  WHERE a.doc_id < b.doc_id),
+         |bc AS (SELECT band_key, count(*) AS bn, min(doc_id) AS hub
+         |  FROM bands GROUP BY band_key),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b USING (band_key) JOIN bc USING (band_key)
+         |  WHERE bc.bn <= $cap AND a.doc_id < b.doc_id
+         |  UNION
+         |  SELECT bc.hub AS id_a, bands.doc_id AS id_b
+         |  FROM bands JOIN bc USING (band_key)
+         |  WHERE bc.bn > $cap AND bands.doc_id <> bc.hub),
          |dropids AS (SELECT DISTINCT id_b AS doc_id
          |  FROM cand JOIN t ta ON ta.doc_id = id_a JOIN t tb ON tb.doc_id = id_b
          |  WHERE CAST(least(len(ta.hs), len(tb.hs)) AS DOUBLE) >=

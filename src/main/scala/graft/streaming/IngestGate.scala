@@ -49,7 +49,7 @@ import org.apache.spark.sql.types._
   */
 final class IngestGate(spark: SparkSession, stateDir: String,
     k: Int = 16, rowsPerBand: Int = 8, threshold: Double = 0.95,
-    numBuckets: Int = 64) {
+    numBuckets: Int = 64, probeCap: Int = Int.MaxValue) {
 
   private val corpusDir = s"$stateDir/corpus"
   private val verdictsDir = s"$stateDir/verdicts"
@@ -255,19 +255,24 @@ final class IngestGate(spark: SparkSession, stateDir: String,
     * `dup_of` is the global min matching corpus id and `best_jac` the
     * global max, so the split-probe is row-identical to probing the
     * union (min/max are associative) — IngestGateSpec pins this across
-    * a compaction.
+    * a compaction. With a finite `probeCap` the heavy-band hub
+    * collapse applies PER SOURCE (a band heavy only across the union
+    * stays exact — the guard is a bound on per-source fan-out, and
+    * compaction folds sources together over time anyway).
     */
   private def corpusDupVerdicts(batchId: Long, probe: DataFrame): DataFrame =
     corpusSources(batchId) match {
       case Nil => Dedup.incrementalNearDupBands(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandSchema),
-        probe, "doc_id", threshold)
+        probe, "doc_id", threshold, probeCap)
       case Seq(one) =>
-        Dedup.incrementalNearDupBands(one, probe, "doc_id", threshold)
+        Dedup.incrementalNearDupBands(one, probe, "doc_id", threshold,
+          probeCap)
       case srcs =>
         srcs.map(c =>
-          Dedup.incrementalNearDupBands(c, probe, "doc_id", threshold))
+          Dedup.incrementalNearDupBands(c, probe, "doc_id", threshold,
+            probeCap))
           .reduce(_ unionByName _)
           .groupBy("doc_id")
           .agg(min("dup_of").as("dup_of"), max("best_jac").as("best_jac"))

@@ -140,4 +140,60 @@ class DedupSkewSpec extends SparkSpec {
     val cappedP = Dedup.simhashPairs(small, "doc_id", 4, 8, 3, bucketCap = 15)
     assert(componentMap(cappedP) == componentMap(exactP))
   }
+
+  // ─────────────── probe-side guard (incrementalNearDupBands) ───────────────
+
+  private def bandRows(rows: Seq[(Long, Seq[Long], String)]): DataFrame =
+    rows.toDF("doc_id", "hs", "band_key")
+
+  test("probe guard: heavy corpus band compares only its hub row") {
+    // synthetic band tables make the adversarial case constructible:
+    // a heavy band whose HUB does not match the incoming doc but
+    // whose non-hub members do. Capped, only the hub crosses the
+    // join ⇒ no verdict; uncapped finds the non-hub match. That
+    // difference IS the proof the fan-out is bounded to the hub.
+    val incomingHs = Seq(1L, 2L, 3L, 4L, 5L)
+    val hubHs = Seq(100L, 200L, 300L, 400L, 500L) // disjoint ⇒ jac 0
+    val corpus = bandRows(
+      (10L, hubHs, "b1") +: (11L to 60L).map(i => (i, incomingHs, "b1")))
+    val incoming = bandRows(Seq((999L, incomingHs, "b1")))
+    val exact = Dedup.incrementalNearDupBands(corpus, incoming,
+      "doc_id", 0.9).collect()
+    assert(exact.length == 1 && exact.head.getLong(1) == 11L)
+    val capped = Dedup.incrementalNearDupBands(corpus, incoming,
+      "doc_id", 0.9, probeCap = 16).collect()
+    assert(capped.isEmpty,
+      "capped probe must compare the hub only (bounded fan-out)")
+    // homogeneous heavy band (the case the guard is designed for):
+    // hub matches, so the capped verdict equals the uncapped one
+    val homo = bandRows((10L to 60L).map(i => (i, incomingHs, "b1")))
+    val cappedHomo = Dedup.incrementalNearDupBands(homo, incoming,
+      "doc_id", 0.9, probeCap = 16).collect()
+    assert(cappedHomo.length == 1 && cappedHomo.head.getLong(1) == 10L &&
+      cappedHomo.head.getDouble(2) == 1.0d)
+    // guard idle (cap >= band size) ⇒ exact output
+    val idle = Dedup.incrementalNearDupBands(corpus, incoming,
+      "doc_id", 0.9, probeCap = 1000).collect()
+    assert(idle.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      exact.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("curation pipeline defaults to the capped guard") {
+    // the default Config must not inherit the quadratic band join
+    assert(graft.ops.CurationPipeline.Config().bucketCap == 32)
+    // heavy homogeneous cluster through the DEFAULT pipeline: runs in
+    // star regime and still flags every non-canonical copy
+    val m = 2000
+    val cluster = (0 until m).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again"))
+    val docs = (cluster ++ randomDocs(50, seed = 13, idBase = 100000L))
+      .toDF("doc_id", "text")
+    val out = graft.ops.CurationPipeline.curate(docs)
+      .select("doc_id", "is_canonical", "is_near_dup").collect()
+    val clusterRows = out.filter(_.getLong(0) < 100000L)
+    assert(clusterRows.count(r => !r.getBoolean(2)) == 1,
+      "exactly the hub survives the near-dup stage")
+    assert(clusterRows.count(_.getBoolean(1)) == 1,
+      "exact-dedup canonical is unique in the cluster")
+  }
 }

@@ -50,6 +50,28 @@ class IngestGateSpec extends SparkSpec {
       ((1L, 1L, 0L, 1L)))
   }
 
+  test("gate: probeCap guard idle on light bands, verdicts unchanged") {
+    // the same two-batch fixture through a probeCap'd gate: no band
+    // here exceeds the cap, so the guarded probe must produce
+    // byte-identical verdicts (the heavy-band bound itself is pinned
+    // against synthetic band tables in DedupSkewSpec)
+    val state = tmp()
+    val gate = new IngestGate(spark, state, probeCap = 8)
+    gate.applyBatch(Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally different content here"),
+      (3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"), 0L)
+    gate.applyBatch(Seq((4L, "alpha beta gamma delta epsilon"),
+      (5L, "novel fresh unrelated words")).toDF("doc_id", "text"), 1L)
+    val v = gate.readVerdicts()
+      .select("doc_id", "verdict", "dup_of")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(v(3L) == (("dup_in_batch", Some(1L))))
+    assert(v(4L) == (("dup_of_corpus", Some(1L))))
+    assert(Seq(1L, 2L, 5L).forall(i => v(i)._1 == "admitted"))
+  }
+
   test("gate: duplicate doc_ids within one batch collapse to one row") {
     val state = tmp()
     val gate = new IngestGate(spark, state)
