@@ -161,9 +161,35 @@ object AnnIndex {
       iters: Int): Unit = {
     val (codebook, codes) =
       Similarity.pqTrainEncode(vecs, m, dims, k, iters)
-    codes.write.mode("overwrite").parquet(s"$dir/pq/codes")
+    codes.withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("batch")
+      .parquet(s"$dir/pq/codes")
     codebook.write.mode("overwrite").parquet(s"$dir/pq/codebook")
     codes.unpersist()
+  }
+
+  /** PQ index MAINTENANCE, the compressed twin of [[append]]: encode
+    * a new vector batch against the STORED codebooks
+    * ([[Similarity.pqEncode]] — no retraining) and fold its codes
+    * into a `batch=<id>` partition. The codebook DRIFTS from the true
+    * per-subspace centroids as appends accumulate — appended vectors
+    * never move a centroid (pinned by spec: the stored codebook is
+    * byte-identical after an append) — and a periodic [[buildPq]] is
+    * the rebuild, exactly the IVF half's contract. Idempotent per
+    * `batch` via dynamic partition overwrite.
+    */
+  def appendPq(spark: SparkSession, dir: String, vecs: DataFrame,
+      batch: Long, m: Int, dims: Int): Unit = {
+    require(batch > 0L, "batch 0 is the build generation")
+    val cb = spark.read.parquet(s"$dir/pq/codebook")
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(cb.collect(): _*), cb.schema)
+    Similarity.pqEncode(vecs.select(col("id"), col("vec")), local, m, dims)
+      .withColumn("batch", lit(batch))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch")
+      .parquet(s"$dir/pq/codes")
   }
 
   /** ADC top-k from the STORED compressed corpus: the codebook (m·k
@@ -178,5 +204,22 @@ object AnnIndex {
       java.util.Arrays.asList(cb.collect(): _*), cb.schema)
     Similarity.pqAdcTopK(queries, local,
       spark.read.parquet(s"$dir/pq/codes"), m, dims, k)
+  }
+
+  /** [[probePq]] with the exact re-rank tail
+    * ([[Similarity.pqAdcRefineTopK]]): the stored codes produce the
+    * ADC shortlist, then only shortlist hits' full vectors are
+    * fetched from `corpus` (the index stores CODES — the refine reads
+    * the source corpus, which is the PQ deployment contract: compressed
+    * scan first, narrow exact fetch second).
+    */
+  def probePqRefine(spark: SparkSession, dir: String, queries: DataFrame,
+      corpus: DataFrame, m: Int, dims: Int, k: Int,
+      shortlist: Int): DataFrame = {
+    val cb = spark.read.parquet(s"$dir/pq/codebook")
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(cb.collect(): _*), cb.schema)
+    Similarity.pqAdcRefineTopK(queries, local,
+      spark.read.parquet(s"$dir/pq/codes"), corpus, m, dims, k, shortlist)
   }
 }

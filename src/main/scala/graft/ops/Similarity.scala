@@ -339,6 +339,23 @@ object Similarity {
     (parts.map(_._1).reduce(_ unionByName _), codesAll)
   }
 
+  /** Encode `vecs` (id, vec) against an EXISTING local codebook —
+    * the append path's encoder: no training, every code is the argmin
+    * over the stored per-subspace centroids (deterministic, so a
+    * replayed batch re-encodes identically). Returns (id, sub, code).
+    */
+  def pqEncode(vecs: DataFrame, codebook: DataFrame, m: Int,
+      dims: Int): DataFrame = {
+    val subDim = dims / m
+    (0 until m).map { j =>
+      val sv = vecs.select(col("id"),
+        pqSlice(col("vec"), j, subDim).as("vec"))
+      val cbj = codebook.filter(col("sub") === j).drop("sub")
+      ivfAssign(sv, cbj)
+        .select(col("id"), lit(j).as("sub"), col("cell").as("code"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Asymmetric-distance (ADC) top-k over a PQ-encoded corpus.
     * `queries`: (id, vec) full-dimension; `codebook`/`codes` from
     * [[pqTrainEncode]]. The LUT is (queries × m × k) rows — tiny, one
@@ -372,5 +389,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("c_id"), col("rank"),
         round(col("adist"), 6).as("adist"))
+  }
+
+  /** ADC shortlist + EXACT re-rank — the production serving shape for
+    * recall targets ADC alone cannot hit (quantization noise caps raw
+    * ADC recall; on clusterless vectors it plateaus well under
+    * production thresholds no matter the codebook size). The codes
+    * scan produces an ADC top-`shortlist` per query, then ONLY those
+    * candidates' full vectors are fetched (a broadcast semi-join of
+    * O(#queries × shortlist) ids against the corpus — no corpus
+    * shuffle, no full-vector scan per query) and re-scored with exact
+    * cosine. Output matches [[knnBrute]]: (q_id, c_id, rank, sim) —
+    * recall@k is then a property of the shortlist width, the dial a
+    * deployment turns instead of retraining codebooks.
+    */
+  def pqAdcRefineTopK(queries: DataFrame, codebook: DataFrame,
+      codes: DataFrame, corpus: DataFrame, m: Int, dims: Int, k: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val cand = pqAdcTopK(queries, codebook, codes, m, dims, shortlist)
+      .select(col("q_id"), col("c_id"))
+    val qv = queries.select(col("id").as("q_id"), col("vec").as("__qv"))
+    val exact = corpus.select(col("id").as("c_id"), col("vec").as("__cv"))
+      .join(broadcast(cand), Seq("c_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("sim", cosineI(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
   }
 }

@@ -155,10 +155,16 @@ object EmbQueries {
       |  FROM d) WHERE rn = 1)""".stripMargin
 
   // ───────────── product quantization (emb_pq_knn) ─────────────
-  private val PqM = 4          // subspaces
-  private val PqK = 8          // codes per subspace
+  // PqK=64 is the production-shaped codebook (round 8 shipped a toy
+  // K=8 that measured 0–40% recall@10). The SQL Lloyd replay is
+  // generic over K — only the seed (`vec_id % K`) and group counts
+  // change — so the oracle still re-derives training independently,
+  // which pins MORE than a stored-codebook search replay would.
+  private val PqM = 16         // subspaces
+  private val PqK = 64         // codes per subspace
   private val PqIters = 2      // Lloyd rounds per subspace
   private val PqSubDim = Dims / PqM
+  private val PqRefine = 4 * K // ADC shortlist width for exact re-rank
 
   /** DuckDB twin of one per-subspace Lloyd iteration (same
     * exact-integer identity as [[sqlKmeansIter]], names prefixed
@@ -645,9 +651,16 @@ object EmbQueries {
         .orderBy("q_id", "rank")
     },
 
-    // PQ recall@K against the exact brute-force top-K — the
-    // compression-quality dial (how much nearest-neighbor truth the
-    // M-code representation keeps), the PQ twin of emb_ivf_recall.
+    // PQ SERVING recall@K against the exact brute-force top-K: the
+    // ADC shortlist (width PqRefine) plus the exact re-rank of only
+    // the shortlist hits' full vectors — the deployed two-stage read
+    // (compressed scan, narrow exact fetch). Raw single-stage ADC on
+    // these clusterless synthetic vectors plateaus near ~55%
+    // recall@10 regardless of codebook size (measured across K=8/64,
+    // M=4/8/16, 2–3 Lloyd rounds — quantization noise, not training);
+    // the shortlist width is the production dial, and THIS is the
+    // number a deployment sees. The twin replays codebooks, codes,
+    // LUT, ordered float sum, shortlist AND re-rank independently.
     // Exact integer ppm so the metric itself is engine-reproducible.
     QueryDef("emb_pq_recall",
       s"""WITH $sqlQuant,
@@ -659,8 +672,14 @@ object EmbQueries {
          |  WHERE rank <= $K),
          |${(0 until PqM).map(sqlPqSubspace).mkString(",\n")},
          |$sqlPqAdc,
-         |ptop AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER
+         |plist AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER
          |  (PARTITION BY q_id ORDER BY adist, c_id) AS rank FROM adc)
+         |  WHERE rank <= $PqRefine),
+         |rr AS (SELECT p.q_id, p.c_id, $sqlCos AS sim
+         |  FROM plist p JOIN q a ON a.vec_id = p.q_id
+         |  JOIN q b ON b.vec_id = p.c_id),
+         |ptop AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM rr)
          |  WHERE rank <= $K)
          |SELECT b.q_id,
          |  CAST(sum(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -674,8 +693,8 @@ object EmbQueries {
       val queries = vecs.filter(col("id") < 8)
       val brute = Similarity.knnBrute(queries, vecs, K)
         .select(col("q_id"), col("c_id"))
-      val pq = graft.ops.AnnIndex.probePq(s, pqIndexDir(s, d),
-          queries, PqM, Dims, K)
+      val pq = graft.ops.AnnIndex.probePqRefine(s, pqIndexDir(s, d),
+          queries, vecs, PqM, Dims, K, PqRefine)
         .select(col("q_id"), col("c_id"), lit(1L).as("__h"))
       brute.join(pq, Seq("q_id", "c_id"), "left")
         .groupBy("q_id")

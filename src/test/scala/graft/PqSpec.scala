@@ -73,4 +73,65 @@ class PqSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.mkString("|"))
     assert(stored.toSeq == mem.toSeq)
   }
+
+  test("appendPq encodes against the stored codebook; drift is pinned") {
+    val dir = java.nio.file.Files.createTempDirectory("pqapp").toString
+    val v = vecs()
+    val old = v.filter(col("id") < 16 || col("id") === 100L)
+    val fresh = v.filter(col("id") >= 16 && col("id") < 32)
+    graft.ops.AnnIndex.buildPq(old, dir, M, Dims, K, 2)
+    val cbBefore = spark.read.parquet(s"$dir/pq/codebook")
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    graft.ops.AnnIndex.appendPq(spark, dir, fresh, 1L, M, Dims)
+    // codebook drift contract: an append NEVER moves a centroid
+    val cbAfter = spark.read.parquet(s"$dir/pq/codebook")
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(cbAfter == cbBefore)
+    // appended codes are exactly pqEncode against that codebook
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(cbBefore.map(s =>
+        org.apache.spark.sql.Row.fromSeq(s)): _*),
+      spark.read.parquet(s"$dir/pq/codebook").schema)
+    val expect = Similarity.pqEncode(fresh, local, M, Dims)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val got = spark.read.option("basePath", s"$dir/pq/codes")
+      .parquet(s"$dir/pq/codes").filter(col("batch") === 1L)
+      .select("id", "sub", "code")
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(got == expect)
+    // idempotent: replaying the batch leaves the same code count
+    val n1 = spark.read.parquet(s"$dir/pq/codes").count()
+    graft.ops.AnnIndex.appendPq(spark, dir, fresh, 1L, M, Dims)
+    assert(spark.read.parquet(s"$dir/pq/codes").count() == n1)
+    // the probe serves build + append combined
+    val probed = graft.ops.AnnIndex.probePq(spark, dir,
+      v.filter(col("id") === 0L), M, Dims, 40)
+    assert(probed.filter(col("c_id") >= 16L && col("c_id") < 32L)
+      .count() > 0L, "appended vectors must be probe-visible")
+  }
+
+  test("ADC shortlist + exact re-rank converges to brute force") {
+    val v = vecs()
+    val (codebook, codes) = Similarity.pqTrainEncode(v, M, Dims, K, 2)
+    val qs = v.filter(col("id") < 4)
+    // shortlist = whole corpus ⇒ the re-rank IS brute force
+    val refined = Similarity.pqAdcRefineTopK(qs, codebook, codes, v,
+        M, Dims, 5, shortlist = 33)
+      .select("q_id", "c_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val brute = Similarity.knnBrute(qs, v, 5)
+      .select("q_id", "c_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(refined == brute)
+    // and a NARROW shortlist recalls at least as much truth as raw ADC
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("q_id", "c_id").join(
+        Similarity.knnBrute(qs, v, 5).select("q_id", "c_id"),
+        Seq("q_id", "c_id")).count()
+    val raw = Similarity.pqAdcTopK(qs, codebook, codes, M, Dims, 5)
+    val narrow = Similarity.pqAdcRefineTopK(qs, codebook, codes, v,
+      M, Dims, 5, shortlist = 10)
+    assert(hits(narrow) >= hits(raw))
+    codes.unpersist()
+  }
 }
