@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cardinality sketching for pipeline bookkeeping at corpus scale.
+  *
+  * The reference engine keeps no cardinality statistics (its batch
+  * stats are plain counts — `internal/processor/processor.go:469-512`);
+  * a 100 TB curation pipeline, however, constantly needs "how many
+  * distinct keys/tokens/sessions" answers where an exact
+  * `count(DISTINCT ...)` would shuffle the whole key domain. The KMV
+  * (k minimum values) estimator gives an oracle-reproducible sketch:
+  * unlike an HLL register blob, its state — the k smallest distinct
+  * hash values — is plain SQL (`SELECT DISTINCT h ORDER BY h LIMIT k`),
+  * so any engine replays it bit-for-bit.
+  *
+  * Scale shape: the naive formulation shuffles every distinct hash to
+  * rank them. Instead:
+  *   1. one partial-agg scan (`approx_count_distinct`, HLL, no domain
+  *      shuffle) estimates N;
+  *   2. a hash threshold `t ≈ PhMod·(oversample·k)/N` keeps an
+  *      expected `oversample·k` distinct survivors — the filter runs
+  *      map-side, BEFORE any exchange, so the distinct+top-k that
+  *      follows exchanges O(k) rows no matter how large the corpus;
+  *   3. if fewer than k distinct survive (HLL overestimated), the
+  *      threshold widens ×8 and retries — a bounded correctness loop
+  *      the oversampling makes vanishingly rare. The final kth-min is
+  *      therefore EXACT: the threshold only prunes hashes that cannot
+  *      be among the k smallest, so the answer is independent of the
+  *      HLL estimate and safe to oracle-check.
+  */
+object Sketch {
+
+  /** Result of a KMV pass: `nKept` = min(k, total distinct hashes);
+    * when `nKept < k` the sketch saw the whole domain and `estimate`
+    * is the exact distinct count.
+    */
+  final case class Kmv(k: Int, nKept: Long, kthHash: Long, estimate: Double)
+
+  /** Expected distinct survivors below the initial threshold, per k.
+    * 8× makes a short-by-one retry a ~never event at HLL's default
+    * ±5% error while keeping the survivor exchange trivially small.
+    */
+  val KmvOversample: Int = 8
+
+  /** The sketch hash: scrambled portable hash on [0, PhMod) — uniform
+    * enough for order statistics AND reproducible in the SQL twin
+    * (portableHash alone clusters on short structured keys; see the
+    * sampleHash scaladoc).
+    */
+  def kmvHash(key: Column): Column = GraftFunctions.sampleHash(key)
+
+  /** Estimate from the kth smallest of distinct uniform hashes on
+    * [0, PhMod): est = (k-1)·PhMod / h_k. Exact-integer numerator
+    * (< 2^53 for any practical k) divided once, so both engines
+    * produce the identical double.
+    */
+  def kmvEstimate(k: Int, kthHash: Long): Double =
+    ((k - 1).toLong * GraftFunctions.PhMod).toDouble / kthHash.toDouble
+
+  /** Run the KMV sketch over `key`. Two scans in the common case
+    * (HLL sizing + filtered top-k); every exchange is O(k).
+    */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int,
+      oversample: Int = KmvOversample): Kmv = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val PhMod = GraftFunctions.PhMod
+    val hashed = df.select(kmvHash(key).as("h"))
+
+    val approxN = math.max(1L,
+      hashed.agg(approx_count_distinct(col("h"))).head().getLong(0))
+    val want = oversample.toLong * k
+
+    // k smallest distinct hashes below `t`: map-side filter, distinct
+    // over ~oversample·k survivors, TakeOrdered merge on the driver.
+    def smallest(t: Long): Array[Long] =
+      hashed.filter(col("h") < t).distinct()
+        .orderBy(col("h")).limit(k)
+        .collect().map(_.getLong(0))
+
+    var t =
+      if (approxN <= want) PhMod
+      else math.max(1L, (PhMod.toDouble * want / approxN).toLong)
+    var ks = smallest(t)
+    while (ks.length < k && t < PhMod) {
+      t = math.min(PhMod, t * 8)
+      ks = smallest(t)
+    }
+    if (ks.length < k) // saw the whole domain: exact count
+      Kmv(k, ks.length, if (ks.isEmpty) 0L else ks.last, ks.length.toDouble)
+    else Kmv(k, k, ks.last, kmvEstimate(k, ks.last))
+  }
+}

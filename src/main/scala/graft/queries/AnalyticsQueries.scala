@@ -39,6 +39,22 @@ object AnalyticsQueries {
   /** Range/as-of join window: one hour in µs. */
   private val HourUs: Long = 3600L * 1000000L
 
+  /** KMV sketch size; well below the sf0.01 composite-key domain so
+    * the estimation branch (not the exact-fallback) is what the
+    * oracle exercises. (Declared BEFORE `all` — the twin SQL strings
+    * interpolate these at object init.)
+    */
+  private val KmvK: Int = 256
+
+  /** The composite key whose cardinality q_kmv_distinct estimates —
+    * DuckDB text; the Spark side builds the identical concat_ws.
+    */
+  private val KmvKeySql: String =
+    "concat_ws('|', user_id, event_type, props)"
+
+  /** Bits per dimension in the q_zorder_key interleave. */
+  private val ZBits: Int = 16
+
   val all: Seq[QueryDef] = Seq(
 
     // pricing summary: wide aggregation with decimal-exact sums
@@ -615,5 +631,57 @@ object AnalyticsQueries {
           (least(col("ehi"), col("shi")) -
             greatest(col("elo"), col("slo"))).as("overlap_us"))
         .orderBy("err_id", "sgn_id")
+    },
+
+    // KMV distinct-cardinality sketch (graft.ops.Sketch) over the
+    // composite session key: the estimate rides the k smallest
+    // distinct hashes — plain SQL state, so the twin replays the
+    // sketch exactly (exact distinct alongside measures the error).
+    // Engine side: HLL-sized hash threshold keeps the exchange at
+    // O(k) rows regardless of corpus size.
+    QueryDef("q_kmv_distinct",
+      s"""WITH h AS (SELECT DISTINCT
+         |  ${TextQueries.sqlSampleHash(KmvKeySql)} AS h FROM events),
+         |km AS (SELECT h FROM h ORDER BY h LIMIT $KmvK),
+         |m AS (SELECT count(*) AS nk, max(h) AS hk FROM km),
+         |est AS (SELECT nk, hk,
+         |  CASE WHEN nk < $KmvK THEN CAST(nk AS DOUBLE)
+         |    ELSE CAST(${(KmvK - 1).toLong * graft.functions.GraftFunctions.PhMod}
+         |      AS DOUBLE) / CAST(hk AS DOUBLE) END AS est FROM m),
+         |e AS (SELECT count(*) AS n_exact FROM h)
+         |SELECT $KmvK AS k, est.nk AS n_kept, est.hk AS kth_hash,
+         |  est.est AS est_distinct, e.n_exact AS exact_distinct,
+         |  abs(est.est - CAST(e.n_exact AS DOUBLE))
+         |    / CAST(e.n_exact AS DOUBLE) AS rel_err
+         |FROM est, e""".stripMargin) { (s, d) =>
+      val ev = load(s, d, "events")
+      val key = concat_ws("|", col("user_id"), col("event_type"),
+        col("props"))
+      val r = graft.ops.Sketch.kmvDistinct(ev, key, KmvK)
+      ev.agg(countDistinct(graft.ops.Sketch.kmvHash(key))
+          .as("exact_distinct"))
+        .select(lit(KmvK).as("k"), lit(r.nKept).as("n_kept"),
+          lit(r.kthHash).as("kth_hash"), lit(r.estimate).as("est_distinct"),
+          col("exact_distinct"),
+          (abs(lit(r.estimate) - col("exact_distinct").cast("double")) /
+            col("exact_distinct").cast("double")).as("rel_err"))
+    },
+
+    // Z-order (Morton) clustering key (graft.ops.Layout): the
+    // interleave both engines compute from the SAME (bit, dim) loop.
+    // The layout rewrite built on it (Layout.zorderWrite — quantile
+    // buckets + range exchange + in-partition sort) is exercised in
+    // ZOrderSpec, where the multi-dimension file-skipping claim is
+    // asserted against parquet min/max stats.
+    QueryDef("q_zorder_key",
+      s"""SELECT event_id, user_id,
+         |  ${graft.ops.Layout.zValueSql(Seq("user_id", "event_id"), ZBits)}
+         |    AS zkey
+         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      load(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          graft.ops.Layout.zValue(
+            Seq(col("user_id"), col("event_id")), ZBits).as("zkey"))
+        .orderBy("event_id")
     })
 }

@@ -18,8 +18,10 @@ object TextQueries {
   private val sqlToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
-  /** DuckDB portable hash of an expression, matching portableHash. */
-  private def sqlPhash(e: String): String =
+  /** DuckDB portable hash of an expression, matching portableHash.
+    * Package-visible: the analytics twins (q_kmv_distinct) share it.
+    */
+  private[queries] def sqlPhash(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(" +
       s"list_filter(string_split($e, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT)))," +
       s" (a, x) -> (a * 31 + x) % $PhMod)"
@@ -27,7 +29,7 @@ object TextQueries {
   /** DuckDB twin of GraftFunctions.sampleHash (scrambled hash for
     * fine-grained sampling).
     */
-  private def sqlSampleHash(e: String): String =
+  private[queries] def sqlSampleHash(e: String): String =
     s"((${sqlPhash(e)}) * $SampleA + $SampleB) % $PhMod"
 
   /** One ingest-gate state dir per (session, dataset): the e2e gate

@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.ops.Sketch
+import org.apache.spark.sql.functions._
+
+/** KMV distinct-cardinality sketch (graft.ops.Sketch).
+  *
+  * Contracts:
+  *  1. threshold-independence — the kth-min (and thus the estimate)
+  *     from the thresholded two-scan path equals the brute-force
+  *     full-distinct kth-min (the threshold may only prune hashes
+  *     that cannot rank in the top k);
+  *  2. exact fallback — a domain smaller than k reports the exact
+  *     count;
+  *  3. accuracy — at n >> k the estimate lands within the standard
+  *     KMV error envelope (a few × 1/sqrt(k));
+  *  4. scale shape — the survivor filter precedes every exchange, so
+  *     the distinct aggregation sees O(k) rows, not the domain.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("thresholded kth-min equals brute-force kth-min") {
+    val df = spark.range(0L, 20000L).toDF("id")
+    val key = concat_ws("|", lit("k"), col("id"))
+    val k = 128
+    val r = Sketch.kmvDistinct(df, key, k)
+    val brute = df.select(Sketch.kmvHash(key).as("h"))
+      .distinct().orderBy("h").limit(k)
+      .collect().map(_.getLong(0))
+    assert(r.nKept === k)
+    assert(r.kthHash === brute.last)
+    assert(r.estimate === Sketch.kmvEstimate(k, brute.last))
+  }
+
+  test("domain smaller than k falls back to the exact count") {
+    val df = spark.range(0L, 37L).toDF("id")
+    // 4 distinct keys, duplicated across 37 rows
+    val key = concat_ws("|", lit("s"), col("id") % 4)
+    val r = Sketch.kmvDistinct(df, key, k = 64)
+    assert(r.nKept === 4L)
+    assert(r.estimate === 4.0)
+  }
+
+  test("estimate is within the KMV error envelope at n >> k") {
+    val n = 50000L
+    val k = 256
+    val df = spark.range(0L, n).toDF("id")
+    val r = Sketch.kmvDistinct(df, concat_ws("|", lit("e"), col("id")), k)
+    val relErr = math.abs(r.estimate - n) / n
+    // std err ~ 1/sqrt(k-2) ≈ 6.3%; 4 sigma keeps the test stable
+    // while still catching an off-by-domain bug (which is >> 25%)
+    assert(relErr < 0.25, s"estimate ${r.estimate} vs $n (relErr $relErr)")
+  }
+
+  test("the survivor filter keeps the distinct exchange at O(k)") {
+    val n = 200000L
+    val k = 64
+    val df = spark.range(0L, n).toDF("id")
+    val key = concat_ws("|", lit("x"), col("id"))
+    // replicate the op's first-pass threshold and count survivors:
+    // this is the row count entering the ONLY exchange of the
+    // sketch's second scan
+    val hashed = df.select(Sketch.kmvHash(key).as("h"))
+    val approxN = hashed.agg(approx_count_distinct(col("h")))
+      .head().getLong(0)
+    val want = Sketch.KmvOversample.toLong * k
+    val t = (GraftFunctions.PhMod.toDouble * want / approxN).toLong
+    val survivors = hashed.filter(col("h") < t).count()
+    assert(survivors < 16L * want,
+      s"$survivors survivors for want=$want — threshold not pruning")
+    assert(survivors >= k, "threshold pruned below k — retry loop territory")
+  }
+}
