@@ -29,7 +29,13 @@ object EngineE2EQueries {
     * semantics — what the destination table must equal however many
     * batches the engine applied it in.
     */
-  private val lwwOracle: String =
+  private val lwwOracle: String = lwwOracleWhere("")
+
+  /** The LWW oracle with an optional key predicate on the final
+    * grouping (user_id filters commute with the per-user grouping) —
+    * the filtered form is the cdc_engine_lookup twin.
+    */
+  private def lwwOracleWhere(where: String): String =
     s"""WITH $CDC,
        |r AS (SELECT *, row_number() OVER
        |        (PARTITION BY user_id ORDER BY step_us, event_id) AS rn
@@ -41,9 +47,24 @@ object EngineE2EQueries {
        |    AND rn > coalesce(erase_rn, 0)) AS value,
        |  max_by(props, rn) FILTER (WHERE op = 0 AND has_props
        |    AND rn > coalesce(erase_rn, 0)) AS props
-       |FROM e GROUP BY user_id
+       |FROM e $where GROUP BY user_id
        |HAVING max_by(op, rn) = 0
        |ORDER BY user_id""".stripMargin
+
+  /** Keys cdc_engine_lookup probes — inside the user domain at every
+    * scale factor (user_id starts at 0 and grows with sf).
+    */
+  private val LookupKeys: Seq[Long] = Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L)
+
+  /** The lookup fixture's engine config — one function so the build
+    * and the probe construct the identical engine over the memoized
+    * root.
+    */
+  private def lookupCfg(root: String): EngineConfig =
+    EngineConfig("lookup-query",
+      Seq(StreamConfig(0, s"$root/src", "users", partitions = 8)),
+      s"$root/dst", ProblemStrategy.Stop,
+      maxBatchSize = Int.MaxValue, buckets = 32)
 
   /** Build the CDC change frame for a slice of events. The column mask
     * is a 4-way branch of plain map() constructions — map_filter is a
@@ -207,6 +228,36 @@ object EngineE2EQueries {
       engine.processBatch(changes.unionByName(hbs.select(changes.columns.map(col): _*)), 0L)
       cdc.unpersist()
       engine.readTable("users").orderBy("user_id")
+    },
+
+    // key-addressed point read against the replicated table
+    // (CdcEngine.lookup): only the probed keys' buckets are scanned —
+    // the manifest prunes the file list before the plan exists, and
+    // the refine is a broadcast semi-join. The replica is built ONCE
+    // per (session, dataset) via TempState (the gate-query pattern:
+    // rep 1 pays the build, the measured row is the LOOKUP — the
+    // build cost stays visible in cdc_engine_e2e); the oracle is the
+    // LWW truth filtered to the probed keys, so a wrong bucket route
+    // or an over-pruned file list loses rows and breaks the hash.
+    QueryDef("cdc_engine_lookup",
+      lwwOracleWhere(
+        s"WHERE user_id IN (${LookupKeys.mkString(", ")})")) { (s, d) =>
+      val root = TempState.dir(
+        "engine-lookup|" + s.sparkContext.applicationId + "|" + d) { r =>
+        val cdc = Tables.cdcView(s, d).persist()
+        val changes = changeFrame(cdc)
+        val mx = cdc.agg(max("step_us"), max("event_id")).head()
+        val engine = new CdcEngine(s, lookupCfg(r), Map(0 -> usersMeta))
+        engine.bootstrap()
+        engine.processBatch(changes.unionByName(
+          hbFrame(s, mx.getLong(0) + 1L, mx.getLong(1) + 1L)
+            .select(changes.columns.map(col): _*)), 0L)
+        cdc.unpersist()
+      }
+      val engine = new CdcEngine(s, lookupCfg(root), Map(0 -> usersMeta))
+      import s.implicits._
+      engine.lookup("users", LookupKeys.toDF("user_id"))
+        .orderBy("user_id")
     },
 
     // the engine again, but with a batch cap that forces the initial

@@ -114,6 +114,31 @@ final class CdcEngine(
     DstTable.readCurrent(spark, meta, man.tables(name))
   }
 
+  /** Point-read: the committed rows for a key set, scanning ONLY the
+    * buckets those keys hash into. `keys` carries the table's
+    * primary-key columns (extra columns are ignored). The probed
+    * bucket set costs O(#keys) on the driver, the manifest prunes the
+    * file list to those buckets BEFORE the scan is planned (no
+    * footer reads for the rest of the table), and the final refine is
+    * a broadcast semi-join against the keys. This is the serving path
+    * for "fetch these ids" against a large destination table: the
+    * bytes read scale with #probed buckets / buckets, not with table
+    * size — the same contract as the reference's key-addressed
+    * destination reads (dst_table rows are always fetched by primary
+    * key), kept under Spark's CoW layout.
+    */
+  def lookup(name: String, keys: DataFrame): DataFrame = {
+    val man = TransactionalStore.read(root)
+    val meta = tables.values.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown table $name"))
+    val pk = meta.primaryKey
+    val k = keys.select(pk.map(col): _*).distinct()
+    val probed = k.select(DstTable.bucketOf(meta, cfg.buckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    DstTable.readCurrent(spark, meta, man.tables(name), Some(probed))
+      .join(broadcast(k), pk, "left_semi")
+  }
+
   /** Process one frame of raw messages. Columns: value (JSON line),
     * tableId, partitionId, offset. Batch mode calls this directly;
     * streaming calls it from foreachBatch.

@@ -473,4 +473,35 @@ class CdcEngineSpec extends SparkSpec {
     assert(e.metrics.replicationLagEstimation.get() > 0)
     assert(e.metrics.snapshot.contains("hb_liveness_warnings"))
   }
+
+  test("lookup reads only the probed keys' buckets, rows match a filtered full read") {
+    val root = Files.createTempDirectory("graft-lookup").toString
+    val e = mkEngine(root)
+    val changes = (0 until 40).map { i =>
+      (s"""{"update":{"name":"u$i","score":$i},"key":[$i],"ts":[1,$i]}""",
+        (i % 2).toLong, (i / 2).toLong)
+    } ++ Seq(("""{"resolved":[2,0]}""", 0L, 20L),
+      ("""{"resolved":[2,0]}""", 1L, 20L))
+    e.processBatch(frame(changes: _*), 0L)
+
+    val keys = Seq(7L, 23L).toDF("id")
+    val got = e.lookup("users", keys)
+    val want = e.readTable("users").filter(col("id").isin(7L, 23L))
+    assert(got.orderBy("id").collect().toSeq ===
+      want.orderBy("id").collect().toSeq)
+
+    // the pruning claim: the lookup's scan plans over a strict subset
+    // of the table's files (4 buckets hold 40 keys; 2 probed keys hash
+    // into at most 2 of them)
+    val lookupFiles = got.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSet
+    val allFiles = e.readTable("users").select(input_file_name())
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(lookupFiles.subsetOf(allFiles))
+    assert(lookupFiles.size < allFiles.size,
+      s"lookup touched ${lookupFiles.size} of ${allFiles.size} files")
+
+    // a key the table never saw returns no rows (and no error)
+    assert(e.lookup("users", Seq(999L).toDF("id")).count() === 0L)
+  }
 }
