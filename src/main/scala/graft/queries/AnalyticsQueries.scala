@@ -55,6 +55,15 @@ object AnalyticsQueries {
   /** Bits per dimension in the q_zorder_key interleave. */
   private val ZBits: Int = 16
 
+  /** q_zorder_scan box: users below this id × one January-2024 week
+    * (the base corpus spans 2024-01-01..31 at every sf; GenScale
+    * copies occupy later, disjoint ranges, so the box stays valid and
+    * selective as data scales).
+    */
+  private val ZScanMaxUser: Long = 12L
+  private val ZScanT0: Long = 1704844800000000L // 2024-01-10 UTC, µs
+  private val ZScanT1: Long = 1705449600000000L // 2024-01-17 UTC, µs
+
   val all: Seq[QueryDef] = Seq(
 
     // pricing summary: wide aggregation with decimal-exact sums
@@ -682,6 +691,40 @@ object AnalyticsQueries {
         .select(col("event_id"), col("user_id"),
           graft.ops.Layout.zValue(
             Seq(col("user_id"), col("event_id")), ZBits).as("zkey"))
+        .orderBy("event_id")
+    },
+
+    // the z-order WRITE path end-to-end: events rewritten once per
+    // (session, dataset) into a (user_id, t_us)-z-ordered copy
+    // (Layout.zorderWrite — quantile buckets, range exchange,
+    // in-partition sort), then a user×week box read BACK FROM THE
+    // COPY. The oracle states the box over the raw table, so a
+    // layout rewrite that drops, duplicates, or corrupts any row
+    // breaks the hash; the read itself prunes via ordinary parquet
+    // min/max stats on the clustered files (the skipping economics
+    // are spec-pinned in ZOrderSpec). Rep 1 pays the rewrite
+    // (TempState, the gate-query pattern); the measured row is the
+    // pruned box scan.
+    QueryDef("q_zorder_scan",
+      s"""SELECT event_id, user_id, ${OracleDefs.EventStepUs} AS t_us,
+         |  event_type
+         |FROM events
+         |WHERE user_id < $ZScanMaxUser
+         |  AND ${OracleDefs.EventStepUs} >= $ZScanT0
+         |  AND ${OracleDefs.EventStepUs} < $ZScanT1
+         |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val zdir = TempState.dir(
+        "zorder|" + s.sparkContext.applicationId + "|" + d) { r =>
+        val ev = load(s, d, "events")
+        graft.ops.Layout.zorderWrite(
+          ev.select(col("event_id"), col("user_id"),
+            Tables.stepUs(ev).as("t_us"), col("event_type")),
+          Seq("user_id", "t_us"), s"$r/events_z", bits = 5, nFiles = 32)
+      }
+      s.read.parquet(s"$zdir/events_z")
+        .filter(col("user_id") < ZScanMaxUser &&
+          col("t_us") >= ZScanT0 && col("t_us") < ZScanT1)
+        .select("event_id", "user_id", "t_us", "event_type")
         .orderBy("event_id")
     })
 }
