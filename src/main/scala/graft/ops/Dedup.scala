@@ -24,6 +24,58 @@ object Dedup {
       .withColumn("is_canonical", id === min(id).over(w))
   }
 
+  /** Sub-document duplicate removal — the "duplicated paragraph"
+    * pass of web-corpus pipelines (boilerplate headers, navigation,
+    * license blurbs repeated across documents) adapted to token-window
+    * granularity, since this corpus is single-line text. Documents are
+    * cut into NON-overlapping `window`-token chunks; a chunk whose
+    * corpus-wide document frequency exceeds `maxDocFreq` is dropped
+    * from every document, and each document is reassembled from its
+    * surviving chunks in order. All input documents are preserved
+    * (a fully-boilerplate document comes back with empty text).
+    *
+    * Returns (id, n_chunks, n_dropped, clean_text).
+    *
+    * Scale shape: one explode (no shuffle), one chunk-key aggregation
+    * for document frequencies, a join back on the same key (the
+    * frequency side is post-aggregation — one row per distinct chunk,
+    * so even a corpus-dominating boilerplate chunk contributes a
+    * single build row and AQE's skew split handles the probe side),
+    * and one reassembly aggregation on the doc id. Chunks join on
+    * their full text here so the SQL twin is exact; a production
+    * deployment at 100 TB would key the frequency join on a 128-bit
+    * content hash to cut shuffle bytes (same plan shape).
+    */
+  def dropFrequentChunks(df: DataFrame, id: Column, text: Column,
+      window: Int, maxDocFreq: Long): DataFrame = {
+    require(window > 0 && maxDocFreq >= 1,
+      "need window > 0 and maxDocFreq >= 1")
+    val docs = df.select(id.as("__id"), text.as("__text"))
+    val chunks = PipelineOps.chunk(docs, col("__text"),
+        window = window, stride = window)
+      .select(col("__id"), col("chunk_id"), col("chunk_text"))
+    val freq = chunks.groupBy("chunk_text")
+      .agg(countDistinct(col("__id")).as("__df"))
+    val perDoc = chunks.join(freq, Seq("chunk_text"))
+      .withColumn("__drop", col("__df") > maxDocFreq)
+      .groupBy("__id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__drop"), 1L).otherwise(0L)).as("n_dropped"),
+        // when() yields null for dropped chunks; collect_list skips
+        // nulls, so the sort+transform sees only survivors, in order
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("__drop"),
+            struct(col("chunk_id"), col("chunk_text"))))),
+          s => s.getField("chunk_text"))).as("clean_text"))
+    docs.select(col("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as("id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Distinct SORTED shingle-hash set of a token array (the MinHash
     * input and the exact-Jaccard verification domain — hashing once
     * and merge-intersecting sorted longs beats re-intersecting

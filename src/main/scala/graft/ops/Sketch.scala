@@ -60,6 +60,69 @@ object Sketch {
   def kmvEstimate(k: Int, kthHash: Long): Double =
     ((k - 1).toLong * GraftFunctions.PhMod).toDouble / kthHash.toDouble
 
+  /** Result of a KMV set comparison between key sets A and B.
+    * The union sketch is the k smallest distinct hashes of A∪B; each
+    * kept hash carries presence flags, so `nBoth/nKept` estimates the
+    * Jaccard similarity (kept hashes are a uniform sample of the
+    * union) and `interEst = jaccardEst · unionEst`. When
+    * `nKept < k` the sketch saw the whole union and every figure is
+    * exact.
+    */
+  final case class KmvSet(
+      k: Int, nKept: Long, kthHash: Long, nBoth: Long,
+      unionEst: Double, jaccardEst: Double, interEst: Double)
+
+  /** Compare two key sets with ONE union sketch — the distributed
+    * analog of a theta-sketch intersection, but oracle-reproducible
+    * (`SELECT h, max(inA), max(inB) … ORDER BY h LIMIT k` replays in
+    * any SQL engine). Same scale shape as [[kmvDistinct]]: an HLL
+    * pre-pass sizes a map-side hash threshold, so the only exchange
+    * (the per-hash flag-OR aggregation) carries O(oversample·k) rows
+    * regardless of corpus size; the ×8 widening loop keeps the
+    * thresholded answer provably equal to the unthresholded one.
+    */
+  def kmvCompare(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
+      k: Int, oversample: Int = KmvOversample): KmvSet = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val PhMod = GraftFunctions.PhMod
+    val u = a.select(kmvHash(keyA).as("h"),
+        lit(1).as("ia"), lit(0).as("ib"))
+      .unionByName(b.select(kmvHash(keyB).as("h"),
+        lit(0).as("ia"), lit(1).as("ib")))
+
+    val approxN = math.max(1L,
+      u.agg(approx_count_distinct(col("h"))).head().getLong(0))
+    val want = oversample.toLong * k
+
+    // k smallest union hashes below `t` with per-side presence flags:
+    // the filter runs BEFORE the flag-OR exchange.
+    def smallest(t: Long): Array[(Long, Int, Int)] =
+      u.filter(col("h") < t)
+        .groupBy("h").agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+        .orderBy(col("h")).limit(k)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+
+    var t =
+      if (approxN <= want) PhMod
+      else math.max(1L, (PhMod.toDouble * want / approxN).toLong)
+    var ks = smallest(t)
+    while (ks.length < k && t < PhMod) {
+      t = math.min(PhMod, t * 8)
+      ks = smallest(t)
+    }
+    val nKept = ks.length.toLong
+    val kth = if (ks.isEmpty) 0L else ks.last._1
+    val nBoth = ks.count(e => e._2 == 1 && e._3 == 1).toLong
+    if (nKept < k) { // saw the whole union: exact
+      val jac = if (nKept == 0) 0.0 else nBoth.toDouble / nKept.toDouble
+      KmvSet(k, nKept, kth, nBoth, nKept.toDouble, jac, nBoth.toDouble)
+    } else {
+      val uEst = kmvEstimate(k, kth)
+      val jac = nBoth.toDouble / k.toDouble
+      KmvSet(k, nKept, kth, nBoth, uEst, jac, jac * uEst)
+    }
+  }
+
   /** Run the KMV sketch over `key`. Two scans in the common case
     * (HLL sizing + filtered top-k); every exchange is O(k).
     */

@@ -52,6 +52,11 @@ object AnalyticsQueries {
   private val KmvKeySql: String =
     "concat_ws('|', user_id, event_type, props)"
 
+  /** The per-side key q_kmv_set_ops compares across event-type
+    * partitions (event_type itself excluded — it defines the sides).
+    */
+  private val KmvSetKeySql: String = "concat_ws('|', user_id, props)"
+
   /** Bits per dimension in the q_zorder_key interleave. */
   private val ZBits: Int = 16
 
@@ -674,6 +679,79 @@ object AnalyticsQueries {
           col("exact_distinct"),
           (abs(lit(r.estimate) - col("exact_distinct").cast("double")) /
             col("exact_distinct").cast("double")).as("rel_err"))
+    },
+
+    // KMV set comparison (graft.ops.Sketch.kmvCompare): ONE union
+    // sketch estimates |A∪B|, Jaccard, and |A∩B| between two key
+    // sets — the theta-sketch intersection idea with plain-SQL state
+    // (k smallest union hashes + per-side presence flags), so the
+    // twin replays the sketch exactly; exact figures ride alongside
+    // to measure the error. A = (user,props) keys of click/view
+    // events, B = the same domain for the remaining event types.
+    QueryDef("q_kmv_set_ops", {
+      val h = TextQueries.sqlSampleHash(KmvSetKeySql)
+      s"""WITH ha AS (SELECT DISTINCT $h AS h FROM events
+         |  WHERE event_type IN ('click', 'view')),
+         |hb AS (SELECT DISTINCT $h AS h FROM events
+         |  WHERE event_type NOT IN ('click', 'view')),
+         |u AS (SELECT h, max(ia) AS ia, max(ib) AS ib FROM (
+         |  SELECT h, 1 AS ia, 0 AS ib FROM ha
+         |  UNION ALL SELECT h, 0 AS ia, 1 AS ib FROM hb) GROUP BY h),
+         |km AS (SELECT h, ia, ib FROM u ORDER BY h LIMIT $KmvK),
+         |m AS (SELECT count(*) AS nk, max(h) AS hk,
+         |  CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS nboth FROM km),
+         |e1 AS (SELECT nk, hk, nboth,
+         |  CASE WHEN nk < $KmvK THEN CAST(nk AS DOUBLE)
+         |    ELSE CAST(${(KmvK - 1).toLong * graft.functions.GraftFunctions.PhMod}
+         |      AS DOUBLE) / CAST(hk AS DOUBLE) END AS uest,
+         |  CASE WHEN nk < $KmvK THEN (CASE WHEN nk = 0 THEN 0.0
+         |      ELSE CAST(nboth AS DOUBLE) / CAST(nk AS DOUBLE) END)
+         |    ELSE CAST(nboth AS DOUBLE) / CAST($KmvK AS DOUBLE) END AS jest
+         |  FROM m),
+         |est AS (SELECT nk, hk, nboth, uest, jest,
+         |  CASE WHEN nk < $KmvK THEN CAST(nboth AS DOUBLE)
+         |    ELSE jest * uest END AS iest FROM e1),
+         |ex AS (SELECT count(*) AS exact_union,
+         |  CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS exact_inter FROM u)
+         |SELECT $KmvK AS k, est.nk AS n_kept, est.hk AS kth_hash,
+         |  est.nboth AS n_both, est.uest AS est_union,
+         |  est.jest AS est_jaccard, est.iest AS est_inter,
+         |  ex.exact_union, ex.exact_inter,
+         |  CAST(ex.exact_inter AS DOUBLE) / CAST(ex.exact_union AS DOUBLE)
+         |    AS exact_jaccard,
+         |  abs(est.uest - CAST(ex.exact_union AS DOUBLE))
+         |    / CAST(ex.exact_union AS DOUBLE) AS rel_err_union,
+         |  abs(est.jest - CAST(ex.exact_inter AS DOUBLE)
+         |    / CAST(ex.exact_union AS DOUBLE)) AS abs_err_jaccard
+         |FROM est, ex""".stripMargin
+    }) { (s, d) =>
+      val ev = load(s, d, "events")
+      val key = concat_ws("|", col("user_id"), col("props"))
+      val inA = col("event_type").isin("click", "view")
+      val aSet = ev.filter(inA)
+      val bSet = ev.filter(!inA)
+      val r = graft.ops.Sketch.kmvCompare(aSet, key, bSet, key, KmvK)
+      val u = aSet.select(graft.ops.Sketch.kmvHash(key).as("h"),
+          lit(1).as("ia"), lit(0).as("ib"))
+        .unionByName(bSet.select(graft.ops.Sketch.kmvHash(key).as("h"),
+          lit(0).as("ia"), lit(1).as("ib")))
+        .groupBy("h").agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      u.agg(count(lit(1)).as("exact_union"),
+          sum(col("ia") * col("ib")).cast("long").as("exact_inter"))
+        .select(lit(KmvK).as("k"), lit(r.nKept).as("n_kept"),
+          lit(r.kthHash).as("kth_hash"), lit(r.nBoth).as("n_both"),
+          lit(r.unionEst).as("est_union"),
+          lit(r.jaccardEst).as("est_jaccard"),
+          lit(r.interEst).as("est_inter"),
+          col("exact_union"), col("exact_inter"),
+          (col("exact_inter").cast("double") /
+            col("exact_union").cast("double")).as("exact_jaccard"),
+          (abs(lit(r.unionEst) - col("exact_union").cast("double")) /
+            col("exact_union").cast("double")).as("rel_err_union"),
+          abs(lit(r.jaccardEst) - col("exact_inter").cast("double") /
+            col("exact_union").cast("double")).as("abs_err_jaccard"))
     },
 
     // Z-order (Morton) clustering key (graft.ops.Layout): the

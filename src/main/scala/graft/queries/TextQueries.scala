@@ -170,6 +170,13 @@ object TextQueries {
   private val TempDen = 4
   private val ChunkWindow = 32
   private val ChunkStride = 24
+
+  /** doc_chunk_dedup granularity: 4-token chunks, dropped when seen
+    * in more than 2 documents (47 distinct boilerplate chunks at
+    * sf0.01 — enough to exercise removal without gutting the corpus).
+    */
+  private val ChunkDedupW = 4
+  private val ChunkDedupMaxDf = 2
   private val ShuffleSeed = 42L
   private val ShuffleShards = 16
   private val IndexBlockDocs = 128L
@@ -1287,6 +1294,46 @@ object TextQueries {
         .select(col("doc_id"), col("chunk_start"), col("chunk_id"),
           col("n_chunk_tokens"), col("chunk_text"))
         .orderBy("doc_id", "chunk_id")
+    },
+
+    // sub-document duplicate removal (Dedup.dropFrequentChunks): the
+    // web-pipeline "repeated paragraph" pass at token-window
+    // granularity — chunks whose corpus document-frequency exceeds
+    // the cap are cut from EVERY document and the survivors are
+    // re-joined in order; every document survives (possibly empty).
+    // One explode + freq agg + co-keyed join + doc reassembly.
+    QueryDef("doc_chunk_dedup",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |s AS (SELECT doc_id, w, unnest(CASE WHEN len(w) > 0
+         |    THEN range(0, ((len(w)-1)//$ChunkDedupW)*$ChunkDedupW + 1,
+         |               $ChunkDedupW) ELSE [] END) AS cs
+         |  FROM t),
+         |c AS (SELECT doc_id, CAST(cs // $ChunkDedupW AS BIGINT) AS chunk_id,
+         |  array_to_string(w[cs+1:cs+$ChunkDedupW], ' ') AS chunk_text
+         |  FROM s),
+         |f AS (SELECT chunk_text, count(DISTINCT doc_id) AS df
+         |  FROM c GROUP BY 1),
+         |k AS (SELECT c.doc_id, c.chunk_id, c.chunk_text,
+         |  f.df > $ChunkDedupMaxDf AS dropped
+         |  FROM c JOIN f USING (chunk_text)),
+         |p AS (SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  coalesce(array_to_string(
+         |    list(chunk_text ORDER BY chunk_id) FILTER (WHERE NOT dropped),
+         |    ' '), '') AS clean_text
+         |  FROM k GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.n_chunks, 0) AS n_chunks,
+         |  coalesce(p.n_dropped, 0) AS n_dropped,
+         |  coalesce(p.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.dropFrequentChunks(load(s, d, "documents"),
+          col("doc_id"), col("text"),
+          window = ChunkDedupW, maxDocFreq = ChunkDedupMaxDf)
+        .select(col("id").as("doc_id"), col("n_chunks"),
+          col("n_dropped"), col("clean_text"))
+        .orderBy("doc_id")
     },
 
     // range-blocked inverted index: posting blocks keyed by (term,

@@ -239,6 +239,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Set((1L, 0L, 24L), (2L, 0L, 25L), (2L, 1L, 1L)))
   }
 
+  test("dropFrequentChunks: boilerplate cut everywhere, docs preserved") {
+    // chunk window 2, cap df<=2. "aa bb" appears in docs 1,2,3 (df=3 →
+    // dropped); "cc dd" in docs 1,2 (df=2 → kept); doc 4 is empty;
+    // doc 5 is ALL boilerplate and must survive with empty text.
+    val docs = Seq(
+      (1L, "aa bb cc dd xx yy"),
+      (2L, "cc dd aa bb"),
+      (3L, "aa bb zz"),
+      (4L, ""),
+      (5L, "aa bb")).toDF("doc_id", "text")
+    val got = Dedup.dropFrequentChunks(docs, col("doc_id"), col("text"),
+        window = 2, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((3L, 1L, "cc dd xx yy"))) // order preserved
+    assert(got(2L) === ((2L, 1L, "cc dd")))
+    // "zz" is doc 3's short tail chunk, unique → kept
+    assert(got(3L) === ((2L, 1L, "zz")))
+    assert(got(4L) === ((0L, 0L, "")))     // empty doc: zero chunks
+    assert(got(5L) === ((1L, 1L, "")))     // fully boilerplate
+  }
+
   test("incrementalNearDup: verdicts batch-vs-corpus only, min match id") {
     // identical sets guarantee identical signatures → a band hit; the
     // [100,101] vs [100,101,102] pair fails the size prefilter at 0.95

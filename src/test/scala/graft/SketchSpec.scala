@@ -54,6 +54,40 @@ class SketchSpec extends SparkSpec {
     assert(relErr < 0.25, s"estimate ${r.estimate} vs $n (relErr $relErr)")
   }
 
+  test("kmvCompare: small union reports exact union/inter/jaccard") {
+    // A = {0..99}, B = {50..149}: union 150, inter 50, J = 1/3
+    val a = spark.range(0L, 100L).toDF("id")
+    val b = spark.range(50L, 150L).toDF("id")
+    val key = concat_ws("|", lit("c"), col("id"))
+    val r = Sketch.kmvCompare(a, key, b, key, k = 512)
+    assert(r.nKept === 150L)
+    assert(r.unionEst === 150.0)
+    assert(r.interEst === 50.0)
+    assert(r.jaccardEst === 50.0 / 150.0)
+  }
+
+  test("kmvCompare: thresholded sketch equals the brute-force sketch") {
+    val a = spark.range(0L, 30000L).toDF("id")
+    val b = spark.range(15000L, 45000L).toDF("id")
+    val key = concat_ws("|", lit("t"), col("id"))
+    val k = 128
+    val r = Sketch.kmvCompare(a, key, b, key, k)
+    // brute force: distinct union hashes with presence flags, top k
+    val u = a.select(Sketch.kmvHash(key).as("h"), lit(1).as("ia"),
+        lit(0).as("ib"))
+      .unionByName(b.select(Sketch.kmvHash(key).as("h"), lit(0).as("ia"),
+        lit(1).as("ib")))
+      .groupBy("h").agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+      .orderBy("h").limit(k).collect()
+    assert(r.nKept === k.toLong)
+    assert(r.kthHash === u.last.getLong(0))
+    assert(r.nBoth ===
+      u.count(x => x.getInt(1) == 1 && x.getInt(2) == 1).toLong)
+    // estimates land in the KMV envelope around the truth
+    assert(math.abs(r.unionEst - 45000.0) / 45000.0 < 0.3)
+    assert(math.abs(r.jaccardEst - 15000.0 / 45000.0) < 0.15)
+  }
+
   test("the survivor filter keeps the distinct exchange at O(k)") {
     val n = 200000L
     val k = 64
