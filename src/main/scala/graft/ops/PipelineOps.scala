@@ -195,6 +195,34 @@ object PipelineOps {
         lit(100L)) < rate)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): each row draws a deterministic uniform u ∈ (0, 1] from
+    * its id hash and ranks by priority ln(u)/w — the k largest
+    * priorities are exactly a w-weighted sample without replacement.
+    * Deterministic (same ids + weights → same sample, any partition
+    * layout), scan-parallel, and the selection is a TakeOrdered —
+    * O(k) memory per partition and on the driver, never a global
+    * sort. The priority column is NOT emitted: it is transcendental
+    * (ln), and last-ulp libm differences across engines would break
+    * byte-compare of an otherwise identical SAMPLE; the selected set
+    * is ulp-stable because real corpora never put two priorities
+    * within 1e-16 of each other.
+    *
+    * Weights must be strictly positive (rows with w <= 0 or null are
+    * dropped — zero-weight rows are unsampleable by definition).
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val u = (sampleHash(id.cast("string")).cast("double") + 1.0) /
+      (graft.functions.GraftFunctions.PhMod.toDouble + 1.0)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__pri", log(u) / weight.cast("double"))
+      .orderBy(col("__pri").desc, id)
+      .limit(k)
+      .drop("__pri")
+  }
+
   /** Context-length chunking: split each document's token sequence
     * into windows of `window` tokens advancing by `stride` (overlap =
     * window − stride), the way corpora are cut for a context-bounded

@@ -260,6 +260,66 @@ object EngineE2EQueries {
         .orderBy("user_id")
     },
 
+    // TIME TRAVEL (S8 state select + snapshot isolation): the engine
+    // applies two batches — then the query reads the table AS OF the
+    // version committed after batch 1 of 2, through the retained
+    // manifest. The oracle restates LWW over ONLY the first batch's
+    // events (batch 1 runs in INITIAL_SCAN, which applies its whole
+    // chunk — quorum gating starts at the RUN transition), so a
+    // time-travel read that leaks post-snapshot rows or resolves the
+    // wrong manifest breaks the hash. Rep 1 pays the two-batch build
+    // (TempState); the measured row is the snapshot read.
+    QueryDef("cdc_engine_time_travel",
+      s"""WITH $CDC,
+         |b AS (SELECT max(event_id) // 2 + 1 AS cut FROM cdc),
+         |s0 AS (SELECT cdc.* FROM cdc, b WHERE event_id < cut),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY user_id ORDER BY step_us, event_id) AS rn
+         |      FROM s0),
+         |e AS (SELECT *, max(CASE WHEN op = 1 THEN rn END) OVER
+         |        (PARTITION BY user_id) AS erase_rn FROM r)
+         |SELECT user_id,
+         |  max_by(value, rn) FILTER (WHERE op = 0 AND has_value
+         |    AND rn > coalesce(erase_rn, 0)) AS value,
+         |  max_by(props, rn) FILTER (WHERE op = 0 AND has_props
+         |    AND rn > coalesce(erase_rn, 0)) AS props
+         |FROM e GROUP BY user_id
+         |HAVING max_by(op, rn) = 0
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      def cfg(root: String) = EngineConfig("tt-query",
+        Seq(StreamConfig(0, s"$root/src", "users", partitions = 8)),
+        s"$root/dst", ProblemStrategy.Stop,
+        maxBatchSize = Int.MaxValue, buckets = 32)
+      val root = TempState.dir(
+        "engine-tt|" + s.sparkContext.applicationId + "|" + d) { r =>
+        val cdc = Tables.cdcView(s, d).persist()
+        val mx = cdc.agg(max("event_id"), max("step_us")).head()
+        val maxId = mx.getLong(0)
+        val maxPos = mx.getLong(1) + 1L
+        val cut = maxId / 2L + 1L
+        val engine = new CdcEngine(s, cfg(r), Map(0 -> usersMeta))
+        engine.bootstrap()
+        val slice0 = cdc.filter(col("event_id") < cut)
+        val hb0 = slice0.agg(max("step_us")).head().getLong(0)
+        engine.processBatch(changeFrame(slice0).unionByName(
+          hbFrame(s, hb0, maxId + 1L)
+            .select(changeFrame(slice0).columns.map(col): _*)), 0L)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(r, "SNAPSHOT_VERSION"),
+          engine.storeVersion.toString)
+        val slice1 = cdc.filter(col("event_id") >= cut)
+        engine.processBatch(changeFrame(slice1).unionByName(
+          hbFrame(s, maxPos, maxId + 2L)
+            .select(changeFrame(slice1).columns.map(col): _*)), 1L)
+        cdc.unpersist()
+      }
+      val snapVersion = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(root, "SNAPSHOT_VERSION")).trim.toLong
+      new CdcEngine(s, cfg(root), Map(0 -> usersMeta))
+        .readTableAt("users", snapVersion)
+        .orderBy("user_id")
+    },
+
     // the engine again, but with a batch cap that forces the initial
     // scan through the RANGE-CHUNKED drain (several intermediate
     // manifest commits) — the final table must still equal the

@@ -177,6 +177,9 @@ object TextQueries {
     */
   private val ChunkDedupW = 4
   private val ChunkDedupMaxDf = 2
+
+  /** doc_weighted_sample size (fixed sample, corpus-size-free). */
+  private val WeightedSampleK = 64
   private val ShuffleSeed = 42L
   private val ShuffleShards = 16
   private val IndexBlockDocs = 128L
@@ -1471,6 +1474,66 @@ object TextQueries {
         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
       Multimodal.sampleFrames(load(s, d, "documents"), "text", 64, 2)
         .select("doc_id", "n_frames", "n_sampled", "frame_feature_sum")
+        .orderBy("doc_id")
+    },
+
+    // weighted sampling without replacement (Efraimidis–Spirakis,
+    // PipelineOps.weightedSample): priorities ln(u)/w from the id
+    // hash, k largest win — longer documents proportionally more
+    // likely, deterministic across engines, O(k) TakeOrdered. Both
+    // sides rank by the same transcendental priority but emit only
+    // the integer/string columns (see the operator scaladoc).
+    QueryDef("doc_weighted_sample",
+      s"""WITH t AS (SELECT doc_id, source, n_chars,
+         |  (CAST(${sqlSampleHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |     + 1.0) / ${PhMod + 1}.0 AS u
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         |s AS (SELECT doc_id, source, n_chars FROM t
+         |  ORDER BY ln(u) / CAST(n_chars AS DOUBLE) DESC, doc_id
+         |  LIMIT $WeightedSampleK)
+         |SELECT doc_id, source, n_chars FROM s
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.PipelineOps.weightedSample(
+          load(s, d, "documents").select("doc_id", "source", "n_chars"),
+          col("doc_id"), col("n_chars"), k = WeightedSampleK)
+        .orderBy("doc_id")
+    },
+
+    // JSONL ingest (graft.sources.FileIngest): the corpus dumped once
+    // to JSON-lines part files (TempState, rep 1 pays the dump), read
+    // back through the one-pass parse+quarantine split, and checked
+    // row-for-row against the parquet original — a lossy reader,
+    // dropped line, or mis-coerced field breaks the hash. The oracle
+    // reads the PARQUET table: the JSONL path must agree with it.
+    QueryDef("doc_jsonl_roundtrip",
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = load(s, d, "documents")
+      val dir = TempState.dir(
+        "jsonl|" + s.sparkContext.applicationId + "|" + d) { r =>
+        graft.sources.FileIngest.writeJsonl(docs, s"$r/docs_jsonl")
+      }
+      graft.sources.FileIngest.jsonl(s, s"$dir/docs_jsonl", docs.schema)
+        .good
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // headerless-CSV ingest: same roundtrip contract through the
+    // from_csv split (quoting, separators, and numeric coercion are
+    // where CSV readers silently lose data — the hash check catches
+    // all of them)
+    QueryDef("doc_csv_roundtrip",
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = load(s, d, "documents")
+      val dir = TempState.dir(
+        "csv|" + s.sparkContext.applicationId + "|" + d) { r =>
+        graft.sources.FileIngest.writeCsv(docs, s"$r/docs_csv")
+      }
+      graft.sources.FileIngest.csv(s, s"$dir/docs_csv", docs.schema)
+        .good
+        .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
     })
 }

@@ -113,6 +113,20 @@ object TransactionalStore {
     parse(Files.readString(Paths.get(root, "manifest", s"v$v.json")))
   }
 
+  /** Time travel: a PAST committed manifest. Immutable data files +
+    * versioned manifests make any retained commit a consistent
+    * snapshot for free (the Delta/Iceberg contract); resolvable while
+    * the version is within [[vacuum]]'s retention window.
+    */
+  def readAt(root: String, version: Long): Manifest = {
+    val p = Paths.get(root, "manifest", s"v$version.json")
+    if (!Files.exists(p))
+      throw new IllegalArgumentException(
+        s"manifest v$version not found under $root " +
+          "(never committed, or vacuumed past retention)")
+    parse(Files.readString(p))
+  }
+
   /** Publish a new manifest: the single atomic transaction point.
     * Refuses fencing tokens below the stored head's — a stale
     * leaseholder that lost the lock cannot clobber the new owner

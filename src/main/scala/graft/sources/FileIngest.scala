@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Batch file ingestion for raw training-data drops (JSONL / CSV),
+  * with the dead-letter discipline the streaming engine applies to
+  * its topic (`graft.streaming.CdcEngine`'s DLQ, after the
+  * reference's malformed-message strategy — internal/parse/parse.go)
+  * carried over to the batch layer: every input line either parses
+  * into the declared schema or lands, verbatim, in a quarantine
+  * frame — nothing is silently dropped, and a single malformed line
+  * never fails a 100 TB load.
+  *
+  * Shape: ONE text scan per source; the parse is a codegen'd
+  * `from_json`/`from_csv` projection over it, so good rows and bad
+  * rows come off the same pass (Spark's file-native corrupt-record
+  * column forbids filtering on it straight off the scan — parsing
+  * text explicitly sidesteps that and keeps the split one-pass).
+  * `spark.read.text` handles directories, globs, and compressed
+  * parts; gzip parts are non-splittable (one task per file), so
+  * production drops should arrive as many part files — the layout
+  * `write*` below produces.
+  */
+object FileIngest {
+
+  /** Quarantine column: the raw line that failed to parse. */
+  val CorruptCol = "_bad_record"
+
+  /** Good rows (declared schema) + bad rows (`_bad_record` string). */
+  final case class Ingested(good: DataFrame, bad: DataFrame)
+
+  private def split(raw: DataFrame, parsed: Column,
+      schema: StructType): Ingested = {
+    val r = raw.select(parsed.as("r"))
+    val good = r.filter(col(s"r.$CorruptCol").isNull)
+      .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
+    val bad = r.filter(col(s"r.$CorruptCol").isNotNull)
+      .select(col(s"r.$CorruptCol").as(CorruptCol))
+    Ingested(good, bad)
+  }
+
+  /** Read JSON-lines under `path` (file, dir, or glob) into `schema`.
+    * A line that is not valid JSON, or whose values cannot coerce to
+    * the schema, quarantines; a merely MISSING field is a null (the
+    * usual JSONL contract — schema evolution adds fields over time).
+    */
+  def jsonl(spark: SparkSession, path: String,
+      schema: StructType): Ingested = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not declare $CorruptCol")
+    val withCorrupt = schema.add(CorruptCol, StringType)
+    val raw = spark.read.text(path)
+    split(raw,
+      from_json(col("value"), withCorrupt, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> CorruptCol)),
+      schema)
+  }
+
+  /** Read headerless CSV under `path` into `schema` (write with
+    * [[writeCsv]] — headerless keeps the text scan trivially
+    * splittable and order-free; a header line would need a
+    * distributed "is this line 1 of its file" guard). Unlike JSONL,
+    * CSV fields are positional, so ANY arity violation — too many or
+    * too few fields — quarantines the line along with type clashes
+    * (spec-pinned).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      sep: String = ","): Ingested = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not declare $CorruptCol")
+    val withCorrupt = schema.add(CorruptCol, StringType)
+    val raw = spark.read.text(path)
+    split(raw,
+      from_csv(col("value"), withCorrupt, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> CorruptCol,
+        "sep" -> sep)),
+      schema)
+  }
+
+  /** Write `df` as JSONL part files (the inverse of [[jsonl]]). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Write `df` as headerless CSV part files (inverse of [[csv]]). */
+  def writeCsv(df: DataFrame, path: String, sep: String = ","): Unit =
+    df.write.mode("overwrite").option("header", "false")
+      .option("sep", sep).csv(path)
+}

@@ -114,6 +114,25 @@ final class CdcEngine(
     DstTable.readCurrent(spark, meta, man.tables(name))
   }
 
+  /** The store's committed manifest version (advances once per
+    * transaction; the argument [[readTableAt]] accepts).
+    */
+  def storeVersion: Long = TransactionalStore.read(root).version
+
+  /** Time-travel read: the table as of a PAST committed manifest —
+    * the reference's state select (S8) extended with the snapshot
+    * isolation the manifest layout gives for free: every commit's
+    * file list is immutable, so any retained version replays as a
+    * consistent table. Versions older than the vacuum retention
+    * window are refused (TransactionalStore.readAt).
+    */
+  def readTableAt(name: String, version: Long): DataFrame = {
+    val man = TransactionalStore.readAt(root, version)
+    val meta = tables.values.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"unknown table $name"))
+    DstTable.readCurrent(spark, meta, man.tables(name))
+  }
+
   /** Point-read: the committed rows for a key set, scanning ONLY the
     * buckets those keys hash into. `keys` carries the table's
     * primary-key columns (extra columns are ignored). The probed

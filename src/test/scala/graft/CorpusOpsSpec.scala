@@ -261,6 +261,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(5L) === ((1L, 1L, "")))     // fully boilerplate
   }
 
+  test("weightedSample: matches local A-ES, biases to weight, stable") {
+    import graft.functions.GraftFunctions
+    val rows = (0L until 400L).map(i =>
+      (i, if (i < 200) 1.0 else 50.0)) // ids 200+ carry 50x weight
+    val df = rows.toDF("id", "w")
+    val k = 40
+    val got = PipelineOps.weightedSample(df, col("id"), col("w"), k)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // local replay of the same priorities
+    def phash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % GraftFunctions.PhMod)
+    def pri(id: Long, w: Double): Double = {
+      val h = (phash(id.toString) * GraftFunctions.SampleA +
+        GraftFunctions.SampleB) % GraftFunctions.PhMod
+      math.log((h + 1.0) / (GraftFunctions.PhMod + 1.0)) / w
+    }
+    val local = rows.sortBy { case (i, w) => (-pri(i, w), i) }
+      .take(k).map(_._1).toSet
+    assert(got === local)
+    // the 50x-weight half dominates the sample
+    assert(got.count(_ >= 200L) > k * 3 / 4,
+      s"heavy half got ${got.count(_ >= 200L)}/$k slots")
+    // partition-layout independence
+    val got2 = PipelineOps.weightedSample(df.repartition(13),
+      col("id"), col("w"), k).select("id").collect().map(_.getLong(0)).toSet
+    assert(got2 === got)
+    // zero/null weights are unsampleable
+    val withZero = (rows :+ ((999L, 0.0))).toDF("id", "w")
+    assert(!PipelineOps.weightedSample(withZero, col("id"), col("w"), 400)
+      .select("id").collect().map(_.getLong(0)).contains(999L))
+  }
+
   test("incrementalNearDup: verdicts batch-vs-corpus only, min match id") {
     // identical sets guarantee identical signatures → a band hit; the
     // [100,101] vs [100,101,102] pair fails the size prefilter at 0.95

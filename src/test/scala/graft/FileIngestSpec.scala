@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.FileIngest
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Batch JSONL/CSV ingestion with the quarantine split
+  * (graft.sources.FileIngest). Contracts:
+  *  - every input line is accounted for: good + bad = lines;
+  *  - a quarantined line is preserved VERBATIM (replayable after a
+  *    parser fix — the DLQ contract);
+  *  - a missing JSONL field is schema evolution (null), not a bad
+  *    record; a type violation is a bad record;
+  *  - write→read roundtrips are lossless for both formats.
+  */
+class FileIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("name", StringType),
+    StructField("score", DoubleType)))
+
+  private def tmpWrite(lines: Seq[String], ext: String): String = {
+    val dir = Files.createTempDirectory("graft-ingest")
+    Files.writeString(dir.resolve(s"part-0.$ext"),
+      lines.mkString("\n"))
+    dir.toString
+  }
+
+  test("jsonl: good/bad split, verbatim quarantine, missing-field null") {
+    val lines = Seq(
+      """{"id": 1, "name": "a", "score": 0.5}""",
+      """{"id": 2, "name": "b"}""", // missing field -> null, good
+      """not json at all""", // malformed -> bad
+      """{"id": "x&y", "name": "c", "score": 1.0}""") // type clash -> bad
+    val ing = FileIngest.jsonl(spark, tmpWrite(lines, "json"), schema)
+    val good = ing.good.collect()
+    val bad = ing.bad.collect().map(_.getString(0))
+    assert(good.length + bad.length === lines.length)
+    assert(bad.toSet === Set(lines(2), lines(3))) // verbatim
+    val byId = good.map(r => r.getLong(0) ->
+      ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(byId(1L) === ((Some("a"), Some(0.5))))
+    assert(byId(2L) === ((Some("b"), None))) // missing -> null
+  }
+
+  test("csv: type and arity violations quarantine (fixed-arity format)") {
+    val lines = Seq(
+      "1,a,0.5",
+      "2,b,oops", // non-numeric score -> bad
+      "3,c,1.5,EXTRA", // too many fields -> bad
+      "4,d") // too few -> bad too: CSV arity is part of the contract
+    val ing = FileIngest.csv(spark, tmpWrite(lines, "csv"), schema)
+    val good = ing.good.collect()
+    val bad = ing.bad.collect().map(_.getString(0))
+    assert(good.length + bad.length === lines.length)
+    assert(bad.toSet === Set(lines(1), lines(2), lines(3)))
+    assert(good.map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("jsonl and csv write->read roundtrips are lossless") {
+    val df = Seq((1L, "alpha beta", 0.25), (2L, "g,h \"quoted\"", -1.5),
+      (3L, "z", 1e9)).toDF("id", "name", "score")
+    for ((w, r) <- Seq[((String) => Unit, String => FileIngest.Ingested)](
+        (((p: String) => FileIngest.writeJsonl(df, p)),
+          (p: String) => FileIngest.jsonl(spark, p, df.schema)),
+        (((p: String) => FileIngest.writeCsv(df, p)),
+          (p: String) => FileIngest.csv(spark, p, df.schema)))) {
+      val dir = Files.createTempDirectory("graft-rt").toString + "/data"
+      w(dir)
+      val ing = r(dir)
+      assert(ing.bad.isEmpty)
+      assert(ing.good.orderBy("id").collect().toSeq ===
+        df.orderBy("id").collect().toSeq)
+    }
+  }
+}
