@@ -50,6 +50,16 @@ object GraftFunctions {
   def sampleHash(s: Column): Column =
     (portableHash(s) * SampleA + SampleB) % PhMod
 
+  /** Driver-side twins of [[portableHash]]/[[sampleHash]] for
+    * O(#probes) work (sketch probes, spec oracles) — the same
+    * arithmetic on plain JVM strings (equivalence is covered by
+    * NativeExprSpec's property tests against the column forms).
+    */
+  def portableHashLocal(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31L + c.toLong) % PhMod)
+  def sampleHashLocal(s: String): Long =
+    (portableHashLocal(s) * SampleA + SampleB) % PhMod
+
   def portableHashHof(s: Column): Column =
     aggregate(
       transform(filter(split(s, ""), c => c =!= lit("")), c => ascii(c).cast("long")),

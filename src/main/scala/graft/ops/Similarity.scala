@@ -60,6 +60,98 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Maximal Marginal Relevance: a diverse top-k over a relevance
+    * shortlist. Greedy, per query: pick argmax of
+    * `lam·sim(q,c) − (1−lam)·max_{s∈selected} sim(c,s)` (ties on
+    * candidate id), k rounds — the standard redundancy-penalized
+    * re-rank for retrieval-augmented sampling, where plain top-k
+    * returns k near-copies of the same document.
+    *
+    * Scale shape: the data-sized work is the shortlist build
+    * ([[knnBrute]] here; any ANN probe producing (q_id, c_id, sim_q)
+    * works). Everything after is shortlist-sized: the candidate-pair
+    * sims are |shortlist|² PER QUERY (corpus never re-enters), and
+    * each greedy round is one window argmax + one join, all partition
+    * -parallel across queries — millions of queries MMR-select
+    * concurrently with no driver-side per-query loop. Plans are cut
+    * per round (the kmeans/CC pattern), so the k-round loop cannot
+    * compound lineage.
+    *
+    * Determinism: similarities are quantized to MICRO-UNITS —
+    * `sim_e6 = round(cos·10⁶)` as BIGINT — and λ is the rational
+    * lamNum/lamDen, so every score is exact integer arithmetic:
+    * `score_e6 = lamNum·sim_e6 − (lamDen−lamNum)·maxsel_e6` (the MMR
+    * score scaled by lamDen·10⁶). Both engines replay the greedy
+    * walk bit-for-bit — no float rounding anywhere in the loop (a
+    * float-score variant died on cross-engine `round(x, 6)`
+    * disagreement at a half-ulp boundary; integers cannot). Returns
+    * (q_id, c_id, pick_rank, score_e6), persisted (callers may
+    * unpersist after consuming).
+    */
+  def mmrDiverseTopK(queries: DataFrame, corpus: DataFrame,
+      shortlist: Int, k: Int, lamNum: Int = 1, lamDen: Int = 2): DataFrame = {
+    require(k >= 1 && shortlist >= k, s"need shortlist >= k >= 1")
+    require(lamDen > 0 && lamNum >= 0 && lamNum <= lamDen,
+      s"lam = $lamNum/$lamDen must be in [0,1]")
+    val spark = queries.sparkSession
+    def e6(c: Column): Column = round(c * 1000000d, 0).cast("long")
+    // the knnBrute plan, but micro-unit sims straight off the RAW
+    // cosine — rounding the already-6-decimal-rounded knnBrute output
+    // again would reintroduce a cross-engine double-rounding hazard
+    val qs = queries.select(col("id").as("q_id"), col("vec").as("q_vec"))
+    val cs = corpus.select(col("id").as("c_id"), col("vec").as("c_vec"))
+    val ws = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    val short = cs.crossJoin(broadcast(qs))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", cosineI(col("q_vec"), col("c_vec")))
+      .withColumn("rnk", row_number().over(ws))
+      .filter(col("rnk") <= shortlist)
+      .select(col("q_id"), col("c_id"), e6(col("sim")).as("sim_e6"))
+    val cv = short.join(
+      corpus.select(col("id").as("c_id"), col("vec")), "c_id")
+    val pair = cv.select(col("q_id"), col("c_id"), col("vec").as("va"))
+      .join(cv.select(col("q_id"), col("c_id").as("cb2"),
+        col("vec").as("vb")), Seq("q_id"))
+      .select(col("q_id"), col("c_id"), col("cb2"),
+        e6(cosineI(col("va"), col("vb"))).as("sim_cc"))
+      .persist()
+    var state = short.withColumn("maxsel", lit(0L)).persist()
+    state.count()
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score_e6").desc, col("c_id"))
+    val score = lit(lamNum.toLong) * col("sim_e6") -
+      lit((lamDen - lamNum).toLong) * col("maxsel")
+    var picks = List.empty[DataFrame]
+    for (i <- 1 to k) {
+      val pick = state.withColumn("score_e6", score)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("c_id"), lit(i).as("pick_rank"),
+          col("score_e6"))
+        .persist()
+      pick.count()
+      picks ::= pick
+      if (i < k) {
+        val next = state
+          .join(pick.select(col("q_id"), col("c_id").as("cb2")), Seq("q_id"))
+          .filter(col("c_id") =!= col("cb2"))
+          .join(pair, Seq("q_id", "c_id", "cb2"))
+          .select(col("q_id"), col("c_id"), col("sim_e6"),
+            greatest(col("maxsel"), col("sim_cc")).as("maxsel"))
+          .persist()
+        next.count()
+        state.unpersist()
+        state = spark.createDataFrame(next.rdd, next.schema)
+      }
+    }
+    state.unpersist()
+    pair.unpersist()
+    val out = picks.reverse.reduce(_ unionByName _).persist()
+    out.count()
+    picks.foreach(_.unpersist())
+    out
+  }
+
   /** Deterministic pseudo-random hyperplane weight (plane j, dim i):
     * a fixed LCG over the flattened index, centered on zero. Shared
     * with the SQL oracle.

@@ -123,6 +123,61 @@ object Sketch {
     }
   }
 
+  /** Count-min sketch: the frequency-family complement of KMV's
+    * cardinality estimates. `depth` independent hash rows of `width`
+    * counters; a key's estimate is the MIN of its counters — always
+    * an OVERestimate (collisions only add), within εN with
+    * probability 1−δ for width = e/ε, depth = ln(1/δ). Uses the
+    * [[GraftFunctions.minhashA]]/[[GraftFunctions.minhashB]] affine
+    * family over [[kmvHash]], so the whole sketch — build AND probe —
+    * is integer arithmetic any SQL engine replays exactly.
+    *
+    * Scale shape: the build is ONE map-side-combining aggregation
+    * into depth·width counters (the exchange carries at most
+    * depth·width rows per map task, never the key domain); the
+    * result is a driver-held array of depth·width longs — the point
+    * of the sketch is that this is broadcastable at any corpus size.
+    */
+  def countMin(df: DataFrame, key: Column, depth: Int,
+      width: Int): CountMin = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape $depth x $width")
+    val h = kmvHash(key)
+    val rows = (0 until depth).map { j =>
+      struct(lit(j).as("j"), cmBucket(h, j, width).as("b"))
+    }
+    val counts = df.select(explode(array(rows: _*)).as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    val table = Array.fill(depth, width)(0L)
+    counts.foreach(r => table(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    CountMin(depth, width, table)
+  }
+
+  /** Counter index of `hash` in sketch row `j`: an affine rescramble
+    * (the minhash permutation family) mod width — shared with the SQL
+    * twin via [[cmBucketSqlOver]].
+    */
+  def cmBucket(hash: Column, j: Int, width: Int): Column =
+    pmod(hash * GraftFunctions.minhashA(j) + GraftFunctions.minhashB(j),
+      lit(GraftFunctions.PhMod)) % width
+
+  /** DuckDB text of [[cmBucket]] over a hash expression. */
+  def cmBucketSqlOver(hashSql: String, j: Int, width: Int): String =
+    s"((($hashSql) * ${GraftFunctions.minhashA(j)} + " +
+      s"${GraftFunctions.minhashB(j)}) % ${GraftFunctions.PhMod}) % $width"
+
+  /** A materialized count-min table; `estimate` probes it. */
+  final case class CountMin(depth: Int, width: Int, table: Array[Array[Long]]) {
+    def estimate(hash: Long): Long =
+      (0 until depth).map { j =>
+        val b = (((hash * GraftFunctions.minhashA(j) +
+          GraftFunctions.minhashB(j)) % GraftFunctions.PhMod +
+          GraftFunctions.PhMod) % GraftFunctions.PhMod) % width
+        table(j)(b.toInt)
+      }.min
+  }
+
   /** Run the KMV sketch over `key`. Two scans in the common case
     * (HLL sizing + filtered top-k); every exchange is O(k).
     */

@@ -20,6 +20,10 @@ object EmbQueries {
   private val Planes = 32
   private val Dims = 64
   private val K = 10
+
+  /** emb_mmr_topk: shortlist width and diverse-pick count. */
+  private val MmrShortlist = 16
+  private val MmrK = 6
   private val NearDupThreshold = 0.3
   private val NearDupBands = 8
   private val KmeansK = 8
@@ -247,6 +251,62 @@ object EmbQueries {
         .select(col("vec_id").as("id"), Similarity.quantize(col("embedding")).as("vec"))
       Similarity.knnBrute(vecs.filter(col("id") < 8), vecs, K)
         .orderBy("q_id", "rank")
+    },
+
+    // MMR diverse top-k (Similarity.mmrDiverseTopK): greedy
+    // redundancy-penalized re-rank over the relevance shortlist —
+    // score = λ·sim(q,c) − (1−λ)·max sim(c, selected). The twin
+    // UNROLLS the k greedy rounds as CTE pairs (the kmeans-oracle
+    // pattern) from the same Scala loop, over the same rounded
+    // deterministic sims — an engine that picks a different document
+    // at ANY round diverges immediately.
+    QueryDef("emb_mmr_topk", {
+      val rounds = (1 to MmrK).map { i =>
+        val prev = if (i == 1) "st0" else s"st${i - 1}"
+        val pick =
+          s"""p$i AS (SELECT q_id, c_id, $i AS pick_rank, score_e6 FROM (
+             |  SELECT q_id, c_id, sim_e6 - maxsel AS score_e6,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY sim_e6 - maxsel DESC, c_id) AS rn
+             |  FROM $prev) WHERE rn = 1)""".stripMargin
+        val step = if (i == MmrK) "" else
+          s""",
+             |st$i AS (SELECT s.q_id, s.c_id, s.sim_e6,
+             |  greatest(s.maxsel, pp.sim_cc) AS maxsel
+             |  FROM $prev s JOIN p$i p USING (q_id)
+             |  JOIN pair pp ON pp.q_id = s.q_id AND pp.ca = s.c_id
+             |    AND pp.cb = p.c_id
+             |  WHERE s.c_id <> p.c_id)""".stripMargin
+        pick + step
+      }.mkString(",\n")
+      val cosXY = "list_dot_product(x.e, y.e) / nullif(" +
+        "sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e)), 0.0)"
+      s"""WITH $sqlQuant,
+         |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, $sqlCos AS sim
+         |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 8),
+         |short AS (SELECT q_id, c_id,
+         |  CAST(round(sim * 1000000) AS BIGINT) AS sim_e6 FROM (
+         |  SELECT q_id, c_id, sim, row_number() OVER
+         |    (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk FROM scored)
+         |  WHERE rnk <= $MmrShortlist),
+         |pair AS (SELECT s.q_id, s.c_id AS ca, t.c_id AS cb,
+         |  CAST(round(($cosXY) * 1000000) AS BIGINT) AS sim_cc
+         |  FROM short s JOIN short t USING (q_id)
+         |  JOIN q x ON x.vec_id = s.c_id JOIN q y ON y.vec_id = t.c_id),
+         |st0 AS (SELECT q_id, c_id, sim_e6,
+         |  CAST(0 AS BIGINT) AS maxsel FROM short),
+         |$rounds
+         |SELECT q_id, c_id, pick_rank, score_e6 FROM (
+         |${(1 to MmrK).map(i => s"  SELECT * FROM p$i").mkString(" UNION ALL\n")})
+         |ORDER BY q_id, pick_rank""".stripMargin
+    }) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"))
+      Similarity.mmrDiverseTopK(vecs.filter(col("id") < 8), vecs,
+          shortlist = MmrShortlist, k = MmrK, lamNum = 1, lamDen = 2)
+        .orderBy("q_id", "pick_rank")
     },
 
     // hyperplane-LSH bucketing (the scale path's partitioner)

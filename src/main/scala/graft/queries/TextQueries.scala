@@ -180,6 +180,11 @@ object TextQueries {
 
   /** doc_weighted_sample size (fixed sample, corpus-size-free). */
   private val WeightedSampleK = 64
+
+  /** doc_token_cmsketch shape: 4×256 counters, top-16 tokens probed. */
+  private val CmDepth = 4
+  private val CmWidth = 256
+  private val CmProbeK = 16
   private val ShuffleSeed = 42L
   private val ShuffleShards = 16
   private val IndexBlockDocs = 128L
@@ -1475,6 +1480,49 @@ object TextQueries {
       Multimodal.sampleFrames(load(s, d, "documents"), "text", 64, 2)
         .select("doc_id", "n_frames", "n_sampled", "frame_feature_sum")
         .orderBy("doc_id")
+    },
+
+    // count-min frequency sketch (Sketch.countMin): depth×width
+    // integer counters built in ONE map-side-combining aggregation;
+    // the corpus's top tokens are probed against the sketch and the
+    // exact counts ride alongside — every estimate must be >= exact
+    // (min-of-counters never undercounts) and the twin rebuilds the
+    // identical counter table from the shared hash family.
+    QueryDef("doc_token_cmsketch", {
+      val buildRows = (0 until CmDepth).map(j =>
+        s"  SELECT $j AS j, ${graft.ops.Sketch.cmBucketSqlOver("hh", j, CmWidth)} AS b FROM h")
+        .mkString("\n  UNION ALL\n")
+      val probeRows = (0 until CmDepth).map(j =>
+        s"  SELECT tok, n_exact, $j AS j, ${graft.ops.Sketch.cmBucketSqlOver("hh", j, CmWidth)} AS b FROM tp")
+        .mkString("\n  UNION ALL\n")
+      s"""WITH toks AS (SELECT unnest($sqlToks) AS tok FROM documents),
+         |h AS (SELECT ${sqlSampleHash("tok")} AS hh FROM toks),
+         |cnt AS (SELECT j, b, count(*) AS c FROM (
+         |$buildRows) GROUP BY j, b),
+         |top AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok
+         |  ORDER BY n_exact DESC, tok LIMIT $CmProbeK),
+         |tp AS (SELECT tok, n_exact, ${sqlSampleHash("tok")} AS hh FROM top),
+         |pb AS (
+         |$probeRows),
+         |est AS (SELECT tok, n_exact, min(c) AS n_est
+         |  FROM pb JOIN cnt USING (j, b) GROUP BY tok, n_exact)
+         |SELECT tok, n_exact, n_est, n_est - n_exact AS overcount
+         |FROM est ORDER BY n_exact DESC, tok""".stripMargin
+    }) { (s, d) =>
+      val toks = load(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+      val cm = graft.ops.Sketch.countMin(toks, col("tok"),
+        depth = CmDepth, width = CmWidth)
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok")).limit(CmProbeK)
+        .collect()
+      import s.implicits._
+      top.toSeq.map { r =>
+        val t = r.getString(0); val n = r.getLong(1)
+        val est = cm.estimate(sampleHashLocal(t))
+        (t, n, est, est - n)
+      }.toDF("tok", "n_exact", "n_est", "overcount")
+        .orderBy(col("n_exact").desc, col("tok"))
     },
 
     // weighted sampling without replacement (Efraimidis–Spirakis,

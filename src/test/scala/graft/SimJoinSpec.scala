@@ -147,4 +147,32 @@ class SimJoinSpec extends SparkSpec {
     assert(n2.nonEmpty && brute.nonEmpty)
     cents.unpersist()
   }
+
+  test("MMR picks relevance first, then diversity beats redundancy") {
+    // query 100 along dim 0. Candidates: 1, 2 near-duplicates highly
+    // aligned with q; 3 less relevant but orthogonal-ish. Plain top-2
+    // is {1, 2}; MMR at lam=1/2 must pick 1 (pure relevance), then 3
+    // (2's redundancy penalty ~1.0 sinks it), then 2.
+    val rows = Seq(
+      (100L, Seq(1000L, 0L, 0L, 0L)),
+      (1L, Seq(999L, 40L, 0L, 0L)),
+      (2L, Seq(998L, 60L, 0L, 0L)),
+      (3L, Seq(500L, 0L, 866L, 0L))).toDF("id", "vec")
+    val q = rows.filter(col("id") === 100L)
+    val got = Similarity.mmrDiverseTopK(q, rows, shortlist = 3, k = 3)
+      .orderBy("pick_rank")
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq === Seq(1L, 3L, 2L),
+      s"pick order was ${got.toSeq}")
+    assert(got.map(_._2).toSeq === Seq(1, 2, 3))
+    // pick 1 is pure relevance: score_e6 = 1 * sim_e6 (maxsel = 0)
+    val sim1 = rows.filter(col("id") === 1L).crossJoin(q.select(
+        col("vec").as("qv")))
+      .select(org.apache.spark.sql.functions.round(
+        Similarity.cosineI(col("vec"), col("qv")) * 1000000d, 0)
+        .cast("long")).head().getLong(0)
+    assert(got(0)._3 === sim1)
+    // later picks carry a strictly positive redundancy penalty
+    assert(got(2)._3 < got(0)._3)
+  }
 }

@@ -88,6 +88,26 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(r.jaccardEst - 15000.0 / 45000.0) < 0.15)
   }
 
+  test("countMin: never undercounts, exact at no-collision width") {
+    // 2000 rows over 50 keys with zipf-ish skew
+    val df = spark.range(0L, 2000L)
+      .select((col("id") % (col("id") % 50L + 1L)).as("k"))
+    val key = concat_ws("|", lit("cm"), col("k"))
+    val exact = df.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // tiny sketch: collisions guaranteed -> estimates only ever OVER
+    val tiny = Sketch.countMin(df, key, depth = 2, width = 4)
+    // roomy sketch: 2x50 keys in 4x512 counters -> near-always exact
+    val big = Sketch.countMin(df, key, depth = 4, width = 512)
+    exact.foreach { case (k, n) =>
+      val h = GraftFunctions.sampleHashLocal(s"cm|$k")
+      assert(tiny.estimate(h) >= n, s"undercount for $k")
+      assert(big.estimate(h) === n, s"collision at width 512 for $k")
+    }
+    // total mass per row is conserved
+    assert(tiny.table.map(_.sum).toSeq === Seq(2000L, 2000L))
+  }
+
   test("the survivor filter keeps the distinct exchange at O(k)") {
     val n = 200000L
     val k = 64
