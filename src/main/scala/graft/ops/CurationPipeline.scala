@@ -29,13 +29,27 @@ object CurationPipeline {
       maxStopwordRatio: Double = 0.5,
       minTypeTokenRatio: Double = 0.2,
       keepLang: String = "en",
-      bucketCap: Int = 32)
+      bucketCap: Int = 32,
+      // optional stage 0: sub-document boilerplate removal
+      // (Dedup.dropFrequentChunks) BEFORE the document-level stages,
+      // so repeated headers/footers neither link unrelated docs into
+      // near-dup groups nor pad quality metrics. Off by default —
+      // enabling it changes every downstream text-derived column.
+      chunkDedupWindow: Option[Int] = None,
+      chunkDedupMaxDf: Long = 2)
 
   /** `docs`: (doc_id long, text string). Returns the kept documents
     * with the per-stage decision columns (for auditability).
     */
   def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val base = docs
+    val cleaned = cfg.chunkDedupWindow match {
+      case Some(w) =>
+        Dedup.dropFrequentChunks(docs, col("doc_id"), col("text"),
+            window = w, maxDocFreq = cfg.chunkDedupMaxDf)
+          .select(col("id").as("doc_id"), col("clean_text").as("text"))
+      case None => docs
+    }
+    val base = cleaned
       .withColumn("toks", tokens(col("text")))
       .withColumn("hs", Dedup.tokenHashSet(col("text")))
 

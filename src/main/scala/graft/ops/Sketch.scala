@@ -123,6 +123,20 @@ object Sketch {
     }
   }
 
+  /** Fold per-bucket k-min lists (the streaming sketch's emitted
+    * state, `streaming.StreamOps.kmvSketchStream`) into the global
+    * KMV answer. Exact w.r.t. the batch sketch over the same rows:
+    * every one of the global k smallest distinct hashes is the
+    * smallest-k of ITS bucket, so the union of bucket lists always
+    * contains them.
+    */
+  def kmvMergeBuckets(k: Int, bucketMins: Seq[Seq[Long]]): Kmv = {
+    val ks = bucketMins.flatten.distinct.sorted.take(k)
+    if (ks.length < k)
+      Kmv(k, ks.length, if (ks.isEmpty) 0L else ks.last, ks.length.toDouble)
+    else Kmv(k, k, ks.last, kmvEstimate(k, ks.last))
+  }
+
   /** Count-min sketch: the frequency-family complement of KMV's
     * cardinality estimates. `depth` independent hash rows of `width`
     * counters; a key's estimate is the MIN of its counters — always

@@ -48,6 +48,51 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  final case class KmvBucketIn(bucket: Int, h: Long)
+  final case class KmvBucketState(mins: Array[Long])
+  final case class KmvBucketOut(bucket: Int, mins: Seq[Long])
+
+  /** Streaming KMV distinct-cardinality sketch — the continuous form
+    * of `ops.Sketch.kmvDistinct` for "how many distinct keys has this
+    * stream carried so far". Rows are pre-bucketed by hash
+    * ([[kmvBucketize]]) so state shuffles across `buckets` tasks, not
+    * one; each bucket keeps its k smallest DISTINCT hashes (state ≤
+    * buckets·k longs, inherently bounded — NoTimeout is safe because
+    * the key domain is the fixed bucket set, not the data's keys).
+    * Each trigger emits every updated bucket's current k-mins;
+    * `Sketch.kmvMergeBuckets` folds any snapshot of them into the
+    * global estimate, which is EXACTLY the batch sketch's answer over
+    * the same rows: the global k smallest distinct hashes are a
+    * subset of the union of per-bucket k smallest (spec-pinned).
+    */
+  def kmvSketchStream(hashed: Dataset[KmvBucketIn],
+      k: Int): Dataset[KmvBucketOut] = {
+    import hashed.sparkSession.implicits._
+    hashed.groupByKey(_.bucket)
+      .flatMapGroupsWithState[KmvBucketState, KmvBucketOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket, rows, state: GroupState[KmvBucketState]) =>
+          val cur = state.getOption.map(_.mins).getOrElse(Array.empty[Long])
+          val merged = (cur ++ rows.map(_.h)).distinct.sorted.take(k)
+          state.update(KmvBucketState(merged))
+          Iterator(KmvBucketOut(bucket, merged.toSeq))
+      }
+  }
+
+  /** Map (any frame, key column) to the bucketed hash rows
+    * [[kmvSketchStream]] consumes — the same hash family as the batch
+    * sketch, bucketed by its low bits.
+    */
+  def kmvBucketize(df: DataFrame, key: org.apache.spark.sql.Column,
+      buckets: Int): Dataset[KmvBucketIn] = {
+    import df.sparkSession.implicits._
+    df.select(
+        pmod(graft.ops.Sketch.kmvHash(key), lit(buckets.toLong))
+          .cast("int").as("bucket"),
+        graft.ops.Sketch.kmvHash(key).as("h"))
+      .as[KmvBucketIn]
+  }
+
   final case class SessionInput(userId: Long, tsUs: Long)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(userId: Long, startUs: Long, endUs: Long,

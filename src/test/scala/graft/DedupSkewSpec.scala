@@ -196,4 +196,25 @@ class DedupSkewSpec extends SparkSpec {
     assert(clusterRows.count(_.getBoolean(1)) == 1,
       "exact-dedup canonical is unique in the cluster")
   }
+
+  test("curation pipeline: optional chunk-dedup stage strips boilerplate") {
+    // every doc shares a 4-token boilerplate header; bodies distinct
+    val header = "copyright footer legal text"
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"$header unique body number$i words w$i x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    val cfg = graft.ops.CurationPipeline.Config(
+      minTokens = 5, chunkDedupWindow = Some(4), chunkDedupMaxDf = 2)
+    val out = graft.ops.CurationPipeline.curate(docs, cfg)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 12 tokens per doc, the 4-token header chunk dropped everywhere
+    assert(out.values.toSet === Set(8L),
+      s"token counts after chunk dedup: $out")
+    // default config leaves the text alone
+    val plain = graft.ops.CurationPipeline.curate(docs,
+        graft.ops.CurationPipeline.Config(minTokens = 5))
+      .select("n_tokens").collect().map(_.getLong(0)).toSet
+    assert(plain === Set(12L))
+  }
 }

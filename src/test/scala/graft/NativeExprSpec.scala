@@ -22,6 +22,22 @@ class NativeExprSpec extends SparkSpec {
     assert(bad.isEmpty, bad.take(3).mkString(","))
   }
 
+  test("driver-side hash twins == column hashes over varied strings") {
+    val samples = Seq("", "a", "hello world", "cm|42", "lang:doc_7",
+      "x" * 300) ++
+      (0 until 200).map(i =>
+        new scala.util.Random(1000 + i).alphanumeric.take(i % 50).mkString)
+    val df = samples.toDF("s")
+      .select(col("s"), GraftFunctions.portableHash(col("s")).as("ph"),
+        GraftFunctions.sampleHash(col("s")).as("sh"))
+      .collect()
+    df.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getLong(1) === GraftFunctions.portableHashLocal(s), s"ph($s)")
+      assert(r.getLong(2) === GraftFunctions.sampleHashLocal(s), s"sh($s)")
+    }
+  }
+
   test("native dot == HOF dot, and both survive codegen pipelines") {
     val rnd = new scala.util.Random(7)
     val rows = (0 until 100).map { _ =>

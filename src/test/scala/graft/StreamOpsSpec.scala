@@ -54,6 +54,36 @@ class StreamOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L, 4L)) // doc 3 (duplicate of h1) dropped
   }
 
+  test("streaming KMV sketch merges to exactly the batch estimate") {
+    import graft.streaming.StreamOps.KmvBucketIn
+    implicit val sq = spark.sqlContext
+    val k = 64
+    val buckets = 8
+    val keys1 = (0L until 3000L).map(i => s"k$i")
+    val keys2 = (1500L until 5000L).map(i => s"k$i") // overlap + new
+    val in = MemoryStream[String]
+    val hashed = StreamOps.kmvBucketize(in.toDF().toDF("key"),
+      col("key"), buckets)
+    val q = StreamOps.kmvSketchStream(hashed, k)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmvs").start()
+    in.addData(keys1: _*)
+    q.processAllAvailable()
+    in.addData(keys2: _*)
+    q.processAllAvailable()
+    // latest emitted state per bucket (update mode appends revisions)
+    val snap = spark.table("kmvs").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1)))
+      .zipWithIndex
+      .groupBy(_._1._1).map { case (_, rs) => rs.maxBy(_._2)._1._2 }.toSeq
+    q.stop()
+    val got = graft.ops.Sketch.kmvMergeBuckets(k, snap)
+    val batch = graft.ops.Sketch.kmvDistinct(
+      (keys1 ++ keys2).toDF("key"), col("key"), k)
+    assert(got === batch, s"stream $got vs batch $batch")
+    assert(math.abs(got.estimate - 5000.0) / 5000.0 < 0.5)
+  }
+
   test("streaming as-of enrichment matches the batch as-of join") {
     import graft.streaming.StreamOps.{AsofInput, AsofOut}
     implicit val sq = spark.sqlContext
