@@ -105,6 +105,49 @@ object EngineE2EQueries {
       lit(off).as("offset"))
       .withColumn("tableId", lit(0))
 
+  /** The two-batch time-travel fixture's engine config — one function
+    * so the build and every reader construct the identical engine.
+    */
+  private def ttCfg(root: String): EngineConfig =
+    EngineConfig("tt-query",
+      Seq(StreamConfig(0, s"$root/src", "users", partitions = 8)),
+      s"$root/dst", ProblemStrategy.Stop,
+      maxBatchSize = Int.MaxValue, buckets = 32)
+
+  /** Build (memoized per session+dataset) the two-batch engine
+    * fixture cdc_engine_time_travel and cdc_engine_snapshot_diff
+    * share: batch 1 = events below the id midpoint, snapshot version
+    * recorded, batch 2 = the rest. Returns the fixture root.
+    */
+  private def ttFixtureRoot(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    TempState.dir("engine-tt|" + s.sparkContext.applicationId + "|" + d) { r =>
+      val cdc = Tables.cdcView(s, d).persist()
+      val mx = cdc.agg(max("event_id"), max("step_us")).head()
+      val maxId = mx.getLong(0)
+      val maxPos = mx.getLong(1) + 1L
+      val cut = maxId / 2L + 1L
+      val engine = new CdcEngine(s, ttCfg(r), Map(0 -> usersMeta))
+      engine.bootstrap()
+      val slice0 = cdc.filter(col("event_id") < cut)
+      val hb0 = slice0.agg(max("step_us")).head().getLong(0)
+      engine.processBatch(changeFrame(slice0).unionByName(
+        hbFrame(s, hb0, maxId + 1L)
+          .select(changeFrame(slice0).columns.map(col): _*)), 0L)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(r, "SNAPSHOT_VERSION"),
+        engine.storeVersion.toString)
+      val slice1 = cdc.filter(col("event_id") >= cut)
+      engine.processBatch(changeFrame(slice1).unionByName(
+        hbFrame(s, maxPos, maxId + 2L)
+          .select(changeFrame(slice1).columns.map(col): _*)), 1L)
+      cdc.unpersist()
+    }
+
+  private def ttSnapshotVersion(root: String): Long =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "SNAPSHOT_VERSION")).trim.toLong
+
   val all: Seq[QueryDef] = Seq(
 
     // the engine applied over FOUR successive micro-batches, quorum
@@ -286,37 +329,67 @@ object EngineE2EQueries {
          |FROM e GROUP BY user_id
          |HAVING max_by(op, rn) = 0
          |ORDER BY user_id""".stripMargin) { (s, d) =>
-      def cfg(root: String) = EngineConfig("tt-query",
-        Seq(StreamConfig(0, s"$root/src", "users", partitions = 8)),
-        s"$root/dst", ProblemStrategy.Stop,
-        maxBatchSize = Int.MaxValue, buckets = 32)
-      val root = TempState.dir(
-        "engine-tt|" + s.sparkContext.applicationId + "|" + d) { r =>
-        val cdc = Tables.cdcView(s, d).persist()
-        val mx = cdc.agg(max("event_id"), max("step_us")).head()
-        val maxId = mx.getLong(0)
-        val maxPos = mx.getLong(1) + 1L
-        val cut = maxId / 2L + 1L
-        val engine = new CdcEngine(s, cfg(r), Map(0 -> usersMeta))
-        engine.bootstrap()
-        val slice0 = cdc.filter(col("event_id") < cut)
-        val hb0 = slice0.agg(max("step_us")).head().getLong(0)
-        engine.processBatch(changeFrame(slice0).unionByName(
-          hbFrame(s, hb0, maxId + 1L)
-            .select(changeFrame(slice0).columns.map(col): _*)), 0L)
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(r, "SNAPSHOT_VERSION"),
-          engine.storeVersion.toString)
-        val slice1 = cdc.filter(col("event_id") >= cut)
-        engine.processBatch(changeFrame(slice1).unionByName(
-          hbFrame(s, maxPos, maxId + 2L)
-            .select(changeFrame(slice1).columns.map(col): _*)), 1L)
-        cdc.unpersist()
-      }
-      val snapVersion = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(root, "SNAPSHOT_VERSION")).trim.toLong
-      new CdcEngine(s, cfg(root), Map(0 -> usersMeta))
-        .readTableAt("users", snapVersion)
+      val root = ttFixtureRoot(s, d)
+      new CdcEngine(s, ttCfg(root), Map(0 -> usersMeta))
+        .readTableAt("users", ttSnapshotVersion(root))
+        .orderBy("user_id")
+    },
+
+    // SNAPSHOT DIFF: the time-travel read composed with
+    // ops.TableDiff — what batch 2 did to the table, stated as one
+    // row per key (added / changed / unchanged; removed = a key the
+    // second batch erased). ONE full-outer join between two snapshots
+    // of the same bucketed table. The oracle derives both LWW states
+    // independently and diffs them in SQL, so a diff that mislabels a
+    // single key (or a time-travel read that leaks) breaks the hash.
+    QueryDef("cdc_engine_snapshot_diff",
+      s"""WITH $CDC,
+         |b AS (SELECT max(event_id) // 2 + 1 AS cut FROM cdc),
+         |s0 AS (SELECT cdc.* FROM cdc, b WHERE event_id < cut),
+         |ra AS (SELECT *, row_number() OVER
+         |        (PARTITION BY user_id ORDER BY step_us, event_id) AS rn
+         |      FROM s0),
+         |ea AS (SELECT *, max(CASE WHEN op = 1 THEN rn END) OVER
+         |        (PARTITION BY user_id) AS erase_rn FROM ra),
+         |ta AS (SELECT user_id,
+         |  max_by(value, rn) FILTER (WHERE op = 0 AND has_value
+         |    AND rn > coalesce(erase_rn, 0)) AS value,
+         |  max_by(props, rn) FILTER (WHERE op = 0 AND has_props
+         |    AND rn > coalesce(erase_rn, 0)) AS props
+         |  FROM ea GROUP BY user_id HAVING max_by(op, rn) = 0),
+         |rb AS (SELECT *, row_number() OVER
+         |        (PARTITION BY user_id ORDER BY step_us, event_id) AS rn
+         |      FROM cdc),
+         |eb AS (SELECT *, max(CASE WHEN op = 1 THEN rn END) OVER
+         |        (PARTITION BY user_id) AS erase_rn FROM rb),
+         |tb AS (SELECT user_id,
+         |  max_by(value, rn) FILTER (WHERE op = 0 AND has_value
+         |    AND rn > coalesce(erase_rn, 0)) AS value,
+         |  max_by(props, rn) FILTER (WHERE op = 0 AND has_props
+         |    AND rn > coalesce(erase_rn, 0)) AS props
+         |  FROM eb GROUP BY user_id HAVING max_by(op, rn) = 0)
+         |SELECT coalesce(ta.user_id, tb.user_id) AS user_id,
+         |  CASE WHEN ta.user_id IS NULL THEN 'added'
+         |       WHEN tb.user_id IS NULL THEN 'removed'
+         |       WHEN (ta.value IS DISTINCT FROM tb.value)
+         |         OR (ta.props IS DISTINCT FROM tb.props) THEN 'changed'
+         |       ELSE 'unchanged' END AS status,
+         |  CASE WHEN ta.user_id IS NOT NULL AND tb.user_id IS NOT NULL
+         |    THEN array_to_string(list_filter([
+         |      CASE WHEN ta.value IS DISTINCT FROM tb.value
+         |        THEN 'value' END,
+         |      CASE WHEN ta.props IS DISTINCT FROM tb.props
+         |        THEN 'props' END], x -> x IS NOT NULL), ',')
+         |    ELSE '' END AS changed_cols
+         |FROM ta FULL OUTER JOIN tb ON ta.user_id = tb.user_id
+         |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val root = ttFixtureRoot(s, d)
+      val engine = new CdcEngine(s, ttCfg(root), Map(0 -> usersMeta))
+      graft.ops.TableDiff.diff(
+          engine.readTableAt("users", ttSnapshotVersion(root)),
+          engine.readTable("users"),
+          keys = Seq("user_id"), compareCols = Seq("value", "props"))
+        .withColumn("changed_cols", array_join(col("changed_cols"), ","))
         .orderBy("user_id")
     },
 

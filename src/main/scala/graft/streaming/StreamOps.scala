@@ -93,6 +93,51 @@ object StreamOps {
       .as[KmvBucketIn]
   }
 
+  final case class CmIn(j: Int, b: Long)
+  final case class CmState(counts: Map[Long, Long])
+  final case class CmOut(j: Int, b: Long, c: Long)
+
+  /** Streaming count-min sketch — the continuous form of
+    * `ops.Sketch.countMin`. Rows arrive pre-mapped to (row j, bucket
+    * b) pairs ([[cmBucketize]]); state is keyed by sketch ROW (a
+    * fixed `depth`-sized key domain — NoTimeout is safe), each row
+    * holding its width-bounded counter map. Every trigger emits the
+    * updated counters; a snapshot of the latest (j, b) → c rows IS
+    * the count-min table, probed exactly like the batch one
+    * (spec-pinned equal to `Sketch.countMin` over the same rows).
+    */
+  def cmSketchStream(pairs: Dataset[CmIn]): Dataset[CmOut] = {
+    import pairs.sparkSession.implicits._
+    pairs.groupByKey(_.j)
+      .flatMapGroupsWithState[CmState, CmOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (j, rows, state: GroupState[CmState]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty)
+          val touched = scala.collection.mutable.Set.empty[Long]
+          rows.foreach { r =>
+            counts = counts.updated(r.b, counts.getOrElse(r.b, 0L) + 1L)
+            touched += r.b
+          }
+          state.update(CmState(counts))
+          touched.iterator.map(b => CmOut(j, b, counts(b))).toSeq.iterator
+      }
+  }
+
+  /** Map (frame, key column) to the (row, bucket) pairs
+    * [[cmSketchStream]] consumes — one input row explodes to `depth`
+    * pairs through the batch sketch's shared hash family.
+    */
+  def cmBucketize(df: DataFrame, key: org.apache.spark.sql.Column,
+      depth: Int, width: Int): Dataset[CmIn] = {
+    import df.sparkSession.implicits._
+    val h = graft.ops.Sketch.kmvHash(key)
+    df.select(explode(array((0 until depth).map(j =>
+        struct(lit(j).as("j"),
+          graft.ops.Sketch.cmBucket(h, j, width).as("b"))): _*)).as("p"))
+      .select(col("p.j").as("j"), col("p.b").as("b"))
+      .as[CmIn]
+  }
+
   final case class SessionInput(userId: Long, tsUs: Long)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   final case class SessionOut(userId: Long, startUs: Long, endUs: Long,

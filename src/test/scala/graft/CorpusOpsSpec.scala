@@ -261,6 +261,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(5L) === ((1L, 1L, "")))     // fully boilerplate
   }
 
+  test("TableDiff: all four statuses, null-safe column compare") {
+    import graft.ops.TableDiff
+    val older = Seq(
+      (1L, Some("a"), 10L), // unchanged
+      (2L, Some("b"), 20L), // value changes
+      (3L, None, 30L), // null -> non-null = changed
+      (4L, Some("d"), 40L)) // removed
+      .toDF("id", "v", "n")
+    val newer = Seq(
+      (1L, Some("a"), 10L),
+      (2L, Some("B"), 21L), // both columns differ
+      (3L, Some("c"), 30L),
+      (5L, Some("e"), 50L)) // added
+      .toDF("id", "v", "n")
+    val got = TableDiff.diff(older, newer, Seq("id"), Seq("v", "n"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getSeq[String](2))))
+      .toMap
+    assert(got(1L) === (("unchanged", Seq.empty)))
+    assert(got(2L) === (("changed", Seq("v", "n"))))
+    assert(got(3L) === (("changed", Seq("v")))) // null vs "c"
+    assert(got(4L) === (("removed", Seq.empty)))
+    assert(got(5L) === (("added", Seq.empty)))
+  }
+
   test("weightedSample: matches local A-ES, biases to weight, stable") {
     import graft.functions.GraftFunctions
     val rows = (0L until 400L).map(i =>

@@ -84,6 +84,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(math.abs(got.estimate - 5000.0) / 5000.0 < 0.5)
   }
 
+  test("streaming count-min equals the batch sketch over the same rows") {
+    import graft.streaming.StreamOps.CmOut
+    implicit val sq = spark.sqlContext
+    val depth = 3; val width = 16
+    val keys1 = (0L until 800L).map(i => s"k${i % 60}")
+    val keys2 = (0L until 500L).map(i => s"k${i % 35}")
+    val in = MemoryStream[String]
+    val pairs = StreamOps.cmBucketize(in.toDF().toDF("key"),
+      col("key"), depth, width)
+    val q = StreamOps.cmSketchStream(pairs)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cms").start()
+    in.addData(keys1: _*)
+    q.processAllAvailable()
+    in.addData(keys2: _*)
+    q.processAllAvailable()
+    // latest emitted counter per (j, b)
+    val table = Array.fill(depth, width)(0L)
+    spark.table("cms").collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+      .zipWithIndex.groupBy(_._1._1)
+      .foreach { case ((j, b), rs) => table(j)(b.toInt) = rs.maxBy(_._2)._1._2 }
+    q.stop()
+    val batch = graft.ops.Sketch.countMin(
+      (keys1 ++ keys2).toDF("key"), col("key"), depth, width)
+    assert(table.map(_.toSeq).toSeq === batch.table.map(_.toSeq).toSeq)
+  }
+
   test("streaming as-of enrichment matches the batch as-of join") {
     import graft.streaming.StreamOps.{AsofInput, AsofOut}
     implicit val sq = spark.sqlContext
