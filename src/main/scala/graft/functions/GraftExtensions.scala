@@ -66,5 +66,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         NativeExpressions.MinhashSigsExpr(args(0),
           args(1).eval().asInstanceOf[Int])
       }))
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      info("graft_topk",
+        "per-group top-k (ord bigint, id bigint, k literal) with " +
+          "map-side partial combine; returns sorted array<struct>"),
+      { args: Seq[Expression] =>
+        require(args.length == 3, "graft_topk expects 3 arguments")
+        require(args(2).foldable &&
+          args(2).dataType == org.apache.spark.sql.types.IntegerType,
+          "graft_topk: k must be an INT literal")
+        TopKPairsAgg(args(0), args(1), args(2).eval().asInstanceOf[Int])
+          .toAggregateExpression()
+      }))
   }
 }

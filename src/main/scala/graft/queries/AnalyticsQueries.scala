@@ -681,6 +681,38 @@ object AnalyticsQueries {
             col("exact_distinct").cast("double")).as("rel_err"))
     },
 
+    // native per-group top-k (functions.TopKPairsAgg): the k best
+    // users by exact-cents spend per event type through graft_topk —
+    // a TypedImperativeAggregate with a k-capped heap, so each map
+    // task reduces its slice to <= k entries per group BEFORE the
+    // exchange (the window formulation the oracle uses must shuffle
+    // and sort every row of the hottest group). The oracle's
+    // row_number() twin is the semantic statement; the engine's
+    // partial-agg plan is the scale statement (spec-asserted).
+    QueryDef("q_group_topk",
+      """WITH per AS (SELECT event_type, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, cents, row_number() OVER
+        |  (PARTITION BY event_type ORDER BY cents DESC, user_id) AS rnk
+        |  FROM per)
+        |SELECT event_type, CAST(rnk AS BIGINT) AS rank, cents, user_id
+        |FROM r WHERE rnk <= 3 ORDER BY event_type, rank""".stripMargin) {
+      (s, d) =>
+        val per = load(s, d, "events")
+          .groupBy("event_type", "user_id")
+          .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+            .cast("long").as("cents"))
+        per.groupBy("event_type")
+          .agg(graft.functions.TopKPairsAgg.topkPairs(
+            col("cents"), col("user_id"), 3).as("top"))
+          .select(col("event_type"), posexplode(col("top")))
+          .select(col("event_type"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.ord").as("cents"), col("col.id").as("user_id"))
+          .orderBy("event_type", "rank")
+    },
+
     // KMV set comparison (graft.ops.Sketch.kmvCompare): ONE union
     // sketch estimates |A∪B|, Jaccard, and |A∩B| between two key
     // sets — the theta-sketch intersection idea with plain-SQL state

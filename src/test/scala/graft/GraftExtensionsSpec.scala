@@ -60,4 +60,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     }
   }
+
+  test("graft_topk aggregates from SQL text with partial combine") {
+    withExtensionSession { spark =>
+      spark.sparkContext.setLogLevel("WARN")
+      val df = spark.sql(
+        """SELECT g, graft_topk(v, i, 2) AS top FROM (
+          |  SELECT id % 2 AS g, id * 10 AS v, id AS i FROM range(10))
+          |GROUP BY g ORDER BY g""".stripMargin)
+      val rows = df.collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => (e.getLong(0), e.getLong(1)))
+      }.toMap
+      assert(rows(0L) === Seq((80L, 8L), (60L, 6L)))
+      assert(rows(1L) === Seq((90L, 9L), (70L, 7L)))
+      // the scale claim: the plan aggregates PARTIALLY before the
+      // exchange (ObjectHashAggregate partial_graft_topk), never a
+      // window sort of the whole group
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_graft_topk"), plan.take(2000))
+    }
+  }
 }

@@ -22,6 +22,28 @@ class NativeExprSpec extends SparkSpec {
     assert(bad.isEmpty, bad.take(3).mkString(","))
   }
 
+  test("graft_topk == window row_number formulation, ties and nulls") {
+    import graft.functions.TopKPairsAgg.topkPairs
+    val rnd = new scala.util.Random(41)
+    // small value range plants plenty of (g, v) ties; some null ids
+    val rows = (0L until 3000L).map { i =>
+      (i % 7, if (i % 101 == 0) None else Some(rnd.nextInt(40).toLong), i)
+    }
+    val df = rows.toDF("g", "v", "i")
+    val k = 5
+    val got = df.groupBy("g").agg(topkPairs(col("v"), col("i"), k).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), col("pos"), col("col.ord"), col("col.id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val expect = rows.collect { case (g, Some(v), i) => (g, v, i) }
+      .groupBy(_._1).flatMap { case (g, es) =>
+        es.sortBy(e => (-e._2, e._3)).take(k).zipWithIndex
+          .map { case ((_, v, i), pos) => (g, pos, v, i) }
+      }.toSet
+    assert(got === expect)
+  }
+
   test("driver-side hash twins == column hashes over varied strings") {
     val samples = Seq("", "a", "hello world", "cm|42", "lang:doc_7",
       "x" * 300) ++
