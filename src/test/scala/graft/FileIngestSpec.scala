@@ -59,6 +59,23 @@ class FileIngestSpec extends SparkSpec {
     assert(good.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("gzip-compressed JSONL parts read transparently") {
+    val df = Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("id", "name", "score")
+    val dir = Files.createTempDirectory("graft-gz").toString + "/gz"
+    df.write.option("compression", "gzip").json(dir)
+    val parts = {
+      val it = Files.list(java.nio.file.Paths.get(dir)).iterator()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().toString
+      b.result()
+    }
+    assert(parts.exists(_.endsWith(".json.gz")), parts.mkString(","))
+    val ing = FileIngest.jsonl(spark, dir, df.schema)
+    assert(ing.bad.isEmpty)
+    assert(ing.good.orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+  }
+
   test("jsonl and csv write->read roundtrips are lossless") {
     val df = Seq((1L, "alpha beta", 0.25), (2L, "g,h \"quoted\"", -1.5),
       (3L, "z", 1e9)).toDF("id", "name", "score")
