@@ -52,11 +52,22 @@ object GraftFunctions {
 
   /** Driver-side twins of [[portableHash]]/[[sampleHash]] for
     * O(#probes) work (sketch probes, spec oracles) — the same
-    * arithmetic on plain JVM strings (equivalence is covered by
-    * NativeExprSpec's property tests against the column forms).
+    * arithmetic on plain JVM strings. Folds Unicode CODE POINTS, not
+    * UTF-16 chars, to match the column form exactly (a char fold
+    * would process a surrogate pair as two values and diverge on any
+    * non-BMP character); equivalence is spec-pinned in NativeExprSpec
+    * including a supplementary-plane sample.
     */
-  def portableHashLocal(s: String): Long =
-    s.foldLeft(0L)((a, c) => (a * 31L + c.toLong) % PhMod)
+  def portableHashLocal(s: String): Long = {
+    var a = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      a = (a * 31L + cp) % PhMod
+      i += Character.charCount(cp)
+    }
+    a
+  }
   def sampleHashLocal(s: String): Long =
     (portableHashLocal(s) * SampleA + SampleB) % PhMod
 

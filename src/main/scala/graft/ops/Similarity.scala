@@ -115,8 +115,12 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("cb2"),
         e6(cosineI(col("va"), col("vb"))).as("sim_cc"))
       .persist()
-    var state = short.withColumn("maxsel", lit(0L)).persist()
-    state.count()
+    // `cached` tracks the round's PERSISTED frame (the CC/kmeans loop
+    // pattern): `state` is its LogicalRDD re-plan, whose unpersist
+    // would be a no-op against the cache registry
+    var cached = short.withColumn("maxsel", lit(0L)).persist()
+    cached.count()
+    var state: DataFrame = cached
     val w = Window.partitionBy("q_id")
       .orderBy(col("score_e6").desc, col("c_id"))
     val score = lit(lamNum.toLong) * col("sim_e6") -
@@ -140,11 +144,12 @@ object Similarity {
             greatest(col("maxsel"), col("sim_cc")).as("maxsel"))
           .persist()
         next.count()
-        state.unpersist()
+        cached.unpersist()
+        cached = next
         state = spark.createDataFrame(next.rdd, next.schema)
       }
     }
-    state.unpersist()
+    cached.unpersist()
     pair.unpersist()
     val out = picks.reverse.reduce(_ unionByName _).persist()
     out.count()

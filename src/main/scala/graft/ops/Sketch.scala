@@ -52,6 +52,29 @@ object Sketch {
     */
   def kmvHash(key: Column): Column = GraftFunctions.sampleHash(key)
 
+  /** The shared threshold-widening scan of the KMV family:
+    * `smallest(t)` returns the k smallest qualifying entries with
+    * hash < t; the initial threshold is sized from the HLL estimate
+    * to keep ~`want` survivors, and widens ×8 until k entries
+    * qualify (or the whole domain is admitted) — so the final answer
+    * is provably the unthresholded one whatever the estimate did.
+    * One policy, used by [[kmvDistinct]] and [[kmvCompare]], so a
+    * sizing/widening fix cannot drift between them.
+    */
+  private def widenToK[T](k: Int, want: Long, approxN: Long,
+      smallest: Long => Array[T]): Array[T] = {
+    val PhMod = GraftFunctions.PhMod
+    var t =
+      if (approxN <= want) PhMod
+      else math.max(1L, (PhMod.toDouble * want / approxN).toLong)
+    var ks = smallest(t)
+    while (ks.length < k && t < PhMod) {
+      t = math.min(PhMod, t * 8)
+      ks = smallest(t)
+    }
+    ks
+  }
+
   /** Estimate from the kth smallest of distinct uniform hashes on
     * [0, PhMod): est = (k-1)·PhMod / h_k. Exact-integer numerator
     * (< 2^53 for any practical k) divided once, so both engines
@@ -84,7 +107,6 @@ object Sketch {
   def kmvCompare(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
       k: Int, oversample: Int = KmvOversample): KmvSet = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val PhMod = GraftFunctions.PhMod
     val u = a.select(kmvHash(keyA).as("h"),
         lit(1).as("ia"), lit(0).as("ib"))
       .unionByName(b.select(kmvHash(keyB).as("h"),
@@ -92,7 +114,6 @@ object Sketch {
 
     val approxN = math.max(1L,
       u.agg(approx_count_distinct(col("h"))).head().getLong(0))
-    val want = oversample.toLong * k
 
     // k smallest union hashes below `t` with per-side presence flags:
     // the filter runs BEFORE the flag-OR exchange.
@@ -102,14 +123,7 @@ object Sketch {
         .orderBy(col("h")).limit(k)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
 
-    var t =
-      if (approxN <= want) PhMod
-      else math.max(1L, (PhMod.toDouble * want / approxN).toLong)
-    var ks = smallest(t)
-    while (ks.length < k && t < PhMod) {
-      t = math.min(PhMod, t * 8)
-      ks = smallest(t)
-    }
+    val ks = widenToK(k, oversample.toLong * k, approxN, smallest)
     val nKept = ks.length.toLong
     val kth = if (ks.isEmpty) 0L else ks.last._1
     val nBoth = ks.count(e => e._2 == 1 && e._3 == 1).toLong
@@ -198,12 +212,10 @@ object Sketch {
   def kmvDistinct(df: DataFrame, key: Column, k: Int,
       oversample: Int = KmvOversample): Kmv = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val PhMod = GraftFunctions.PhMod
     val hashed = df.select(kmvHash(key).as("h"))
 
     val approxN = math.max(1L,
       hashed.agg(approx_count_distinct(col("h"))).head().getLong(0))
-    val want = oversample.toLong * k
 
     // k smallest distinct hashes below `t`: map-side filter, distinct
     // over ~oversample·k survivors, TakeOrdered merge on the driver.
@@ -212,14 +224,7 @@ object Sketch {
         .orderBy(col("h")).limit(k)
         .collect().map(_.getLong(0))
 
-    var t =
-      if (approxN <= want) PhMod
-      else math.max(1L, (PhMod.toDouble * want / approxN).toLong)
-    var ks = smallest(t)
-    while (ks.length < k && t < PhMod) {
-      t = math.min(PhMod, t * 8)
-      ks = smallest(t)
-    }
+    val ks = widenToK(k, oversample.toLong * k, approxN, smallest)
     if (ks.length < k) // saw the whole domain: exact count
       Kmv(k, ks.length, if (ks.isEmpty) 0L else ks.last, ks.length.toDouble)
     else Kmv(k, k, ks.last, kmvEstimate(k, ks.last))

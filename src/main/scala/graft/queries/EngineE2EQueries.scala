@@ -130,7 +130,12 @@ object EngineE2EQueries {
       val engine = new CdcEngine(s, ttCfg(r), Map(0 -> usersMeta))
       engine.bootstrap()
       val slice0 = cdc.filter(col("event_id") < cut)
-      val hb0 = slice0.agg(max("step_us")).head().getLong(0)
+      // empty first slice (degenerate tiny dataset): resolve to the
+      // stream max, like the sibling multi-batch fixtures
+      val hb0 = slice0.agg(max("step_us")).head() match {
+        case r if r.isNullAt(0) => maxPos
+        case r => r.getLong(0)
+      }
       engine.processBatch(changeFrame(slice0).unionByName(
         hbFrame(s, hb0, maxId + 1L)
           .select(changeFrame(slice0).columns.map(col): _*)), 0L)

@@ -33,11 +33,16 @@ object FileIngest {
 
   private def split(raw: DataFrame, parsed: Column,
       schema: StructType): Ingested = {
-    val r = raw.select(parsed.as("r"))
-    val good = r.filter(col(s"r.$CorruptCol").isNull)
+    // from_json returns a NULL struct (corrupt column unpopulated)
+    // for empty/whitespace input — those lines must quarantine too,
+    // not slip through as phantom all-null "good" rows, so the raw
+    // line rides alongside and the bad side coalesces onto it
+    val r = raw.select(col("value"), parsed.as("r"))
+    val isBad = col("r").isNull || col(s"r.$CorruptCol").isNotNull
+    val good = r.filter(!isBad)
       .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
-    val bad = r.filter(col(s"r.$CorruptCol").isNotNull)
-      .select(col(s"r.$CorruptCol").as(CorruptCol))
+    val bad = r.filter(isBad)
+      .select(coalesce(col(s"r.$CorruptCol"), col("value")).as(CorruptCol))
     Ingested(good, bad)
   }
 

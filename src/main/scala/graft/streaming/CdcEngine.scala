@@ -106,13 +106,20 @@ final class CdcEngine(
 
   def state: ReplicationState = TransactionalStore.read(root).state
 
-  /** Read a destination table's committed contents. */
-  def readTable(name: String): DataFrame = {
-    val man = TransactionalStore.read(root)
+  /** Resolve a table's meta and read it out of `man` — the one
+    * snapshot-read tail readTable/readTableAt/lookup share, so table
+    * resolution cannot drift between head and time-travel reads.
+    */
+  private def readFrom(man: TransactionalStore.Manifest, name: String,
+      buckets: Option[Set[Int]] = None): DataFrame = {
     val meta = tables.values.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"unknown table $name"))
-    DstTable.readCurrent(spark, meta, man.tables(name))
+    DstTable.readCurrent(spark, meta, man.tables(name), buckets)
   }
+
+  /** Read a destination table's committed contents. */
+  def readTable(name: String): DataFrame =
+    readFrom(TransactionalStore.read(root), name)
 
   /** The store's committed manifest version (advances once per
     * transaction; the argument [[readTableAt]] accepts).
@@ -126,12 +133,8 @@ final class CdcEngine(
     * consistent table. Versions older than the vacuum retention
     * window are refused (TransactionalStore.readAt).
     */
-  def readTableAt(name: String, version: Long): DataFrame = {
-    val man = TransactionalStore.readAt(root, version)
-    val meta = tables.values.find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(s"unknown table $name"))
-    DstTable.readCurrent(spark, meta, man.tables(name))
-  }
+  def readTableAt(name: String, version: Long): DataFrame =
+    readFrom(TransactionalStore.readAt(root, version), name)
 
   /** Point-read: the committed rows for a key set, scanning ONLY the
     * buckets those keys hash into. `keys` carries the table's
@@ -147,14 +150,13 @@ final class CdcEngine(
     * key), kept under Spark's CoW layout.
     */
   def lookup(name: String, keys: DataFrame): DataFrame = {
-    val man = TransactionalStore.read(root)
     val meta = tables.values.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"unknown table $name"))
     val pk = meta.primaryKey
     val k = keys.select(pk.map(col): _*).distinct()
     val probed = k.select(DstTable.bucketOf(meta, cfg.buckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
-    DstTable.readCurrent(spark, meta, man.tables(name), Some(probed))
+    readFrom(TransactionalStore.read(root), name, Some(probed))
       .join(broadcast(k), pk, "left_semi")
   }
 

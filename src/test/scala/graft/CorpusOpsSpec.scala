@@ -294,12 +294,9 @@ class CorpusOpsSpec extends SparkSpec {
     val k = 40
     val got = PipelineOps.weightedSample(df, col("id"), col("w"), k)
       .select("id").collect().map(_.getLong(0)).toSet
-    // local replay of the same priorities
-    def phash(s: String): Long =
-      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % GraftFunctions.PhMod)
+    // local replay of the same priorities via the production twins
     def pri(id: Long, w: Double): Double = {
-      val h = (phash(id.toString) * GraftFunctions.SampleA +
-        GraftFunctions.SampleB) % GraftFunctions.PhMod
+      val h = GraftFunctions.sampleHashLocal(id.toString)
       math.log((h + 1.0) / (GraftFunctions.PhMod + 1.0)) / w
     }
     val local = rows.sortBy { case (i, w) => (-pri(i, w), i) }

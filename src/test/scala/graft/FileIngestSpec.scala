@@ -33,12 +33,13 @@ class FileIngestSpec extends SparkSpec {
       """{"id": 1, "name": "a", "score": 0.5}""",
       """{"id": 2, "name": "b"}""", // missing field -> null, good
       """not json at all""", // malformed -> bad
+      "", // blank line -> bad (never a phantom all-null good row)
       """{"id": "x&y", "name": "c", "score": 1.0}""") // type clash -> bad
     val ing = FileIngest.jsonl(spark, tmpWrite(lines, "json"), schema)
     val good = ing.good.collect()
     val bad = ing.bad.collect().map(_.getString(0))
     assert(good.length + bad.length === lines.length)
-    assert(bad.toSet === Set(lines(2), lines(3))) // verbatim
+    assert(bad.toSet === Set(lines(2), lines(3), lines(4))) // verbatim
     val byId = good.map(r => r.getLong(0) ->
       ((Option(r.get(1)), Option(r.get(2))))).toMap
     assert(byId(1L) === ((Some("a"), Some(0.5))))

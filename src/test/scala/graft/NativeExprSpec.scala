@@ -46,7 +46,8 @@ class NativeExprSpec extends SparkSpec {
 
   test("driver-side hash twins == column hashes over varied strings") {
     val samples = Seq("", "a", "hello world", "cm|42", "lang:doc_7",
-      "x" * 300) ++
+      "x" * 300, "café", "😀 emoji key", // non-BMP: code-point fold
+      "mix😀ed中文") ++
       (0 until 200).map(i =>
         new scala.util.Random(1000 + i).alphanumeric.take(i % 50).mkString)
     val df = samples.toDF("s")
