@@ -223,6 +223,34 @@ object PipelineOps {
       .drop("__pri")
   }
 
+  /** Per-stratum weighted sampling without replacement: the
+    * [[weightedSample]] priorities ranked PER STRATUM through the
+    * native partial-combine top-k aggregate
+    * (`functions.TopKPairsAgg`) — each map task reduces its slice to
+    * ≤ k candidates per stratum before the exchange, so a stratum
+    * holding most of the corpus never funnels its rows through one
+    * sorted partition (the window formulation would). Priorities are
+    * quantized to 1e-12 units for the integer aggregate; ties break
+    * on the smaller id. Returns (stratum, rank, id), up to k rows
+    * per stratum.
+    */
+  def weightedSamplePerStratum(df: DataFrame, stratum: Column, id: Column,
+      weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val u = (sampleHash(id.cast("string")).cast("double") + 1.0) /
+      (graft.functions.GraftFunctions.PhMod.toDouble + 1.0)
+    val priE12 = round(log(u) / weight.cast("double") * 1e12, 0).cast("long")
+    df.filter(weight.isNotNull && weight > 0)
+      .select(stratum.as("stratum"), id.cast("long").as("__id"),
+        priE12.as("__p"))
+      .groupBy("stratum")
+      .agg(graft.functions.TopKPairsAgg.topkPairs(
+        col("__p"), col("__id"), k).as("top"))
+      .select(col("stratum"), posexplode(col("top")))
+      .select(col("stratum"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"))
+  }
+
   /** Context-length chunking: split each document's token sequence
     * into windows of `window` tokens advancing by `stride` (overlap =
     * window − stride), the way corpora are cut for a context-bounded

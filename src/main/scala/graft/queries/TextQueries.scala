@@ -181,6 +181,9 @@ object TextQueries {
   /** doc_weighted_sample size (fixed sample, corpus-size-free). */
   private val WeightedSampleK = 64
 
+  /** doc_weighted_sample_by_source per-stratum sample size. */
+  private val StratumSampleK = 16
+
   /** doc_token_cmsketch shape: 4×256 counters, top-16 tokens probed. */
   private val CmDepth = 4
   private val CmWidth = 256
@@ -1565,6 +1568,59 @@ object TextQueries {
         .good
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // per-source weighted sampling (PipelineOps.weightedSamplePerStratum):
+    // A-ES priorities ranked per stratum through graft_topk's
+    // partial combine — a stratum holding most of the corpus never
+    // funnels through one sorted partition. The twin replays the
+    // identical quantized priorities with a window; neither side
+    // emits the transcendental priority (ids and ranks only).
+    QueryDef("doc_weighted_sample_by_source",
+      s"""WITH t AS (SELECT source, doc_id, n_chars,
+         |  (CAST(${sqlSampleHash("CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |     + 1.0) / ${PhMod + 1}.0 AS u
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         |p AS (SELECT source, doc_id,
+         |  CAST(round(ln(u) / CAST(n_chars AS DOUBLE) * 1000000000000.0)
+         |    AS BIGINT) AS pri FROM t),
+         |r AS (SELECT source, doc_id, row_number() OVER
+         |  (PARTITION BY source ORDER BY pri DESC, doc_id) AS rnk FROM p)
+         |SELECT source, CAST(rnk AS BIGINT) AS rank, doc_id
+         |FROM r WHERE rnk <= $StratumSampleK
+         |ORDER BY source, rank""".stripMargin) { (s, d) =>
+      graft.ops.PipelineOps.weightedSamplePerStratum(
+          load(s, d, "documents"),
+          col("source"), col("doc_id"), col("n_chars"),
+          k = StratumSampleK)
+        .select(col("stratum").as("source"), col("rank"),
+          col("id").as("doc_id"))
+        .orderBy("source", "rank")
+    },
+
+    // JSONL schema audit (FileIngest.auditJsonl): the pre-load drift
+    // report — per top-level key, presence and numeric/boolean value
+    // counts off one generic map parse. The oracle derives the
+    // expected report from the PARQUET table's schema and row count
+    // (every column non-null in this corpus; doc_id/n_chars numeric),
+    // so a parse that drops keys, miscounts, or misguesses types
+    // breaks the hash. Output is O(#keys).
+    QueryDef("doc_jsonl_audit",
+      """WITH n AS (SELECT count(*) AS c FROM documents)
+        |SELECT k AS key, c AS n_present,
+        |  CASE WHEN k IN ('doc_id', 'n_chars') THEN c ELSE 0 END
+        |    AS n_numeric,
+        |  CAST(0 AS BIGINT) AS n_boolean
+        |FROM n, unnest(['doc_id', 'lang', 'n_chars', 'source', 'text'])
+        |  AS t(k)
+        |ORDER BY key""".stripMargin) { (s, d) =>
+      val docs = load(s, d, "documents")
+      val dir = TempState.dir(
+        "jsonl|" + s.sparkContext.applicationId + "|" + d) { r =>
+        graft.sources.FileIngest.writeJsonl(docs, s"$r/docs_jsonl")
+      }
+      graft.sources.FileIngest.auditJsonl(s, s"$dir/docs_jsonl")
+        .orderBy("key")
     },
 
     // headerless-CSV ingest: same roundtrip contract through the

@@ -86,6 +86,40 @@ object FileIngest {
       schema)
   }
 
+  /** Schema audit of a JSONL drop — the step BEFORE declaring a
+    * schema to [[jsonl]]: parse each line as a generic string map and
+    * report, per top-level key, how many lines carry it and how many
+    * of those values look numeric/boolean (`orElse` type guesses ride
+    * the same pass). New upstream fields and partially-populated
+    * fields surface here instead of as silent nulls after the typed
+    * load. One text scan + one aggregation keyed by field name —
+    * output is O(#distinct keys), never data-sized.
+    *
+    * Returns (key, n_present, n_numeric, n_boolean); lines that do
+    * not parse as a JSON object are counted under the pseudo-key
+    * `_unparsed`.
+    */
+  def auditJsonl(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.text(path)
+    val m = from_json(col("value"),
+      org.apache.spark.sql.types.MapType(StringType, StringType))
+    raw.select(when(m.isNull, array(lit(CorruptUnparsedKey)))
+        .otherwise(map_keys(m)).as("ks"), m.as("m"))
+      .select(explode(col("ks")).as("key"), col("m"))
+      .select(col("key"),
+        when(col("key") === CorruptUnparsedKey, lit(null))
+          .otherwise(element_at(col("m"), col("key"))).as("v"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_present"),
+        count(when(col("v").rlike("^-?[0-9]+(\\.[0-9]+)?$"), 1))
+          .as("n_numeric"),
+        count(when(lower(col("v")).isin("true", "false"), 1))
+          .as("n_boolean"))
+  }
+
+  /** [[auditJsonl]]'s bucket for lines that are not JSON objects. */
+  val CorruptUnparsedKey = "_unparsed"
+
   /** Write `df` as JSONL part files (the inverse of [[jsonl]]). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

@@ -315,6 +315,32 @@ class CorpusOpsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).contains(999L))
   }
 
+  test("weightedSamplePerStratum: local replay per stratum, k bound") {
+    import graft.functions.GraftFunctions
+    val rows = (0L until 300L).map(i =>
+      (s"s${i % 3}", i, (i % 9 + 1).toDouble))
+    val df = rows.toDF("src", "id", "w")
+    val k = 7
+    val got = PipelineOps.weightedSamplePerStratum(df, col("src"),
+        col("id"), col("w"), k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    def pri(id: Long, w: Double): Long = {
+      val h = GraftFunctions.sampleHashLocal(id.toString)
+      math.round(math.log((h + 1.0) / (GraftFunctions.PhMod + 1.0)) /
+        w * 1e12)
+    }
+    val expect = rows.groupBy(_._1).view.mapValues(_.
+      sortBy { case (_, i, w) => (-pri(i, w), i) }.take(k).map(_._2).toSeq)
+      .toMap
+    assert(got.keySet === Set("s0", "s1", "s2"))
+    got.foreach { case (s, ids) =>
+      assert(ids.length === k)
+      assert(ids === expect(s), s"stratum $s")
+    }
+  }
+
   test("incrementalNearDup: verdicts batch-vs-corpus only, min match id") {
     // identical sets guarantee identical signatures → a band hit; the
     // [100,101] vs [100,101,102] pair fails the size prefilter at 0.95

@@ -60,6 +60,22 @@ class FileIngestSpec extends SparkSpec {
     assert(good.map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("auditJsonl: presence counts, type guesses, unparsed bucket") {
+    val lines = Seq(
+      """{"a": 1, "b": "x", "c": true}""",
+      """{"a": 2.5, "b": "7"}""",
+      """not json""",
+      """{"d": "false"}""")
+    val got = FileIngest.auditJsonl(spark, tmpWrite(lines, "json"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") === ((2L, 2L, 0L))) // 1 and 2.5 both numeric
+    assert(got("b") === ((2L, 1L, 0L))) // "7" numeric, "x" not
+    assert(got("c") === ((1L, 0L, 1L))) // JSON boolean
+    assert(got("d") === ((1L, 0L, 1L))) // string "false" still flags
+    assert(got(FileIngest.CorruptUnparsedKey) === ((1L, 0L, 0L)))
+  }
+
   test("gzip-compressed JSONL parts read transparently") {
     val df = Seq((1L, "a", 0.5), (2L, "b", 1.5)).toDF("id", "name", "score")
     val dir = Files.createTempDirectory("graft-gz").toString + "/gz"

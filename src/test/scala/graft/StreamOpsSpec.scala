@@ -112,6 +112,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(table.map(_.toSeq).toSeq === batch.table.map(_.toSeq).toSeq)
   }
 
+  test("graft_topk aggregates a stream in update mode == batch top-k") {
+    import graft.functions.TopKPairsAgg.topkPairs
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val q = in.toDF().toDF("g", "v", "i")
+      .groupBy("g").agg(topkPairs(col("v"), col("i"), 2).as("top"))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stopk").start()
+    in.addData((0L, 10L, 1L), (0L, 30L, 3L), (1L, 5L, 5L))
+    q.processAllAvailable()
+    in.addData((0L, 20L, 2L), (1L, 50L, 6L)) // state must merge heaps
+    q.processAllAvailable()
+    val latest = spark.table("stopk").collect()
+      .map(r => (r.getLong(0), r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getLong(0), e.getLong(1)))))
+      .zipWithIndex.groupBy(_._1._1)
+      .map { case (g, rs) => g -> rs.maxBy(_._2)._1._2 }
+    q.stop()
+    assert(latest(0L) === Seq((30L, 3L), (20L, 2L)))
+    assert(latest(1L) === Seq((50L, 6L), (5L, 5L)))
+  }
+
   test("streaming as-of enrichment matches the batch as-of join") {
     import graft.streaming.StreamOps.{AsofInput, AsofOut}
     implicit val sq = spark.sqlContext
