@@ -53,6 +53,47 @@ object Multimodal {
     }
   }
 
+  final case class ResizePlanRow(
+      doc_id: Long, format: String, width: Long, height: Long,
+      scale_ppm: Long, target_w: Long, target_h: Long,
+      resized: Array[Byte])
+
+  /** Aspect-preserving fit-within resize through the codec seam. The
+    * REAL parts: the header decode ([[ImageCodec.decodeMeta]]) and
+    * the target-dimension plan — exact integer math (scale in parts
+    * -per-million = min(10⁶, maxW·10⁶ / w, maxH·10⁶ / h), floor
+    * target dims clamped to ≥ 1, never upscale) shared verbatim with
+    * the SQL twin. The pixel transform is the STUB (no raster codec
+    * in this container): it re-emits a structurally valid header of
+    * the TARGET size, so the output payload re-decodes to the planned
+    * dimensions — which is exactly what the spec checks end to end.
+    * Unrecognized payloads pass through as ("unknown", −1 …, empty)
+    * for the malformed sink, like the other decoders.
+    */
+  def resizeFit(ds: Dataset[(Long, Array[Byte])], maxW: Long,
+      maxH: Long): Dataset[ResizePlanRow] = {
+    require(maxW > 0 && maxH > 0, "resize box must be positive")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      ImageCodec.decodeMeta(bytes) match {
+        case Some(m) if m.width > 0 && m.height > 0 =>
+          val s = math.min(1000000L, math.min(
+            maxW * 1000000L / m.width, maxH * 1000000L / m.height))
+          val tw = math.max(1L, m.width * s / 1000000L)
+          val th = math.max(1L, m.height * s / 1000000L)
+          val out = m.format match {
+            case "png" => ImageCodec.pngHeader(tw.toInt, th.toInt)
+            case "jpeg" => ImageCodec.jpegHeader(tw.toInt, th.toInt)
+            case _ => bytes // formats without a header writer: stub no-op
+          }
+          ResizePlanRow(id, m.format, m.width, m.height, s, tw, th, out)
+        case _ =>
+          ResizePlanRow(id, "unknown", -1L, -1L, -1L, -1L, -1L,
+            Array.emptyByteArray)
+      }
+    })
+  }
+
   final case class ImageMetaRow(
       doc_id: Long, format: String, width: Long, height: Long)
 

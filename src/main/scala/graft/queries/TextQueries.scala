@@ -1428,6 +1428,48 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // aspect-preserving resize planning (Multimodal.resizeFit): real
+    // header decode + exact integer fit-within-640x480 math; every
+    // 9th payload is garbage and must route to the unknown/-1 branch.
+    // The stubbed pixel transform re-emits a target-size header whose
+    // re-decode the spec checks; the oracle here is the closed-form
+    // plan over the synthesis dims.
+    QueryDef("mm_resize_plan",
+      """WITH t AS (SELECT doc_id, doc_id % 2000 + 1 AS w,
+        |  doc_id % 1200 + 1 AS h FROM documents),
+        |p AS (SELECT doc_id, w, h,
+        |  least(1000000, 640000000 // w, 480000000 // h) AS s FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 'unknown'
+        |       WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN -1 ELSE w END AS BIGINT)
+        |    AS width,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN -1 ELSE h END AS BIGINT)
+        |    AS height,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN -1 ELSE s END AS BIGINT)
+        |    AS scale_ppm,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN -1
+        |    ELSE greatest(1, w * s // 1000000) END AS BIGINT) AS target_w,
+        |  CAST(CASE WHEN doc_id % 9 = 0 THEN -1
+        |    ELSE greatest(1, h * s // 1000000) END AS BIGINT) AS target_h
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val payload = load(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = (id % 2000L).toInt + 1
+          val h = (id % 1200L).toInt + 1
+          val bytes =
+            if (id % 9 == 0) Array[Byte](0x42, 0x41, 0x44, 0x00)
+            else if (id % 2 == 0) graft.ops.ImageCodec.pngHeader(w, h)
+            else graft.ops.ImageCodec.jpegHeader(w, h)
+          (id, bytes)
+        })
+      Multimodal.resizeFit(payload, maxW = 640L, maxH = 480L).toDF()
+        .select("doc_id", "format", "width", "height", "scale_ppm",
+          "target_w", "target_h")
+        .orderBy("doc_id")
+    },
+
     // REAL audio-header decode through the same seam: per-doc WAV
     // headers synthesized deterministically from doc_id (every 7th
     // payload malformed → the all -1 branch), parsed back by the

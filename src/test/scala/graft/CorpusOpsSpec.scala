@@ -261,6 +261,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(5L) === ((1L, 1L, "")))     // fully boilerplate
   }
 
+  test("resizeFit: plan math, never upscale, stub re-decodes to target") {
+    import graft.ops.{ImageCodec, Multimodal}
+    val ds = Seq(
+      (1L, ImageCodec.pngHeader(1280, 960)), // exact halving
+      (2L, ImageCodec.jpegHeader(320, 100)), // already fits: no upscale
+      (3L, ImageCodec.pngHeader(2000, 100)), // width-bound
+      (4L, Array[Byte](1, 2, 3))).toDS() // malformed
+    val got = Multimodal.resizeFit(ds, maxW = 640L, maxH = 480L)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert((got(1L).scale_ppm, got(1L).target_w, got(1L).target_h) ===
+      ((500000L, 640L, 480L)))
+    assert((got(2L).scale_ppm, got(2L).target_w, got(2L).target_h) ===
+      ((1000000L, 320L, 100L)))
+    assert((got(3L).scale_ppm, got(3L).target_w, got(3L).target_h) ===
+      ((320000L, 640L, 32L)))
+    assert(got(4L).format === "unknown" && got(4L).resized.isEmpty)
+    // the stubbed transform's output re-decodes to the planned dims
+    for (id <- Seq(1L, 2L, 3L)) {
+      val m = ImageCodec.decodeMeta(got(id).resized).get
+      assert((m.width.toLong, m.height.toLong) ===
+        ((got(id).target_w, got(id).target_h)), s"payload $id")
+    }
+  }
+
   test("TableDiff: all four statuses, null-safe column compare") {
     import graft.ops.TableDiff
     val older = Seq(
