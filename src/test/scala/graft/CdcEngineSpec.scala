@@ -418,6 +418,78 @@ class CdcEngineSpec extends SparkSpec {
     assert(e.state.position == v1, "checkpoint advanced on a failed txn")
   }
 
+  test("cross-table time travel: one version is a consistent pair") {
+    val ordersMeta = TableMeta("orders", StructType(Seq(
+      StructField("id", LongType), StructField("total", IntegerType))), Seq("id"))
+    val root = Files.createTempDirectory("graft-ttm").toString
+    val cfg = EngineConfig("ttm",
+      Seq(StreamConfig(0, s"$root/src0", "users", partitions = 1),
+        StreamConfig(1, s"$root/src1", "orders", partitions = 1)),
+      s"$root/dst", ProblemStrategy.Stop, buckets = 4)
+    val e = new CdcEngine(spark, cfg, Map(0 -> usersMeta, 1 -> ordersMeta))
+    e.bootstrap()
+    def mframe(lines: (String, Int, Long, Long)*) =
+      lines.toSeq.toDF("value", "tableId", "partitionId", "offset")
+    e.processBatch(mframe(
+      ("""{"update":{"name":"alice"},"key":[1],"ts":[1,1]}""", 0, 0L, 0L),
+      ("""{"update":{"total":99},"key":[7],"ts":[1,2]}""", 1, 0L, 0L),
+      ("""{"resolved":[2,0]}""", 0, 0L, 1L),
+      ("""{"resolved":[2,0]}""", 1, 0L, 1L)), 0L)
+    val v1 = e.storeVersion
+    e.processBatch(mframe(
+      ("""{"update":{"name":"bob"},"key":[1],"ts":[3,1]}""", 0, 0L, 2L),
+      ("""{"update":{"total":5},"key":[8],"ts":[3,2]}""", 1, 0L, 2L),
+      ("""{"resolved":[4,0]}""", 0, 0L, 3L),
+      ("""{"resolved":[4,0]}""", 1, 0L, 3L)), 1L)
+    // BOTH tables as of v1 reflect exactly batch 1 — a single
+    // manifest version is a cross-table-consistent snapshot (the
+    // atomic multi-table commit, read back through time travel)
+    assert(e.readTableAt("users", v1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "alice")))
+    assert(e.readTableAt("orders", v1).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet === Set((7L, 99)))
+    // and head reflects batch 2 on both
+    assert(e.readTable("users").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === Set((1L, "bob")))
+    assert(e.readTable("orders").collect().map(_.getLong(0)).toSet ===
+      Set(7L, 8L))
+  }
+
+  test("a torn commit (files written, head not swapped) is invisible") {
+    val root = Files.createTempDirectory("graft-torn").toString
+    val cfg = EngineConfig("torn",
+      Seq(StreamConfig(0, s"$root/src", "users", partitions = 1)),
+      s"$root/dst", ProblemStrategy.Stop, buckets = 4)
+    val e = new CdcEngine(spark, cfg, Map(0 -> usersMeta))
+    e.bootstrap()
+    def frame(lines: (String, Long, Long)*) =
+      lines.toSeq.toDF("value", "partitionId", "offset")
+        .withColumn("tableId", org.apache.spark.sql.functions.lit(0))
+    e.processBatch(frame(
+      ("""{"update":{"name":"alice"},"key":[1],"ts":[1,1]}""", 0L, 0L),
+      ("""{"resolved":[2,0]}""", 0L, 1L)), 0L)
+    val before = e.readTable("users").collect().map(_.toSeq).toSet
+    val v = e.storeVersion
+    // simulate a crash AFTER data + manifest file writes but BEFORE
+    // the atomic MANIFEST swap: orphan data file + orphan manifest
+    val orphanData = java.nio.file.Paths.get(s"$root/dst/tables/users/orphan.parquet")
+    java.nio.file.Files.createDirectories(orphanData.getParent)
+    java.nio.file.Files.write(orphanData, Array[Byte](1, 2, 3))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/dst/manifest/v${v + 10}.json"), "{}")
+    // readers resolve MANIFEST first: the torn commit is invisible
+    assert(e.readTable("users").collect().map(_.toSeq).toSet === before)
+    assert(e.storeVersion === v)
+    // a fresh engine instance recovers the committed state too
+    assert(new CdcEngine(spark, cfg, Map(0 -> usersMeta))
+      .readTable("users").collect().map(_.toSeq).toSet === before)
+    // vacuum collects the torn commit's data orphan
+    val deleted = graft.sink.TransactionalStore.vacuum(s"$root/dst")
+    assert(deleted >= 1)
+    assert(!java.nio.file.Files.exists(orphanData))
+    assert(e.readTable("users").collect().map(_.toSeq).toSet === before)
+  }
+
   test("standby mode: bootstrap waits for the lease instead of failing") {
     val root = Files.createTempDirectory("graft-standby").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/dst"))
