@@ -11,6 +11,44 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Unigram surprisal — the LM-perplexity proxy web pipelines use to
+    * bucket documents by "language-model probability" without a
+    * model: the corpus's own unigram distribution prices each token
+    * at −ln(count/total), and a document's mean token cost ranks it
+    * (high mean = improbable tokens = what a perplexity filter
+    * drops). Per-token costs are quantized ONCE per DISTINCT token to
+    * integer micro-nats, so per-document totals are exact integer
+    * sums — engine-reproducible however the additions associate
+    * (the transcendental is evaluated only O(|vocab|) times).
+    *
+    * Scale shape: one vocabulary aggregation (map-side combined), the
+    * priced vocabulary broadcast back over the token stream, one
+    * doc-id re-aggregation; documents with zero tokens survive with
+    * zero cost. Returns (id, n_toks, cost_e6, mean_cost_e6).
+    */
+  def unigramSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val docs = df.select(id.as("__id"), text.as("__text"))
+    val toks = docs.select(col("__id"),
+      explode(tokens(col("__text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
+    val priced = vocab.withColumn("cost_e6",
+      round(-log(col("cnt").cast("double") / total.toDouble) * 1000000d, 0)
+        .cast("long"))
+    val perDoc = toks.join(broadcast(priced), "tok")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("cost_e6")).as("cost_e6"))
+    docs.select(col("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as("id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("cost_e6"), lit(0L)).as("cost_e6"))
+      .withColumn("mean_cost_e6",
+        when(col("n_toks") > 0,
+          col("cost_e6").cast("double") / col("n_toks").cast("double"))
+          .otherwise(lit(0.0d)))
+  }
+
   /** English stopword sample used by quality scoring and language ID. */
   val EnStopwords: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")

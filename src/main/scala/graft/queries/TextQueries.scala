@@ -1612,6 +1612,37 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // unigram surprisal (TextOps.unigramSurprisal): the LM-perplexity
+    // proxy — the corpus's own unigram distribution prices tokens at
+    // -ln(p) quantized once per DISTINCT token to micro-nats, so
+    // per-document totals are exact integer sums on both engines.
+    // High mean cost = the docs a perplexity filter drops.
+    QueryDef("doc_unigram_surprisal",
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> '')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM v),
+        |p AS (SELECT tok,
+        |  CAST(round(-ln(CAST(cnt AS DOUBLE) / total) * 1000000)
+        |    AS BIGINT) AS cost_e6 FROM v, tot),
+        |d AS (SELECT t.doc_id, count(*) AS n_toks,
+        |  CAST(sum(p.cost_e6) AS BIGINT) AS cost_e6
+        |  FROM t JOIN p USING (tok) GROUP BY t.doc_id)
+        |SELECT doc_id, coalesce(d.n_toks, 0) AS n_toks,
+        |  coalesce(d.cost_e6, 0) AS cost_e6,
+        |  CASE WHEN coalesce(d.n_toks, 0) > 0
+        |    THEN CAST(d.cost_e6 AS DOUBLE) / CAST(d.n_toks AS DOUBLE)
+        |    ELSE 0.0 END AS mean_cost_e6
+        |FROM documents LEFT JOIN d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.unigramSurprisal(load(s, d, "documents"),
+          col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_toks"), col("cost_e6"),
+          col("mean_cost_e6"))
+        .orderBy("doc_id")
+    },
+
     // per-source weighted sampling (PipelineOps.weightedSamplePerStratum):
     // A-ES priorities ranked per stratum through graft_topk's
     // partial combine — a stratum holding most of the corpus never

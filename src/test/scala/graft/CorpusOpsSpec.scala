@@ -261,6 +261,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(5L) === ((1L, 1L, "")))     // fully boilerplate
   }
 
+  test("unigramSurprisal: hand-priced corpus, rare tokens cost more") {
+    val docs = Seq(
+      (1L, "a a b"), // common tokens
+      (2L, "b"),
+      (3L, "z"), // the rare token
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextOps.unigramSurprisal(docs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // total 5 tokens: a=2, b=2, z=1
+    val costA = math.round(-math.log(2.0 / 5.0) * 1e6)
+    val costZ = math.round(-math.log(1.0 / 5.0) * 1e6)
+    assert(got(1L) === ((3L, 2 * costA + costA, (3 * costA).toDouble / 3)))
+    assert(got(2L) === ((1L, costA, costA.toDouble)))
+    assert(got(3L) === ((1L, costZ, costZ.toDouble)))
+    assert(got(4L) === ((0L, 0L, 0.0))) // empty doc survives
+    // the rare-token doc is the perplexity filter's casualty
+    assert(got(3L)._3 > got(2L)._3)
+  }
+
   test("resizeFit: plan math, never upscale, stub re-decodes to target") {
     import graft.ops.{ImageCodec, Multimodal}
     val ds = Seq(
