@@ -81,4 +81,55 @@ class PropertySpec extends AnyFunSuite {
       evs.isEmpty || (got.op == expected._1 && got.columns == expected._2)
     })
   }
+
+  // ---- TopKBuffer (the graft_topk aggregate's state) ----
+
+  private def topkOf(es: Seq[(Long, Long)], k: Int): Seq[(Long, Long)] =
+    es.distinct.sortBy(e => (-e._1, e._2)).take(k)
+  // the heap keeps duplicates it saw separately only if they tie by
+  // both fields; compare as SETS of the sorted prefix: for equality
+  // feed distinct entries below
+  private def bufEntries(b: graft.functions.TopKBuffer): Seq[(Long, Long)] =
+    b.heap.toArray.toSeq.sortBy(e => (-e._1, e._2))
+
+  test("TopKBuffer equals sort-take under any insertion order / split") {
+    val genE = for {
+      o <- Gen.chooseNum(-50L, 50L)
+      i <- Gen.chooseNum(0L, 30L)
+    } yield (o, i)
+    check(Prop.forAll(Gen.listOf(genE), Gen.chooseNum(1, 8),
+        Gen.chooseNum(0, 40)) { (es0, k, cut0) =>
+      val es = es0.distinct // duplicate (ord,id) pairs are one entry
+      val direct = new graft.functions.TopKBuffer(k)
+      es.foreach(e => direct.add(e._1, e._2))
+      // merge path: split at an arbitrary point, fill two buffers,
+      // merge — must equal the single-buffer fold (what Spark's
+      // partial aggregation relies on)
+      val cut = if (es.isEmpty) 0 else cut0 % (es.length + 1)
+      val (l, r) = es.splitAt(cut)
+      val a = new graft.functions.TopKBuffer(k)
+      val b = new graft.functions.TopKBuffer(k)
+      l.foreach(e => a.add(e._1, e._2))
+      r.foreach(e => b.add(e._1, e._2))
+      b.heap.foreach(e => a.add(e._1, e._2))
+      val want = topkOf(es, k)
+      bufEntries(direct) == want && bufEntries(a) == want
+    })
+  }
+
+  test("TopKPairsAgg serialize/deserialize roundtrips the state") {
+    val agg = graft.functions.TopKPairsAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L),
+      org.apache.spark.sql.catalyst.expressions.Literal(1L), 5)
+    val genE = for {
+      o <- Arbitrary.arbitrary[Long]
+      i <- Arbitrary.arbitrary[Long]
+    } yield (o, i)
+    check(Prop.forAll(Gen.listOf(genE)) { es =>
+      val b = new graft.functions.TopKBuffer(5)
+      es.distinct.foreach(e => b.add(e._1, e._2))
+      val back = agg.deserialize(agg.serialize(b))
+      back.k == b.k && bufEntries(back) == bufEntries(b)
+    })
+  }
 }
