@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
 final class TopKBuffer(val k: Int) {
   val heap: scala.collection.mutable.PriorityQueue[(Long, Long)] =
     scala.collection.mutable.PriorityQueue.empty[(Long, Long)](
-      Ordering.by(e => (-e._1, e._2)))
+      TopKBuffer.bestFirst)
   def add(o: Long, i: Long): Unit = {
     if (heap.size < k) heap.enqueue((o, i))
     else {
@@ -26,6 +26,21 @@ final class TopKBuffer(val k: Int) {
       if (o > w._1 || (o == w._1 && i < w._2)) {
         heap.dequeue(); heap.enqueue((o, i))
       }
+    }
+  }
+}
+
+object TopKBuffer {
+  /** As an ascending sort this is (ord desc, id asc) — best first; as
+    * the priority-queue ordering its maximum (the heap head) is the
+    * worst kept entry. One explicit comparator for both — keying on
+    * `(-ord, id)` would break at ord = Long.MinValue, where arithmetic
+    * negation is the identity and the heap invariant inverts.
+    */
+  val bestFirst: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+    def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
     }
   }
 }
@@ -82,7 +97,7 @@ case class TopKPairsAgg(ord: Expression, id: Expression, k: Int,
   }
 
   override def eval(b: TopKBuffer): Any = {
-    val sorted = b.heap.toArray.sortBy(e => (-e._1, e._2))
+    val sorted = b.heap.toArray.sorted(TopKBuffer.bestFirst)
     new GenericArrayData(sorted.map(e => InternalRow(e._1, e._2)))
   }
 

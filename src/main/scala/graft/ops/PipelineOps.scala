@@ -233,13 +233,22 @@ object PipelineOps {
     * quantized to 1e-12 units for the integer aggregate; ties break
     * on the smaller id. Returns (stratum, rank, id), up to k rows
     * per stratum.
+    *
+    * The quantized priority is clamped to ±9.0e18 IN DOUBLE SPACE,
+    * before the BIGINT cast: below weights of ~2.3e-6 the e12
+    * magnitude exceeds Long range, where Spark's double→long cast
+    * saturates silently while DuckDB's errors — the symmetric clamp
+    * keeps both engines on the same value. Clamped rows (weights
+    * under the ~2.3e-6 floor) tie at the clamp and fall to the id
+    * tiebreak; any oracle twin must apply the same greatest/least.
     */
   def weightedSamplePerStratum(df: DataFrame, stratum: Column, id: Column,
       weight: Column, k: Int): DataFrame = {
     require(k > 0, s"need k > 0, got $k")
     val u = (sampleHash(id.cast("string")).cast("double") + 1.0) /
       (graft.functions.GraftFunctions.PhMod.toDouble + 1.0)
-    val priE12 = round(log(u) / weight.cast("double") * 1e12, 0).cast("long")
+    val priE12 = least(greatest(round(log(u) / weight.cast("double") * 1e12, 0),
+      lit(-9.0e18)), lit(9.0e18)).cast("long")
     df.filter(weight.isNotNull && weight > 0)
       .select(stratum.as("stratum"), id.cast("long").as("__id"),
         priE12.as("__p"))

@@ -40,8 +40,12 @@ object TextQueries {
   private def gateStateDir(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     TempState.dir("gate|" + s.sparkContext.applicationId + "|" + d) { root =>
+      // explicit UNCAPPED probe: this state feeds the oracle query,
+      // whose SQL twin states the gate's exact semantics (the finite
+      // production default would drop heavy-band corpus pairs)
       val gate = new graft.streaming.IngestGate(s, root,
-        k = MinhashK, rowsPerBand = RowsPerBand, threshold = MinhashJaccard)
+        k = MinhashK, rowsPerBand = RowsPerBand, threshold = MinhashJaccard,
+        probeCap = Int.MaxValue)
       val docs = load(s, d, "documents").select(col("doc_id"), col("text"))
       gate.applyBatch(docs.filter(col("doc_id") % 2 === 0), 0L)
       gate.applyBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
@@ -1655,8 +1659,9 @@ object TextQueries {
          |     + 1.0) / ${PhMod + 1}.0 AS u
          |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
          |p AS (SELECT source, doc_id,
-         |  CAST(round(ln(u) / CAST(n_chars AS DOUBLE) * 1000000000000.0)
-         |    AS BIGINT) AS pri FROM t),
+         |  CAST(least(greatest(
+         |    round(ln(u) / CAST(n_chars AS DOUBLE) * 1000000000000.0),
+         |    -9.0e18), 9.0e18) AS BIGINT) AS pri FROM t),
          |r AS (SELECT source, doc_id, row_number() OVER
          |  (PARTITION BY source ORDER BY pri DESC, doc_id) AS rnk FROM p)
          |SELECT source, CAST(rnk AS BIGINT) AS rank, doc_id

@@ -95,19 +95,27 @@ object FileIngest {
     * load. One text scan + one aggregation keyed by field name —
     * output is O(#distinct keys), never data-sized.
     *
-    * Returns (key, n_present, n_numeric, n_boolean); lines that do
-    * not parse as a JSON object are counted under the pseudo-key
-    * `_unparsed`.
+    * Returns (key, n_present, n_numeric, n_boolean). Object- and
+    * array-valued FIELDS stringify through the flat map parse (the
+    * key surfaces; its value is the raw JSON text, guessed as neither
+    * numeric nor boolean — spec-pinned). Lines that are not valid
+    * JSON count under the pseudo-key `_unparsed`; a line that IS
+    * valid JSON but whose top level is not an object (array/scalar)
+    * counts under the distinct pseudo-key `_nested` instead of
+    * masquerading as a parse failure.
     */
   def auditJsonl(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.text(path)
     val m = from_json(col("value"),
       org.apache.spark.sql.types.MapType(StringType, StringType))
-    raw.select(when(m.isNull, array(lit(CorruptUnparsedKey)))
+    val fallback = when(try_parse_json(col("value")).isNotNull,
+      lit(CorruptNestedKey)).otherwise(lit(CorruptUnparsedKey))
+    raw.select(when(m.isNull, array(fallback))
         .otherwise(map_keys(m)).as("ks"), m.as("m"))
       .select(explode(col("ks")).as("key"), col("m"))
       .select(col("key"),
-        when(col("key") === CorruptUnparsedKey, lit(null))
+        when(col("key").isin(CorruptUnparsedKey, CorruptNestedKey),
+          lit(null))
           .otherwise(element_at(col("m"), col("key"))).as("v"))
       .groupBy("key")
       .agg(count(lit(1)).as("n_present"),
@@ -117,8 +125,13 @@ object FileIngest {
           .as("n_boolean"))
   }
 
-  /** [[auditJsonl]]'s bucket for lines that are not JSON objects. */
+  /** [[auditJsonl]]'s bucket for lines that are not valid JSON. */
   val CorruptUnparsedKey = "_unparsed"
+
+  /** [[auditJsonl]]'s bucket for valid-JSON lines whose top-level
+    * values nest (object/array) — parseable, but not by a flat map.
+    */
+  val CorruptNestedKey = "_nested"
 
   /** Write `df` as JSONL part files (the inverse of [[jsonl]]). */
   def writeJsonl(df: DataFrame, path: String): Unit =

@@ -49,7 +49,7 @@ import org.apache.spark.sql.types._
   */
 final class IngestGate(spark: SparkSession, stateDir: String,
     k: Int = 16, rowsPerBand: Int = 8, threshold: Double = 0.95,
-    numBuckets: Int = 64, probeCap: Int = Int.MaxValue) {
+    numBuckets: Int = 64, probeCap: Int = IngestGate.DefaultProbeCap) {
 
   private val corpusDir = s"$stateDir/corpus"
   private val verdictsDir = s"$stateDir/verdicts"
@@ -375,4 +375,15 @@ final class IngestGate(spark: SparkSession, stateDir: String,
         ()
       }
       .start()
+}
+
+object IngestGate {
+  /** Finite by default (matching [[graft.ops.CurationPipeline]]'s
+    * convention — cap at the production entry): a directly-constructed
+    * gate routes heavy bands through the star-collapse guard instead
+    * of silently inheriting an unbounded O(m²) band probe. Oracle
+    * constructions that need exact semantics pass an explicit
+    * `probeCap = Int.MaxValue`.
+    */
+  val DefaultProbeCap: Int = 32
 }

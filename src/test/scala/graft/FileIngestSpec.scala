@@ -74,6 +74,29 @@ class FileIngestSpec extends SparkSpec {
     assert(got("c") === ((1L, 0L, 1L))) // JSON boolean
     assert(got("d") === ((1L, 0L, 1L))) // string "false" still flags
     assert(got(FileIngest.CorruptUnparsedKey) === ((1L, 0L, 0L)))
+    assert(!got.contains(FileIngest.CorruptNestedKey))
+  }
+
+  test("auditJsonl: nested values keep their keys; non-object JSON buckets _nested") {
+    // object-valued and array-valued FIELDS stringify through the flat
+    // map parse (keys surface, values are the raw JSON text — neither
+    // numeric nor boolean); only a valid-JSON line whose TOP LEVEL is
+    // not an object falls to _nested, and only invalid JSON to
+    // _unparsed
+    val lines = Seq(
+      """{"a": 1}""",
+      """{"a": 2, "meta": {"x": 1}}""",
+      """{"arr": [1, 2, 3]}""",
+      """[1, 2]""",
+      """{broken""")
+    val got = FileIngest.auditJsonl(spark, tmpWrite(lines, "json"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") === ((2L, 2L, 0L)))
+    assert(got("meta") === ((1L, 0L, 0L))) // key surfaces, value is JSON text
+    assert(got("arr") === ((1L, 0L, 0L)))
+    assert(got(FileIngest.CorruptNestedKey) === ((1L, 0L, 0L)))
+    assert(got(FileIngest.CorruptUnparsedKey) === ((1L, 0L, 0L)))
   }
 
   test("gzip-compressed JSONL parts read transparently") {

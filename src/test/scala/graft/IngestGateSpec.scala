@@ -72,6 +72,22 @@ class IngestGateSpec extends SparkSpec {
     assert(Seq(1L, 2L, 5L).forall(i => v(i)._1 == "admitted"))
   }
 
+  test("gate: DEFAULT construction carries a finite probeCap") {
+    // a production gate built with no arguments must route heavy
+    // bands through the star-collapse guard — the unbounded probe is
+    // opt-in (explicit Int.MaxValue), never inherited silently
+    assert(IngestGate.DefaultProbeCap < Int.MaxValue)
+    assert(IngestGate.DefaultProbeCap > 0)
+    // and the defaulted gate still produces the fixture's verdicts
+    val state = tmp()
+    val gate = new IngestGate(spark, state)
+    gate.applyBatch(Seq((1L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"), 0L)
+    val v = gate.readVerdicts()
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(v(1L) == "admitted" && v(3L) == "dup_in_batch")
+  }
+
   test("gate: duplicate doc_ids within one batch collapse to one row") {
     val state = tmp()
     val gate = new IngestGate(spark, state)

@@ -84,17 +84,33 @@ class PropertySpec extends AnyFunSuite {
 
   // ---- TopKBuffer (the graft_topk aggregate's state) ----
 
+  // negation-free oracle order: sortBy(-ord) would itself break at
+  // ord = Long.MinValue, the exact case the buffer's comparator fix
+  // exists for
   private def topkOf(es: Seq[(Long, Long)], k: Int): Seq[(Long, Long)] =
-    es.distinct.sortBy(e => (-e._1, e._2)).take(k)
+    es.distinct.sorted(graft.functions.TopKBuffer.bestFirst).take(k)
   // the heap keeps duplicates it saw separately only if they tie by
   // both fields; compare as SETS of the sorted prefix: for equality
   // feed distinct entries below
   private def bufEntries(b: graft.functions.TopKBuffer): Seq[(Long, Long)] =
-    b.heap.toArray.toSeq.sortBy(e => (-e._1, e._2))
+    b.heap.toArray.toSeq.sorted(graft.functions.TopKBuffer.bestFirst)
+
+  test("TopKBuffer.bestFirst orders without negation overflow") {
+    val o = graft.functions.TopKBuffer.bestFirst
+    // Long.MinValue must rank as the SMALLEST ord (last), not flip to
+    // maximal through -MinValue == MinValue
+    assert(o.compare((Long.MinValue, 0L), (0L, 0L)) > 0)
+    assert(o.compare((Long.MaxValue, 0L), (Long.MinValue, 0L)) < 0)
+    assert(o.compare((5L, 1L), (5L, 2L)) < 0) // tie: smaller id first
+    val b = new graft.functions.TopKBuffer(2)
+    b.add(Long.MinValue, 7L); b.add(0L, 1L); b.add(Long.MaxValue, 2L)
+    assert(bufEntries(b) == Seq((Long.MaxValue, 2L), (0L, 1L)))
+  }
 
   test("TopKBuffer equals sort-take under any insertion order / split") {
     val genE = for {
-      o <- Gen.chooseNum(-50L, 50L)
+      o <- Gen.oneOf(Gen.chooseNum(-50L, 50L),
+        Gen.oneOf(Long.MinValue, Long.MinValue + 1, Long.MaxValue))
       i <- Gen.chooseNum(0L, 30L)
     } yield (o, i)
     check(Prop.forAll(Gen.listOf(genE), Gen.chooseNum(1, 8),
