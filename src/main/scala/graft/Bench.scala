@@ -47,6 +47,25 @@ object Bench {
     e.readTable("users").count()
   }
 
+  /** Fixed canary workload: pure Spark (scan + tiny shuffle), zero
+    * graft code, zero data dependence — its cost is a property of the
+    * HOST WINDOW alone. Sampled through the run (start, every 8th
+    * query, end); the median prices the window, so per-query times can
+    * be emitted twice: raw seconds AND canary-normalized ratios.
+    * Round-over-round comparisons should read the ratios — the raw
+    * wall clock carries a proven ±1.2–1.5× host-window term that
+    * min-of-reps cannot remove (a throttled WHOLE window shifts every
+    * rep together; the canary shifts with it and divides back out).
+    */
+  private def canaryOnce(spark: org.apache.spark.sql.SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(20000000L)
+      .selectExpr("id % 97 AS k", "id AS v")
+      .groupBy("k").sum("v")
+      .selectExpr("sum(`sum(v)`)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q3_shipping_topk,emb_ivf_knn
@@ -84,7 +103,11 @@ object Bench {
     // message and the process exits nonzero — a throwing query used to
     // contribute elapsed time indistinguishably from success
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = selected.map { name =>
+    // canary warm + first sample; further samples interleave every 8
+    // queries so one throttled stretch can't mis-price the whole run
+    canaryOnce(spark)
+    val canaries = scala.collection.mutable.ArrayBuffer(canaryOnce(spark))
+    val results = selected.zipWithIndex.map { case (name, qi) =>
       val fn = SparkEntry.queries(name)
       var best = Double.MaxValue
       var rep = 0
@@ -101,8 +124,12 @@ object Bench {
         spark.catalog.clearCache()
         rep += 1
       }
+      if ((qi + 1) % 8 == 0) canaries += canaryOnce(spark)
       name -> best
     }
+    canaries += canaryOnce(spark)
+    val canSorted = canaries.toSeq.sorted
+    val canMed = canSorted(canSorted.size / 2)
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -121,10 +148,17 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // canary-normalized twin of every row: seconds ÷ this window's
+    // median canary second — the unit a different window reproduces
+    val normQs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (canMed > 0) v / canMed else v) }
+      .mkString("{", ",", "}")
+    val canaryJson =
+      s"""{"med":$canMed,"min":${canSorted.head},"max":${canSorted.last},"n":${canSorted.size}}"""
     val sfBase = new java.io.File(sfDir).getName
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"BENCH_LOCAL_$sfBase.json")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size}}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_norm":$normQs,"canary":$canaryJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       fullLine + "\n")
     catch { case e: Throwable =>
@@ -140,7 +174,7 @@ object Bench {
     val omitted = bySlowest.filterNot(kept.contains)
     val qs = kept.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size},"rest_n":${omitted.size},"rest_sec":${f3(omitted.map(_._2).sum)},"full":"$outFile"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"canary_med":${f3(canMed)},"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size},"rest_n":${omitted.size},"rest_sec":${f3(omitted.map(_._2).sum)},"full":"$outFile"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -121,7 +121,19 @@ final case class EngineConfig(
     // default late-change policy for streams that don't set their own
     problemStrategy: ProblemStrategy = ProblemStrategy.Stop,
     maxBatchSize: Int = 1000,     // initial-scan per-txn cap
-    buckets: Int = 64,            // destination copy-on-write bucket count
+    buckets: Int = 64,            // destination bucket count
+    // Destination write mode. Merge-on-read (the default — the
+    // scale-safe production entry) appends each commit's LWW patch as
+    // per-bucket delta files and merges lazily at read time, so
+    // steady-state bytes written per commit scale with the PATCH, not
+    // the table; copy-on-write (false) rewrites every affected bucket
+    // per commit — at a 100 TB destination under uniformly-keyed
+    // batches that approaches a full-table rewrite per micro-batch.
+    mergeOnRead: Boolean = true,
+    // A bucket whose delta chain reaches this many files is folded
+    // back into its base (the CoW rewrite as compaction primitive),
+    // bounding read amplification; read-side merge work ∝ chain length.
+    compactDeltas: Int = 8,
     // ST6 liveness guard (reference max_expected_heartbeat_interval,
     // hb_tracker.go:76-126): warn when no FULL heartbeat set has been
     // seen for this long. 0 disables the guard.

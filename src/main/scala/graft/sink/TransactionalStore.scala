@@ -33,7 +33,15 @@ import scala.jdk.CollectionConverters._
   */
 object TransactionalStore {
 
-  final case class TableVersion(bucketFiles: Map[Int, Seq[String]])
+  /** A table's committed file state: per-bucket BASE files (full rows)
+    * plus, under merge-on-read, per-bucket DELTA files — each delta
+    * file is one commit's typed LWW patch for that bucket, replayed
+    * onto the base at read time in commit order. A bucket's effective
+    * contents = base overlaid by its delta chain; compaction folds the
+    * chain back into base (DstTable.applyPatch).
+    */
+  final case class TableVersion(bucketFiles: Map[Int, Seq[String]],
+      deltaFiles: Map[Int, Seq[String]] = Map.empty)
   final case class Manifest(
       version: Long,
       state: ReplicationState,
@@ -64,8 +72,14 @@ object TransactionalStore {
     val tables = root.putObject("tables")
     m.tables.toSeq.sortBy(_._1).foreach { case (name, tv) =>
       val t = tables.putObject(name)
+      val bk = t.putObject("buckets")
       tv.bucketFiles.toSeq.sortBy(_._1).foreach { case (b, files) =>
-        val arr = t.putArray(b.toString)
+        val arr = bk.putArray(b.toString)
+        files.foreach(arr.add)
+      }
+      val dl = t.putObject("deltas")
+      tv.deltaFiles.toSeq.sortBy(_._1).foreach { case (b, files) =>
+        val arr = dl.putArray(b.toString)
         files.foreach(arr.add)
       }
     }
@@ -76,11 +90,20 @@ object TransactionalStore {
 
   private def parse(s: String): Manifest = {
     val n = om.readTree(s)
-    val tables = n.get("tables").properties().asScala.map { e =>
-      val buckets = e.getValue.properties().asScala.map { b =>
+    def bucketMap(node: com.fasterxml.jackson.databind.JsonNode)
+        : Map[Int, Seq[String]] =
+      node.properties().asScala.map { b =>
         b.getKey.toInt -> b.getValue.elements().asScala.map(_.asText).toSeq
       }.toMap
-      e.getKey -> TableVersion(buckets)
+    val tables = n.get("tables").properties().asScala.map { e =>
+      val v = e.getValue
+      // legacy manifests (pre merge-on-read) put the bucket map
+      // directly under the table node
+      val tv =
+        if (v.has("buckets"))
+          TableVersion(bucketMap(v.get("buckets")), bucketMap(v.get("deltas")))
+        else TableVersion(bucketMap(v))
+      e.getKey -> tv
     }.toMap
     val pending = n.get("pending").elements().asScala.map(_.asText).toSeq
     Manifest(
@@ -160,7 +183,8 @@ object TransactionalStore {
   def vacuum(root: String, keepManifests: Int = 10): Int = {
     val man = read(root)
     val live: Set[Path] =
-      (man.tables.values.flatMap(_.bucketFiles.values).flatten ++
+      (man.tables.values.flatMap(tv =>
+        tv.bucketFiles.values.flatten ++ tv.deltaFiles.values.flatten) ++
         man.pendingFiles).map(f => Paths.get(f).toAbsolutePath.normalize).toSet
     var deleted = 0
     def sweep(dir: Path): Unit =

@@ -583,7 +583,8 @@ final class CdcEngine(
         meta.name -> Future {
           val patch = merged.filter(col("tableId") === tid)
           val (tv, n) = DstTable.applyPatch(spark, root, meta,
-            cfg.buckets, man.tables(meta.name), patch, commitTag)
+            cfg.buckets, man.tables(meta.name), patch, commitTag,
+            mergeOnRead = cfg.mergeOnRead, compactDeltas = cfg.compactDeltas)
           metrics.modificationsCount.addAndGet(n)
           tv
         }

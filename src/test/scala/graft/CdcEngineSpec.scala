@@ -576,4 +576,30 @@ class CdcEngineSpec extends SparkSpec {
     // a key the table never saw returns no rows (and no error)
     assert(e.lookup("users", Seq(999L).toDF("id")).count() === 0L)
   }
+
+  test("default config writes merge-on-read delta chains after the base load") {
+    // guards the production default: steady-state commits must append
+    // deltas (bytes ∝ patch), not rewrite buckets — only the FIRST
+    // commit into the empty table builds base files
+    val root = Files.createTempDirectory("graft-mor-def").toString
+    val e = mkEngine(root)
+    e.processBatch(frame(
+      ("""{"update":{"name":"a","score":1},"key":[1],"ts":[1,1]}""", 0L, 0L),
+      ("""{"update":{"name":"b","score":2},"key":[2],"ts":[1,2]}""", 1L, 0L),
+      ("""{"resolved":[2,0]}""", 0L, 1L),
+      ("""{"resolved":[2,0]}""", 1L, 1L)), 0L)
+    e.processBatch(frame(
+      ("""{"resolved":[3,0]}""", 0L, 2L),
+      ("""{"resolved":[3,0]}""", 1L, 2L)), 1L)
+    val tv0 = graft.sink.TransactionalStore.read(s"$root/dst").tables("users")
+    assert(tv0.bucketFiles.nonEmpty && tv0.deltaFiles.isEmpty)
+    e.processBatch(frame(
+      ("""{"update":{"score":9},"key":[1],"ts":[4,1]}""", 0L, 3L),
+      ("""{"resolved":[5,0]}""", 0L, 4L),
+      ("""{"resolved":[5,0]}""", 1L, 3L)), 2L)
+    val tv1 = graft.sink.TransactionalStore.read(s"$root/dst").tables("users")
+    assert(tv1.deltaFiles.nonEmpty,
+      "steady-state commit should land as a delta chain under the default")
+    assert(users(e)(1L) == (("a", 9)))
+  }
 }
