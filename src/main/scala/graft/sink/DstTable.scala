@@ -64,6 +64,15 @@ object DstTable {
   def bucketOf(meta: TableMeta, buckets: Int): Column =
     pmod(xxhash64(meta.primaryKey.map(col): _*), lit(buckets)).cast("int")
 
+  /** Size gate for the broadcast read-side merge: delta chains whose
+    * files total at most this many bytes merge via broadcast joins
+    * (the base NEVER shuffles — see [[readCurrent]]); larger chains
+    * fall back to the shuffled full-outer join. Compaction keeps
+    * steady-state chains far below this. Mutable only so specs can
+    * force the fallback path.
+    */
+  private[graft] var DeltaBroadcastMaxBytes: Long = 64L << 20
+
   private def deltaSchema(meta: TableMeta): StructType =
     StructType(meta.schema.fields.toSeq ++ Seq(
       StructField(OpCol, IntegerType),
@@ -92,8 +101,17 @@ object DstTable {
       else spark.read.schema(meta.schema).parquet(baseFiles: _*)
     val dFiles = pick(tv.deltaFiles)
     if (dFiles.isEmpty) base
-    else mergeDeltas(meta, base,
-      spark.read.schema(deltaSchema(meta)).parquet(dFiles: _*))
+    else {
+      val deltaBytes = dFiles.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getLen
+        catch { case _: java.io.IOException => Long.MaxValue / 1024 }
+      }.sum
+      mergeDeltas(meta, base,
+        spark.read.schema(deltaSchema(meta)).parquet(dFiles: _*),
+        broadcastable = deltaBytes <= DeltaBroadcastMaxBytes)
+    }
   }
 
   /** Read-side merge: consolidate a key's delta chain into one
@@ -121,7 +139,7 @@ object DstTable {
     * sequential application.
     */
   private def mergeDeltas(meta: TableMeta, base: DataFrame,
-      deltas: DataFrame): DataFrame = {
+      deltas: DataFrame, broadcastable: Boolean): DataFrame = {
     val pk = meta.primaryKey
     val nonKey = meta.nonKeyColumns
     val upd = col(OpCol) === Op.Update
@@ -146,22 +164,58 @@ object DstTable {
       (pk.map(k => col(k).as(s"__dk_$k")) ++
         Seq(col("__e"), col("__r"), col("__u"), lit(true).as("__hasDelta")) ++
         nonKey.map(c => col(s"__d_$c"))): _*)
-    val joined = b.join(d,
-      pk.map(k => b(s"__bk_$k") <=> d(s"__dk_$k")).reduce(_ && _),
-      "full_outer")
+    val cond = pk.map(k => b(s"__bk_$k") <=> d(s"__dk_$k")).reduce(_ && _)
 
     val noSeq = lit(Long.MinValue)
-    val alive = col("__hasDelta").isNull ||
-      coalesce(col("__u"), noSeq) > coalesce(col("__e"), noSeq)
-    joined.filter(alive).select(
-      (pk.map(k => coalesce(col(s"__bk_$k"), col(s"__dk_$k")).as(k)) ++
-        nonKey.map { c =>
-          val dt = meta.schema(c).dataType
-          val dc = col(s"__d_$c")
-          when(dc.isNotNull && dc("s") >= coalesce(col("__r"), noSeq), dc("v"))
-            .when(col("__r").isNotNull, lit(null).cast(dt))
-            .otherwise(col(s"__b_$c")).as(c)
-        }): _*)
+    def overlay(joined: DataFrame, hasDeltaAlways: Boolean): DataFrame = {
+      val alive =
+        (if (hasDeltaAlways) lit(false) else col("__hasDelta").isNull) ||
+          coalesce(col("__u"), noSeq) > coalesce(col("__e"), noSeq)
+      joined.filter(alive).select(
+        (pk.map(k => coalesce(col(s"__bk_$k"), col(s"__dk_$k")).as(k)) ++
+          nonKey.map { c =>
+            val dt = meta.schema(c).dataType
+            val dc = col(s"__d_$c")
+            when(dc.isNotNull && dc("s") >= coalesce(col("__r"), noSeq),
+              dc("v"))
+              .when(col("__r").isNotNull, lit(null).cast(dt))
+              .otherwise(col(s"__b_$c")).as(c)
+          }): _*)
+    }
+
+    if (!broadcastable)
+      // big chain (bulk backfill before its compaction): shuffled
+      // full-outer merge
+      overlay(b.join(d, cond, "full_outer"), hasDeltaAlways = false)
+    else {
+      // The scale path: the BASE never shuffles. full_outer(base, d)
+      // decomposes by key membership in the (broadcastable) chain:
+      //   (1) untouched — base ANTI broadcast(delta keys): streamed
+      //       scan, emitted as-is;
+      //   (2) touched   — base SEMI broadcast(delta keys): streamed
+      //       scan yielding ≤ |chain| rows, then a full-outer overlay
+      //       against the consolidated chain (both sides chain-sized,
+      //       so its exchanges are trivial; the full-outer keeps
+      //       brand-new keys as inserts).
+      // Result: a 100 TB read with a live chain costs two parallel
+      // pruned scans and zero base exchanges, and predicates on the
+      // result push into both scans through the union — a plain
+      // full-outer join would shuffle the whole base AND block
+      // pushdown on both sides.
+      val dk1 = d.select(pk.map(k => col(s"__dk_$k")): _*)
+      val untouched = b.join(broadcast(dk1),
+          pk.map(k => b(s"__bk_$k") <=> dk1(s"__dk_$k")).reduce(_ && _),
+          "left_anti")
+        .select((pk.map(k => col(s"__bk_$k").as(k)) ++
+          nonKey.map(c => col(s"__b_$c").as(c))): _*)
+      val dk2 = d.select(pk.map(k => col(s"__dk_$k")): _*)
+      val touched = b.join(broadcast(dk2),
+        pk.map(k => b(s"__bk_$k") <=> dk2(s"__dk_$k")).reduce(_ && _),
+        "left_semi")
+      val merged = overlay(touched.join(d, cond, "full_outer"),
+        hasDeltaAlways = false)
+      untouched.unionByName(merged)
+    }
   }
 
   /** Apply `patch` (merged rows: keyJson, op, columns) to the table

@@ -99,6 +99,42 @@ class MergeOnReadSpec extends SparkSpec {
     }
     assert(tvM.deltaFiles.nonEmpty, "MoR run should have live delta chains")
     assert(tvC.deltaFiles.isEmpty)
+    // the same chains through the over-threshold SMJ fallback
+    val saved = DstTable.DeltaBroadcastMaxBytes
+    DstTable.DeltaBroadcastMaxBytes = 0L
+    try assert(contents(tvM) == contents(tvC), "fallback path diverged")
+    finally DstTable.DeltaBroadcastMaxBytes = saved
+  }
+
+  test("broadcast read plan never shuffles the base; fallback SMJ agrees") {
+    val root = freshRoot()
+    var tv = apply(root, empty,
+      (1 to 200).map(i => (i.toLong, Op.Update,
+        Map("a" -> s"v$i", "b" -> i.toString), false)), 1L, mor = false)
+    tv = apply(root, tv,
+      Seq((3L, Op.Update, Map("b" -> "33"), false),
+        (999L, Op.Update, Map("a" -> "new"), false),
+        (4L, Op.Erase, Map.empty[String, String], true)),
+      2L, mor = true)
+    val plan = DstTable.readCurrent(spark, meta, tv)
+      .queryExecution.executedPlan.toString
+    // the base streams through broadcast anti/semi joins; the only
+    // full-outer (and its exchanges) is chain-sized
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti") && plan.contains("LeftSemi"), plan.take(1500))
+    val viaBroadcast = contents(tv)
+    assert(viaBroadcast.exists(r => r._1 == 3L && r._3 == Some(33)))
+    assert(viaBroadcast.exists(r => r._1 == 999L && r._2 == Some("new")))
+    assert(!viaBroadcast.exists(_._1 == 4L))
+    // force the over-threshold fallback (shuffled full-outer): same rows
+    val saved = DstTable.DeltaBroadcastMaxBytes
+    DstTable.DeltaBroadcastMaxBytes = 0L
+    try {
+      val planF = DstTable.readCurrent(spark, meta, tv)
+        .queryExecution.executedPlan.toString
+      assert(planF.contains("FullOuter"), planF.take(1500))
+      assert(contents(tv) == viaBroadcast)
+    } finally DstTable.DeltaBroadcastMaxBytes = saved
   }
 
   test("cross-commit erase/replace semantics through the delta fold") {
