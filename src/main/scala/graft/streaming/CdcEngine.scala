@@ -171,6 +171,9 @@ final class CdcEngine(
       throw new IllegalStateException(
         s"refusing to run: stored state is ${man.state.state} (${man.state.lastMsg})")
     val checkpoint = man.state.position
+    val chainsBefore = man.tables.iterator.flatMap { case (n, tv) =>
+      tv.deltaFiles.keysIterator.map(b => (n, b))
+    }.toSet
 
     val phases = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     var tp = System.nanoTime()
@@ -366,6 +369,15 @@ final class CdcEngine(
         lastBatchId = math.max(batchId, man.lastBatchId)))
       metrics.batchesCommitted.incrementAndGet()
       metrics.lastCommitLatencyMs.set((System.nanoTime() - t0) / 1000000L)
+      // merge-on-read health: live chain files + chains folded away
+      // this commit (O(#buckets) driver bookkeeping off the manifest)
+      val chainsAfter = man.tables.iterator.flatMap { case (n, tv) =>
+        tv.deltaFiles.keysIterator.map(b => (n, b))
+      }.toSet
+      metrics.deltaFilesLive.set(man.tables.valuesIterator
+        .flatMap(_.deltaFiles.valuesIterator).map(_.size.toLong).sum)
+      metrics.bucketsCompacted.addAndGet(
+        (chainsBefore -- chainsAfter).size.toLong)
       // ST6: checkpoint vs newest-seen heartbeat, in µs of stream time
       newestHb.foreach(m => metrics.replicationLagEstimation.set(
         math.max(0L, m.step - man.state.stepId)))

@@ -22,6 +22,13 @@ final class EngineMetrics {
     * for longer than the configured max_expected_heartbeat_interval.
     */
   val hbLivenessWarnings = new AtomicLong(0)
+  /** Merge-on-read health: live delta files across all tables after
+    * the last commit (read amplification ∝ per-bucket chain length),
+    * and how many bucket chains compaction has folded back into base.
+    * A deltaFilesLive that only climbs = compaction is not keeping up.
+    */
+  val deltaFilesLive = new AtomicLong(0)
+  val bucketsCompacted = new AtomicLong(0)
   val lastError = new AtomicReference[String]("")
 
   def addMods(tableId: Int, n: Long): Unit = {
@@ -41,6 +48,8 @@ final class EngineMetrics {
     "commit_latency_ms" -> lastCommitLatencyMs.get(),
     "quorum_waiting_latency_ms" -> lastQuorumWaitMs.get(),
     "replication_lag_estimation" -> replicationLagEstimation.get(),
-    "hb_liveness_warnings" -> hbLivenessWarnings.get()
+    "hb_liveness_warnings" -> hbLivenessWarnings.get(),
+    "delta_files_live" -> deltaFilesLive.get(),
+    "buckets_compacted" -> bucketsCompacted.get()
   ) ++ perStreamMods.map { case (k, v) => s"stream_${k}_modifications" -> v.get() }
 }

@@ -601,5 +601,8 @@ class CdcEngineSpec extends SparkSpec {
     assert(tv1.deltaFiles.nonEmpty,
       "steady-state commit should land as a delta chain under the default")
     assert(users(e)(1L) == (("a", 9)))
+    // MoR health gauges ride the manifest
+    assert(e.metrics.deltaFilesLive.get() > 0L)
+    assert(e.metrics.snapshot.contains("delta_files_live"))
   }
 }
