@@ -595,4 +595,121 @@ object Dedup {
     symSelf.unpersist()
     cached
   }
+
+  /** Exact duplicated-SPAN detection — the substring-level dedup pass
+    * of LLM training pipelines (after document-level near-dup, corpora
+    * still carry verbatim repeated passages: licenses, boilerplate,
+    * quoted text). Every `w`-token window is hashed positionally; a
+    * window whose hash occurs more than once in the corpus (any doc,
+    * including within-doc repeats) is a duplicated window, and
+    * overlapping-or-adjacent duplicated windows merge into maximal
+    * spans. Returns one row per maximal span:
+    * (id, span_start (1-based token position), span_len_toks).
+    *
+    * Scale shape: positional windows explode off the scan (no
+    * shuffle), ONE map-side-combined aggregation counts window-hash
+    * occurrences, the >1 survivors join back on the hash key (the
+    * count side is post-aggregation — one row per duplicated hash),
+    * and the island merge is a per-document window function — each
+    * document's hits sort locally, nothing corpus-sized concentrates.
+    * Windows join on their 63-bit polynomial hash, not the string:
+    * at 100 TB the shuffle carries 8 bytes per window instead of the
+    * w-token text; a hash collision marks a window duplicated on both
+    * engines identically (the twin replays the same hash), with
+    * corpus-level false-positive odds ~ n²/2^63.
+    *
+    * Span-merge contract: windows [p, p+w) and [q, q+w) with p < q
+    * merge when q <= p + w (overlap OR exact adjacency — adjacency
+    * means the duplicated region continues with no gap, so the span
+    * reads as one contiguous duplicated passage).
+    */
+  def dupSpans(df: DataFrame, id: Column, text: Column, w: Int): DataFrame = {
+    require(w > 0, "need w > 0")
+    val docs = df.select(id.as("__id"), tokens(text).as("__toks"))
+    // (id, pos, hash) for every w-window; posexplode is 0-based → +1
+    val wins = docs.select(col("__id"),
+        posexplode(wordShingles(col("__toks"), w)))
+      .select(col("__id"), (col("pos") + 1).as("s"),
+        portableHash(col("col")).as("h"))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select("h")
+    val hits = wins.join(dup, "h").select(col("__id"), col("s"))
+    val byDoc = Window.partitionBy("__id").orderBy("s")
+    val spans = hits
+      .withColumn("__pme", max(col("s") + w)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pme").isNull || col("s") > col("__pme"), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(byDoc))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("s")) + w - min(col("s"))).as("span_len_toks"))
+    spans.select(col("__id").as("id"),
+      col("span_start").cast("long").as("span_start"),
+      col("span_len_toks").cast("long").as("span_len_toks"))
+  }
+
+  /** Per-document roll-up of [[dupSpans]] — the filter-decision view:
+    * (id, n_toks, n_spans, dup_toks, dup_frac), every input document
+    * present (zero spans ⇒ zeros). `dup_frac` is the exact integer
+    * ratio dup_toks / n_toks (one IEEE division, engine-reproducible).
+    */
+  def dupSpanStats(df: DataFrame, id: Column, text: Column,
+      w: Int): DataFrame = {
+    val docs = df.select(id.as("__id"),
+      size(tokens(text)).cast("long").as("n_toks"))
+    val perDoc = dupSpans(df, id, text, w)
+      .groupBy(col("id").as("__id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_len_toks")).as("dup_toks"))
+    docs.join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as("id"), col("n_toks"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_toks"), lit(0L)).as("dup_toks"))
+      .withColumn("dup_frac",
+        when(col("n_toks") > 0,
+          col("dup_toks").cast("double") / col("n_toks").cast("double"))
+          .otherwise(lit(0.0d)))
+  }
+
+  /** Prefix-blocked edit-distance pair join — the record-linkage /
+    * fuzzy-dedup primitive for short normalized text: candidates are
+    * generated by EXACT equality on the first `blockLen` characters of
+    * the whitespace-normalized token stream (a hash-shuffle equi-join,
+    * never a cross product), then scored with Levenshtein distance
+    * over the first `prefixLen` characters and kept at
+    * `lev <= maxDist`. Returns (id_a, id_b, lev) with id_a < id_b.
+    *
+    * Scale shape: one equi-join on the block key; a block of size b
+    * contributes b² candidate rows, so callers bound blocks the same
+    * way the MinHash path does (blockCap; oversize blocks are dropped
+    * whole — a block bigger than the cap is ipso facto boilerplate,
+    * and surfacing it is [[dropFrequentChunks]]' job, not a pair
+    * scorer's). Levenshtein runs post-join on prefixLen-bounded
+    * strings: O(prefixLen²) per candidate, independent of document
+    * length.
+    */
+  def editDistancePairs(df: DataFrame, id: Column, text: Column,
+      blockLen: Int, prefixLen: Int, maxDist: Int,
+      blockCap: Int = 64): DataFrame = {
+    require(blockLen > 0 && prefixLen >= blockLen && maxDist >= 0,
+      "need 0 < blockLen <= prefixLen and maxDist >= 0")
+    val norm = df.select(id.as("__id"),
+        array_join(tokens(text), " ").as("__norm"))
+      .select(col("__id"), substring(col("__norm"), 1, blockLen).as("blk"),
+        substring(col("__norm"), 1, prefixLen).as("pfx"))
+    val keep = norm.groupBy("blk").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= blockCap).select("blk")
+    val blocked = norm.join(keep, "blk")
+    val a = blocked.select(col("blk"), col("__id").as("id_a"),
+      col("pfx").as("__pa"))
+    val b = blocked.select(col("blk"), col("__id").as("id_b"),
+      col("pfx").as("__pb"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("lev", levenshtein(col("__pa"), col("__pb")))
+      .filter(col("lev") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("lev").cast("long").as("lev"))
+  }
 }

@@ -180,6 +180,34 @@ object PipelineOps {
     df.withColumn("split", assigned)
   }
 
+  /** LEAKAGE-SAFE train/val/test split: assignment keyed on the
+    * near-duplicate component REPRESENTATIVE, not the document id —
+    * the eval-contamination guard real pipelines need (hashing per-doc
+    * puts two near-identical documents on opposite sides of the
+    * train/test fence; hashing per-component makes that impossible by
+    * construction: every member of a component shares the
+    * representative, hence the split). `components` is
+    * (id, comp) from [[Dedup.connectedComponents]] over whatever pair
+    * generator the pipeline trusts (MinHash, SimHash, semantic);
+    * documents absent from it are singletons (their own
+    * representative), so the split is [[splitAssign]]'s for them and
+    * membership stays stable as the duplicate graph grows only for
+    * newly-linked docs. Adds (rep, split).
+    *
+    * Scale shape: one left equi-join on the id (the component table is
+    * pair-graph-sized — usually tiny next to the corpus, broadcast
+    * when small) plus [[splitAssign]]'s shuffle-free hash expression.
+    */
+  def leakageSafeSplit(df: DataFrame, id: Column, components: DataFrame,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    val comp = components.select(col("id").as("__lsid"),
+      col("comp").as("__lscomp"))
+    val joined = df.join(comp, id === col("__lsid"), "left")
+      .withColumn("rep", coalesce(col("__lscomp"), id))
+      .drop("__lsid", "__lscomp")
+    splitAssign(joined, col("rep"), cuts)
+  }
+
   /** Deterministic per-stratum sampling: keep a row iff
     * sampleHash(stratum ":" id) mod 100 < rate(stratum). Pure
     * filter — scan-parallel, reproducible across engines and runs,

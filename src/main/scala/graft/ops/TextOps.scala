@@ -126,6 +126,64 @@ object TextOps {
       acc => acc.getField("best"))
   }
 
+  /** The fixed alphabet character entropy is measured over: lowercase
+    * letters, digits, space. Shared with the SQL twin by
+    * interpolation so the two unrollings cannot drift.
+    */
+  val EntropyAlphabet: Seq[Char] =
+    ('a' to 'z') ++ ('0' to '9') :+ ' '
+
+  /** Character-distribution Shannon entropy — the cheap "is this
+    * natural text" gate (near-zero entropy = one repeated character,
+    * near-uniform = random noise; both are what a pre-filter drops
+    * before any tokenizer runs). Measured over [[EntropyAlphabet]] on
+    * the lowercased text; characters outside the alphabet are ignored.
+    *
+    * Engine-exactness: H = ln(N) − (Σ n_c·ln n_c)/N is computed from
+    * INTEGER counts with each transcendental quantized once to
+    * micro-nats (the unigram-surprisal convention), so the output
+    * columns are integer sums plus one IEEE divide+subtract:
+    * (id, n_alpha, nlogn_e6, ln_n_e6, entropy_e6) with
+    * entropy_e6 = ln_n_e6 − nlogn_e6/n_alpha (micro-nats).
+    *
+    * Scale shape: ZERO shuffle — the 37 per-character counts unroll as
+    * length/replace column expressions inside one codegen'd
+    * projection, so the operator rides the document scan untouched;
+    * nothing explodes, nothing aggregates. The natural per-character
+    * explode+groupBy formulation (which the DuckDB twin deliberately
+    * does NOT use either — it replays the same unrolling) would
+    * shuffle one row per character of a 100 TB corpus.
+    */
+  def charEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("id"), lower(text).as("__t"))
+    val counted = base.select(
+      col("id") +: EntropyAlphabet.zipWithIndex.map { case (ch, i) =>
+        (length(col("__t")) -
+          length(replace(col("__t"), lit(ch.toString), lit(""))))
+          .cast("long").as(s"__c_$i")
+      }: _*)
+    val cs = EntropyAlphabet.indices.map(i => col(s"__c_$i"))
+    val nAlpha = cs.reduce(_ + _)
+    val nlogn = cs.map { n =>
+      when(n > 1L,
+        round(n.cast("double") * log(n.cast("double")) * 1000000d, 0)
+          .cast("long"))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    counted
+      .select(col("id"), nAlpha.as("n_alpha"), nlogn.as("nlogn_e6"))
+      .withColumn("ln_n_e6",
+        when(col("n_alpha") > 1L,
+          round(log(col("n_alpha").cast("double")) * 1000000d, 0)
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("entropy_e6",
+        when(col("n_alpha") > 0L,
+          col("ln_n_e6").cast("double") -
+            col("nlogn_e6").cast("double") / col("n_alpha").cast("double"))
+          .otherwise(lit(0.0d)))
+  }
+
   /** Intra-document repetition metrics (Gopher-style repetition
     * filters): duplicate 2-/3-gram occurrence fractions and the share
     * of tokens taken by the most frequent token. Adds dup_2gram_frac,

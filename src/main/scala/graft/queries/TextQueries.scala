@@ -176,6 +176,85 @@ object TextQueries {
   private val RepDup2Max = 0.05
   private val RepTopTokMax = 0.13
 
+  /** doc_dup_spans window width in tokens: a duplicated passage must
+    * cover at least one full w-window to register (Lee et al.'s
+    * substring dedup uses 50 BPE tokens; 16 word tokens is the
+    * equivalent granularity for this corpus's ~54-token documents —
+    * 1.7k duplicated windows merging into 45 maximal spans at
+    * sf0.01).
+    */
+  private val DupSpanW = 16
+
+  // prefix-blocked edit-distance join geometry: candidates share the
+  // first 12 normalized chars exactly (430 blocks, max size 4, 86
+  // candidate pairs at sf0.01), scored on the first 48 chars at
+  // lev <= 6; blocks above 64 members are dropped whole (boilerplate)
+  private val FuzzyBlockLen = 12
+  private val FuzzyPrefixLen = 48
+  private val FuzzyMaxDist = 6
+  private val FuzzyBlockCap = 64
+
+  /** Shared DuckDB dup-span CTE chain (positional w-windows → corpus
+    * occurrence counts → duplicated hits → island merge), ending in
+    * `sp(doc_id, span_start, span_len_toks)` — one text so the span
+    * list and the per-doc roll-up replay identical window hashing and
+    * merge semantics (merge on overlap OR adjacency: new island when
+    * s > running max end).
+    */
+  private lazy val sqlDupSpanCtes: String =
+    s"""t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |u AS (SELECT doc_id, unnest(range(1, len(w) - $DupSpanW + 2)) AS s, w
+       |  FROM t),
+       |g AS (SELECT doc_id, s,
+       |  ${sqlPhash(s"array_to_string(w[s : s + ${DupSpanW - 1}], ' ')")} AS h
+       |  FROM u),
+       |c AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+       |hits AS (SELECT doc_id, s FROM g JOIN c USING (h)),
+       |m AS (SELECT doc_id, s, max(s + $DupSpanW) OVER (PARTITION BY doc_id
+       |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+       |  FROM hits),
+       |f AS (SELECT doc_id, s,
+       |  CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ns FROM m),
+       |isl AS (SELECT doc_id, s,
+       |  sum(ns) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM f),
+       |sp AS (SELECT doc_id, min(s) AS span_start,
+       |  max(s) + $DupSpanW - min(s) AS span_len_toks
+       |  FROM isl GROUP BY doc_id, grp)""".stripMargin
+
+  /** The unrolled character-entropy twin of TextOps.charEntropy: the
+    * 37 per-character counts as length/replace expressions, each
+    * transcendental quantized once to micro-nats — interpolated from
+    * the SAME alphabet constant the Spark side unrolls, so the two
+    * cannot drift.
+    */
+  private lazy val sqlCharEntropy: String = {
+    val ab = graft.ops.TextOps.EntropyAlphabet
+    val counts = ab.indices.map(i =>
+      s"CAST(length(t) - length(replace(t, '${ab(i)}', '')) AS BIGINT) AS c_$i")
+      .mkString(",\n  ")
+    val sumN = ab.indices.map(i => s"c_$i").mkString(" + ")
+    val nlogn = ab.indices.map(i =>
+      s"CASE WHEN c_$i > 1 THEN CAST(round(CAST(c_$i AS DOUBLE) * " +
+        s"ln(CAST(c_$i AS DOUBLE)) * 1000000) AS BIGINT) " +
+        s"ELSE CAST(0 AS BIGINT) END")
+      .mkString("\n    + ")
+    s"""WITH t0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |cc AS (SELECT doc_id,
+       |  $counts
+       |  FROM t0),
+       |s1 AS (SELECT doc_id, ($sumN) AS n_alpha,
+       |  ($nlogn) AS nlogn_e6 FROM cc),
+       |s2 AS (SELECT doc_id, n_alpha, nlogn_e6,
+       |  CASE WHEN n_alpha > 1 THEN
+       |    CAST(round(ln(CAST(n_alpha AS DOUBLE)) * 1000000) AS BIGINT)
+       |  ELSE CAST(0 AS BIGINT) END AS ln_n_e6 FROM s1)
+       |SELECT doc_id, n_alpha, nlogn_e6, ln_n_e6,
+       |  CASE WHEN n_alpha > 0 THEN CAST(ln_n_e6 AS DOUBLE) -
+       |    CAST(nlogn_e6 AS DOUBLE) / CAST(n_alpha AS DOUBLE)
+       |  ELSE 0.0 END AS entropy_e6
+       |FROM s2 ORDER BY doc_id""".stripMargin
+  }
+
   // temperature-sample target ratio and chunking geometry, shared
   // with the SQL twins (literals in only one place by construction)
   private val TempNum = 1
@@ -1771,6 +1850,112 @@ object TextQueries {
           col("doc_id"), col("text"), bpeMergesFor(s, d))
         .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tokens"))
         .orderBy("doc_id")
+    },
+
+    // exact duplicated-SPAN detection (Dedup.dupSpans): substring-level
+    // dedup — every 16-token window hashed positionally, corpus-wide
+    // occurrence counts, >1 survivors merged into maximal spans via a
+    // per-doc island window. The twin replays the identical window
+    // hash and merge rule, so position arithmetic, the overlap-or-
+    // adjacency merge, and the hash join all have to agree.
+    QueryDef("doc_dup_spans",
+      s"""WITH $sqlDupSpanCtes
+         |SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+         |  CAST(span_len_toks AS BIGINT) AS span_len_toks
+         |FROM sp ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      Dedup.dupSpans(load(s, d, "documents"), col("doc_id"), col("text"),
+          DupSpanW)
+        .select(col("id").as("doc_id"), col("span_start"),
+          col("span_len_toks"))
+        .orderBy("doc_id", "span_start")
+    },
+
+    // dup-span roll-up (Dedup.dupSpanStats): the per-document filter
+    // view — span count, duplicated-token coverage, exact integer
+    // dup fraction; every document present (zeros when clean)
+    QueryDef("doc_dup_span_stats",
+      s"""WITH $sqlDupSpanCtes,
+         |agg AS (SELECT doc_id, count(*) AS n_spans,
+         |  sum(span_len_toks) AS dup_toks FROM sp GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_toks,
+         |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(a.dup_toks, 0) AS BIGINT) AS dup_toks,
+         |  CASE WHEN len(t.w) > 0 THEN
+         |    CAST(coalesce(a.dup_toks, 0) AS DOUBLE) /
+         |      CAST(len(t.w) AS DOUBLE)
+         |  ELSE 0.0 END AS dup_frac
+         |FROM t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.dupSpanStats(load(s, d, "documents"), col("doc_id"),
+          col("text"), DupSpanW)
+        .select(col("id").as("doc_id"), col("n_toks"), col("n_spans"),
+          col("dup_toks"), col("dup_frac"))
+        .orderBy("doc_id")
+    },
+
+    // character-distribution entropy (TextOps.charEntropy): the
+    // zero-shuffle "is this natural text" gate — both engines unroll
+    // the same 37 length/replace counts from one alphabet constant
+    QueryDef("doc_char_entropy", sqlCharEntropy) { (s, d) =>
+      graft.ops.TextOps.charEntropy(load(s, d, "documents"),
+          col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_alpha"), col("nlogn_e6"),
+          col("ln_n_e6"), col("entropy_e6"))
+        .orderBy("doc_id")
+    },
+
+    // leakage-safe split (PipelineOps.leakageSafeSplit): train/val/
+    // test assignment keyed on the near-dup component REPRESENTATIVE
+    // — near-identical documents can never straddle the train/test
+    // fence. Composes the minhash pair graph + CC fixpoint with the
+    // split-hash; the twin replays all three stages.
+    QueryDef("doc_leakage_safe_split",
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |$sqlComponentCtes,
+         |lab AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+         |SELECT doc_id, rep,
+         |  CASE WHEN ${sqlSampleHash("CAST(rep AS VARCHAR)")} % 100 < 90
+         |    THEN 'train'
+         |  WHEN ${sqlSampleHash("CAST(rep AS VARCHAR)")} % 100 < 95
+         |    THEN 'val' ELSE 'test' END AS split
+         |FROM lab ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = load(s, d, "documents")
+        .withColumn("hs", Dedup.tokenHashSet(col("text")))
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "hs",
+        MinhashK, RowsPerBand, MinhashJaccard)
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      graft.ops.PipelineOps.leakageSafeSplit(
+          docs.select(col("doc_id")), col("doc_id"), comp,
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select(col("doc_id"), col("rep"), col("split"))
+        .orderBy("doc_id")
+    },
+
+    // prefix-blocked edit-distance pairs (Dedup.editDistancePairs):
+    // the record-linkage fuzzy-join primitive — exact 12-char block
+    // equi-join (never a cross product), Levenshtein over 48-char
+    // prefixes, lev <= 6 kept. Both engines' classic Levenshtein
+    // must agree cell for cell.
+    QueryDef("doc_fuzzy_pairs",
+      s"""WITH t AS (SELECT doc_id,
+         |  array_to_string($sqlToks, ' ') AS norm FROM documents),
+         |n AS (SELECT doc_id, substr(norm, 1, $FuzzyBlockLen) AS blk,
+         |  substr(norm, 1, $FuzzyPrefixLen) AS pfx FROM t),
+         |k AS (SELECT blk FROM n GROUP BY blk
+         |  HAVING count(*) <= $FuzzyBlockCap),
+         |b AS (SELECT n.* FROM n JOIN k USING (blk)),
+         |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |  levenshtein(a.pfx, b2.pfx) AS lev
+         |  FROM b a JOIN b b2
+         |    ON a.blk = b2.blk AND a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev
+         |FROM p WHERE lev <= $FuzzyMaxDist
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.editDistancePairs(load(s, d, "documents"), col("doc_id"),
+          col("text"), FuzzyBlockLen, FuzzyPrefixLen, FuzzyMaxDist,
+          FuzzyBlockCap)
+        .orderBy("id_a", "id_b")
     })
 
   /** One trained merge table per (session, dataset) — training is

@@ -1,0 +1,137 @@
+package graft
+
+import graft.ops.{Dedup, PipelineOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Round-10 corpus additions: duplicated-span detection (substring
+  * dedup), character entropy, the prefix-blocked edit-distance join,
+  * and the leakage-safe split. Fixtures pin the positional/merge
+  * arithmetic the sf0.01 oracles exercise at corpus scale.
+  */
+class DupSpanFuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def spansOf(docs: Seq[(Long, String)], w: Int) =
+    Dedup.dupSpans(docs.toDF("doc_id", "text"), col("doc_id"),
+        col("text"), w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+
+  test("dupSpans: shared passage yields one maximal span per doc") {
+    val docs = Seq(
+      1L -> "a b c d e x y z",
+      2L -> "q r a b c d e")
+    // "a b c","b c d","c d e" each occur twice -> hits merge into one
+    // 5-token span: positions 1..3 in doc 1, 3..5 in doc 2
+    assert(spansOf(docs, 3) == Set((1L, 1L, 5L), (2L, 3L, 5L)))
+  }
+
+  test("dupSpans: within-doc repeat counts; adjacent windows merge") {
+    // "a b c" appears at s=1 and s=4; s=4 == running end (1+3) ->
+    // adjacency merges them into a single 6-token span
+    val docs = Seq(1L -> "a b c a b c", 2L -> "u v w x y z")
+    assert(spansOf(docs, 3) == Set((1L, 1L, 6L)))
+  }
+
+  test("dupSpans: disjoint duplicated regions stay separate spans") {
+    val docs = Seq(
+      1L -> "a b c g h i j k d e f",
+      2L -> "a b c r s t u v d e f")
+    // "a b c" (s=1) and "d e f" (s=9) duplicate; the middles differ.
+    // Gap 9 > 1+3 -> two spans per doc.
+    assert(spansOf(docs, 3) ==
+      Set((1L, 1L, 3L), (1L, 9L, 3L), (2L, 1L, 3L), (2L, 9L, 3L)))
+  }
+
+  test("dupSpanStats: zeros for clean docs, exact frac for hit docs") {
+    val docs = Seq(
+      1L -> "a b c d e x y z",
+      2L -> "q r a b c d e",
+      3L -> "p p q q r r s s").toDF("doc_id", "text")
+    val got = Dedup.dupSpanStats(docs, col("doc_id"), col("text"), 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((8L, 1L, 5L, 5.0 / 8.0)))
+    assert(got(2L) == ((7L, 1L, 5L, 5.0 / 7.0)))
+    assert(got(3L) == ((8L, 0L, 0L, 0.0)))
+  }
+
+  test("dupSpans: documents shorter than w produce no windows") {
+    val docs = Seq(1L -> "a b", 2L -> "a b")
+    // both docs identical but too short for a 3-window — no spans
+    assert(spansOf(docs, 3).isEmpty)
+  }
+
+  test("charEntropy: uniform, constant, non-alphabet, empty") {
+    val docs = Seq(
+      (1L, "abcd"), // 4 distinct chars once each -> H = ln 4
+      (2L, "aaaa"), // constant -> H = 0 (up to e6 quantization)
+      (3L, "a!b"), // '!' outside the alphabet -> n_alpha = 2
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextOps.charEntropy(docs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L)._1 == 4L)
+    assert(got(1L)._2 == 0L) // all counts are 1 -> n ln n = 0
+    assert(math.abs(got(1L)._4 - math.log(4) * 1e6) < 1.0)
+    assert(got(2L)._1 == 4L)
+    assert(math.abs(got(2L)._4) < 1.0) // 0 up to quantization
+    assert(got(3L)._1 == 2L)
+    assert(math.abs(got(3L)._4 - math.log(2) * 1e6) < 1.0)
+    assert(got(4L) == ((0L, 0L, 0L, 0.0)))
+  }
+
+  test("editDistancePairs: blocked candidates, threshold, ordering") {
+    val docs = Seq(
+      (1L, "aaaa bbbb x"),
+      (2L, "aaaa bbbb y"),
+      (3L, "aaaa qqqq zz"),
+      (4L, "zzzz different entirely")).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, col("doc_id"), col("text"),
+        blockLen = 4, prefixLen = 12, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1-3 share block "aaaa"; only (1,2) is within distance 3,
+    // and it surfaces as id_a < id_b
+    assert(got.toSeq == Seq((1L, 2L, 1L)))
+  }
+
+  test("editDistancePairs: oversize blocks are dropped whole") {
+    val docs = Seq(
+      (1L, "aaaa bbbb x"),
+      (2L, "aaaa bbbb y"),
+      (3L, "aaaa bbbb z")).toDF("doc_id", "text")
+    val capped = Dedup.editDistancePairs(docs, col("doc_id"), col("text"),
+      blockLen = 4, prefixLen = 12, maxDist = 3, blockCap = 2)
+    assert(capped.count() == 0L)
+    val uncapped = Dedup.editDistancePairs(docs, col("doc_id"), col("text"),
+      blockLen = 4, prefixLen = 12, maxDist = 3, blockCap = 3)
+    assert(uncapped.count() == 3L)
+  }
+
+  test("leakageSafeSplit: components move as one; singletons match splitAssign") {
+    val docs = (1L to 40L).map(i => Tuple1(i)).toDF("doc_id")
+    // one component {1,2,3} labeled by min id 1, another {10,11}
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val got = PipelineOps.leakageSafeSplit(docs, col("doc_id"), comp,
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got(1L)._2 == got(2L)._2 && got(2L)._2 == got(3L)._2)
+    assert(got(10L)._2 == got(11L)._2)
+    assert(got(1L)._1 == 1L && got(3L)._1 == 1L && got(11L)._1 == 10L)
+    // singletons: rep = own id and split equals plain splitAssign
+    val plain = PipelineOps.splitAssign(docs, col("doc_id"),
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 40L).filterNot(Set(1L, 2L, 3L, 10L, 11L)).foreach { i =>
+      assert(got(i)._1 == i && got(i)._2 == plain(i))
+    }
+    // and the linked docs take their REPRESENTATIVE's hash bucket
+    assert(got(2L)._2 == plain(1L) && got(11L)._2 == plain(10L))
+  }
+}
