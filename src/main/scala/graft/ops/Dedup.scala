@@ -625,29 +625,48 @@ object Dedup {
     */
   def dupSpans(df: DataFrame, id: Column, text: Column, w: Int): DataFrame = {
     require(w > 0, "need w > 0")
-    val docs = df.select(id.as("__id"), tokens(text).as("__toks"))
-    // (id, pos, hash) for every w-window; posexplode is 0-based → +1
-    val wins = docs.select(col("__id"),
-        posexplode(wordShingles(col("__toks"), w)))
-      .select(col("__id"), (col("pos") + 1).as("s"),
-        portableHash(col("col")).as("h"))
+    val wins = windowHashes(df, id, text, w)
     val dup = wins.groupBy("h").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select("h")
-    val hits = wins.join(dup, "h").select(col("__id"), col("s"))
-    val byDoc = Window.partitionBy("__id").orderBy("s")
-    val spans = hits
+    val hits = wins.join(dup, "h").select(col("id"), col("s"))
+    mergeWindowSpans(hits, w)
+  }
+
+  /** Positional `w`-token window hashes of every document:
+    * (id, s (1-based token position), h (63-bit polynomial hash of
+    * the window text)) — the shared front half of [[dupSpans]] and
+    * the streaming span gate. Explodes off the scan, no shuffle.
+    */
+  def windowHashes(df: DataFrame, id: Column, text: Column,
+      w: Int): DataFrame =
+    df.select(id.as("id"), tokens(text).as("__toks"))
+      .select(col("id"), posexplode(wordShingles(col("__toks"), w)))
+      // posexplode is 0-based → +1
+      .select(col("id"), (col("pos") + 1).as("s"),
+        portableHash(col("col")).as("h"))
+
+  /** Merge duplicated-window hits `(id, s)` into maximal spans
+    * (overlap-or-adjacency: a new island starts when s > running max
+    * end, end = s + w) — the back half of [[dupSpans]], shared with
+    * the streaming span gate so batch and stream agree on span
+    * geometry by construction. Per-document window function: each
+    * document's hits sort locally.
+    */
+  def mergeWindowSpans(hits: DataFrame, w: Int): DataFrame = {
+    val byDoc = Window.partitionBy("id").orderBy("s")
+    hits
       .withColumn("__pme", max(col("s") + w)
         .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("__new",
         when(col("__pme").isNull || col("s") > col("__pme"), 1L)
           .otherwise(0L))
       .withColumn("__isl", sum(col("__new")).over(byDoc))
-      .groupBy(col("__id"), col("__isl"))
+      .groupBy(col("id"), col("__isl"))
       .agg(min(col("s")).as("span_start"),
         (max(col("s")) + w - min(col("s"))).as("span_len_toks"))
-    spans.select(col("__id").as("id"),
-      col("span_start").cast("long").as("span_start"),
-      col("span_len_toks").cast("long").as("span_len_toks"))
+      .select(col("id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_len_toks").cast("long").as("span_len_toks"))
   }
 
   /** Per-document roll-up of [[dupSpans]] — the filter-decision view:
@@ -671,6 +690,57 @@ object Dedup {
         when(col("n_toks") > 0,
           col("dup_toks").cast("double") / col("n_toks").cast("double"))
           .otherwise(lit(0.0d)))
+  }
+
+  /** Duplicated-span REMOVAL — the cleaning half of [[dupSpans]]:
+    * every token covered by a maximal duplicated span is dropped and
+    * the document reassembled from the survivors in order. Removal is
+    * symmetric (ALL occurrences go, not all-but-one): the span
+    * detector cannot pick a canonical occurrence without a global
+    * tie-break, and pipelines that want keep-one semantics run
+    * [[dropFrequentChunks]] at chunk granularity instead — this
+    * operator's contract is "no 2w-token window of the output text
+    * appeared twice in the input corpus".
+    *
+    * Returns (id, n_toks, n_kept, clean_text), every input document
+    * present (clean docs pass through verbatim re-joined; fully
+    * duplicated docs come back empty).
+    *
+    * Scale shape: [[dupSpans]]'s three bounded shuffles, one
+    * span-list aggregation (span lists are per-doc and tiny), one
+    * left join back to the corpus on the doc id, and a per-row
+    * positional filter — the token-index mask is a higher-order
+    * filter over the already-materialized token array, so the
+    * reassembly never explodes the corpus.
+    */
+  def stripDupSpans(df: DataFrame, id: Column, text: Column,
+      w: Int): DataFrame = {
+    val spanType = "array<struct<span_start:bigint,span_len_toks:bigint>>"
+    val spans = dupSpans(df, id, text, w)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start"), col("span_len_toks")))
+        .as("__spans"))
+    val docs = df.select(id.as("id"), tokens(text).as("__toks"))
+    docs.join(spans, Seq("id"), "left")
+      .withColumn("__spans",
+        coalesce(col("__spans"), array().cast(spanType)))
+      .withColumn("__indexed",
+        when(size(col("__toks")) > 0,
+          zip_with(col("__toks"),
+            sequence(lit(1), size(col("__toks"))),
+            (t, i) => struct(t.as("tk"), i.as("i"))))
+          .otherwise(array().cast("array<struct<tk:string,i:int>>")))
+      .withColumn("__kept",
+        filter(col("__indexed"), p =>
+          !exists(col("__spans"), sp =>
+            p.getField("i") >= sp.getField("span_start") &&
+              p.getField("i") < sp.getField("span_start") +
+                sp.getField("span_len_toks"))))
+      .select(col("id"),
+        size(col("__toks")).cast("long").as("n_toks"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(transform(col("__kept"), _.getField("tk")), " ")
+          .as("clean_text"))
   }
 
   /** Prefix-blocked edit-distance pair join — the record-linkage /

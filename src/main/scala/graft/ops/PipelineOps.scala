@@ -208,6 +208,24 @@ object PipelineOps {
     splitAssign(joined, col("rep"), cuts)
   }
 
+  /** Per-group Tukey outlier fences: (grp, n, lo, hi) with
+    * lo = q1 − k·IQR, hi = q3 + k·IQR off EXACT discrete quartiles
+    * ([[TextOps.discQuantiles]] — the corpus collapses to
+    * (group × distinct value) in one shuffle; never a per-group full
+    * sort). The fence arithmetic is plain IEEE ops on the selected
+    * quartile values, so both engines derive bit-identical bounds.
+    * The bounds frame is O(#groups) — broadcast it back onto the data
+    * for trimming/winsorizing; that join is the caller's (it knows
+    * whether it wants to drop, clamp, or just count).
+    */
+  def iqrBounds(df: DataFrame, group: Column, value: Column,
+      k: Double = 1.5): DataFrame =
+    TextOps.discQuantiles(df, group, value,
+        Seq(("q1", 1, 4), ("q3", 3, 4)))
+      .select(col("grp"), col("n"),
+        (col("p_q1") - (col("p_q3") - col("p_q1")) * k).as("lo"),
+        (col("p_q3") + (col("p_q3") - col("p_q1")) * k).as("hi"))
+
   /** Deterministic per-stratum sampling: keep a row iff
     * sampleHash(stratum ":" id) mod 100 < rate(stratum). Pure
     * filter — scan-parallel, reproducible across engines and runs,

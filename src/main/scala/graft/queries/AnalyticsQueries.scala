@@ -836,5 +836,45 @@ object AnalyticsQueries {
           col("t_us") >= ZScanT0 && col("t_us") < ZScanT1)
         .select("event_id", "user_id", "t_us", "event_type")
         .orderBy("event_id")
+    },
+
+    // Tukey-fence outlier trim (PipelineOps.iqrBounds): per-event-type
+    // fences off EXACT discrete quartiles (histogram + integer-math
+    // selection, no per-group sort), then one broadcast join back over
+    // the events to count kept/outlier rows. The twin replays the
+    // identical quartile selection and the identical IEEE fence
+    // arithmetic, so bounds AND counts must agree bit for bit.
+    QueryDef("q_outlier_trim",
+      """WITH h AS (SELECT event_type AS grp, value AS v, count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT grp, v, c,
+        |  CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum,
+        |  CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n FROM h),
+        |q AS (SELECT grp, max(n) AS n,
+        |  min(CASE WHEN cum * 4 >= n * 1 THEN v END) AS q1,
+        |  min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+        |  FROM cm GROUP BY grp),
+        |b AS (SELECT grp, n, q1 - (q3 - q1) * 1.5 AS lo,
+        |  q3 + (q3 - q1) * 1.5 AS hi FROM q)
+        |SELECT b.grp AS event_type, b.n, b.lo, b.hi,
+        |  CAST(count(*) FILTER (e.value < b.lo OR e.value > b.hi)
+        |    AS BIGINT) AS n_out,
+        |  CAST(count(*) FILTER (e.value >= b.lo AND e.value <= b.hi)
+        |    AS BIGINT) AS n_kept
+        |FROM events e JOIN b ON e.event_type = b.grp
+        |WHERE e.value IS NOT NULL
+        |GROUP BY 1, 2, 3, 4 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = load(s, d, "events").filter(col("value").isNotNull)
+      val b = graft.ops.PipelineOps.iqrBounds(ev, col("event_type"),
+        col("value"), k = 1.5)
+      ev.join(broadcast(b), ev("event_type") === b("grp"))
+        .groupBy(col("grp").as("event_type"), col("n"), col("lo"),
+          col("hi"))
+        .agg(
+          sum(when(col("value") < col("lo") || col("value") > col("hi"),
+            1L).otherwise(0L)).as("n_out"),
+          sum(when(col("value") >= col("lo") && col("value") <= col("hi"),
+            1L).otherwise(0L)).as("n_kept"))
+        .orderBy("event_type")
     })
 }

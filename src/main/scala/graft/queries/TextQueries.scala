@@ -176,6 +176,29 @@ object TextQueries {
   private val RepDup2Max = 0.05
   private val RepTopTokMax = 0.13
 
+  /** doc_span_gate_e2e admission threshold: a document whose
+    * duplicated-span coverage exceeds this fraction is rejected (the
+    * corpus is bimodal here — near-0 or near-1 coverage — so any
+    * mid-range cut yields the same non-degenerate verdict set: 12
+    * rejects in batch 0, 22 in batch 1 at sf0.01).
+    */
+  private val SpanGateFrac = 0.5
+
+  /** One span-gate state dir per (session, dataset): the e2e query is
+    * side-effecting (two applyBatch runs), so bench reps reuse the
+    * first run's state via [[TempState]].
+    */
+  private def spanGateStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    TempState.dir("spangate|" + s.sparkContext.applicationId + "|" + d) {
+      root =>
+        val gate = new graft.streaming.SpanGate(s, root, w = DupSpanW,
+          maxDupFrac = SpanGateFrac)
+        val docs = load(s, d, "documents").select(col("doc_id"), col("text"))
+        gate.applyBatch(docs.filter(col("doc_id") % 2 === 0), 0L)
+        gate.applyBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
+    }
+
   /** doc_dup_spans window width in tokens: a duplicated passage must
     * cover at least one full w-window to register (Lee et al.'s
     * substring dedup uses 50 BPE tokens; 16 word tokens is the
@@ -194,32 +217,46 @@ object TextQueries {
   private val FuzzyMaxDist = 6
   private val FuzzyBlockCap = 64
 
-  /** Shared DuckDB dup-span CTE chain (positional w-windows → corpus
-    * occurrence counts → duplicated hits → island merge), ending in
-    * `sp(doc_id, span_start, span_len_toks)` — one text so the span
-    * list and the per-doc roll-up replay identical window hashing and
-    * merge semantics (merge on overlap OR adjacency: new island when
-    * s > running max end).
+  /** Positional-window front half shared by every span twin:
+    * `g(doc_id, s, h)` — every document's w-token windows with
+    * 1-based start positions and the portable window hash.
     */
-  private lazy val sqlDupSpanCtes: String =
+  private lazy val sqlWindowCtes: String =
     s"""t AS (SELECT doc_id, $sqlToks AS w FROM documents),
        |u AS (SELECT doc_id, unnest(range(1, len(w) - $DupSpanW + 2)) AS s, w
        |  FROM t),
        |g AS (SELECT doc_id, s,
        |  ${sqlPhash(s"array_to_string(w[s : s + ${DupSpanW - 1}], ' ')")} AS h
-       |  FROM u),
+       |  FROM u)""".stripMargin
+
+  /** The island-merge tail over a caller-supplied `hits<sfx>(doc_id,
+    * s)` CTE: maximal spans in `sp<sfx>` (merge on overlap OR
+    * adjacency: new island when s > running max end) — suffixed so
+    * the span-gate twin can run it once per batch.
+    */
+  private def sqlSpanMergeCtes(sfx: String): String =
+    s"""m$sfx AS (SELECT doc_id, s, max(s + $DupSpanW) OVER (PARTITION BY doc_id
+       |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+       |  FROM hits$sfx),
+       |f$sfx AS (SELECT doc_id, s,
+       |  CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ns FROM m$sfx),
+       |isl$sfx AS (SELECT doc_id, s,
+       |  sum(ns) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM f$sfx),
+       |sp$sfx AS (SELECT doc_id, min(s) AS span_start,
+       |  max(s) + $DupSpanW - min(s) AS span_len_toks
+       |  FROM isl$sfx GROUP BY doc_id, grp)""".stripMargin
+
+  /** Shared DuckDB dup-span CTE chain (positional w-windows → corpus
+    * occurrence counts → duplicated hits → island merge), ending in
+    * `sp(doc_id, span_start, span_len_toks)` — one text so the span
+    * list and the per-doc roll-up replay identical window hashing and
+    * merge semantics.
+    */
+  private lazy val sqlDupSpanCtes: String =
+    s"""$sqlWindowCtes,
        |c AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
        |hits AS (SELECT doc_id, s FROM g JOIN c USING (h)),
-       |m AS (SELECT doc_id, s, max(s + $DupSpanW) OVER (PARTITION BY doc_id
-       |  ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-       |  FROM hits),
-       |f AS (SELECT doc_id, s,
-       |  CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ns FROM m),
-       |isl AS (SELECT doc_id, s,
-       |  sum(ns) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM f),
-       |sp AS (SELECT doc_id, min(s) AS span_start,
-       |  max(s) + $DupSpanW - min(s) AS span_len_toks
-       |  FROM isl GROUP BY doc_id, grp)""".stripMargin
+       |${sqlSpanMergeCtes("")}""".stripMargin
 
   /** The unrolled character-entropy twin of TextOps.charEntropy: the
     * 37 per-character counts as length/replace expressions, each
@@ -1932,6 +1969,35 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // duplicated-span REMOVAL (Dedup.stripDupSpans): the cleaning
+    // half — tokens under any maximal span dropped, document
+    // reassembled in order. The twin replays the span chain and
+    // rebuilds via a positional anti-EXISTS + ordered string_agg,
+    // so index arithmetic on BOTH half-open span ends must agree.
+    QueryDef("doc_strip_dup_spans",
+      s"""WITH $sqlDupSpanCtes,
+         |posu AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w
+         |  FROM t),
+         |tok AS (SELECT doc_id, i, w[i] AS tk FROM posu),
+         |kp AS (SELECT tok.doc_id, i, tk FROM tok
+         |  WHERE NOT EXISTS (SELECT 1 FROM sp
+         |    WHERE sp.doc_id = tok.doc_id AND i >= sp.span_start
+         |      AND i < sp.span_start + sp.span_len_toks)),
+         |re AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(tk, ' ' ORDER BY i) AS clean_text
+         |  FROM kp GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_toks,
+         |  CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(re.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN re USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.stripDupSpans(load(s, d, "documents"), col("doc_id"),
+          col("text"), DupSpanW)
+        .select(col("id").as("doc_id"), col("n_toks"), col("n_kept"),
+          col("clean_text"))
+        .orderBy("doc_id")
+    },
+
     // prefix-blocked edit-distance pairs (Dedup.editDistancePairs):
     // the record-linkage fuzzy-join primitive — exact 12-char block
     // equi-join (never a cross product), Levenshtein over 48-char
@@ -1956,6 +2022,58 @@ object TextQueries {
           col("text"), FuzzyBlockLen, FuzzyPrefixLen, FuzzyMaxDist,
           FuzzyBlockCap)
         .orderBy("id_a", "id_b")
+    },
+
+    // streaming span-gate e2e (SpanGate): two batches (even doc_ids,
+    // then odd) through the incremental substring-dedup gate — batch
+    // 0 sees only within-batch window repeats, batch 1 probes the
+    // admitted-batch-0 hash corpus AND itself. The twin restates both
+    // batches declaratively (window hashes → per-batch dup criteria →
+    // island merge → coverage → admission), so the gate's replay
+    // guard, corpus growth rule (admitted docs only), and span
+    // geometry all have to agree with the batch operator's.
+    QueryDef("doc_span_gate_e2e",
+      s"""WITH $sqlWindowCtes,
+         |g0 AS (SELECT * FROM g WHERE doc_id % 2 = 0),
+         |g1 AS (SELECT * FROM g WHERE doc_id % 2 = 1),
+         |c0 AS (SELECT h FROM g0 GROUP BY h HAVING count(*) > 1),
+         |hits0 AS (SELECT DISTINCT doc_id, s FROM g0 JOIN c0 USING (h)),
+         |${sqlSpanMergeCtes("0")},
+         |a0 AS (SELECT doc_id, sum(span_len_toks) AS dup_toks
+         |  FROM sp0 GROUP BY doc_id),
+         |v0 AS (SELECT t.doc_id, CAST(0 AS BIGINT) AS batch,
+         |  CAST(len(t.w) AS BIGINT) AS n_toks,
+         |  CAST(coalesce(a0.dup_toks, 0) AS BIGINT) AS dup_toks,
+         |  CASE WHEN len(t.w) > 0 THEN
+         |    CAST(coalesce(a0.dup_toks, 0) AS DOUBLE) /
+         |      CAST(len(t.w) AS DOUBLE) ELSE 0.0 END AS dup_frac
+         |  FROM t LEFT JOIN a0 USING (doc_id) WHERE t.doc_id % 2 = 0),
+         |ch AS (SELECT DISTINCT g0.h FROM g0 JOIN v0 USING (doc_id)
+         |  WHERE v0.dup_frac <= $SpanGateFrac),
+         |c1 AS (SELECT h FROM g1 GROUP BY h HAVING count(*) > 1
+         |  UNION SELECT h FROM ch),
+         |hits1 AS (SELECT DISTINCT doc_id, s FROM g1 JOIN c1 USING (h)),
+         |${sqlSpanMergeCtes("1")},
+         |a1 AS (SELECT doc_id, sum(span_len_toks) AS dup_toks
+         |  FROM sp1 GROUP BY doc_id),
+         |v1 AS (SELECT t.doc_id, CAST(1 AS BIGINT) AS batch,
+         |  CAST(len(t.w) AS BIGINT) AS n_toks,
+         |  CAST(coalesce(a1.dup_toks, 0) AS BIGINT) AS dup_toks,
+         |  CASE WHEN len(t.w) > 0 THEN
+         |    CAST(coalesce(a1.dup_toks, 0) AS DOUBLE) /
+         |      CAST(len(t.w) AS DOUBLE) ELSE 0.0 END AS dup_frac
+         |  FROM t LEFT JOIN a1 USING (doc_id) WHERE t.doc_id % 2 = 1)
+         |SELECT doc_id, batch, n_toks, dup_toks, dup_frac,
+         |  dup_frac <= $SpanGateFrac AS admitted
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dir = spanGateStateDir(s, d)
+      new graft.streaming.SpanGate(s, dir, w = DupSpanW,
+          maxDupFrac = SpanGateFrac)
+        .readVerdicts(1L)
+        .select(col("doc_id"), col("batch"), col("n_toks"),
+          col("dup_toks"), col("dup_frac"), col("admitted"))
+        .orderBy("doc_id")
     })
 
   /** One trained merge table per (session, dataset) — training is

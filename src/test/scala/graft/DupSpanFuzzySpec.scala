@@ -85,6 +85,41 @@ class DupSpanFuzzySpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L, 0L, 0.0)))
   }
 
+  test("charEntropy: zero-shuffle plan (no Exchange anywhere)") {
+    val docs = Seq((1L, "some text here"), (2L, "more text"))
+      .toDF("doc_id", "text")
+    val plan = TextOps.charEntropy(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("stripDupSpans: survivors reassemble in order, clean docs verbatim") {
+    val docs = Seq(
+      1L -> "a b c d e x y z",
+      2L -> "q r a b c d e",
+      3L -> "p q r s t u v w").toDF("doc_id", "text")
+    val got = Dedup.stripDupSpans(docs, col("doc_id"), col("text"), 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: span [1,6) -> tokens 6..8 survive
+    assert(got(1L) == ((8L, 3L, "x y z")))
+    // doc 2: span [3,8) -> tokens 1..2 survive
+    assert(got(2L) == ((7L, 2L, "q r")))
+    // doc 3: untouched
+    assert(got(3L) == ((8L, 8L, "p q r s t u v w")))
+  }
+
+  test("stripDupSpans: fully duplicated doc comes back empty") {
+    val docs = Seq(
+      1L -> "a b c d",
+      2L -> "a b c d").toDF("doc_id", "text")
+    val got = Dedup.stripDupSpans(docs, col("doc_id"), col("text"), 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((0L, "")) && got(2L) == ((0L, "")))
+  }
+
   test("editDistancePairs: blocked candidates, threshold, ordering") {
     val docs = Seq(
       (1L, "aaaa bbbb x"),
@@ -110,6 +145,20 @@ class DupSpanFuzzySpec extends SparkSpec {
     val uncapped = Dedup.editDistancePairs(docs, col("doc_id"), col("text"),
       blockLen = 4, prefixLen = 12, maxDist = 3, blockCap = 3)
     assert(uncapped.count() == 3L)
+  }
+
+  test("iqrBounds: exact discrete quartiles and Tukey fences per group") {
+    // group a: values 1..8 -> q1 = value at cum*4 >= n (i.e. 2nd),
+    // q3 = 6th -> q1=2, q3=6, IQR=4 -> lo=-4, hi=12
+    // group b: constant 5 -> q1=q3=5 -> lo=hi=5
+    val rows = (1 to 8).map(v => ("a", v.toDouble)) :+ ("b", 5.0) :+ ("b", 5.0)
+    val df = rows.toDF("g", "v")
+    val got = PipelineOps.iqrBounds(df, col("g"), col("v"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("a") == ((8L, -4.0, 12.0)))
+    assert(got("b") == ((2L, 5.0, 5.0)))
   }
 
   test("leakageSafeSplit: components move as one; singletons match splitAssign") {
