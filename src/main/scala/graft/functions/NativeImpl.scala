@@ -247,4 +247,60 @@ object NativeImpl {
       } finally p.close()
     } catch { case _: Exception => malformedRow() }
   }
+
+  /** Positional w-token window hashes of `s` in ONE pass: element i
+    * (0-based) is the portable hash of the space-joined window of w
+    * tokens starting at token i — EXACTLY
+    * portableHash(array_join(slice(tokens(s), i+1, w), " ")), via the
+    * polynomial composition hash(A ++ B) = hash(A)·31^len(B) + hash(B)
+    * (mod P), so no window string is ever materialized: the text is
+    * scanned once for per-token (hash, 31^len) pairs and each window
+    * folds w token hashes with one separator step each. Empty array
+    * when fewer than w tokens.
+    */
+  def windowHashes(s: UTF8String, w: Int): ArrayData = {
+    val P = GraftFunctions.PhMod
+    val str = s.toLowerCase.toString
+    // pass 1: per-token (hash, 31^len mod P)
+    val tokH = new java.util.ArrayList[java.lang.Long]()
+    val tokPow = new java.util.ArrayList[java.lang.Long]()
+    var h = 0L
+    var pow = 1L
+    var in = false
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        h = (h * 31L + c) % P
+        pow = (pow * 31L) % P
+        in = true
+      } else if (in) {
+        tokH.add(h); tokPow.add(pow)
+        h = 0L; pow = 1L; in = false
+      }
+      i += 1
+    }
+    if (in) { tokH.add(h); tokPow.add(pow) }
+    val nTok = tokH.size()
+    val nWin = nTok - w + 1
+    if (nWin <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Long](0))
+    val out = new Array[Long](nWin)
+    var s0 = 0
+    while (s0 < nWin) {
+      var wh = tokH.get(s0).longValue()
+      var j = s0 + 1
+      while (j < s0 + w) {
+        wh = (wh * 31L + ' ') % P               // the separator char
+        // both factors < P ~ 1e9 -> product < 1e18, no overflow
+        wh = (wh * tokPow.get(j).longValue() + tokH.get(j).longValue()) % P
+        j += 1
+      }
+      out(s0) = wh
+      s0 += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -633,15 +633,29 @@ object Dedup {
   }
 
   /** Positional `w`-token window hashes of every document:
-    * (id, s (1-based token position), h (63-bit polynomial hash of
-    * the window text)) — the shared front half of [[dupSpans]] and
-    * the streaming span gate. Explodes off the scan, no shuffle.
+    * (id, s (1-based token position), h (polynomial hash of the
+    * window text)) — the shared front half of [[dupSpans]] and the
+    * streaming span gate. Explodes off the scan, no shuffle. Hashing
+    * rides the one-pass native expression (tokenize + rolling window
+    * fold, no window string ever materialized); [[windowHashesHof]]
+    * is the HOF reference formulation it is property-pinned equal to.
     */
   def windowHashes(df: DataFrame, id: Column, text: Column,
       w: Int): DataFrame =
+    df.select(id.as("id"),
+        graft.functions.NativeExpressions.windowHashes(text, w).as("__wh"))
+      .select(col("id"), posexplode(col("__wh")))
+      // posexplode is 0-based → +1
+      .select(col("id"), (col("pos") + 1).as("s"), col("col").as("h"))
+
+  /** The higher-order-function twin of the native window-hash pass
+    * (portableHash over space-joined w-shingles) — the executable
+    * spec the native expression is property-tested against.
+    */
+  def windowHashesHof(df: DataFrame, id: Column, text: Column,
+      w: Int): DataFrame =
     df.select(id.as("id"), tokens(text).as("__toks"))
       .select(col("id"), posexplode(wordShingles(col("__toks"), w)))
-      // posexplode is 0-based → +1
       .select(col("id"), (col("pos") + 1).as("s"),
         portableHash(col("col")).as("h"))
 

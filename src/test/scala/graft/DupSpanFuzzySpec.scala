@@ -85,6 +85,26 @@ class DupSpanFuzzySpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L, 0L, 0.0)))
   }
 
+  test("windowHashes: native pass equals the HOF formulation (property)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta9", "x", "count42", "zz", "m3")
+    val docs = (1L to 60L).map { i =>
+      val n = rnd.nextInt(12) // 0..11 tokens, below and above w
+      val seps = Vector(" ", ", ", "  ", "! ", " -- ")
+      val txt = (0 until n)
+        .map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(seps(rnd.nextInt(seps.size)))
+      (i, if (rnd.nextInt(10) == 0) txt.toUpperCase else txt)
+    }.toDF("doc_id", "text")
+    for (w <- Seq(1, 3, 5)) {
+      val nat = Dedup.windowHashes(docs, col("doc_id"), col("text"), w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val hof = Dedup.windowHashesHof(docs, col("doc_id"), col("text"), w)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(nat == hof, s"w=$w")
+    }
+  }
+
   test("charEntropy: zero-shuffle plan (no Exchange anywhere)") {
     val docs = Seq((1L, "some text here"), (2L, "more text"))
       .toDF("doc_id", "text")
