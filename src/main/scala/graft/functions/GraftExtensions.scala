@@ -14,7 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * Functions: graft_phash(str), graft_dot(arr, arr),
   * graft_sorted_intersect_size(arr, arr), graft_token_hash_set(str),
-  * graft_cdc_envelope(str), graft_minhash_sigs(arr, k).
+  * graft_cdc_envelope(str), graft_minhash_sigs(arr, k),
+  * graft_window_hashes(str, w), graft_topk(ord, id, k).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -64,6 +65,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           args(1).dataType == org.apache.spark.sql.types.IntegerType,
           "graft_minhash_sigs: k must be an INT literal")
         NativeExpressions.MinhashSigsExpr(args(0),
+          args(1).eval().asInstanceOf[Int])
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_window_hashes"),
+      info("graft_window_hashes",
+        "positional w-token window hashes of a string (one-pass " +
+          "rolling fold, no window strings); w literal"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "graft_window_hashes expects 2 arguments")
+        require(args(1).foldable &&
+          args(1).dataType == org.apache.spark.sql.types.IntegerType,
+          "graft_window_hashes: w must be an INT literal")
+        NativeExpressions.WindowHashesExpr(args(0),
           args(1).eval().asInstanceOf[Int])
       }))
     ext.injectFunction((FunctionIdentifier("graft_topk"),

@@ -2074,6 +2074,43 @@ object TextQueries {
         .select(col("doc_id"), col("batch"), col("n_toks"),
           col("dup_toks"), col("dup_frac"), col("admitted"))
         .orderBy("doc_id")
+    },
+
+    // greedy packing under a SUBWORD budget (Bpe.tokenStats +
+    // PipelineOps.packSequences): doc_pack_greedy's production form —
+    // real pipelines budget sequences in tokenizer tokens, not words.
+    // The twin re-derives per-doc BPE counts through the unrolled
+    // training CTEs and replays the identical pack window, so the
+    // merge table, count arithmetic, and bin assignment all agree.
+    QueryDef("doc_pack_greedy_bpe",
+      bpeTrainCtes(BpeMerges) +
+        s"""ns AS (SELECT w, CAST((length(sym) -
+           |    length(replace(sym, ')(', ''))) / 2 + 1 AS BIGINT) AS n
+           |  FROM w$BpeMerges),
+           |d AS (SELECT t.doc_id, CAST(sum(ns.n) AS BIGINT) AS n_tokens
+           |  FROM toks t JOIN ns ON ns.w = t.w GROUP BY t.doc_id),
+           |t2 AS (SELECT doc.doc_id, doc.source,
+           |  coalesce(d.n_tokens, 0) AS n_tokens
+           |  FROM documents doc LEFT JOIN d USING (doc_id))
+           |SELECT doc_id, source, n_tokens,
+           |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+           |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |    1 PRECEDING), 0) AS BIGINT) AS cum_before,
+           |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+           |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+           |    1 PRECEDING), 0) // 512 AS BIGINT) AS pack_id
+           |FROM t2 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docsDf = load(s, d, "documents")
+      val stats = graft.ops.Bpe.tokenStats(docsDf, col("doc_id"),
+          col("text"), bpeMergesFor(s, d))
+        .select(col("id").as("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+      val t = docsDf.select(col("doc_id"), col("source"))
+        .join(stats, Seq("doc_id"))
+      graft.ops.PipelineOps.packSequences(t, col("source"), col("doc_id"),
+          col("n_tokens"), budget = 512L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("cum_before"), col("pack_id").cast("long").as("pack_id"))
+        .orderBy("doc_id")
     })
 
   /** One trained merge table per (session, dataset) — training is

@@ -167,6 +167,23 @@ class DupSpanFuzzySpec extends SparkSpec {
     assert(uncapped.count() == 3L)
   }
 
+  test("span ops agree on the real corpus: kept + dup = total, " +
+      "stats match strip") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val stats = Dedup.dupSpanStats(docs, col("doc_id"), col("text"), 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    val strip = Dedup.stripDupSpans(docs, col("doc_id"), col("text"), 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(stats.keySet == strip.keySet && stats.nonEmpty)
+    stats.foreach { case (id, (nToks, dupToks)) =>
+      val (nToks2, nKept) = strip(id)
+      assert(nToks == nToks2 && nKept == nToks - dupToks, s"doc $id")
+    }
+  }
+
   test("iqrBounds: exact discrete quartiles and Tukey fences per group") {
     // group a: values 1..8 -> q1 = value at cum*4 >= n (i.e. 2nd),
     // q3 = 6th -> q1=2, q3=6, IQR=4 -> lo=-4, hi=12

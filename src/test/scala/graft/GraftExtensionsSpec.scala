@@ -53,9 +53,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(3) == 3)
     assert(r.getLong(4) == 42L)
     assert(r.getInt(5) == 16)
+    // window hashes: position i = phash of the space-joined w-window
+    val wh = spark.sql(
+      "SELECT graft_window_hashes('a b c d', 3) AS w").head()
+      .getSeq[Long](0)
+    assert(wh == Seq("a b c", "b c d").map(s =>
+      graft.functions.NativeImpl.portableHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))))
     // non-literal k is a plan-time error, not a runtime surprise
     intercept[Exception] {
       spark.sql("SELECT graft_minhash_sigs(array(1L), CAST(id AS INT)) " +
+        "FROM range(1)").head()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT graft_window_hashes('a b', CAST(id AS INT)) " +
         "FROM range(1)").head()
     }
     }
