@@ -757,6 +757,42 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** Exact CONTAINMENT pairs — the near-superset detector Jaccard
+    * misses: a short document wholly embedded in a long one scores
+    * |A∩B|/|A∪B| ≈ |A|/|B| (low — minhash never surfaces it) but
+    * containment |A∩B|/min(|A|,|B|) = 1. Candidates come from
+    * [[spanOverlapPairs]] (shared RARE shingles, df-capped fan-out —
+    * a containment candidate must share content-bearing shingles, and
+    * boilerplate shingles above dfCap cannot pair the corpus
+    * quadratically); survivors verify exactly with the codegen'd
+    * sorted-merge intersect over the full hash sets. Returns
+    * (id_a, id_b, containment) at containment >= threshold, id_a <
+    * id_b.
+    *
+    * Scale shape: the candidate generator's one rare-shingle shuffle
+    * plus two id-keyed joins to re-attach the (already materialized)
+    * hash sets of the CANDIDATE PAIRS only — the corpus never
+    * re-tokenizes and never self-joins.
+    */
+  def containmentPairs(sets: DataFrame, id: String, hsCol: String,
+      dfCap: Int, minShared: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
+    val cand = spanOverlapPairs(sets, id, hsCol, dfCap, minShared)
+      .select("id_a", "id_b")
+    val sa = sets.select(col(id).as("id_a"), col(hsCol).as("__ha"))
+    val sb = sets.select(col(id).as("id_b"), col(hsCol).as("__hb"))
+    cand.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("__n",
+        graft.functions.NativeExpressions.sortedIntersectSize(
+          col("__ha"), col("__hb")))
+      .withColumn("containment",
+        col("__n").cast("double") /
+          least(size(col("__ha")), size(col("__hb"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** Prefix-blocked edit-distance pair join — the record-linkage /
     * fuzzy-dedup primitive for short normalized text: candidates are
     * generated by EXACT equality on the first `blockLen` characters of

@@ -49,6 +49,70 @@ object TextOps {
           .otherwise(lit(0.0d)))
   }
 
+  /** Bigram surprisal — the conditional-probability refinement of
+    * [[unigramSurprisal]]: the first token of a document is priced by
+    * the corpus unigram distribution (−ln c(w)/total) and every later
+    * token by the bigram conditional (−ln c(prev,w)/Σ_x c(prev,x) —
+    * prefix-normalized, so every cost is a true −ln of a probability
+    * and per-document totals are valid chain-rule log-likelihoods
+    * under the bigram LM). Same exactness convention: each
+    * transcendental is quantized ONCE per DISTINCT (uni|bi)gram to
+    * integer micro-nats, so per-document sums are exact integers on
+    * both engines. High mean cost = improbable transitions = what a
+    * perplexity filter drops; unlike the unigram form this catches
+    * scrambled word order, not just rare words.
+    *
+    * Scale shape: one bigram aggregation (map-side combined; the
+    * prefix totals are a second, strictly smaller aggregation over
+    * its OUTPUT, not a second corpus pass), priced tables joined back
+    * over the bigram stream on their keys, one doc-id re-aggregation.
+    * Returns (id, n_toks, cost_e6, mean_cost_e6) — every input doc
+    * present, zero-token docs at zero cost.
+    */
+  def bigramSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val docs = df.select(id.as("__id"), tokens(text).as("__toks"))
+    val toks = docs.select(col("__id"), explode(col("__toks")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum(col("cnt"))).head().getLong(0)
+    val pUni = uni.withColumn("u_cost_e6",
+      round(-log(col("cnt").cast("double") / total.toDouble) * 1000000d, 0)
+        .cast("long"))
+      .select("tok", "u_cost_e6")
+    // (prev, tok) pairs: zip the token array against its own tail
+    val bis = docs.select(col("__id"),
+        explode(zip_with(
+          col("__toks"),
+          slice(col("__toks"), lit(2),
+            greatest(size(col("__toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("prev"), b.as("tok")))).as("bg"))
+      .select(col("__id"), col("bg.prev").as("prev"), col("bg.tok").as("tok"))
+      .filter(col("tok").isNotNull) // the zip's padded tail position
+    val big = bis.groupBy("prev", "tok").agg(count(lit(1)).as("bcnt"))
+    val pref = big.groupBy("prev").agg(sum(col("bcnt")).as("pcnt"))
+    val pBig = big.join(pref, "prev")
+      .withColumn("b_cost_e6",
+        round(-log(col("bcnt").cast("double") / col("pcnt").cast("double"))
+          * 1000000d, 0).cast("long"))
+      .select("prev", "tok", "b_cost_e6")
+    val firstCost = docs
+      .filter(size(col("__toks")) > 0)
+      .select(col("__id"), element_at(col("__toks"), 1).as("tok"))
+      .join(pUni, "tok")
+      .select(col("__id"), col("u_cost_e6").as("c"))
+    val biCost = bis.join(pBig, Seq("prev", "tok"))
+      .select(col("__id"), col("b_cost_e6").as("c"))
+    val perDoc = firstCost.unionByName(biCost)
+      .groupBy("__id").agg(sum(col("c")).as("cost_e6"))
+    docs.select(col("__id"), size(col("__toks")).cast("long").as("n_toks"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as("id"), col("n_toks"),
+        coalesce(col("cost_e6"), lit(0L)).as("cost_e6"))
+      .withColumn("mean_cost_e6",
+        when(col("n_toks") > 0,
+          col("cost_e6").cast("double") / col("n_toks").cast("double"))
+          .otherwise(lit(0.0d)))
+  }
+
   /** English stopword sample used by quality scoring and language ID. */
   val EnStopwords: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")

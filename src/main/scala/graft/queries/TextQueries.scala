@@ -176,6 +176,12 @@ object TextQueries {
   private val RepDup2Max = 0.05
   private val RepTopTokMax = 0.13
 
+  /** doc_containment_pairs verify threshold (the corpus is bimodal —
+    * candidate containment is either well below or well above; 25
+    * pairs at 0.9 at sf0.01).
+    */
+  private val ContainThreshold = 0.9
+
   /** doc_span_gate_e2e admission threshold: a document whose
     * duplicated-span coverage exceeds this fraction is rejected (the
     * corpus is bimodal here — near-0 or near-1 coverage — so any
@@ -2110,6 +2116,83 @@ object TextQueries {
           col("n_tokens"), budget = 512L)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("cum_before"), col("pack_id").cast("long").as("pack_id"))
+        .orderBy("doc_id")
+    },
+
+    // exact CONTAINMENT pairs (Dedup.containmentPairs): the
+    // near-superset detector Jaccard misses — |A∩B|/min(|A|,|B|)
+    // over rare-shingle candidates, verified with the sorted-merge
+    // intersect. The twin replays candidate generation AND the exact
+    // verify, so the df cap, min-shared gate, and the integer-ratio
+    // containment all have to agree.
+    QueryDef("doc_containment_pairs",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |g AS (SELECT doc_id, list_sort(list_distinct(list_transform(
+         |    list_distinct(list_transform(range(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
+         |    sp -> ${sqlPhash("sp")}))) AS hs FROM t),
+         |e AS (SELECT doc_id, unnest(hs) AS h FROM g),
+         |rare AS (SELECT h FROM e GROUP BY h HAVING count(*) <= $SpanDfCap),
+         |f AS (SELECT doc_id, h FROM e WHERE h IN (SELECT h FROM rare)),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $SpanMinShared),
+         |v AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(ga.hs, gb.hs)) AS DOUBLE) /
+         |    CAST(least(len(ga.hs), len(gb.hs)) AS DOUBLE) AS containment
+         |  FROM cand JOIN g ga ON ga.doc_id = id_a
+         |    JOIN g gb ON gb.doc_id = id_b)
+         |SELECT id_a, id_b, containment FROM v
+         |WHERE containment >= $ContainThreshold
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val sets = load(s, d, "documents")
+        .select(col("doc_id"),
+          Dedup.shingleHashes(tokens(col("text")), 3).as("hs"))
+        .persist()
+      Dedup.containmentPairs(sets, "doc_id", "hs",
+          dfCap = SpanDfCap, minShared = SpanMinShared,
+          threshold = ContainThreshold)
+        .orderBy("id_a", "id_b")
+    },
+
+    // bigram surprisal (TextOps.bigramSurprisal): the chain-rule
+    // refinement of doc_unigram_surprisal — first token priced by the
+    // unigram distribution, every transition by the prefix-normalized
+    // bigram conditional; catches scrambled word ORDER, not just rare
+    // words. Costs quantized once per distinct gram (micro-nats), so
+    // document totals are exact integer sums on both engines.
+    QueryDef("doc_bigram_surprisal",
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |u AS (SELECT doc_id, unnest(w) AS tok FROM t),
+         |uni AS (SELECT tok, count(*) AS cnt FROM u GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+         |pu AS (SELECT tok,
+         |  CAST(round(-ln(CAST(cnt AS DOUBLE) / total) * 1000000)
+         |    AS BIGINT) AS c FROM uni, tot),
+         |b2 AS (SELECT doc_id, unnest(w[1 : len(w) - 1]) AS prev,
+         |  unnest(w[2 : len(w)]) AS tok FROM t WHERE len(w) >= 2),
+         |big AS (SELECT prev, tok, count(*) AS bcnt FROM b2 GROUP BY 1, 2),
+         |pref AS (SELECT prev, sum(bcnt) AS pcnt FROM big GROUP BY prev),
+         |pb AS (SELECT big.prev, big.tok,
+         |  CAST(round(-ln(CAST(bcnt AS DOUBLE) / CAST(pcnt AS DOUBLE))
+         |    * 1000000) AS BIGINT) AS c FROM big JOIN pref USING (prev)),
+         |fc AS (SELECT t.doc_id, pu.c FROM t JOIN pu ON pu.tok = t.w[1]
+         |  WHERE len(t.w) > 0),
+         |bc AS (SELECT b2.doc_id, pb.c FROM b2 JOIN pb USING (prev, tok)),
+         |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS cost_e6
+         |  FROM (SELECT * FROM fc UNION ALL SELECT * FROM bc)
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_toks,
+         |  coalesce(d.cost_e6, 0) AS cost_e6,
+         |  CASE WHEN len(t.w) > 0 THEN
+         |    CAST(coalesce(d.cost_e6, 0) AS DOUBLE) /
+         |      CAST(len(t.w) AS DOUBLE) ELSE 0.0 END AS mean_cost_e6
+         |FROM t LEFT JOIN d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.bigramSurprisal(load(s, d, "documents"),
+          col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_toks"), col("cost_e6"),
+          col("mean_cost_e6"))
         .orderBy("doc_id")
     })
 

@@ -198,6 +198,38 @@ class DupSpanFuzzySpec extends SparkSpec {
     assert(got("b") == ((2L, 5.0, 5.0)))
   }
 
+  test("bigramSurprisal: chain-rule pricing on a hand fixture") {
+    // unigrams: a:3 b:2 c:1 (total 6); bigrams from a: (a,b):2 (a,c):1
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "a b"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramSurprisal(docs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val uA = math.round(-math.log(3.0 / 6.0) * 1e6)
+    val uC = math.round(-math.log(2.0 / 3.0) * 1e6) // b(a,b) = -ln(2/3)
+    val bAC = math.round(-math.log(1.0 / 3.0) * 1e6)
+    assert(got(1L) == ((2L, uA + uC)))
+    assert(got(2L) == ((2L, uA + bAC)))
+    assert(got(3L) == got(1L))
+    assert(got(4L) == ((0L, 0L)))
+  }
+
+  test("containmentPairs: embedded short doc scores 1.0; disjoint absent") {
+    // doc 2's 5 tokens sit verbatim inside doc 1 -> its 3 trigrams are
+    // a subset (containment 1.0); doc 3 shares nothing rare
+    val docs = Seq(
+      (1L, "p q r s t u v w x y"),
+      (2L, "q r s t u"),
+      (3L, "f g h i j k")).toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id"),
+      graft.ops.Dedup.shingleHashes(
+        graft.functions.GraftFunctions.tokens(col("text")), 3).as("hs"))
+    val got = graft.ops.Dedup.containmentPairs(sets, "doc_id", "hs",
+        dfCap = 40, minShared = 2, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("leakageSafeSplit: components move as one; singletons match splitAssign") {
     val docs = (1L to 40L).map(i => Tuple1(i)).toDF("doc_id")
     // one component {1,2,3} labeled by min id 1, another {10,11}
