@@ -517,4 +517,57 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rank"),
         round(col("sim"), 6).as("sim"))
   }
+
+  /** Scalar int8 quantization (SQ8): each dimension mapped to 0..255
+    * by the corpus per-dimension min/max — the simplest vector
+    * compression tier (4× over float32, 8× over the e3-quantized
+    * longs), below PQ in ratio but with NO codebook training and an
+    * EXACT-INTEGER distance. Returns (id, code: array<long of 0..255>).
+    * A constant dimension (mx == mn) encodes to 0 everywhere.
+    *
+    * Scale shape: one per-dimension min/max aggregation (map-side
+    * combined, output = #dims rows — an O(dims) driver collect, the
+    * codebook convention), then encoding is a zero-shuffle projection
+    * with the bounds inlined as literals.
+    */
+  def sq8Encode(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val base = df.select(id.as("id"), vec.as("__v"))
+    val st = base.select(posexplode(col("__v")))
+      .groupBy("pos").agg(
+        min(col("col").cast("double")).as("mn"),
+        max(col("col").cast("double")).as("mx"))
+      .orderBy("pos").collect()
+    val mnArr = array(st.map(r => lit(r.getDouble(1))): _*)
+    val rngArr = array(st.map(r => lit(r.getDouble(2) - r.getDouble(1))): _*)
+    base.select(col("id"),
+      zip_with(
+        zip_with(col("__v"), mnArr, (v, m) => v.cast("double") - m),
+        rngArr,
+        (s, r) => when(r > 0,
+          least(greatest(round(s / r * 255d, 0), lit(0.0d)), lit(255.0d)))
+          .otherwise(lit(0.0d)).cast("long")).as("code"))
+  }
+
+  /** Exact-integer top-k over SQ8 codes: distance is the int squared
+    * L2 between code vectors — a BIGINT sum, so ranking is
+    * engine-exact with (idist asc, c_id) ties and needs no float
+    * re-rank to be reproducible. Queries broadcast over the corpus
+    * scan (the [[knnBrute]] shape). Returns (q_id, c_id, rank,
+    * idist).
+    */
+  def sq8Knn(codes: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = codes.filter(queryPred)
+      .select(col("id").as("q_id"), col("code").as("__qc"))
+    val c = codes.select(col("id").as("c_id"), col("code").as("__cc"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("idist",
+        aggregate(zip_with(col("__qc"), col("__cc"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("q_id").orderBy(col("idist").asc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"),
+        col("rank").cast("long").as("rank"), col("idist"))
+  }
 }

@@ -761,5 +761,87 @@ object EmbQueries {
         .agg(sum(coalesce(col("__h"), lit(0L))).as("n"))
         .select(col("q_id"), expr(s"n * 1000000 div $K").as("recall_ppm"))
         .orderBy("q_id")
+    },
+
+    // scalar int8 quantization top-k (Similarity.sq8Encode/sq8Knn):
+    // the codebook-free compression tier below PQ — per-dim min/max
+    // mapping to 0..255 and an EXACT-INTEGER squared-L2 ranking, so
+    // the whole search is engine-exact end to end (no float re-rank
+    // needed for reproducibility). The twin re-derives the bounds,
+    // codes, and ranking from the same quantized corpus.
+    QueryDef("emb_sq8_knn",
+      s"""WITH $sqlQuant,
+         |u AS (SELECT vec_id, generate_subscripts(e, 1) AS dim,
+         |  unnest(e) AS v FROM q),
+         |st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM u GROUP BY dim),
+         |cu AS (SELECT vec_id, u.dim,
+         |  CASE WHEN mx > mn THEN CAST(least(greatest(
+         |    round((v - mn) / (mx - mn) * 255), 0), 255) AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS c
+         |  FROM u JOIN st USING (dim)),
+         |qd AS (SELECT vec_id, dim, c FROM cu WHERE vec_id < 8),
+         |dist AS (SELECT qd.vec_id AS q_id, cu.vec_id AS c_id,
+         |  CAST(sum((qd.c - cu.c) * (qd.c - cu.c)) AS BIGINT) AS idist
+         |  FROM qd JOIN cu USING (dim) WHERE cu.vec_id <> qd.vec_id
+         |  GROUP BY 1, 2),
+         |r AS (SELECT q_id, c_id, idist, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY idist, c_id) AS rank FROM dist)
+         |SELECT q_id, c_id, CAST(rank AS BIGINT) AS rank, idist
+         |FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"))
+      val codes = Similarity.sq8Encode(vecs, col("id"), col("vec"))
+      Similarity.sq8Knn(codes, col("id") < 8, K)
+        .orderBy("q_id", "rank")
+    },
+
+    // SQ8 recall@K against the exact brute-force top-k — the
+    // compression-tier quality measurement (same all-integer
+    // recall_ppm convention as emb_pq_recall)
+    QueryDef("emb_sq8_recall",
+      s"""WITH $sqlQuant,
+         |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, $sqlCos AS sim
+         |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 8),
+         |btop AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id)
+         |    AS rank FROM scored) WHERE rank <= $K),
+         |u AS (SELECT vec_id, generate_subscripts(e, 1) AS dim,
+         |  unnest(e) AS v FROM q),
+         |st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM u GROUP BY dim),
+         |cu AS (SELECT vec_id, u.dim,
+         |  CASE WHEN mx > mn THEN CAST(least(greatest(
+         |    round((v - mn) / (mx - mn) * 255), 0), 255) AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS c
+         |  FROM u JOIN st USING (dim)),
+         |qd AS (SELECT vec_id, dim, c FROM cu WHERE vec_id < 8),
+         |dist AS (SELECT qd.vec_id AS q_id, cu.vec_id AS c_id,
+         |  CAST(sum((qd.c - cu.c) * (qd.c - cu.c)) AS BIGINT) AS idist
+         |  FROM qd JOIN cu USING (dim) WHERE cu.vec_id <> qd.vec_id
+         |  GROUP BY 1, 2),
+         |stop AS (SELECT q_id, c_id FROM (SELECT q_id, c_id,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY idist, c_id)
+         |    AS rank FROM dist) WHERE rank <= $K)
+         |SELECT b.q_id,
+         |  CAST(sum(CASE WHEN s.c_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // $K AS BIGINT) AS recall_ppm
+         |FROM btop b
+         |LEFT JOIN stop s ON b.q_id = s.q_id AND b.c_id = s.c_id
+         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"))
+      val queries = vecs.filter(col("id") < 8)
+      val brute = Similarity.knnBrute(queries, vecs, K)
+        .select(col("q_id"), col("c_id"))
+      val codes = Similarity.sq8Encode(vecs, col("id"), col("vec"))
+      val sq = Similarity.sq8Knn(codes, col("id") < 8, K)
+        .select(col("q_id"), col("c_id"), lit(1L).as("__h"))
+      brute.join(sq, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("__h"), lit(0L))).as("n"))
+        .select(col("q_id"), expr(s"n * 1000000 div $K").as("recall_ppm"))
+        .orderBy("q_id")
     })
 }

@@ -175,4 +175,29 @@ class SimJoinSpec extends SparkSpec {
     // later picks carry a strictly positive redundancy penalty
     assert(got(2)._3 < got(0)._3)
   }
+
+  test("SQ8: bounds map to 0/255, constant dims to 0, knn exact on fixture") {
+    // dim 0 spans 10..30, dim 1 constant, dim 2 spans 0..100
+    val vecs = Seq(
+      (0L, Seq(10L, 7L, 0L)),
+      (1L, Seq(30L, 7L, 100L)),
+      (2L, Seq(20L, 7L, 50L)),
+      (3L, Seq(10L, 7L, 100L))).toDF("id", "vec")
+    val codes = Similarity.sq8Encode(vecs, col("id"), col("vec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(0L) == Seq(0L, 0L, 0L))
+    assert(codes(1L) == Seq(255L, 0L, 255L))
+    assert(codes(2L) == Seq(128L, 0L, 128L)) // round(.5*255) = 128
+    assert(codes(3L) == Seq(0L, 0L, 255L))
+    // knn from q=0: id 2 at 2*128^2=32768, id 3 at 255^2=65025,
+    // id 1 at 2*255^2=130050
+    val knn = Similarity.sq8Knn(
+        Similarity.sq8Encode(vecs, col("id"), col("vec")),
+        col("id") === 0L, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(knn.toSeq == Seq(
+      (2L, 1L, 2L * 128L * 128L),
+      (3L, 2L, 255L * 255L),
+      (1L, 3L, 2L * 255L * 255L)))
+  }
 }
