@@ -838,6 +838,46 @@ object AnalyticsQueries {
         .orderBy("event_id")
     },
 
+    // winsorized aggregate: values CLAMPED to the Tukey fences instead
+    // of dropped (the robust-mean convention), each clamped value
+    // quantized to e6 integers so the sum is exact on both engines —
+    // a double mean would be addition-order-dependent; the integer
+    // sum plus ONE final IEEE division is not.
+    QueryDef("q_winsorize_agg",
+      """WITH h AS (SELECT event_type AS grp, value AS v, count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT grp, v, c,
+        |  CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum,
+        |  CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n FROM h),
+        |q AS (SELECT grp, max(n) AS n,
+        |  min(CASE WHEN cum * 4 >= n * 1 THEN v END) AS q1,
+        |  min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+        |  FROM cm GROUP BY grp),
+        |b AS (SELECT grp, n, q1 - (q3 - q1) * 1.5 AS lo,
+        |  q3 + (q3 - q1) * 1.5 AS hi FROM q)
+        |SELECT b.grp AS event_type, b.n,
+        |  CAST(sum(CAST(round(least(greatest(e.value, b.lo), b.hi)
+        |    * 1000000) AS BIGINT)) AS BIGINT) AS wsum_e6,
+        |  CAST(sum(CAST(round(least(greatest(e.value, b.lo), b.hi)
+        |    * 1000000) AS BIGINT)) AS DOUBLE) / CAST(b.n AS DOUBLE)
+        |    AS wmean_e6
+        |FROM events e JOIN b ON e.event_type = b.grp
+        |WHERE e.value IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = load(s, d, "events").filter(col("value").isNotNull)
+      val b = graft.ops.PipelineOps.iqrBounds(ev, col("event_type"),
+        col("value"), k = 1.5)
+      val clamped = round(
+        least(greatest(col("value"), col("lo")), col("hi")) * 1000000d, 0)
+        .cast("long")
+      ev.join(broadcast(b), ev("event_type") === b("grp"))
+        .groupBy(col("grp").as("event_type"), col("n"))
+        .agg(sum(clamped).as("wsum_e6"))
+        .withColumn("wmean_e6",
+          col("wsum_e6").cast("double") / col("n").cast("double"))
+        .orderBy("event_type")
+    },
+
     // Tukey-fence outlier trim (PipelineOps.iqrBounds): per-event-type
     // fences off EXACT discrete quartiles (histogram + integer-math
     // selection, no per-group sort), then one broadcast join back over

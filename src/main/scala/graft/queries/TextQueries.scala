@@ -1936,6 +1936,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // per-source duplicated-span rollup: the curation diagnostic
+    // (WHICH source is polluting the corpus with repeated passages) —
+    // composes dupSpanStats with the source dimension, exact integer
+    // token ratios
+    QueryDef("doc_dup_span_rate_by_source",
+      s"""WITH $sqlDupSpanCtes,
+         |agg AS (SELECT doc_id, count(*) AS n_spans,
+         |  sum(span_len_toks) AS dup_toks FROM sp GROUP BY doc_id),
+         |j AS (SELECT d.source, t.doc_id, len(t.w) AS n_toks,
+         |  coalesce(a.dup_toks, 0) AS dup_toks,
+         |  coalesce(a.n_spans, 0) AS n_spans
+         |  FROM t JOIN documents d USING (doc_id)
+         |  LEFT JOIN agg a USING (doc_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_spans > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_hit,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_toks,
+         |  CAST(sum(dup_toks) AS BIGINT) AS dup_toks,
+         |  CAST(sum(dup_toks) AS DOUBLE) / CAST(sum(n_toks) AS DOUBLE)
+         |    AS dup_rate
+         |FROM j GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+      val docs = load(s, d, "documents")
+      Dedup.dupSpanStats(docs, col("doc_id"), col("text"), DupSpanW)
+        .join(docs.select(col("doc_id"), col("source")),
+          col("id") === col("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+          sum(col("n_toks")).as("n_toks"),
+          sum(col("dup_toks")).as("dup_toks"))
+        .withColumn("dup_rate",
+          col("dup_toks").cast("double") / col("n_toks").cast("double"))
+        .orderBy("source")
+    },
+
     // character-distribution entropy (TextOps.charEntropy): the
     // zero-shuffle "is this natural text" gate — both engines unroll
     // the same 37 length/replace counts from one alphabet constant

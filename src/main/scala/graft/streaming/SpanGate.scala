@@ -241,6 +241,27 @@ final class SpanGate(spark: SparkSession, stateDir: String,
     } finally wins.unpersist()
   }
 
+  /** Production wiring: drive the gate from a streaming source via
+    * foreachBatch, with optional in-loop maintenance every n batches
+    * (the [[IngestGate.start]] contract — maintenance runs AFTER the
+    * batch's writes with `currentBatchId = id`, so the newest
+    * partition always survives for replay and a restarted batch
+    * re-runs an idempotent compaction).
+    */
+  def start(docs: DataFrame, checkpointDir: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(b, id)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
+          compact(currentBatchId = id)
+          vacuum(currentBatchId = id)
+        }
+        ()
+      }
+      .start()
+
   /** Verdicts of batches <= upTo (replay-guard filtered). */
   def readVerdicts(upTo: Long): DataFrame =
     spark.read.option("basePath", verdictsDir).parquet(verdictsDir)

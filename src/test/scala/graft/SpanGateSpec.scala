@@ -77,6 +77,31 @@ class SpanGateSpec extends SparkSpec {
     assert(g.corpusHashes(1L).count() == 18L)
   }
 
+  test("gate: streaming drive via start() — foreachBatch + maintenance") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val root = freshDir()
+    val g = new SpanGate(spark, root, w = 3, maxDupFrac = 0.6)
+    val in = MemoryStream[(Long, String)]
+    val q = g.start(in.toDF().toDF("doc_id", "text"), freshDir(),
+      compactEvery = 1)
+    in.addData((1L, baseText), (2L, unique1))
+    q.processAllAvailable()
+    in.addData((3L, baseText), (5L, unique2)) // 3 copies corpus doc 1
+    q.processAllAvailable()
+    in.addData((7L, unique2 + " tail goes on")) // overlaps admitted doc 5
+    q.processAllAvailable()
+    q.stop()
+    val v = verdictMap(g, 2L)
+    assert(v((1L, 0L))._3 && v((2L, 0L))._3)
+    assert(!v((3L, 1L))._3 && v((5L, 1L))._3)
+    // doc 7 = doc 5's 20 tokens + 3 more: 18 shared windows cover
+    // tokens 1..20 -> dup_frac 20/23 > 0.6 -> rejected, via the
+    // COMPACTED base (compactEvery=1 folded batches 0 then 1)
+    assert(v((7L, 2L)) == ((23L, 20L, false)))
+    assert(g.baseIndex().isDefined)
+  }
+
   test("gate: verdicts stable across compact + vacuum; base is bucketed") {
     val root = freshDir()
     val g = new SpanGate(spark, root, w = 3, maxDupFrac = 0.6)
