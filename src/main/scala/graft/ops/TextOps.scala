@@ -428,4 +428,67 @@ object TextOps {
       .orderBy(col("n").desc, col("ngram"))
       .limit(topK)
   }
+
+  /** Naive-Bayes log-odds scorer — the model-based quality/language
+    * filter of CCNet-style curation (train a cheap linear classifier
+    * on an in-corpus label, keep documents the model scores toward
+    * the positive class), in closed form: no gradient iterations, so
+    * the whole train+score is two aggregations and is exactly
+    * reproducible across engines.
+    *
+    * Training is the Laplace-smoothed per-token log-likelihood ratio
+    *   llr(w) = ln((c⁺(w)+1)/(T⁺+V)) − ln((c⁻(w)+1)/(T⁻+V))
+    * (c± = token occurrences in positive/negative docs, T± their
+    * totals, V the vocabulary size) quantized ONCE per DISTINCT token
+    * to integer micro-nats; a document's score is the class prior
+    * ln(N⁺/N⁻) (quantized the same way) plus the exact integer sum of
+    * its tokens' llr — order-free, engine-reproducible. predicted =
+    * score > 0, the MAP decision under the NB model.
+    *
+    * Scale shape: one vocabulary aggregation over the token stream
+    * (map-side combined; the class split rides the same pass as two
+    * conditional sums), one O(|vocab|) totals row + one O(1) prior
+    * row, the priced vocabulary broadcast back over the token stream
+    * (size-gate it behind a join at vocabularies beyond broadcast
+    * reach, as with [[unigramSurprisal]]), one doc-id re-aggregation.
+    * Docs with a NULL label still get scored (they just don't train).
+    * Returns (id, n_toks, llr_e6, score_e6, predicted) — every input
+    * doc present, token-free docs at prior-only score.
+    */
+  def naiveBayesLogOdds(df: DataFrame, id: Column, text: Column,
+      positive: Column): DataFrame = {
+    val docs = df.select(id.as("__id"), tokens(text).as("__toks"),
+      positive.as("__pos"))
+    val toks = docs.select(col("__id"), col("__pos"),
+      explode(col("__toks")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(
+      sum(when(col("__pos") === true, 1L).otherwise(0L)).as("cp"),
+      sum(when(col("__pos") === false, 1L).otherwise(0L)).as("cn"))
+    val tot = vocab.agg(sum(col("cp")), sum(col("cn")), count(lit(1))).head()
+    val (totP, totN, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val pri = docs.agg(
+      sum(when(col("__pos") === true, 1L).otherwise(0L)),
+      sum(when(col("__pos") === false, 1L).otherwise(0L))).head()
+    val (nPos, nNeg) = (pri.getLong(0), pri.getLong(1))
+    require(nPos > 0 && nNeg > 0,
+      "naiveBayesLogOdds needs at least one doc per class")
+    val priorE6 =
+      math.round(math.log(nPos.toDouble / nNeg.toDouble) * 1000000d)
+
+    val priced = vocab.withColumn("llr_e6",
+      round((log((col("cp") + lit(1.0d)) / lit((totP + v).toDouble)) -
+        log((col("cn") + lit(1.0d)) / lit((totN + v).toDouble))) * 1000000d, 0)
+        .cast("long"))
+      .select("tok", "llr_e6")
+    val perDoc = toks.join(broadcast(priced), "tok")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("llr_e6")).as("llr_e6"))
+    docs.select(col("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as("id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("llr_e6"), lit(0L)).as("llr_e6"))
+      .withColumn("score_e6", col("llr_e6") + lit(priorE6))
+      .withColumn("predicted", col("score_e6") > 0L)
+  }
 }

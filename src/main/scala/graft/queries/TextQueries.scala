@@ -1777,6 +1777,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Naive-Bayes log-odds scorer (TextOps.naiveBayesLogOdds): the
+    // CCNet-style model-based filter in closed form, self-trained here
+    // on the lang label (positive = 'en'). The twin replays the whole
+    // train+score pipeline — smoothed counts, micro-nat-quantized
+    // per-token LLRs, prior, exact integer doc sums — so a drifted
+    // count, smoothing constant, or prior breaks the hash.
+    QueryDef("doc_nb_score",
+      """WITH d0 AS (SELECT doc_id, lang = 'en' AS pos,
+        |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    x -> x <> '') AS w FROM documents),
+        |t AS (SELECT doc_id, pos, unnest(w) AS tok FROM d0),
+        |v AS (SELECT tok,
+        |  sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |  sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+        |  FROM t GROUP BY tok),
+        |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS vv FROM v),
+        |pr AS (SELECT CAST(round(ln(
+        |    CAST(count(*) FILTER (WHERE pos) AS DOUBLE) /
+        |    CAST(count(*) FILTER (WHERE NOT pos) AS DOUBLE)) * 1000000)
+        |  AS BIGINT) AS prior_e6 FROM d0),
+        |p AS (SELECT tok, CAST(round(
+        |    (ln((cp + 1.0) / CAST(tp + vv AS DOUBLE)) -
+        |     ln((cn + 1.0) / CAST(tn + vv AS DOUBLE))) * 1000000)
+        |  AS BIGINT) AS llr_e6 FROM v, tot),
+        |s AS (SELECT t.doc_id, count(*) AS n_toks,
+        |  CAST(sum(p.llr_e6) AS BIGINT) AS llr_e6
+        |  FROM t JOIN p USING (tok) GROUP BY t.doc_id)
+        |SELECT doc_id, coalesce(s.n_toks, 0) AS n_toks,
+        |  coalesce(s.llr_e6, 0) AS llr_e6,
+        |  coalesce(s.llr_e6, 0) + pr.prior_e6 AS score_e6,
+        |  coalesce(s.llr_e6, 0) + pr.prior_e6 > 0 AS predicted
+        |FROM d0 LEFT JOIN s USING (doc_id), pr
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.naiveBayesLogOdds(load(s, d, "documents"),
+          col("doc_id"), col("text"), col("lang") === "en")
+        .select(col("id").as("doc_id"), col("n_toks"), col("llr_e6"),
+          col("score_e6"), col("predicted"))
+        .orderBy("doc_id")
+    },
+
     // per-source weighted sampling (PipelineOps.weightedSamplePerStratum):
     // A-ES priorities ranked per stratum through graft_topk's
     // partial combine — a stratum holding most of the corpus never

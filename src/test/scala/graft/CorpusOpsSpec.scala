@@ -547,4 +547,44 @@ class CorpusOpsSpec extends SparkSpec {
         s"shard $sh positions not contiguous")
     }
   }
+
+  test("naiveBayesLogOdds: closed-form values, unlabeled scoring, empty doc") {
+    // training counts: aa -> (c+=2, c-=0), bb -> (c+=0, c-=1);
+    // T+=2, T-=1, V=2, priors 1:1 =>
+    //   llr(aa) = ln(3/4)-ln(1/3) = ln(2.25)  -> 810930 micro-nats
+    //   llr(bb) = ln(1/4)-ln(2/3) = ln(0.375) -> -980829
+    // docs 3 and 4 are UNLABELED: scored, never trained on
+    val docs = Seq(
+      (1L, "aa aa", Some(true)),
+      (2L, "bb", Some(false)),
+      (3L, "aa bb", None: Option[Boolean]),
+      (4L, "!!!", None: Option[Boolean])).toDF("id", "text", "pos")
+    val got = TextOps.naiveBayesLogOdds(docs, col("id"), col("text"),
+        col("pos"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got == Map(
+      1L -> (2L, 1621860L, 1621860L, true),
+      2L -> (1L, -980829L, -980829L, false),
+      3L -> (2L, -169899L, -169899L, false),
+      4L -> (0L, 0L, 0L, false)))
+  }
+
+  test("naiveBayesLogOdds: class prior shifts every score") {
+    // 2 positive docs vs 1 negative, no shared-token signal for 'cc':
+    // its doc score = prior = ln(2) -> 693147 micro-nats, predicted true
+    val docs = Seq(
+      (1L, "aa", Some(true)), (2L, "aa", Some(true)),
+      (3L, "bb", Some(false)),
+      (4L, "cc", None: Option[Boolean])).toDF("id", "text", "pos")
+    val got = TextOps.naiveBayesLogOdds(docs, col("id"), col("text"),
+        col("pos"))
+      .filter(col("id") === 4L).collect().head
+    // llr(cc) = ln((0+1)/(2+3)) - ln((0+1)/(1+3)) = ln(4/5) -> -223144
+    assert(got.getLong(2) == -223144L)
+    assert(got.getLong(3) == 693147L - 223144L)
+    assert(got.getBoolean(4))
+  }
 }
