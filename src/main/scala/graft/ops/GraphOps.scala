@@ -1,0 +1,99 @@
+package graft.ops
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over corpus-derived relationship graphs. The
+  * curation use case: rank SOURCES (hosts, crawls, feeds) by how
+  * central they are in the content-sharing graph — a high-rank source
+  * cross-posts with many other well-connected sources, the signature
+  * of content farms and syndication rings that per-document dedup
+  * sees only pair by pair.
+  *
+  * Everything here is engine-exact: PageRank state is held in integer
+  * nano-units and every per-edge transfer is quantized BEFORE the
+  * summation, so iteration results are independent of addition order
+  * (the same convention as TextOps' micro-nat costs) and a DuckDB
+  * twin can replay the trajectory with unrolled CTEs.
+  */
+object GraphOps {
+
+  /** Weighted undirected source-affinity edges from shared RARE
+    * w-shingles: two sources gain an edge of weight = the number of
+    * distinct rare shingle hashes they both contain. Rarity is capped
+    * at `srcCap` distinct sources per shingle — ubiquitous shingles
+    * (stopword runs, boilerplate) carry no affinity signal and would
+    * otherwise explode the pair join quadratically (the same guard as
+    * the LSH band cap: each surviving shingle emits at most
+    * srcCap·(srcCap−1)/2 pairs).
+    *
+    * Scale shape: one scan computing per-doc distinct shingle hashes,
+    * a (hash, source) distinct aggregation, the df-cap filter on its
+    * output (source-count-sized, not corpus-sized), a self-equi-join
+    * on the hash, one pair aggregation. No all-pairs anywhere.
+    * Returns (s_a, s_b, w) with s_a < s_b.
+    */
+  def sharedShingleEdges(df: DataFrame, source: Column, text: Column,
+      w: Int, srcCap: Int): DataFrame = {
+    val hs = df.select(source.as("__src"),
+        explode(array_distinct(transform(
+          wordShingles(tokens(text), w), sp => portableHash(sp)))).as("h"))
+      .distinct()
+    val keep = hs.groupBy("h")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, srcCap))
+      .select("h")
+    val f = hs.join(keep, "h")
+    val a = f.select(col("h"), col("__src").as("s_a"))
+    val b = f.select(col("h").as("h2"), col("__src").as("s_b"))
+    a.join(b, a("h") === b("h2") && col("s_a") < col("s_b"))
+      .groupBy("s_a", "s_b")
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Weighted PageRank over an undirected edge list, exact across
+    * engines: ranks live as integer e9 units, each edge transfer
+    * pr·w/W(t) is quantized to integer e12 units before the incoming
+    * sum (order-free), and the damped update re-quantizes to e9 —
+    * `iters` fixed rounds, no convergence test, so a twin replays the
+    * identical trajectory. Nodes are the edge endpoints (an isolated
+    * source has no affinity evidence and is the caller's join-back).
+    *
+    * Scale shape per round: one equi-join of the edge list against
+    * the node-sized rank frame (AQE broadcasts the rank side while it
+    * fits; both sides already hash-partition on the node key
+    * otherwise) and one map-side-combined aggregation — rounds are
+    * fixed and small, so lineage stays bounded without checkpointing.
+    * Returns (node, pr_e9).
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    // symmetrize: undirected affinity, each endpoint both sends and
+    // receives through the edge
+    val e = edges.select(col("s_a").as("s"), col("s_b").as("t"), col("w"))
+      .unionByName(
+        edges.select(col("s_b").as("s"), col("s_a").as("t"), col("w")))
+    val nodes = e.select(col("s")).distinct()
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge list")
+    val outW = e.groupBy("s").agg(sum(col("w")).as("wt"))
+    val prInit = math.round(1e9 / n)
+    val base = lit((1.0 - damping) / n * 1e9)
+
+    var pr = nodes.select(col("s"), lit(prInit).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(pr, "s").join(outW, "s")
+        .select(col("t"),
+          round(col("pr").cast("double") * col("w") / col("wt") * lit(1000.0d), 0)
+            .cast("long").as("c"))
+        .groupBy("t").agg(sum(col("c")).as("c"))
+      pr = nodes
+        .join(contrib.withColumnRenamed("t", "s"), Seq("s"), "left")
+        .select(col("s"),
+          round(base + lit(damping) * coalesce(col("c"), lit(0L)) / lit(1000.0d), 0)
+            .cast("long").as("pr"))
+    }
+    pr.select(col("s").as("node"), col("pr").as("pr_e9"))
+  }
+}

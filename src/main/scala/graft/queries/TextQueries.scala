@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.GraftFunctions._
-import graft.ops.{Dedup, Multimodal, TextOps}
+import graft.ops.{Dedup, GraphOps, Multimodal, TextOps}
 import graft.queries.Tables.load
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -411,6 +411,13 @@ object TextQueries {
   // tops out at df=7 (151 shingles at df>=5), so 5 keeps both the
   // frequent and non-frequent branches live at the oracle scale
   private val BoilerMinDf = 5L
+  // source-affinity PageRank: 3-token shingles, a rarity cap the
+  // sf0.01 corpus actually trips (source counts run 1-7 there, so 5
+  // keeps both the kept and the capped-out branches live), 3 fixed
+  // damped rounds
+  private val PrShingleW = 3
+  private val PrSrcCap = 5
+  private val PrIters = 3
 
   /** The synthetic corpus has NO byte-identical documents, so an
     * exact-dedup verdict over it is vacuous (is_canonical always
@@ -1775,6 +1782,56 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("n_toks"), col("cost_e6"),
           col("mean_cost_e6"))
         .orderBy("doc_id")
+    },
+
+    // source-affinity PageRank (GraphOps): sources become a weighted
+    // graph through shared RARE trigrams (rarity-capped, so
+    // boilerplate carries no affinity and the pair join stays
+    // bounded), then 3 damped PageRank rounds rank each source's
+    // centrality in the content-sharing graph — the content-farm /
+    // syndication-ring detector. Rank state is integer e9 and every
+    // edge transfer quantizes to e12 BEFORE summation, so the twin
+    // replays the exact trajectory with unrolled CTEs.
+    QueryDef("doc_source_pagerank", {
+      val iterCtes = (1 to PrIters).map { k =>
+        s"""c$k AS (SELECT e.t AS s, CAST(sum(CAST(round(
+           |    CAST(p${k - 1}.pr AS DOUBLE) * e.w / ow.wt * 1e3) AS BIGINT))
+           |  AS BIGINT) AS c
+           |  FROM e JOIN p${k - 1} ON e.s = p${k - 1}.s
+           |    JOIN ow ON e.s = ow.s GROUP BY e.t),
+           |p$k AS (SELECT n.s, CAST(round((1e0 - 0.85e0) / nn.n * 1e9
+           |    + 0.85e0 * coalesce(c$k.c, 0) / 1e3) AS BIGINT) AS pr
+           |  FROM n LEFT JOIN c$k ON n.s = c$k.s, nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT source, $sqlToks AS w FROM documents),
+         |g0 AS (SELECT source, unnest(list_distinct(list_transform(
+         |    list_distinct(list_transform(range(1, len(w) - 1),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
+         |    sp -> ${sqlPhash("sp")}))) AS h FROM t),
+         |g AS (SELECT DISTINCT source, h FROM g0),
+         |keep AS (SELECT h FROM g GROUP BY h
+         |  HAVING count(*) BETWEEN 2 AND $PrSrcCap),
+         |f AS (SELECT g.source, g.h FROM g JOIN keep ON g.h = keep.h),
+         |pairs AS (SELECT a.source AS sa, b.source AS sb,
+         |  CAST(count(*) AS BIGINT) AS w
+         |  FROM f a JOIN f b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |e AS (SELECT sa AS s, sb AS t, w FROM pairs
+         |  UNION ALL SELECT sb AS s, sa AS t, w FROM pairs),
+         |n AS (SELECT DISTINCT s FROM e),
+         |nn AS (SELECT count(*) AS n FROM n),
+         |ow AS (SELECT s, sum(w) AS wt FROM e GROUP BY s),
+         |p0 AS (SELECT s, CAST(round(1e9 / nn.n) AS BIGINT) AS pr
+         |  FROM n, nn),
+         |$iterCtes
+         |SELECT s AS source, pr AS pr_e9 FROM p$PrIters
+         |ORDER BY source""".stripMargin
+    }) { (s, d) =>
+      val edges = GraphOps.sharedShingleEdges(load(s, d, "documents"),
+        col("source"), col("text"), PrShingleW, PrSrcCap)
+      GraphOps.pageRank(edges, PrIters)
+        .select(col("node").as("source"), col("pr_e9"))
+        .orderBy("source")
     },
 
     // Naive-Bayes log-odds scorer (TextOps.naiveBayesLogOdds): the

@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.GraphOps
+import org.apache.spark.sql.functions._
+
+/** GraphOps: source-affinity edge construction (distinct-per-source
+  * semantics, the rarity cap) and the quantized PageRank trajectory
+  * against hand-computed closed forms.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesOf(docs: Seq[(String, String)], cap: Int) =
+    GraphOps.sharedShingleEdges(docs.toDF("source", "text"),
+        col("source"), col("text"), w = 3, srcCap = cap)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+  private val docs = Seq(
+    "s1" -> "x y z p q r s",
+    "s2" -> "x y z p q r t",
+    "s3" -> "x y z m",
+    // second s1 doc repeating a shared shingle: per-source DISTINCT
+    // means it must not inflate any weight
+    "s1" -> "y z p only here")
+
+  test("sharedShingleEdges: rarity cap drops the 3-source shingle") {
+    // shared by s1,s2: "x y z"(3 sources), "y z p"(2), "z p q"(2),
+    // "p q r"(2) -> with cap 2 only the three 2-source shingles count
+    assert(edgesOf(docs, cap = 2) == Set(("s1", "s2", 3L)))
+  }
+
+  test("sharedShingleEdges: raising the cap admits the hub shingle") {
+    assert(edgesOf(docs, cap = 3) == Set(
+      ("s1", "s2", 4L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
+  }
+
+  test("pageRank: symmetric two-node graph is stationary at 1/2") {
+    val e = Seq(("a", "b", 5L)).toDF("s_a", "s_b", "w")
+    val got = GraphOps.pageRank(e, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 500000000L, "b" -> 500000000L))
+  }
+
+  test("pageRank: star graph concentrates rank on the hub, exactly") {
+    // hub c + 3 unit leaves, one round from uniform 2.5e8:
+    //   pr(c) = round(0.15/4*1e9 + 0.85 * (3 * 2.5e11) / 1e3) = 675e6
+    //   pr(l) = round(3.75e7 + 0.85 * round(2.5e8/3*1e3)/1e3)
+    //         = round(3.75e7 + 70833333.33305) = 108333333
+    val e = Seq(("c", "l1", 1L), ("c", "l2", 1L), ("c", "l3", 1L))
+      .toDF("s_a", "s_b", "w")
+    val got = GraphOps.pageRank(e, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("c") == 675000000L)
+    assert(Seq("l1", "l2", "l3").forall(got(_) == 108333333L))
+    // mass is conserved up to the per-node rounding
+    assert(math.abs(got.values.sum - 1000000000L) <= 4)
+  }
+
+  test("pageRank: asymmetric weights order the ranks") {
+    // a and b share the heavy edge (and are graph-symmetric, so they
+    // tie exactly); c hangs off light edges and must rank below
+    val e = Seq(("a", "b", 9L), ("b", "c", 1L), ("a", "c", 1L))
+      .toDF("s_a", "s_b", "w")
+    val got = GraphOps.pageRank(e, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") == got("b") && got("a") > got("c"))
+  }
+}
