@@ -15,7 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Functions: graft_phash(str), graft_dot(arr, arr),
   * graft_sorted_intersect_size(arr, arr), graft_token_hash_set(str),
   * graft_cdc_envelope(str), graft_minhash_sigs(arr, k),
-  * graft_window_hashes(str, w), graft_topk(ord, id, k).
+  * graft_window_hashes(str, w), graft_topk(ord, id, k),
+  * graft_nfc(str), graft_nfkc(str), graft_strip_accents(str).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -54,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(unary("graft_cdc_envelope",
       "one-pass CDC JSON envelope parse (from_json-equivalent)",
       NativeExpressions.CdcEnvelopeExpr))
+    ext.injectFunction(unary("graft_nfc",
+      "Unicode NFC normalization (ASCII short-circuit)",
+      NativeExpressions.NormalizeTextExpr(_, 0)))
+    ext.injectFunction(unary("graft_nfkc",
+      "Unicode NFKC normalization (ASCII short-circuit)",
+      NativeExpressions.NormalizeTextExpr(_, 1)))
+    ext.injectFunction(unary("graft_strip_accents",
+      "accent strip: NFD, drop non-spacing marks, NFC re-compose",
+      NativeExpressions.NormalizeTextExpr(_, 2)))
     // k is an operator parameter, not data: require a foldable int so
     // the signature count is fixed at plan time
     ext.injectFunction((FunctionIdentifier("graft_minhash_sigs"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.GraftShims
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -149,6 +149,33 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Unicode normalization (mode 0 NFC / 1 NFKC / 2 accent strip) as
+    * a codegen'd scalar: Spark ships no normalizer built-in, and a
+    * UDF would pay serialization per row. The implementation
+    * short-circuits pure-ASCII rows on a byte scan (no UTF-16
+    * round-trip), which is nearly every row at corpus scale — see
+    * [[NativeImpl.normalizeText]].
+    */
+  case class NormalizeTextExpr(child: Expression, mode: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nodeName: String = mode match {
+      case 0 => "graft_nfc"
+      case 1 => "graft_nfkc"
+      case _ => "graft_strip_accents"
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.normalizeText(input.asInstanceOf[UTF8String], mode)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.NativeImpl.normalizeText($c, $mode)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** One-pass Jackson-streaming CDC envelope parse — replaces
     * from_json on the engine's hottest path. from_json pays the
     * generic JacksonParser + FailureSafeParser machinery per row;
@@ -228,6 +255,15 @@ object NativeExpressions {
   def dotLongNative(a: Column, b: Column): Column =
     GraftShims.column(ArrayDotLongExpr(
       GraftShims.expression(a), GraftShims.expression(b)))
+
+  def nfcNative(s: Column): Column =
+    GraftShims.column(NormalizeTextExpr(GraftShims.expression(s), 0))
+
+  def nfkcNative(s: Column): Column =
+    GraftShims.column(NormalizeTextExpr(GraftShims.expression(s), 1))
+
+  def stripAccentsNative(s: Column): Column =
+    GraftShims.column(NormalizeTextExpr(GraftShims.expression(s), 2))
 
   /** Bloom-membership probe over a long key — the runtime-filter
     * pattern: a filter built once by a distributed aggregation is

@@ -303,4 +303,46 @@ object NativeImpl {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Unicode normalization: mode 0 = NFC, 1 = NFKC, 2 = accent strip
+    * (NFD, drop non-spacing combining marks, NFC re-compose — the
+    * curation form that folds 'á'/'a'+U+0301 to plain 'a').
+    *
+    * Pure-ASCII input — the overwhelming hot path at corpus scale —
+    * short-circuits on a byte scan and returns the input UNCOPIED:
+    * ASCII is invariant under all three forms, so java.text.Normalizer
+    * (and the UTF-16 round-trip it needs) runs only on rows that
+    * actually carry non-ASCII bytes.
+    */
+  def normalizeText(s: UTF8String, mode: Int): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) {
+      if (bytes(i) < 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
+    val str = s.toString
+    val out = mode match {
+      case 0 => java.text.Normalizer.normalize(str,
+        java.text.Normalizer.Form.NFC)
+      case 1 => java.text.Normalizer.normalize(str,
+        java.text.Normalizer.Form.NFKC)
+      case _ =>
+        val d = java.text.Normalizer.normalize(str,
+          java.text.Normalizer.Form.NFD)
+        val sb = new java.lang.StringBuilder(d.length)
+        var j = 0
+        while (j < d.length) {
+          val c = d.charAt(j)
+          if (Character.getType(c) != Character.NON_SPACING_MARK)
+            sb.append(c)
+          j += 1
+        }
+        java.text.Normalizer.normalize(sb.toString,
+          java.text.Normalizer.Form.NFC)
+    }
+    UTF8String.fromString(out)
+  }
 }

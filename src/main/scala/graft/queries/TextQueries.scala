@@ -1784,6 +1784,35 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Unicode normalization (NormalizeTextExpr, codegen'd with an
+    // ASCII byte-scan short-circuit): the corpus is pure ASCII, so the
+    // fixture DENORMALIZES it first — every 'a' becomes 'a'+U+0301
+    // (combining acute) — and the oracle then checks NFC re-composes
+    // to the precomposed 'á' and accent-strip folds back to the plain
+    // letter, character-for-character against DuckDB's
+    // nfc_normalize/strip_accents. Codepoint lengths ride along so a
+    // normalizer that merely passes text through breaks the hash.
+    QueryDef("doc_normalize",
+      """WITH inj AS (SELECT doc_id,
+        |  replace(text, 'a', 'a' || chr(769)) AS r FROM documents)
+        |SELECT doc_id, nfc_normalize(r) AS nfc_text,
+        |  strip_accents(nfc_normalize(r)) AS stripped,
+        |  CAST(length(r) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(r)) AS BIGINT) AS n_nfc
+        |FROM inj ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.NativeExpressions._
+      // the DECOMPOSED sequence 'a' + U+0301, written as an escape so
+      // the source file's own encoding can never re-compose it
+      val r = regexp_replace(col("text"), "a", "a\u0301")
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          nfcNative(r).as("nfc_text"),
+          stripAccentsNative(nfcNative(r)).as("stripped"),
+          length(r).cast("long").as("n_raw"),
+          length(nfcNative(r)).cast("long").as("n_nfc"))
+        .orderBy("doc_id")
+    },
+
     // source-affinity PageRank (GraphOps): sources become a weighted
     // graph through shared RARE trigrams (rarity-capped, so
     // boilerplate carries no affinity and the pair join stays

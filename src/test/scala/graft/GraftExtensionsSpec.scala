@@ -60,6 +60,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(wh == Seq("a b c", "b c d").map(s =>
       graft.functions.NativeImpl.portableHash(
         org.apache.spark.unsafe.types.UTF8String.fromString(s))))
+    // the normalizer family resolves from SQL text: decomposed
+    // e+U+0301 re-composes (NFC), the fi ligature folds (NFKC only),
+    // accents strip to plain letters (unicode via escapes so source
+    // re-encoding can't corrupt the fixtures)
+    val nz = spark.sql(
+      "SELECT graft_nfc('cafe\u0301') AS a, " +
+        "graft_nfkc('\ufb01le') AS b, " +
+        "graft_strip_accents('caf\u00e9') AS c").head()
+    assert(nz.getString(0) == "caf\u00e9")
+    assert(nz.getString(1) == "file")
+    assert(nz.getString(2) == "cafe")
     // non-literal k is a plan-time error, not a runtime surprise
     intercept[Exception] {
       spark.sql("SELECT graft_minhash_sigs(array(1L), CAST(id AS INT)) " +

@@ -224,4 +224,41 @@ class NativeExprSpec extends SparkSpec {
     val got = df.collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
     assert(got(0) == null && got(1) == 120L % GraftFunctions.PhMod)
   }
+
+  test("normalizeText: NFC, NFKC, accent strip semantics under codegen") {
+    import graft.functions.NativeExpressions._
+    // every non-ASCII char is written as a \\uXXXX escape so the test
+    // can never be corrupted by source-file re-encoding; RDD-backed
+    // for the same reason as CODEGEN_ONLY above (a LocalRelation
+    // would be folded at plan time)
+    val pre = "caf\u00e9"            // precomposed e-acute
+    val dec = "cafe\u0301"           // decomposed e + combining acute
+    val lig = "\ufb01le"             // fi ligature (NFKC-only fold)
+    val ess = "stra\u00dfe"          // eszett: untouched by all three
+    val stk = "a\u0301\u0327b"      // stacked marks strip to "ab"
+    val ast = "ok \ud83d\ude00 ok"  // non-BMP passthrough
+    val cases = Seq("plain ascii 42", pre, dec, lig, ess, stk, ast)
+    val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(cases.zipWithIndex.map(_.swap), 1))
+      .toDF("i", "s")
+      .select(col("i"), nfcNative(col("s")).as("nfc"),
+        nfkcNative(col("s")).as("nfkc"),
+        stripAccentsNative(col("s")).as("strip"))
+    val got = df.collect()
+      .map(r => r.getInt(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3)))).toMap
+    assert(got(0) == (("plain ascii 42", "plain ascii 42", "plain ascii 42")))
+    assert(got(1) == ((pre, pre, "cafe")))
+    // decomposed input re-composes under NFC/NFKC, strips to plain
+    assert(got(2) == ((pre, pre, "cafe")))
+    // the ligature survives NFC but folds to "fi" under NFKC
+    assert(got(3) == ((lig, "file", lig)))
+    assert(got(4) == ((ess, ess, ess)))
+    assert(got(5)._3 == "ab")
+    assert(got(6) == ((ast, ast, ast)))
+    // null propagates
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(nfcNative(col("s"))).collect()
+    assert(n(0).isNullAt(0))
+  }
 }
