@@ -338,4 +338,35 @@ object StreamOps {
             state)
       }
   }
+
+  /** Stream-stream interval join — the continuous form of the batch
+    * q_interval_overlap/RangeJoin family: inner-join two live streams
+    * on a key where the right event time falls within ±`tolerance`
+    * of the left. Built on Spark's native stream-stream join: the
+    * symmetric interval condition plus BOTH watermarks is exactly
+    * what lets Spark derive a state-eviction predicate for each side
+    * (rows older than watermark+tolerance can never match a future
+    * arrival and are dropped from the join state) — without the time
+    * bound the state would grow without limit, which is why this
+    * wrapper takes `tolerance` as a required argument rather than
+    * defaulting to an unbounded equi-join.
+    *
+    * `ltCol`/`rtCol` must be DISTINCT column names (both survive into
+    * the output so the caller can compute the actual gap); the key
+    * columns collapse into one via the using-join. At 100 TB-rate
+    * streams both sides hash-partition on the key — the same shuffle
+    * a batch equi-join pays — and state stays
+    * O(rate × (watermark + tolerance)).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      ltCol: String, rtCol: String, watermark: String,
+      tolerance: String): DataFrame = {
+    require(ltCol != rtCol,
+      "intervalJoinStream needs distinct left/right time column names")
+    val l = left.withWatermark(ltCol, watermark)
+    val r = right.withWatermark(rtCol, watermark)
+    l.join(r, Seq(key), "inner")
+      .where(col(rtCol) >= col(ltCol) - expr(s"INTERVAL $tolerance") &&
+        col(rtCol) <= col(ltCol) + expr(s"INTERVAL $tolerance"))
+  }
 }

@@ -276,4 +276,58 @@ class MergeOnReadSpec extends SparkSpec {
     TransactionalStore.commit(root, m)
     Files.readString(Paths.get(root, "manifest", s"v${m.version}.json"))
   }
+
+  test("schema evolution: widened meta overlays old base and delta files") {
+    // ALTER TABLE ADD COLUMN, Spark-native: the new TableMeta simply
+    // carries one more nullable field; parquet read-with-wider-schema
+    // fills it with null in every pre-evolution base AND delta file,
+    // and the present-mask merge treats it like any never-set column.
+    // No rewrite of existing files — the 100 TB property.
+    val narrow = TableMeta("ev", StructType(Seq(
+      StructField("id", LongType), StructField("a", StringType))),
+      Seq("id"))
+    val wide = TableMeta("ev", StructType(Seq(
+      StructField("id", LongType), StructField("a", StringType),
+      StructField("d", IntegerType))), Seq("id"))
+    val root = freshRoot()
+    def patch(meta: TableMeta, tv: TransactionalStore.TableVersion,
+        rows: Seq[(Long, Int, Map[String, String], Boolean)], commit: Long) =
+      DstTable.applyPatch(spark, root, meta, Buckets, tv, patchDF(rows),
+        commit, mergeOnRead = true, compactDeltas = 100)._1
+    // two commits under the NARROW schema: a base, then a delta chain
+    var tv = patch(narrow, empty, Seq(
+      (1L, Op.Update, Map("a" -> "x"), false),
+      (2L, Op.Update, Map("a" -> "y"), false)), 1L)
+    tv = patch(narrow, tv, Seq(
+      (2L, Op.Update, Map("a" -> "y2"), false)), 2L)
+    // widen, then set the NEW column for key 1 only
+    val preEvolutionFiles =
+      (tv.bucketFiles.values.flatten ++ tv.deltaFiles.values.flatten).toSet
+    tv = patch(wide, tv, Seq(
+      (1L, Op.Update, Map("d" -> "7"), false)), 3L)
+    def readWide(v: TransactionalStore.TableVersion) =
+      DstTable.readCurrent(spark, wide, v).collect().map { r =>
+        (r.getAs[Long]("id"), r.getAs[String]("a"),
+          Option(r.get(r.fieldIndex("d"))).map(_.asInstanceOf[Int]))
+      }.toSet
+    assert(readWide(tv) == Set(
+      (1L, "x", Some(7)), (2L, "y2", None)))
+    // evolution never rewrote a pre-existing file
+    assert(preEvolutionFiles.forall(f => Files.exists(Paths.get(f))))
+    // compaction through the widened schema folds the mixed-schema
+    // chain without changing contents
+    val compacted = patch(wide, tv, Seq(
+      (3L, Op.Update, Map("a" -> "z", "d" -> "9"), false)), 4L)
+    val folded = DstTable.applyPatch(spark, root, wide, Buckets, compacted,
+      patchDF(Seq((3L, Op.Update, Map("a" -> "z2"), false))), 5L,
+      mergeOnRead = true, compactDeltas = 1)._1
+    assert(folded.deltaFiles.isEmpty)
+    assert(readWide(folded) == Set(
+      (1L, "x", Some(7)), (2L, "y2", None), (3L, "z2", Some(9))))
+    // and a column the WIDE schema still doesn't know stays a hard error
+    intercept[IllegalArgumentException] {
+      patch(wide, folded, Seq(
+        (1L, Op.Update, Map("nope" -> "1"), false)), 6L)
+    }
+  }
 }

@@ -175,6 +175,70 @@ class StreamOpsSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("stream-stream interval join matches the batch interval predicate") {
+    implicit val sq = spark.sqlContext
+    val lin = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val rin = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val joined = StreamOps.intervalJoinStream(
+      lin.toDF().toDF("lt", "k", "lv"),
+      rin.toDF().toDF("rt", "k", "rv"),
+      key = "k", ltCol = "lt", rtCol = "rt",
+      watermark = "10 seconds", tolerance = "30 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivj").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: left arrives BEFORE its right match (stream-stream
+    // state must hold it), one in-window pair, one out-of-window
+    lin.addData(
+      (ts("2024-01-01 10:00:00"), 1L, "a"),
+      (ts("2024-01-01 10:05:00"), 1L, "b"),
+      (ts("2024-01-01 10:00:00"), 2L, "c"))
+    rin.addData((ts("2024-01-01 10:00:20"), 1L, "x"))
+    q.processAllAvailable()
+    // batch 2: late-but-in-watermark right row matches the held left;
+    // wrong-key row matches nothing
+    rin.addData(
+      (ts("2024-01-01 10:05:10"), 1L, "y"),
+      (ts("2024-01-01 10:00:10"), 3L, "z"))
+    q.processAllAvailable()
+    val got = spark.table("ivj")
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // the scale claim: the interval bound + watermarks must yield a
+    // state-eviction predicate, so rows far behind the watermark
+    // leave the join state instead of accumulating forever
+    lin.addData((ts("2024-01-01 11:00:00"), 9L, "w"))
+    rin.addData((ts("2024-01-01 11:00:00"), 9L, "w"))
+    q.processAllAvailable()
+    lin.addData((ts("2024-01-01 11:30:00"), 9L, "w2"))
+    rin.addData((ts("2024-01-01 11:30:00"), 9L, "w2"))
+    q.processAllAvailable() // watermark now ~11:29:50 — 10:0x state dead
+    lin.addData((ts("2024-01-01 11:30:01"), 9L, "w3"))
+    q.processAllAvailable() // one more batch so eviction is committed
+    val state = q.lastProgress.stateOperators
+    assert(state.nonEmpty)
+    val held = state.map(_.numRowsTotal).sum
+    assert(held < 10,
+      s"join state held $held rows — eviction predicate not derived")
+    q.stop()
+    // (1,a)~x within 30s; (1,b)~y within 30s; b~x is 4:40 apart — out;
+    // a~y likewise; key 2 and 3 never pair
+    assert(got == Set((1L, "a", "x"), (1L, "b", "y")))
+    // the batch twin with the identical predicate agrees
+    val lb = Seq((ts("2024-01-01 10:00:00"), 1L, "a"),
+      (ts("2024-01-01 10:05:00"), 1L, "b"),
+      (ts("2024-01-01 10:00:00"), 2L, "c")).toDF("lt", "k", "lv")
+    val rb = Seq((ts("2024-01-01 10:00:20"), 1L, "x"),
+      (ts("2024-01-01 10:05:10"), 1L, "y"),
+      (ts("2024-01-01 10:00:10"), 3L, "z")).toDF("rt", "k", "rv")
+    val batch = lb.join(rb, Seq("k"))
+      .where(col("rt") >= col("lt") - expr("INTERVAL 30 seconds") &&
+        col("rt") <= col("lt") + expr("INTERVAL 30 seconds"))
+      .select("k", "lv", "rv").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(batch == got)
+  }
+
   test("as-of enrichment state stays bounded by the retention window") {
     import graft.streaming.StreamOps.AsofInput
     implicit val sq = spark.sqlContext
