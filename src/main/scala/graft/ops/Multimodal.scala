@@ -134,6 +134,27 @@ object Multimodal {
     })
   }
 
+  final case class VideoMetaRow(
+      doc_id: Long, brand: String, timescale: Long, duration_us: Long,
+      width: Long, height: Long)
+
+  /** REAL video-container metadata decode through the same codec seam
+    * as [[decodeImageMeta]]: brand / timescale / exact integer
+    * duration / presentation dimensions parsed from the ISO-BMFF box
+    * tree ([[VideoCodec.decodeMeta]], pure JVM — no mdat needed).
+    * Unrecognized payloads map to ("unknown", all -1).
+    */
+  def decodeVideoMeta(ds: Dataset[(Long, Array[Byte])]): Dataset[VideoMetaRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      VideoCodec.decodeMeta(bytes) match {
+        case Some(m) => VideoMetaRow(id, m.brand, m.timescale,
+          m.durationUs, m.width, m.height)
+        case None => VideoMetaRow(id, "unknown", -1L, -1L, -1L, -1L)
+      }
+    })
+  }
+
   /** Frame sampling plumbing: treat the payload as `frameSize`-byte
     * frames, take every `stride`-th, extract a (stubbed) per-frame
     * feature — the first byte's code point.

@@ -1651,6 +1651,48 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // REAL ISO-BMFF (MP4) metadata decode (VideoCodec.decodeMeta):
+    // synthesized-but-structurally-real box trees — ftyp, interleaved
+    // free boxes, moov{mvhd,trak{tkhd}} in BOTH the v0 and v1 box
+    // layouts (doc_id parity) — decoded by walking declared box
+    // sizes, never fixed offsets; every 11th payload is garbage and
+    // must route to the unknown/-1 branch. The oracle is the closed
+    // form of the same doc_id-derived parameters, duration in exact
+    // integer µs.
+    QueryDef("mm_video_meta",
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 600 WHEN doc_id % 3 = 1
+        |    THEN 1000 ELSE 90000 END AS ts FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'unknown' ELSE 'isom' END AS brand,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN -1 ELSE ts END
+        |    AS BIGINT) AS timescale,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+        |    ELSE (doc_id % 36000 + ts) * 1000000 // ts END
+        |    AS BIGINT) AS duration_us,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+        |    ELSE doc_id % 1920 + 1 END AS BIGINT) AS width,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN -1
+        |    ELSE doc_id % 1080 + 1 END AS BIGINT) AS height
+        |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val payload = load(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes =
+            if (id % 11 == 0) "not a video".getBytes("US-ASCII")
+            else graft.ops.VideoCodec.mp4Header(
+              Seq(600L, 1000L, 90000L)((id % 3).toInt),
+              id % 36000 + Seq(600L, 1000L, 90000L)((id % 3).toInt),
+              id % 1920 + 1, id % 1080 + 1,
+              version = (id % 2).toInt)
+          (id, bytes)
+        })
+      Multimodal.decodeVideoMeta(payload).toDF()
+        .select("doc_id", "brand", "timescale", "duration_us",
+          "width", "height")
+        .orderBy("doc_id")
+    },
+
     // multimodal frame-sampling plumbing (stub feature)
     QueryDef("mm_frame_sample",
       """WITH f AS (SELECT doc_id,
