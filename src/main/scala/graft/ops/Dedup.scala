@@ -832,4 +832,38 @@ object Dedup {
       .filter(col("lev") <= maxDist)
       .select(col("id_a"), col("id_b"), col("lev").cast("long").as("lev"))
   }
+
+  /** Quality-aware canonical selection: within each duplicate
+    * component keep the member with the HIGHEST score, ties to the
+    * smallest id — "keep the longest/cleanest version of the page"
+    * instead of the arbitrary min-id canonical. `comp` is a
+    * (id, comp) labeling (e.g. [[connectedComponents]] output);
+    * unlabeled ids are their own singleton component and trivially
+    * keep themselves.
+    *
+    * Scale shape: one map-side-combined argmax aggregation per
+    * component and one join back on the component key — no window
+    * sort over the corpus. The argmax rides a single max(struct):
+    * (score, −id) is safe because ids are non-negative by contract
+    * (checked), so the negation-overflow trap at Long.MinValue
+    * cannot arise. Returns (id, comp, score, keep).
+    */
+  def keepBestInComponent(df: DataFrame, id: Column, score: Column,
+      comp: DataFrame): DataFrame = {
+    val t = df.select(id.as("id"), score.as("score"))
+      .join(comp.select(col("id"), col("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"),
+        col("score"))
+    val best = t
+      .select(col("comp"), when(col("id") < 0,
+          raise_error(lit("keepBestInComponent needs non-negative ids")))
+        .otherwise(col("id")).as("id"), col("score"))
+      .groupBy("comp")
+      .agg(max(struct(col("score").as("s"), (-col("id")).as("ni")))
+        .as("b"))
+      .select(col("comp"), (-col("b.ni")).as("__winner"))
+    t.join(best, Seq("comp"))
+      .select(col("id"), col("comp"), col("score"),
+        (col("id") === col("__winner")).as("keep"))
+  }
 }

@@ -60,6 +60,25 @@ object AnalyticsQueries {
   /** Bits per dimension in the q_zorder_key interleave. */
   private val ZBits: Int = 16
 
+  /** q_table_profile: KMV size + the profiled lineitem columns as
+    * (name, DuckDB key SQL, DuckDB order SQL) — the Spark side builds
+    * the identical expressions. Keys render through exact longs (the
+    * double columns are cents/integral by construction) so the hash
+    * identities are engine-portable.
+    */
+  private val ProfileK: Int = 128
+  private val ProfileCols: Seq[(String, String, String)] = Seq(
+    ("l_orderkey", "CAST(l_orderkey AS VARCHAR)", "l_orderkey"),
+    ("l_linenumber", "CAST(l_linenumber AS VARCHAR)", "l_linenumber"),
+    ("l_quantity", "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)",
+      "CAST(l_quantity AS BIGINT)"),
+    ("price_c",
+      "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)",
+      "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+    ("l_returnflag", "l_returnflag", "l_returnflag"),
+    ("ship_us", "CAST(epoch_us(l_shipdate) AS VARCHAR)",
+      "epoch_us(l_shipdate)"))
+
   /** q_zorder_scan box: users below this id × one January-2024 week
     * (the base corpus spans 2024-01-01..31 at every sf; GenScale
     * copies occupy later, disjoint ranges, so the box stays valid and
@@ -916,5 +935,59 @@ object AnalyticsQueries {
           sum(when(col("value") >= col("lo") && col("value") <= col("hi"),
             1L).otherwise(0L)).as("n_kept"))
         .orderBy("event_type")
+    },
+
+    // ANALYZE TABLE (Profile.tableProfile): per-column counts, nulls,
+    // min/max, and a KMV NDV sketch over the fact table in one
+    // metadata pass + one threshold-cut sketch pass — the CBO
+    // statistics primitive. Key identities are rendered as exact
+    // integers or raw strings (never raw doubles, whose string form
+    // is engine-specific); the twin replays every per-column sketch
+    // with the shared hash. l_returnflag (NDV 3) exercises the
+    // exact-below-k branch, the key columns the estimator branch.
+    QueryDef("q_table_profile", {
+      val num = (ProfileK - 1).toLong * graft.functions.GraftFunctions.PhMod
+      val ctes = ProfileCols.map { case (nm, keySql, ordSql) =>
+        s"""h_$nm AS (SELECT DISTINCT
+           |  ${TextQueries.sqlSampleHash(keySql)} AS h
+           |  FROM lineitem WHERE ($keySql) IS NOT NULL),
+           |km_$nm AS (SELECT h FROM h_$nm ORDER BY h LIMIT $ProfileK),
+           |m_$nm AS (SELECT count(*) AS nk, max(h) AS hk FROM km_$nm),
+           |c_$nm AS (SELECT count(*) AS total, count($keySql) AS nn,
+           |  CAST(min($ordSql) AS VARCHAR) AS mn,
+           |  CAST(max($ordSql) AS VARCHAR) AS mx FROM lineitem)""".stripMargin
+      }.mkString(",\n")
+      val selects = ProfileCols.map { case (nm, _, _) =>
+        s"""SELECT '$nm' AS "column", c_$nm.total AS n_rows,
+           |  c_$nm.total - c_$nm.nn AS n_null,
+           |  c_$nm.mn AS min_v, c_$nm.mx AS max_v,
+           |  m_$nm.nk AS n_kept,
+           |  CASE WHEN m_$nm.nk < $ProfileK THEN -1 ELSE m_$nm.hk END
+           |    AS kth_hash,
+           |  CASE WHEN m_$nm.nk < $ProfileK THEN CAST(m_$nm.nk AS DOUBLE)
+           |    ELSE CAST($num AS DOUBLE) / CAST(m_$nm.hk AS DOUBLE) END
+           |    AS ndv_est
+           |FROM c_$nm, m_$nm""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH\n$ctes\n$selects\nORDER BY \"column\""
+    }) { (s, d) =>
+      import graft.ops.{Profile, ProfileSpec}
+      val li = load(s, d, "lineitem")
+      val qty = col("l_quantity").cast("long")
+      val pc = round(col("l_extendedprice") * 100, 0).cast("long")
+      // NTZ→timestamp cast interprets the naive value in the session
+      // zone (pinned UTC) — the same instant DuckDB's naive epoch_us
+      // sees (the Tables.stepUs convention)
+      val su = expr("unix_micros(cast(l_shipdate as timestamp))")
+      Profile.tableProfile(li, Seq(
+        ProfileSpec("l_orderkey",
+          col("l_orderkey").cast("string"), col("l_orderkey")),
+        ProfileSpec("l_linenumber",
+          col("l_linenumber").cast("string"), col("l_linenumber").cast("long")),
+        ProfileSpec("l_quantity", qty.cast("string"), qty),
+        ProfileSpec("price_c", pc.cast("string"), pc),
+        ProfileSpec("l_returnflag", col("l_returnflag"), col("l_returnflag")),
+        ProfileSpec("ship_us", su.cast("string"), su)),
+        k = ProfileK)
     })
 }

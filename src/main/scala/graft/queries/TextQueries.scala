@@ -706,6 +706,36 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // quality-aware canonical selection (Dedup.keepBestInComponent):
+    // within each near-dup component keep the LONGEST member (ties to
+    // the smallest id) instead of the arbitrary min-id canonical —
+    // "keep the best version of the page". One argmax aggregation per
+    // component + a join back, no corpus-wide window sort; the twin
+    // replays the same components and the same (score, id) argmax.
+    QueryDef("doc_dup_keep_best",
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |$sqlComponentCtes,
+         |x AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp,
+         |  d.n_chars FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |b AS (SELECT comp, max(n_chars) AS ms FROM x GROUP BY comp),
+         |w AS (SELECT x.comp, min(x.doc_id) AS winner FROM x
+         |  JOIN b ON x.comp = b.comp AND x.n_chars = b.ms GROUP BY x.comp)
+         |SELECT x.doc_id, x.comp, CAST(x.n_chars AS BIGINT) AS score,
+         |  x.doc_id = w.winner AS keep
+         |FROM x JOIN w ON x.comp = w.comp ORDER BY x.doc_id""".stripMargin
+    ) { (s, d) =>
+      val docs = load(s, d, "documents")
+        .withColumn("hs", Dedup.tokenHashSet(col("text")))
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "hs",
+        MinhashK, RowsPerBand, MinhashJaccard)
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      Dedup.keepBestInComponent(docs, col("doc_id"),
+          col("n_chars").cast("long"), comp)
+        .select(col("id").as("doc_id"), col("comp"), col("score"),
+          col("keep"))
+        .orderBy("doc_id")
+    },
+
     // duplication diagnostics: per-source near-dup rate (share of
     // documents folded under another canonical) — the operator-output
     // composition a curation team reads to find the polluting source

@@ -548,6 +548,19 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("keepBestInComponent: argmax score, tie to min id, singletons keep") {
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L),
+      (20L, 1L)).toDF("doc_id", "sc")
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val got = Dedup.keepBestInComponent(docs, col("doc_id"), col("sc"), comp)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // comp 1: scores (5,9,9) -> tie between 2 and 3 -> min id 2 keeps
+    // comp 10: tie (4,4) -> 10 keeps; 20 is an unlabeled singleton
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false,
+      10L -> true, 11L -> false, 20L -> true))
+  }
+
   test("naiveBayesLogOdds: closed-form values, unlabeled scoring, empty doc") {
     // training counts: aa -> (c+=2, c-=0), bb -> (c+=0, c-=1);
     // T+=2, T-=1, V=2, priors 1:1 =>
