@@ -60,6 +60,33 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rank"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * k most-similar candidates whose label DIFFERS — the negatives a
+    * triplet/InfoNCE loss learns most from (random negatives are
+    * trivially far at scale; the hard ones sit just across the class
+    * boundary). Same scale shape as [[knnBrute]] (the anchor set
+    * broadcasts, the corpus is scanned once, per-anchor rank is
+    * partition-local); the label filter runs BEFORE the window so
+    * same-label rows never enter the rank. `anchors`/`corpus`:
+    * (id, vec, label) with vec quantized. Returns
+    * (q_id, q_label, c_id, c_label, rank, sim).
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val q = anchors.select(col("id").as("q_id"), col("vec").as("q_vec"),
+      col("label").as("q_label"))
+    val c = corpus.select(col("id").as("c_id"), col("vec").as("c_vec"),
+      col("label").as("c_label"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("c_label") =!= col("q_label"))
+      .withColumn("sim", cosineI(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("q_label"), col("c_id"), col("c_label"),
+        col("rank"), round(col("sim"), 6).as("sim"))
+  }
+
   /** Maximal Marginal Relevance: a diverse top-k over a relevance
     * shortlist. Greedy, per query: pick argmax of
     * `lam·sim(q,c) − (1−lam)·max_{s∈selected} sim(c,s)` (ties on

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Cardinality sketching for pipeline bookkeeping at corpus scale.
@@ -228,5 +228,62 @@ object Sketch {
     if (ks.length < k) // saw the whole domain: exact count
       Kmv(k, ks.length, if (ks.isEmpty) 0L else ks.last, ks.length.toDouble)
     else Kmv(k, k, ks.last, kmvEstimate(k, ks.last))
+  }
+
+  /** Fixed-bucket histogram quantiles — the one-pass alternative to an
+    * exact sort when a rank inside a bucket width is close enough
+    * (monitoring dashboards, spill sizing, fence picking): one
+    * map-side-combined count per bucket (the only exchange carries
+    * O(buckets) rows at ANY table size — an exact percentile is a
+    * full sort), then the driver walks the O(buckets) histogram.
+    * Out-of-range values land in clamp buckets −1 / `buckets` and
+    * estimate as the range edge — never dropped, so ranks stay true.
+    *
+    * Exactness across engines: bucket indexing and the in-bucket
+    * linear interpolation both run the IDENTICAL IEEE expression
+    * sequence the SQL twin writes (integers in, one
+    * division), and the estimate is quantized to e6. Returns one row
+    * per requested permille: (q_pm, n, rank, bucket, est_e6).
+    */
+  def histogramQuantiles(df: DataFrame, value: Column, lo: Double,
+      hi: Double, buckets: Int, qsPm: Seq[Int]): DataFrame = {
+    require(buckets > 0 && hi > lo, "need hi > lo and buckets > 0")
+    require(qsPm.nonEmpty && qsPm.forall(q => q >= 1 && q <= 1000),
+      "quantiles are permille in [1, 1000]")
+    val spark = df.sparkSession
+    val w = (hi - lo) / buckets
+    val bucket = when(value < lo, lit(-1))
+      .when(value >= hi, lit(buckets))
+      .otherwise(floor((value - lit(lo)) / lit(w)).cast("int"))
+    val hist = df.select(bucket.as("bk")).where(col("bk").isNotNull)
+      .groupBy("bk").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val cum = hist.scanLeft(0L)(_ + _._2).tail // cumulative per bucket
+    val rows = qsPm.sorted.map { q =>
+      val r = math.ceil(q / 1000.0 * n).toLong
+      val i = cum.indexWhere(_ >= r)
+      val (bk, cnt) = hist(i)
+      val cumBefore = cum(i) - cnt
+      val est =
+        if (bk == -1) lo
+        else if (bk >= buckets) hi
+        else lo + w * bk + w * (r - cumBefore) / cnt
+      Row(q.toLong, n, r, bk.toLong, math.round(est * 1000000d))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_pm",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("est_e6",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

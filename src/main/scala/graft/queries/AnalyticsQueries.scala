@@ -937,6 +937,87 @@ object AnalyticsQueries {
         .orderBy("event_type")
     },
 
+    // behavioral-sequence export: each user's FIRST 12 events in
+    // event-time order as aligned id/type arrays — the trajectory
+    // shape a sequence model trains on. The cap rides graft_topk's
+    // map-side partial combine (ord = −µs keeps the earliest; µs > 0
+    // so the negation is overflow-safe), so the shuffle carries
+    // O(users × k) — never a per-user collect_list of unbounded
+    // state; the selected ids then semi-join event types back and a
+    // k-sized per-user aggregation rebuilds the ordered arrays.
+    QueryDef("q_session_export",
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  ${OracleDefs.EventStepUs} AS t FROM events),
+         |r AS (SELECT user_id, event_id, event_type, row_number() OVER
+         |  (PARTITION BY user_id ORDER BY t, event_id) AS rn FROM e),
+         |s AS (SELECT user_id, event_id, event_type, rn FROM r
+         |  WHERE rn <= 12),
+         |n AS (SELECT user_id, count(*) AS n_events FROM e
+         |  GROUP BY user_id),
+         |a AS (SELECT user_id, list(event_id ORDER BY rn) AS ids,
+         |  list(event_type ORDER BY rn) AS types FROM s GROUP BY user_id)
+         |SELECT n.user_id, n.n_events, a.ids, a.types
+         |FROM n JOIN a ON n.user_id = a.user_id
+         |ORDER BY n.user_id""".stripMargin) { (s, d) =>
+      import graft.functions.TopKPairsAgg.topkPairs
+      val ev = load(s, d, "events")
+      val e = ev.select(col("user_id"), col("event_id"),
+        col("event_type"), Tables.stepUs(ev).as("t"))
+      val picked = e.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          topkPairs(-col("t"), col("event_id"), 12).as("top"))
+        .select(col("user_id"), col("n_events"),
+          posexplode(col("top")))
+        .select(col("user_id"), col("n_events"),
+          (col("pos") + 1).as("rn"), col("col.id").as("event_id"))
+      picked.join(e.select(col("event_id"), col("event_type")), "event_id")
+        .groupBy("user_id", "n_events")
+        .agg(array_sort(collect_list(struct(col("rn"), col("event_id"),
+          col("event_type")))).as("o"))
+        .select(col("user_id"), col("n_events"),
+          transform(col("o"), x => x("event_id")).as("ids"),
+          transform(col("o"), x => x("event_type")).as("types"))
+        .orderBy("user_id")
+    },
+
+    // one-pass histogram quantiles (Sketch.histogramQuantiles): the
+    // O(buckets)-exchange alternative to an exact percentile sort —
+    // fixed bins over events.value with clamp buckets at the range
+    // edges, rank walk + in-bucket linear interpolation on the
+    // driver's O(buckets) histogram. Bin indexing and interpolation
+    // run the identical IEEE expression sequence in the twin; the
+    // estimate is e6-quantized. hi=200 < max(value)=490 so the
+    // overflow clamp bucket carries real rows.
+    QueryDef("q_histogram_quantiles",
+      """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM v),
+        |b AS (SELECT CASE WHEN value < 0e0 THEN -1
+        |  WHEN value >= 200e0 THEN 64
+        |  ELSE CAST(floor((value - 0e0) / ((200e0 - 0e0) / 64)) AS INT)
+        |  END AS bk FROM v),
+        |h AS (SELECT bk, count(*) AS cnt FROM b GROUP BY bk),
+        |c AS (SELECT bk, cnt, sum(cnt) OVER (ORDER BY bk) AS cum FROM h),
+        |q AS (SELECT unnest([500, 900, 990]) AS q_pm),
+        |t AS (SELECT q_pm, n,
+        |  CAST(ceil(q_pm / 1000e0 * n) AS BIGINT) AS r FROM q, nn),
+        |j AS (SELECT t.q_pm, t.n, t.r, min(c.bk) AS bk FROM t
+        |  JOIN c ON c.cum >= t.r GROUP BY 1, 2, 3),
+        |p AS (SELECT j.q_pm, j.n, j.r, j.bk, c.cnt, c.cum - c.cnt AS cb
+        |  FROM j JOIN c ON j.bk = c.bk)
+        |SELECT CAST(q_pm AS BIGINT) AS q_pm, n, r AS rank,
+        |  CAST(bk AS BIGINT) AS bucket,
+        |  CAST(round((CASE WHEN bk = -1 THEN 0e0
+        |    WHEN bk >= 64 THEN 200e0
+        |    ELSE 0e0 + ((200e0 - 0e0) / 64) * bk
+        |      + ((200e0 - 0e0) / 64) * (r - cb) / cnt END) * 1000000e0)
+        |    AS BIGINT) AS est_e6
+        |FROM p ORDER BY q_pm""".stripMargin) { (s, d) =>
+      graft.ops.Sketch.histogramQuantiles(
+        load(s, d, "events").where(col("value").isNotNull),
+        col("value"), lo = 0.0, hi = 200.0, buckets = 64,
+        qsPm = Seq(500, 900, 990))
+    },
+
     // ANALYZE TABLE (Profile.tableProfile): per-column counts, nulls,
     // min/max, and a KMV NDV sketch over the fact table in one
     // metadata pass + one threshold-cut sketch pass — the CBO

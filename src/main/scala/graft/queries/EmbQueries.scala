@@ -253,6 +253,32 @@ object EmbQueries {
         .orderBy("q_id", "rank")
     },
 
+    // hard-negative mining (Similarity.hardNegatives): per anchor,
+    // the k nearest DIFFERENT-label vectors — the contrastive-loss
+    // negatives just across the class boundary. knnBrute's broadcast
+    // + single corpus pass with the label filter ahead of the rank
+    // window; the twin replays filter and rank on the identical
+    // quantized sims.
+    QueryDef("emb_hard_negatives",
+      s"""WITH $sqlQuant,
+         |scored AS (SELECT a.vec_id AS q_id, a.label AS q_label,
+         |  b.vec_id AS c_id, b.label AS c_label, $sqlCos AS sim
+         |  FROM q a JOIN q b ON b.label <> a.label
+         |  WHERE a.vec_id < 8),
+         |r AS (SELECT q_id, q_label, c_id, c_label, sim, row_number()
+         |  OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, CAST(q_label AS BIGINT) AS q_label, c_id,
+         |  CAST(c_label AS BIGINT) AS c_label, rank, round(sim, 6) AS sim
+         |FROM r WHERE rank <= $K ORDER BY q_id, rank""".stripMargin) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"),
+          col("label").cast("long").as("label"))
+      Similarity.hardNegatives(vecs.filter(col("id") < 8), vecs, K)
+        .orderBy("q_id", "rank")
+    },
+
     // MMR diverse top-k (Similarity.mmrDiverseTopK): greedy
     // redundancy-penalized re-rank over the relevance shortlist —
     // score = λ·sim(q,c) − (1−λ)·max sim(c, selected). The twin

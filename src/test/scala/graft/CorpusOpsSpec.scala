@@ -548,6 +548,23 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: only cross-label candidates, ranked by similarity") {
+    // label 0 along +x, label 1 along +y with one 45-degree "hard"
+    // vector that must rank first for the +x anchor
+    val vecs = Seq(
+      (0L, Seq(1000L, 0L), 0L),   // anchor
+      (1L, Seq(999L, 10L), 0L),   // same label: excluded however close
+      (2L, Seq(0L, 1000L), 1L),   // orthogonal negative
+      (3L, Seq(700L, 700L), 1L),  // the hard negative
+      (4L, Seq(-1000L, 5L), 1L)   // opposite
+    ).toDF("id", "vec", "label")
+    val got = Similarity.hardNegatives(vecs.filter(col("id") === 0L),
+        vecs, k = 2)
+      .collect().map(r => (r.getInt(4), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, 3L, 1L), (2, 2L, 1L)),
+      got.mkString(","))
+  }
+
   test("keepBestInComponent: argmax score, tie to min id, singletons keep") {
     val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L),
       (20L, 1L)).toDF("doc_id", "sc")

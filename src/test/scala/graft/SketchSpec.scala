@@ -126,4 +126,30 @@ class SketchSpec extends SparkSpec {
       s"$survivors survivors for want=$want — threshold not pruning")
     assert(survivors >= k, "threshold pruned below k — retry loop territory")
   }
+
+  test("histogramQuantiles: closed-form ranks, interpolation, clamps") {
+    import spark.implicits._
+    // 1..100 over [0,100) x 10 buckets: b0 holds 9 values (1..9),
+    // b1..b9 ten each, v=100 clamps into the overflow bucket
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val got = Sketch.histogramQuantiles(df, col("v"), 0.0, 100.0, 10,
+        Seq(10, 500, 1000))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // p50: rank 50 lands in b5 (cum 49 before, 10 inside):
+    //   est = 50 + 10*(50-49)/10 = 51
+    assert(got(500L) == ((100L, 50L, 5L, 51000000L)))
+    // p1000: rank 100 is the clamped v=100 -> overflow bucket, est=hi
+    assert(got(1000L) == ((100L, 100L, 10L, 100000000L)))
+    // p10: rank 1 in b0 (9 values): est = 10*(1-0)/9 = 1.111...
+    assert(got(10L) == ((100L, 1L, 0L, 1111111L)))
+    // underflow clamp estimates the low edge
+    val u = Sketch.histogramQuantiles(
+        Seq(-5.0, 5.0, 15.0).toDF("v"), col("v"), 0.0, 20.0, 2,
+        Seq(333, 1000))
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(u(333L) == ((-1L, 0L)))          // rank 1 -> underflow, est lo
+    assert(u(1000L) == ((1L, 20000000L)))   // top bucket interpolates to 20
+  }
 }
