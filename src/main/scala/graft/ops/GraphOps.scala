@@ -69,31 +69,45 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iters: Int,
       damping: Double = 0.85): DataFrame = {
-    // symmetrize: undirected affinity, each endpoint both sends and
-    // receives through the edge
-    val e = edges.select(col("s_a").as("s"), col("s_b").as("t"), col("w"))
+    val spark = edges.sparkSession
+    // symmetrize (undirected affinity: each endpoint both sends and
+    // receives) and attach each source's out-weight ONCE — the cached
+    // (s, t, w, wt) frame is the only thing the rounds re-read, so
+    // the upstream edge-construction pipeline (shingles, rarity cap,
+    // pair join) runs exactly one time however many rounds follow
+    val sym = edges.select(col("s_a").as("s"), col("s_b").as("t"), col("w"))
       .unionByName(
         edges.select(col("s_b").as("s"), col("s_a").as("t"), col("w")))
+    val e = sym.join(sym.groupBy("s").agg(sum(col("w")).as("wt")), "s")
+    e.persist()
     val nodes = e.select(col("s")).distinct()
-    val n = nodes.count()
+    val n = nodes.count() // also materializes the edge cache
     require(n > 0, "pageRank needs a non-empty edge list")
-    val outW = e.groupBy("s").agg(sum(col("w")).as("wt"))
     val prInit = math.round(1e9 / n)
     val base = lit((1.0 - damping) / n * 1e9)
 
     var pr = nodes.select(col("s"), lit(prInit).as("pr"))
+    var cached: DataFrame = null
     for (_ <- 1 to iters) {
-      val contrib = e.join(pr, "s").join(outW, "s")
+      val contrib = e.join(pr, "s")
         .select(col("t"),
           round(col("pr").cast("double") * col("w") / col("wt") * lit(1000.0d), 0)
             .cast("long").as("c"))
         .groupBy("t").agg(sum(col("c")).as("c"))
-      pr = nodes
+      val next = nodes
         .join(contrib.withColumnRenamed("t", "s"), Seq("s"), "left")
         .select(col("s"),
           round(base + lit(damping) * coalesce(col("c"), lit(0L)) / lit(1000.0d), 0)
             .cast("long").as("pr"))
+      // persist + LogicalRDD cut per round (the connectedComponents
+      // pattern): without it round k's plan embeds k copies of the
+      // whole iteration subtree
+      next.persist().count()
+      if (cached != null) cached.unpersist()
+      cached = next
+      pr = spark.createDataFrame(next.rdd, next.schema)
     }
+    e.unpersist()
     pr.select(col("s").as("node"), col("pr").as("pr_e9"))
   }
 }
