@@ -110,4 +110,66 @@ object GraphOps {
     e.unpersist()
     pr.select(col("s").as("node"), col("pr").as("pr_e9"))
   }
+
+  /** Per-node triangle count and local clustering coefficient over an
+    * undirected edge list (s_a, s_b, w) with s_a < s_b — the
+    * tight-knit-ring detector that PageRank's centrality misses: a
+    * syndication clique is triangle-dense even when no member is
+    * globally central.
+    *
+    * Enumeration uses DEGREE-ORDERED ORIENTATION: every edge is
+    * directed from its (degree, node)-smaller endpoint to the larger,
+    * wedges are built only at out-neighbors, and the closing edge is
+    * probed in the same oriented list. Each triangle {x,y,z} (ordered
+    * x<y<z by the orientation) is found exactly once, as the wedge at
+    * x closed by the oriented edge y→z. The orientation is the whole
+    * scale story: out-degree is bounded by O(√m) on any graph (the
+    * arboricity bound), so the wedge join fans out to at most m^{3/2}
+    * candidates TOTAL and a hub with a million neighbors receives
+    * in-edges instead of generating a million-wide wedge set — the
+    * skew lands on the build side of an equi-join, where AQE handles
+    * it, not in the pair generator.
+    *
+    * Scale shape: one node-sized degree aggregation, one join to
+    * orient, one self-equi-join on the wedge apex, one semi-join to
+    * close — all on the node/edge key, no all-pairs, nothing collected.
+    * lcc_e6 = round(2e6·tri/(deg·(deg−1))) (0 when deg < 2) keeps the
+    * coefficient engine-exact in integer micro-units.
+    * Returns (node, deg, tri, lcc_e6).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("s_a").as("s"), col("s_b").as("t"))
+      .unionByName(edges.select(col("s_b").as("s"), col("s_a").as("t")))
+    val deg = und.groupBy("s").agg(count(lit(1)).as("deg"))
+    // orient each input edge (a<b) from (deg, node)-smaller to larger
+    val ed = edges
+      .join(deg.select(col("s").as("s_a"), col("deg").as("da")), "s_a")
+      .join(deg.select(col("s").as("s_b"), col("deg").as("db")), "s_b")
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("s_a") < col("s_b")),
+          col("s_a")).otherwise(col("s_b")).as("u"),
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("s_a") < col("s_b")),
+          col("s_b")).otherwise(col("s_a")).as("v"))
+    val e1 = ed.select(col("u"), col("v").as("y"))
+    val e2 = ed.select(col("u").as("u2"), col("v").as("z"))
+    // wedge at the apex u, closed by the ORIENTED edge y→z: the
+    // closing probe is directed, so of a wedge's two orderings
+    // exactly one matches and each triangle counts once
+    val tris = e1.join(e2, e1("u") === e2("u2") && col("y") =!= col("z"))
+      .join(ed.select(col("u").as("cy"), col("v").as("cz")),
+        col("y") === col("cy") && col("z") === col("cz"), "leftsemi")
+      .select(col("u"), col("y"), col("z"))
+    val perNode = tris
+      .select(explode(array(col("u"), col("y"), col("z"))).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("s"), "left")
+      .select(col("s").as("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          round(lit(2e6) * coalesce(col("tri"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1L))), 0).cast("long"))
+          .otherwise(lit(0L)).as("lcc_e6"))
+  }
 }

@@ -419,6 +419,24 @@ object TextQueries {
   private val PrSrcCap = 5
   private val PrIters = 3
 
+  /** Shared oracle CTE prefix for the graph family: the rare-shingle
+    * source-affinity edge list, ending in `pairs (sa, sb, w)` with
+    * sa < sb — the twin of GraphOps.sharedShingleEdges. */
+  private lazy val affinityPairsCtes =
+    s"""t AS (SELECT source, $sqlToks AS w FROM documents),
+       |g0 AS (SELECT source, unnest(list_distinct(list_transform(
+       |    list_distinct(list_transform(range(1, len(w) - 1),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
+       |    sp -> ${sqlPhash("sp")}))) AS h FROM t),
+       |g AS (SELECT DISTINCT source, h FROM g0),
+       |keep AS (SELECT h FROM g GROUP BY h
+       |  HAVING count(*) BETWEEN 2 AND $PrSrcCap),
+       |f AS (SELECT g.source, g.h FROM g JOIN keep ON g.h = keep.h),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb,
+       |  CAST(count(*) AS BIGINT) AS w
+       |  FROM f a JOIN f b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** The synthetic corpus has NO byte-identical documents, so an
     * exact-dedup verdict over it is vacuous (is_canonical always
     * true). Like doc_pii_redact's planted PII, the exact-dedup
@@ -1904,19 +1922,7 @@ object TextQueries {
            |    + 0.85e0 * coalesce(c$k.c, 0) / 1e3) AS BIGINT) AS pr
            |  FROM n LEFT JOIN c$k ON n.s = c$k.s, nn)""".stripMargin
       }.mkString(",\n")
-      s"""WITH t AS (SELECT source, $sqlToks AS w FROM documents),
-         |g0 AS (SELECT source, unnest(list_distinct(list_transform(
-         |    list_distinct(list_transform(range(1, len(w) - 1),
-         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
-         |    sp -> ${sqlPhash("sp")}))) AS h FROM t),
-         |g AS (SELECT DISTINCT source, h FROM g0),
-         |keep AS (SELECT h FROM g GROUP BY h
-         |  HAVING count(*) BETWEEN 2 AND $PrSrcCap),
-         |f AS (SELECT g.source, g.h FROM g JOIN keep ON g.h = keep.h),
-         |pairs AS (SELECT a.source AS sa, b.source AS sb,
-         |  CAST(count(*) AS BIGINT) AS w
-         |  FROM f a JOIN f b ON a.h = b.h AND a.source < b.source
-         |  GROUP BY 1, 2),
+      s"""WITH $affinityPairsCtes,
          |e AS (SELECT sa AS s, sb AS t, w FROM pairs
          |  UNION ALL SELECT sb AS s, sa AS t, w FROM pairs),
          |n AS (SELECT DISTINCT s FROM e),
@@ -1932,6 +1938,53 @@ object TextQueries {
         col("source"), col("text"), PrShingleW, PrSrcCap)
       GraphOps.pageRank(edges, PrIters)
         .select(col("node").as("source"), col("pr_e9"))
+        .orderBy("source")
+    },
+
+    // per-source triangle count + local clustering coefficient
+    // (GraphOps.triangleCount) over the same affinity graph: the
+    // tight-knit-ring detector PageRank's centrality misses — a
+    // syndication clique is triangle-dense even when no member is
+    // globally central. Degree-ordered orientation bounds the wedge
+    // fan-out at O(m^1.5) total and pushes hub skew onto the probe
+    // side of an equi-join; the twin replays orientation, wedge, and
+    // directed closure verbatim, so each triangle counts exactly once
+    // in both engines.
+    QueryDef("doc_affinity_triangles",
+      s"""WITH $affinityPairsCtes,
+         |und AS (SELECT sa AS s FROM pairs
+         |  UNION ALL SELECT sb FROM pairs),
+         |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
+         |  FROM und GROUP BY s),
+         |ed AS (SELECT
+         |  CASE WHEN da.deg < db.deg
+         |    OR (da.deg = db.deg AND p.sa < p.sb)
+         |    THEN p.sa ELSE p.sb END AS u,
+         |  CASE WHEN da.deg < db.deg
+         |    OR (da.deg = db.deg AND p.sa < p.sb)
+         |    THEN p.sb ELSE p.sa END AS v
+         |  FROM pairs p JOIN deg da ON p.sa = da.s
+         |    JOIN deg db ON p.sb = db.s),
+         |tri0 AS (SELECT e1.u, e1.v AS y, e2.v AS z
+         |  FROM ed e1 JOIN ed e2 ON e1.u = e2.u AND e1.v <> e2.v
+         |  WHERE EXISTS (SELECT 1 FROM ed e3
+         |    WHERE e3.u = e1.v AND e3.v = e2.v)),
+         |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+         |    SELECT u AS node FROM tri0
+         |    UNION ALL SELECT y FROM tri0
+         |    UNION ALL SELECT z FROM tri0)
+         |  GROUP BY node)
+         |SELECT d.s AS source, d.deg,
+         |  coalesce(pn.tri, 0) AS tri,
+         |  CASE WHEN d.deg >= 2 THEN CAST(round(2e6 * coalesce(pn.tri, 0)
+         |    / (d.deg * (d.deg - 1))) AS BIGINT) ELSE 0 END AS lcc_e6
+         |FROM deg d LEFT JOIN pn ON d.s = pn.node
+         |ORDER BY source""".stripMargin) { (s, d) =>
+      val edges = GraphOps.sharedShingleEdges(load(s, d, "documents"),
+        col("source"), col("text"), PrShingleW, PrSrcCap)
+      GraphOps.triangleCount(edges)
+        .select(col("node").as("source"), col("deg"), col("tri"),
+          col("lcc_e6"))
         .orderBy("source")
     },
 

@@ -66,4 +66,47 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got("a") == got("b") && got("a") > got("c"))
   }
+
+  private def trisOf(edges: Seq[(String, String)]) =
+    GraphOps.triangleCount(
+        edges.map { case (a, b) => (a, b, 1L) }.toDF("s_a", "s_b", "w"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("triangleCount: K3 is one triangle, lcc exactly 1") {
+    val got = trisOf(Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got == Map(
+      "a" -> ((2L, 1L, 1000000L)),
+      "b" -> ((2L, 1L, 1000000L)),
+      "c" -> ((2L, 1L, 1000000L))))
+  }
+
+  test("triangleCount: a path has no triangles") {
+    val got = trisOf(Seq(("a", "b"), ("b", "c")))
+    assert(got == Map(
+      "a" -> ((1L, 0L, 0L)),
+      "b" -> ((2L, 0L, 0L)),
+      "c" -> ((1L, 0L, 0L))))
+  }
+
+  test("triangleCount: K4 counts each of the 4 triangles once") {
+    val got = trisOf(Seq(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")))
+    // every node sits in C(3,2) = 3 of the 4 triangles, lcc = 1
+    assert(got.keySet == Set("a", "b", "c", "d"))
+    assert(got.values.forall(_ == ((3L, 3L, 1000000L))))
+  }
+
+  test("triangleCount: hub skew lands on deg, not on wedge fan-out") {
+    // star hub h(a,b,c,d) + closing edge a-b: one triangle {h,a,b};
+    // lcc(h) = round(2e6·1/(4·3)) = 166667, leaves c,d untouched
+    val got = trisOf(Seq(("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"),
+      ("a", "b")))
+    assert(got("h") == ((4L, 1L, 166667L)))
+    assert(got("a") == ((2L, 1L, 1000000L)))
+    assert(got("b") == ((2L, 1L, 1000000L)))
+    assert(got("c") == ((1L, 0L, 0L)))
+    assert(got("d") == ((1L, 0L, 0L)))
+  }
 }
