@@ -597,4 +597,58 @@ object Similarity {
       .select(col("q_id"), col("c_id"),
         col("rank").cast("long").as("rank"), col("idist"))
   }
+
+  /** Deterministic pseudo-random projection weight (output dim r,
+    * input dim i): the [[planeWeight]] LCG with a different increment
+    * and a 10-bit downshift BEFORE the modulus (the multiplier is
+    * divisible by 21, so an unshifted `% 21` would be constant),
+    * range [-10, 10] — small by design: a projected coordinate stays
+    * under dims·1000·10 and a 16-dim projected dot product under
+    * ~7e12, inside the double-exact integer range, so the SQL twin's
+    * DOUBLE list arithmetic reproduces the Spark BIGINT sums
+    * bit-for-bit.
+    */
+  def rpWeight(r: Int, i: Int, dims: Int): Long =
+    (((1103515245L * (r.toLong * dims + i + 1) + 54321L) / 1024L) % 21L) - 10L
+
+  /** Johnson–Lindenstrauss dense random projection of a quantized
+    * vector down to `rdim` integer coordinates (one exact integer dot
+    * per output dim, codegen'd). The scale story: the projection is a
+    * STORED code column (the SQ8 convention) — a 64→16 projection
+    * cuts the candidate-scan multiply count 4× and the scanned bytes
+    * likewise, while JL keeps relative distances within (1±ε) w.h.p.
+    */
+  def rpProject(vec: Column, rdim: Int, dims: Int): Column =
+    array((0 until rdim).map { r =>
+      dotI(vec, array((0 until dims).map(i =>
+        lit(rpWeight(r, i, dims))): _*))
+    }: _*)
+
+  /** Two-stage ANN through the projection: per query, shortlist by
+    * cosine in the rdim-projected space, then exact full-dim re-rank
+    * of the shortlist only (the PQ ADC-refine shape without a
+    * codebook). The corpus is scanned once with the query set
+    * broadcast; the exact cosine is evaluated AFTER the shortlist
+    * filter, so full-width vectors price in only O(shortlist) rows
+    * per query. Returns (q_id, c_id, rank, sim).
+    */
+  def knnRp(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int, rdim: Int, dims: Int): DataFrame = {
+    val q = queries.select(col("id").as("q_id"), col("vec").as("q_vec"),
+      rpProject(col("vec"), rdim, dims).as("__qp"))
+    val c = corpus.select(col("id").as("c_id"), col("vec").as("c_vec"),
+      rpProject(col("vec"), rdim, dims).as("__cp"))
+    val pw = Window.partitionBy("q_id").orderBy(col("psim").desc, col("c_id"))
+    val sl = c.crossJoin(broadcast(q))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("psim", cosineI(col("__qp"), col("__cp")))
+      .withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= shortlist)
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    sl.withColumn("sim", cosineI(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"),
+        col("rank").cast("long").as("rank"), round(col("sim"), 6).as("sim"))
+  }
 }

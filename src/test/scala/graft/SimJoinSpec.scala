@@ -200,4 +200,62 @@ class SimJoinSpec extends SparkSpec {
       (3L, 2L, 255L * 255L),
       (1L, 3L, 2L * 255L * 255L)))
   }
+
+  test("RP weights stay in [-10,10] and the projection is the exact dot") {
+    val dims = 8
+    for (r <- 0 until 16; i <- 0 until dims) {
+      val w = Similarity.rpWeight(r, i, dims)
+      assert(w >= -10L && w <= 10L, s"rpWeight($r,$i)=$w out of range")
+    }
+    val vec = Seq.tabulate(dims)(i => (i * 37 % 11 - 5).toLong)
+    val got = Seq((0L, vec)).toDF("id", "vec")
+      .select(Similarity.rpProject(col("vec"), 4, dims).as("p"))
+      .collect()(0).getSeq[Long](0)
+    val want = (0 until 4).map { r =>
+      (0 until dims).map(i => vec(i) * Similarity.rpWeight(r, i, dims)).sum
+    }
+    assert(got == want)
+  }
+
+  test("RP knn with a corpus-wide shortlist degrades to exact brute force") {
+    val rnd = new scala.util.Random(7)
+    val dims = 16
+    val vecs = (0L until 40L).map { id =>
+      (id, Seq.fill(dims)((rnd.nextInt(2001) - 1000).toLong))
+    }.toDF("id", "vec")
+    val queries = vecs.filter(col("id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "c_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val brute = Similarity.knnBrute(queries, vecs, k = 5)
+      .withColumn("rank", col("rank").cast("long"))
+    // shortlist >= corpus size => stage 2 re-ranks everything: the
+    // two-stage result must equal brute force EXACTLY
+    val rp = Similarity.knnRp(queries, vecs, k = 5,
+      shortlist = 40, rdim = 4, dims = dims)
+    assert(rows(rp).sortBy(t => (t._1, t._3))
+      == rows(brute).sortBy(t => (t._1, t._3)))
+  }
+
+  test("RP knn with a narrow shortlist keeps most of the brute top-k") {
+    val rnd = new scala.util.Random(11)
+    val dims = 16
+    // clustered fixture: 4 centers, points jitter around them, so the
+    // projected space preserves neighborhoods
+    val centers = Seq.fill(4)(Seq.fill(dims)((rnd.nextInt(2001) - 1000).toLong))
+    val vecs = (0L until 80L).map { id =>
+      val c = centers((id % 4).toInt)
+      (id, c.map(v => v + rnd.nextInt(101) - 50))
+    }.toDF("id", "vec")
+    val queries = vecs.filter(col("id") < 4)
+    val brute = Similarity.knnBrute(queries, vecs, k = 5)
+      .select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rp = Similarity.knnRp(queries, vecs, k = 5,
+        shortlist = 20, rdim = 8, dims = dims)
+      .select("q_id", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & rp).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall below 0.8 on clustered fixture")
+  }
 }
