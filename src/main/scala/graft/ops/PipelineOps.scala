@@ -337,6 +337,35 @@ object PipelineOps {
       .drop("__toks", "chunk_toks")
   }
 
+  /** Nucleus (top-p) selection per stratum: order rows by
+    * (weight desc, id asc) and keep the minimal prefix whose weight
+    * mass reaches num/den of the stratum total — nucleus sampling
+    * applied to curation: "the heaviest documents carrying 80% of the
+    * stratum's bytes". The keep test is pure integer arithmetic,
+    * (cum − w)·den < total·num: the row that CROSSES the threshold is
+    * kept, everything after is cut, ties broken by id — so any engine
+    * selects the identical prefix. Scale shape: one hash shuffle on
+    * the stratum plus stratum-local cumulative windows; no driver
+    * state, no global sort. (A stratum so skewed that its rows
+    * overwhelm one task is the pre-existing window limit — salt the
+    * stratum upstream if that ever binds.)
+    */
+  def nucleusSelect(df: DataFrame, stratum: Column, id: Column,
+      weight: Column, num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0, "p must be num/den with den > 0")
+    val wCum = Window.partitionBy("__s")
+      .orderBy(col("__w").desc, col("__id"))
+    val wAll = Window.partitionBy("__s")
+    df.withColumn("__s", stratum)
+      .withColumn("__id", id)
+      .withColumn("__w", weight.cast("long"))
+      .filter(col("__w").isNotNull)
+      .withColumn("__cum", sum("__w").over(wCum))
+      .withColumn("__tot", sum("__w").over(wAll))
+      .filter((col("__cum") - col("__w")) * den < col("__tot") * num)
+      .drop("__s", "__id", "__w", "__cum", "__tot")
+  }
+
   /** Temperature-balanced sampling (multilingual-corpus rebalancing):
     * stratum weights w_s = ⌊√n_s⌋ (temperature α = 0.5), overall
     * target = num/den of the corpus, per-stratum keep rate

@@ -345,13 +345,26 @@ object TextOps {
     * column per quantile.
     */
   def discQuantiles(df: DataFrame, group: Column, value: Column,
-      qs: Seq[(String, Int, Int)]): DataFrame = {
+      qs: Seq[(String, Int, Int)]): DataFrame =
+    weightedQuantiles(df, group, value, lit(1L), qs)
+
+  /** [[discQuantiles]] generalized to a per-row integer weight: the
+    * selected element is the smallest value whose cumulative WEIGHT
+    * reaches ⌈q·W⌉. With weight = bytes this answers the corpus-mass
+    * question ("half the corpus bytes live in documents longer than
+    * X") that the unweighted median cannot; the scale shape is
+    * identical — one combiner-friendly (group × distinct value)
+    * histogram shuffle, selection over the collapsed table, never a
+    * per-group sort of the data.
+    */
+  def weightedQuantiles(df: DataFrame, group: Column, value: Column,
+      weight: Column, qs: Seq[(String, Int, Int)]): DataFrame = {
     // nulls are excluded (the aggregate convention) — also keeps the
     // cumulative window deterministic across engines, whose null
     // orderings differ (Spark NULLS FIRST vs DuckDB NULLS LAST)
-    val hist = df.filter(value.isNotNull)
+    val hist = df.filter(value.isNotNull && weight.isNotNull)
       .groupBy(group.as("grp"), value.as("v"))
-      .agg(count(lit(1)).as("c"))
+      .agg(sum(weight.cast("long")).as("c"))
     val wCum = Window.partitionBy("grp").orderBy("v")
     val wAll = Window.partitionBy("grp")
     val cum = hist.withColumn("cum", sum("c").over(wCum))

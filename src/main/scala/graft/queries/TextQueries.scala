@@ -1579,6 +1579,51 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // BYTE-weighted length quantiles (TextOps.weightedQuantiles):
+    // "half the corpus BYTES live in documents longer than X" — the
+    // corpus-mass view the unweighted median can't answer (long docs
+    // dominate training-token mass; row-median understates them).
+    // Same histogram scale shape; cumulative weight replaces count.
+    QueryDef("doc_weighted_median",
+      """WITH h AS (SELECT lang AS grp, n_chars AS v,
+        |  CAST(sum(n_chars) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT grp, v, c,
+        |  CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum,
+        |  CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n FROM h)
+        |SELECT grp AS lang, max(n) AS w_total,
+        |  min(CASE WHEN cum * 2 >= n * 1 THEN v END) AS p_med,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p_p90
+        |FROM cm GROUP BY grp ORDER BY lang""".stripMargin) { (s, d) =>
+      TextOps.weightedQuantiles(load(s, d, "documents"), col("lang"),
+        col("n_chars"), col("n_chars"),
+        Seq(("med", 1, 2), ("p90", 9, 10)))
+        .select(col("grp").as("lang"), col("n").as("w_total"),
+          col("p_med"), col("p_p90"))
+        .orderBy("lang")
+    },
+
+    // nucleus (top-p) selection (PipelineOps.nucleusSelect): per
+    // source keep the heaviest documents carrying 3/4 of the source's
+    // byte mass — the curation knob between "keep everything" and a
+    // hard per-source cap. Pure integer threshold ((cum−w)·4 <
+    // tot·3, ties by doc_id) so both engines keep the identical
+    // prefix; one stratum shuffle + local windows, no global sort.
+    QueryDef("doc_nucleus_sample",
+      """WITH b AS (SELECT doc_id, source, n_chars,
+        |  CAST(sum(n_chars) OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum,
+        |  CAST(sum(n_chars) OVER (PARTITION BY source) AS BIGINT) AS tot
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT doc_id, source, n_chars FROM b
+        |WHERE (cum - n_chars) * 4 < tot * 3
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.PipelineOps.nucleusSelect(load(s, d, "documents"),
+          col("source"), col("doc_id"), col("n_chars"), num = 3, den = 4)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // multimodal plumbing: binary payload + stubbed decode metadata
     QueryDef("mm_binary_meta",
       s"""SELECT doc_id,
@@ -1840,6 +1885,33 @@ object TextQueries {
       graft.sources.FileIngest.jsonl(s, s"$dir/docs_jsonl", docs.schema)
         .good
         .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // WebDataset-style tar shard roundtrip (ops.TarShards): the
+    // corpus packed once into POSIX ustar shards of 256 consecutive
+    // ids (TempState; rep 1 pays the pack), read back through a
+    // whole-file binary scan + checksum-verified header parse, and
+    // checked byte-for-byte (length + content hash) against the
+    // parquet original — a dropped sample, truncated payload, or
+    // misread size field breaks the hash. Spec compliance against
+    // the system tar binary is pinned in TarShardsSpec.
+    QueryDef("doc_tar_roundtrip",
+      s"""SELECT doc_id,
+         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         |  ${sqlPhash("text")} AS text_hash
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = load(s, d, "documents")
+      val dir = TempState.dir(
+        "tar|" + s.sparkContext.applicationId + "|" + d) { r =>
+        graft.ops.TarShards.write(docs, "doc_id", "text",
+          s"$r/shards", docsPerShard = 256)
+      }
+      graft.ops.TarShards.read(s, s"$dir/shards")
+        .select(
+          expr("CAST(substring(name, 1, 12) AS BIGINT)").as("doc_id"),
+          col("n_bytes"),
+          portableHash(col("payload").cast("string")).as("text_hash"))
         .orderBy("doc_id")
     },
 

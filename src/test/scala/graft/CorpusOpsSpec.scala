@@ -129,6 +129,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("b") == ((100L, 1L, 1L, 1L)))
   }
 
+  test("weightedQuantiles: byte-weighted median crosses at the mass half") {
+    // weights equal values: total mass 1+2+3+4 = 10, cum at v=3 is 6
+    // >= 5 -> weighted median 3 (unweighted median of the rows is 2)
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L)).toDF("g", "v")
+    val got = TextOps.weightedQuantiles(df, col("g"), col("v"), col("v"),
+        Seq(("med", 1, 2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 10L, 3L)))
+    // weight 1 degrades to discQuantiles exactly
+    val un = TextOps.weightedQuantiles(df, col("g"), col("v"), lit(1L),
+        Seq(("med", 1, 2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(un.toSeq == Seq(("a", 4L, 2L)))
+  }
+
+  test("nucleusSelect: keeps the minimal prefix crossing p, ties by id") {
+    // source s: weights 50, 30, 20 (ids 1, 2, 3): p=3/4 -> 50+30=80
+    // >= 75 reached AT row 2 ((cum-w)=50 < 75), row 3 cut (80 !< 75);
+    // the boundary row that crosses is kept
+    val df = Seq((1L, "s", 50L), (2L, "s", 30L), (3L, "s", 20L),
+        (4L, "t", 5L), (5L, "t", 5L))
+      .toDF("doc_id", "source", "w")
+    val got = PipelineOps.nucleusSelect(df, col("source"), col("doc_id"),
+        col("w"), num = 3, den = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // t: tie 5,5 -> id 4 first, (cum-w)=0 < 7.5 keeps it; id 5 has
+    // (cum-w)=5 < 7.5 so the crossing row is also kept
+    assert(got == Set(1L, 2L, 4L, 5L))
+    // p = 1 keeps everything
+    val all = PipelineOps.nucleusSelect(df, col("source"), col("doc_id"),
+        col("w"), num = 1, den = 1)
+      .count()
+    assert(all == 5L)
+  }
+
   test("temperatureSample: a null stratum neither NPEs nor is sampled") {
     val df = (Seq(("x", 1L), ("x", 2L), ("x", 3L), ("x", 4L)) :+
       ((null: String, 99L))).toDF("s", "id")
