@@ -110,9 +110,40 @@ object TarShards {
     * it). A malformed header (bad magic or checksum) fails loudly:
     * silent tail-truncation is how shard corruption hides.
     */
-  def read(spark: SparkSession, dir: String): DataFrame = {
+  def read(spark: SparkSession, dir: String): DataFrame =
+    parse(spark.read.format("binaryFile").load(s"$dir/*.tar"))
+
+  /** Range-pruned shard read: because shard `s` holds exactly ids
+    * [s·docsPerShard, (s+1)·docsPerShard), an id-range predicate
+    * prunes FILES by name before any byte is opened — the container
+    * layout is the partition-pruning index, the 100 TB difference
+    * between touching 2 shards and scanning 400 000. The residual
+    * filter still applies inside the boundary shards. `loId`
+    * inclusive, `hiId` exclusive.
+    */
+  def readRange(spark: SparkSession, dir: String, docsPerShard: Long,
+      loId: Long, hiId: Long): DataFrame = {
+    require(docsPerShard > 0, "docsPerShard must be positive")
+    if (hiId <= loId) return read(spark, dir).filter(lit(false))
+    val loShard = math.floorDiv(loId, docsPerShard)
+    val hiShard = math.floorDiv(hiId - 1, docsPerShard)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("shard-\\d+\\.tar"))
+      .filter { f =>
+        val s = f.getName.stripPrefix("shard-").stripSuffix(".tar").toLong
+        s >= loShard && s <= hiShard
+      }
+      .map(_.getAbsolutePath).sorted
+    if (files.isEmpty) return read(spark, dir).filter(lit(false))
+    parse(spark.read.format("binaryFile").load(files.toIndexedSeq: _*))
+      .filter(expr("CAST(substring(name, 1, 12) AS BIGINT)")
+        .between(loId, hiId - 1))
+  }
+
+  private def parse(tars: DataFrame): DataFrame = {
+    val spark = tars.sparkSession
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.tar")
+    tars
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
@@ -140,6 +171,9 @@ object TarShards {
             off += Block + size.toInt + padTo(size.toInt)
           }
         }
+        // a well-formed archive ends in a zero block we actually saw;
+        // exiting on length means the tail was cut mid-entry
+        require(eof, s"truncated tar (no EOF block) in $path at $off")
         out.iterator
       }.toDF("name", "n_bytes", "payload")
   }

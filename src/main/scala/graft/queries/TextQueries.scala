@@ -1915,6 +1915,61 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // range-pruned shard read (TarShards.readRange): the shard name
+    // IS the partition index — an id-range predicate opens only the
+    // shards whose [s·N, (s+1)·N) range overlaps, 2 files here
+    // instead of all of them, the same file-skipping contract as the
+    // point-read path. The oracle is the plain range scan: pruning
+    // must be invisible in the result.
+    QueryDef("doc_tar_range",
+      s"""SELECT doc_id,
+         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+         |FROM documents WHERE doc_id >= 300 AND doc_id < 560
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = load(s, d, "documents")
+      val dir = TempState.dir(
+        "tar|" + s.sparkContext.applicationId + "|" + d) { r =>
+        graft.ops.TarShards.write(docs, "doc_id", "text",
+          s"$r/shards", docsPerShard = 256)
+      }
+      graft.ops.TarShards.readRange(s, s"$dir/shards",
+          docsPerShard = 256, loId = 300, hiId = 560)
+        .select(
+          expr("CAST(substring(name, 1, 12) AS BIGINT)").as("doc_id"),
+          col("n_bytes"))
+        .orderBy("doc_id")
+    },
+
+    // schema-evolution union read (FileIngest.parquetUnion): two
+    // parquet "eras" of the corpus — the early half written WITHOUT
+    // (source, n_chars), the late half WITHOUT text — read back as
+    // one by-name-merged frame with nulls where an era lacks the
+    // column. The oracle states the expected null pattern directly,
+    // so a read that takes one era's schema (dropping columns) or
+    // misaligns by position breaks immediately.
+    QueryDef("doc_union_read",
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN text END AS text,
+        |  lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN source END AS source,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = load(s, d, "documents")
+      val dir = TempState.dir(
+        "punion|" + s.sparkContext.applicationId + "|" + d) { r =>
+        docs.filter(col("doc_id") % 2 === 0)
+          .select("doc_id", "text", "lang")
+          .write.parquet(s"$r/era0")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "lang", "source", "n_chars")
+          .write.parquet(s"$r/era1")
+      }
+      graft.sources.FileIngest.parquetUnion(s,
+          Seq(s"$dir/era0", s"$dir/era1"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // unigram surprisal (TextOps.unigramSurprisal): the LM-perplexity
     // proxy — the corpus's own unigram distribution prices tokens at
     // -ln(p) quantized once per DISTINCT token to micro-nats, so

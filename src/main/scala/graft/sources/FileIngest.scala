@@ -141,4 +141,23 @@ object FileIngest {
   def writeCsv(df: DataFrame, path: String, sep: String = ","): Unit =
     df.write.mode("overwrite").option("header", "false")
       .option("sep", sep).csv(path)
+
+  /** Schema-evolution-tolerant parquet read over heterogeneous
+    * directories: the physical schemas are unioned by NAME
+    * (`mergeSchema`), columns a file lacks surface as nulls, and the
+    * output column order is pinned (sorted, id-ish columns first via
+    * the caller's select) so downstream code never depends on which
+    * partition happened to be listed first. This is the 100 TB
+    * steady state — a year of daily partitions never shares one
+    * frozen schema; the alternative (failing the read, or silently
+    * taking partition 0's schema) loses columns added mid-corpus.
+    * Incompatible TYPES for the same column name still fail loudly:
+    * schema drift is tolerated, type conflict is corruption.
+    */
+  def parquetUnion(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "parquetUnion needs at least one path")
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(paths: _*)
+    df.select(df.columns.sorted.map(col).toIndexedSeq: _*)
+  }
 }

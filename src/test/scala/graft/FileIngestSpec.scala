@@ -132,4 +132,30 @@ class FileIngestSpec extends SparkSpec {
         df.orderBy("id").collect().toSeq)
     }
   }
+
+  test("parquetUnion: by-name merge, era-missing columns null, order pinned") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("punion").toString
+    Seq((1L, "a")).toDF("id", "x").write.parquet(s"$root/e0")
+    Seq((2L, 9L)).toDF("id", "y").write.parquet(s"$root/e1")
+    val got = graft.sources.FileIngest.parquetUnion(
+      spark, Seq(s"$root/e0", s"$root/e1"))
+    // columns sorted by name regardless of directory listing order
+    assert(got.columns.toSeq == Seq("id", "x", "y"))
+    val rows = got.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(rows.toSeq == Seq(
+      (1L, Some("a"), None), (2L, None, Some(9L))))
+  }
+
+  test("parquetUnion: same-name type conflict fails loudly, not silently") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("punion2").toString
+    Seq((1L, "a")).toDF("id", "x").write.parquet(s"$root/e0")
+    Seq((2L, 9.5d)).toDF("id", "x").write.parquet(s"$root/e1")
+    intercept[Exception] {
+      graft.sources.FileIngest.parquetUnion(
+        spark, Seq(s"$root/e0", s"$root/e1")).collect()
+    }
+  }
 }

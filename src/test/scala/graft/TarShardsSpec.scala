@@ -63,6 +63,26 @@ class TarShardsSpec extends SparkSpec {
       assert(f.length % 512 == 0, s"${f.getName} not block-aligned"))
   }
 
+  test("readRange prunes files: a destroyed out-of-range shard is never opened") {
+    val dir = tmp()
+    TarShards.write(fixture, "doc_id", "text", dir, docsPerShard = 3)
+    // ids 5,6 live in shards 1 and 2; destroy shard 0 entirely —
+    // a read that touches it must fail, a pruned one must not
+    val s0 = java.nio.file.Paths.get(dir, "shard-00000.tar")
+    java.nio.file.Files.write(s0, "not a tar at all".getBytes)
+    val got = TarShards.readRange(spark, dir, docsPerShard = 3,
+        loId = 5, hiId = 7)
+      .select(expr("CAST(substring(name, 1, 12) AS BIGINT)").as("id"),
+        col("payload").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((5L, "gap in ids"), (6L, "last")))
+    intercept[Exception] { TarShards.read(spark, dir).count() }
+    // boundary residual: a range cutting INTO a shard still filters
+    val empty = TarShards.readRange(spark, dir, docsPerShard = 3,
+      loId = 7, hiId = 9)
+    assert(empty.count() == 0)
+  }
+
   test("a flipped payload byte is caught by the checksum on read") {
     val dir = tmp()
     TarShards.write(fixture, "doc_id", "text", dir, docsPerShard = 100)
