@@ -337,6 +337,53 @@ object PipelineOps {
       .drop("__toks", "chunk_toks")
   }
 
+  /** Epoch repeat plan (quality upsampling): each row expands to
+    * `repeats(bucket)` copies tagged `rep = 1..r` — the "see good
+    * data more often" knob of a training recipe, materialized as the
+    * epoch-order input a loader shuffles and streams. Missing
+    * buckets (and null) fall back to `defaultRepeat`; a bucket mapped
+    * to 0 drops its rows. Scale shape: the bucket→repeat table is a
+    * literal when-chain (O(#buckets), driver-side constants) and the
+    * expansion is a codegen'd `explode(sequence(...))` — pure
+    * scan-parallel row generation, no shuffle, output size
+    * Σ r_b·n_b known up front from the recipe.
+    */
+  def epochPlan(df: DataFrame, bucket: Column,
+      repeats: Map[String, Int], defaultRepeat: Int = 1): DataFrame = {
+    require(defaultRepeat >= 0 && repeats.values.forall(_ >= 0),
+      "repeat counts must be non-negative")
+    val r = repeats.foldLeft(lit(defaultRepeat)) {
+      case (acc, (k, v)) => when(bucket === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__r", r)
+      .filter(col("__r") >= 1)
+      .withColumn("rep",
+        explode(sequence(lit(1L), col("__r").cast("long"))))
+      .drop("__r")
+  }
+
+  /** k-anonymity / l-diversity audit over quasi-identifier columns:
+    * one pass groups the corpus by the quasi-identifier combination
+    * and emits, per combo, its row count, the number of DISTINCT
+    * sensitive values it exposes, and the two verdicts (n ≥ k:
+    * re-identification needs at least k candidates; distinct ≥ l: the
+    * sensitive attribute is not constant within the combo — k alone
+    * is vacuous when every member shares the secret). The release
+    * gate: combos failing either verdict need suppression or
+    * generalization before the corpus ships. One hash shuffle with
+    * map-side combine; output is combo-cardinality-sized.
+    */
+  def kAnonymity(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+      k: Long, l: Long): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1 && l >= 1, "k and l must be at least 1")
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("k_anonymous", col("n") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
+
   /** Nucleus (top-p) selection per stratum: order rows by
     * (weight desc, id asc) and keep the minimal prefix whose weight
     * mass reaches num/den of the stratum total — nucleus sampling

@@ -1624,6 +1624,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // epoch repeat plan (PipelineOps.epochPlan): the quality-
+    // upsampling knob — 'en' docs seen 3×, 'de' 2×, everything else
+    // once — materialized as (doc_id, rep) rows, the input a loader
+    // shuffles into a training order. Pure codegen'd row generation
+    // (literal when-chain + explode(sequence)), no shuffle; the twin
+    // replays the recipe with range().
+    QueryDef("doc_epoch_plan",
+      """SELECT doc_id, lang,
+        |  unnest(range(1, CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2
+        |    ELSE 1 END + 1)) AS rep
+        |FROM documents ORDER BY doc_id, rep""".stripMargin) { (s, d) =>
+      graft.ops.PipelineOps.epochPlan(
+          load(s, d, "documents").select("doc_id", "lang"),
+          col("lang"), Map("en" -> 3, "de" -> 2), defaultRepeat = 1)
+        .select("doc_id", "lang", "rep")
+        .orderBy("doc_id", "rep")
+    },
+
+    // k-anonymity / l-diversity release audit (PipelineOps.
+    // kAnonymity): per (lang, source) quasi-identifier combo, the
+    // member count and distinct-length diversity with both verdicts —
+    // the privacy gate a corpus passes before shipping. One
+    // combiner-friendly shuffle, combo-sized output.
+    QueryDef("doc_k_anonymity",
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT n_chars) AS BIGINT) AS n_sensitive,
+        |  count(*) >= 5 AS k_anonymous,
+        |  count(DISTINCT n_chars) >= 3 AS l_diverse
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin) { (s, d) =>
+      graft.ops.PipelineOps.kAnonymity(load(s, d, "documents"),
+          Seq(col("lang"), col("source")), col("n_chars"), k = 5, l = 3)
+        .orderBy("lang", "source")
+    },
+
     // multimodal plumbing: binary payload + stubbed decode metadata
     QueryDef("mm_binary_meta",
       s"""SELECT doc_id,

@@ -164,6 +164,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(all == 5L)
   }
 
+  test("epochPlan: repeats follow the recipe, zero drops, null defaults") {
+    val df = (Seq(("a", "hot"), ("b", "warm"), ("c", "cold"),
+      ("d", "unknown")) :+ (("e", null: String))).toDF("id", "q")
+    val got = PipelineOps.epochPlan(df, col("q"),
+        Map("hot" -> 3, "warm" -> 2, "cold" -> 0), defaultRepeat = 1)
+      .select("id", "rep")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got == Map(
+      "a" -> Seq(1L, 2L, 3L), // hot: 3 copies, rep 1..3
+      "b" -> Seq(1L, 2L),
+      // c (cold: 0) dropped entirely
+      "d" -> Seq(1L), // unmapped bucket -> default
+      "e" -> Seq(1L))) // null bucket -> default
+  }
+
+  test("kAnonymity: both verdicts independent, small combo flagged") {
+    val df = Seq(
+      // combo (x): 5 rows, 3 distinct sensitive -> passes both
+      ("x", 1L), ("x", 1L), ("x", 2L), ("x", 3L), ("x", 3L),
+      // combo (y): 5 rows but constant sensitive -> k ok, l fails
+      ("y", 7L), ("y", 7L), ("y", 7L), ("y", 7L), ("y", 7L),
+      // combo (z): 2 rows -> k fails
+      ("z", 1L), ("z", 2L)).toDF("quasi", "sens")
+    val got = PipelineOps.kAnonymity(df, Seq(col("quasi")), col("sens"),
+        k = 5, l = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))))
+      .toMap
+    assert(got("x") == ((5L, 3L, true, true)))
+    assert(got("y") == ((5L, 1L, true, false)))
+    assert(got("z") == ((2L, 2L, false, false)))
+  }
+
   test("temperatureSample: a null stratum neither NPEs nor is sampled") {
     val df = (Seq(("x", 1L), ("x", 2L), ("x", 3L), ("x", 4L)) :+
       ((null: String, 99L))).toDF("s", "id")
