@@ -18,8 +18,26 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // driver harness constraint: the oracle checker sorts result
+        // frames with pandas, which cannot hash ARRAY/STRUCT/MAP cells
+        // — every declared query must emit scalar columns only. Fail
+        // the query HERE (visibly, per-row) rather than letting the
+        // driver's sorter throw an opaque TypeError.
+        val nonScalar = df.schema.fields.filter { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.MapType |
+                 _: org.apache.spark.sql.types.StructType => true
+            case _ => false
+          }
+        }
+        require(nonScalar.isEmpty, s"non-scalar output columns: " +
+          nonScalar.map(f => s"${f.name}:${f.dataType.simpleString}")
+            .mkString(", "))
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -107,8 +107,20 @@ object GraphOps {
       cached = next
       pr = spark.createDataFrame(next.rdd, next.schema)
     }
+    // hand back a frame that owns its data: the node domain here is
+    // the SOURCE axis (bounded by #sources, not corpus size), so the
+    // final ranks collect in O(#nodes) and every cache this loop
+    // pinned — including the last round's — is released before
+    // return. Without this the final persisted frame leaked one
+    // cached RDD per invocation (only the bench harness's
+    // clearCache() recovered it).
+    val outSchema = pr.schema
+    val ranks = pr.collect().toIndexedSeq
+    if (cached != null) cached.unpersist()
     e.unpersist()
-    pr.select(col("s").as("node"), col("pr").as("pr_e9"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ranks, 1), outSchema)
+      .select(col("s").as("node"), col("pr").as("pr_e9"))
   }
 
   /** Per-node triangle count and local clustering coefficient over an

@@ -261,6 +261,13 @@ object Sketch {
       .sortBy(_._1)
     val n = hist.map(_._2).sum
     val cum = hist.scanLeft(0L)(_ + _._2).tail // cumulative per bucket
+    // empty / all-null input: n = 0 makes every rank 0 and
+    // indexWhere(_ >= 0) = -1 on the empty histogram — hist(-1) would
+    // throw an opaque ArrayIndexOutOfBounds. Zero rows is the honest
+    // answer: there is no quantile of nothing.
+    if (n == 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], histQuantSchema)
     val rows = qsPm.sorted.map { q =>
       val r = math.ceil(q / 1000.0 * n).toLong
       val i = cum.indexWhere(_ >= r)
@@ -273,17 +280,19 @@ object Sketch {
       Row(q.toLong, n, r, bk.toLong, math.round(est * 1000000d))
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("q_pm",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("n",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("rank",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("bucket",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("est_e6",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+      spark.sparkContext.parallelize(rows, 1), histQuantSchema)
   }
+
+  private val histQuantSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_pm",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("est_e6",
+        org.apache.spark.sql.types.LongType, nullable = false)))
 }

@@ -2,6 +2,8 @@ package graft.ops
 
 import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
 
+import graft.sources.HadoopConfBox
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -55,17 +57,28 @@ object TarShards {
   /** Pack (id, payload) rows into `dir/shard-NNNNN.tar`, sample name
     * `<id padded to 12>.<ext>`, `docsPerShard` consecutive ids per
     * shard. Returns the shard count. Deterministic: same rows → same
-    * bytes, any partitioning. The sink streams through
-    * `java.nio` (this build targets local mode); on a cluster the
-    * same seam opens the stream through the Hadoop FileSystem API —
-    * the shard layout, header bytes, and shuffle shape are identical.
+    * bytes, any partitioning. The sink streams through the Hadoop
+    * FileSystem API (session conf shipped to tasks via
+    * [[graft.sources.HadoopConfBox]]), so `dir` may be `file:`,
+    * `hdfs:` or `s3a:` — shard layout, header bytes and shuffle
+    * shape are identical on every scheme.
+    *
+    * Ids must fit the 12-digit sample-name contract (`%012d` in the
+    * name is the range-pruning index `readRange` parses back): a
+    * negative id or one >= 10^12 would silently widen the name field
+    * and break `substring(name, 1, 12)` parsing, so both fail loudly
+    * here instead.
     */
   def write(df: DataFrame, id: String, payload: String, dir: String,
       docsPerShard: Long, ext: String = "txt"): Long = {
     require(docsPerShard > 0, "docsPerShard must be positive")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val spark = df.sparkSession
     import spark.implicits._
+    val confBox =
+      new HadoopConfBox(spark.sessionState.newHadoopConf())
+    val base = new Path(dir)
+    base.getFileSystem(confBox.value).mkdirs(base)
+    val dirStr = dir
     val assigned = df
       .select(col(id).cast("long").as("id"),
         col(payload).cast("binary").as("p"))
@@ -77,7 +90,17 @@ object TarShards {
       .as[(Long, Long, Array[Byte])]
       .mapPartitions { it =>
         // the codec seam: stream each shard's samples into its tar,
-        // one sample buffered at a time
+        // one sample buffered at a time. A PRIVATE FS instance (not
+        // the process-wide cache) lets us disable client-side .crc
+        // sidecars — the tar file IS the artifact, its own per-entry
+        // checksums are the integrity story, and a sidecar would leak
+        // into directory listings; on hdfs:/s3a: the flag is a no-op.
+        lazy val fs = {
+          val f = FileSystem.newInstance(
+            new Path(dirStr).toUri, confBox.value)
+          f.setWriteChecksum(false)
+          f
+        }
         var out: java.io.OutputStream = null
         var cur = Long.MinValue
         var n = 0L
@@ -86,10 +109,13 @@ object TarShards {
           out.close(); out = null
         }
         val done = it.map { case (shard, sid, bytes) =>
+          require(sid >= 0L && sid < 1000000000000L,
+            s"sample id $sid outside the 12-digit name contract " +
+              "[0, 1e12) — the shard name range index would corrupt")
           if (shard != cur) {
             close(); cur = shard; n += 1
-            out = java.nio.file.Files.newOutputStream(
-              java.nio.file.Paths.get(dir, f"shard-$shard%05d.tar"))
+            out = fs.create(
+              new Path(dirStr, f"shard-$shard%05d.tar"), true)
           }
           out.write(header(f"$sid%012d.$ext", bytes.length.toLong))
           out.write(bytes)
@@ -97,8 +123,8 @@ object TarShards {
           n
         }
         var last = 0L
-        while (done.hasNext) last = done.next()
-        close()
+        try { while (done.hasNext) last = done.next() }
+        finally { close(); if (cur != Long.MinValue) fs.close() }
         Iterator.single(last)
       }.reduce(_ + _)
     nShards
@@ -127,13 +153,22 @@ object TarShards {
     if (hiId <= loId) return read(spark, dir).filter(lit(false))
     val loShard = math.floorDiv(loId, docsPerShard)
     val hiShard = math.floorDiv(hiId - 1, docsPerShard)
-    val files = new java.io.File(dir).listFiles()
+    // driver-side listing through the Hadoop FileSystem API, not
+    // java.io.File — on hdfs:/s3a: a local File probe returns null
+    // and the prune silently empties (the IngestGate round-6 bug
+    // class). globStatus narrows to shard files; the name filter
+    // applies the range index.
+    val fs = new Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val files = Option(fs.globStatus(new Path(dir, "shard-*.tar")))
+      .getOrElse(Array.empty)
+      .map(_.getPath)
       .filter(_.getName.matches("shard-\\d+\\.tar"))
-      .filter { f =>
-        val s = f.getName.stripPrefix("shard-").stripSuffix(".tar").toLong
+      .filter { p =>
+        val s = p.getName.stripPrefix("shard-").stripSuffix(".tar").toLong
         s >= loShard && s <= hiShard
       }
-      .map(_.getAbsolutePath).sorted
+      .map(_.toString).sorted
     if (files.isEmpty) return read(spark, dir).filter(lit(false))
     parse(spark.read.format("binaryFile").load(files.toIndexedSeq: _*))
       .filter(expr("CAST(substring(name, 1, 12) AS BIGINT)")

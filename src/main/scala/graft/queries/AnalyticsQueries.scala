@@ -954,8 +954,10 @@ object AnalyticsQueries {
          |  WHERE rn <= 12),
          |n AS (SELECT user_id, count(*) AS n_events FROM e
          |  GROUP BY user_id),
-         |a AS (SELECT user_id, list(event_id ORDER BY rn) AS ids,
-         |  list(event_type ORDER BY rn) AS types FROM s GROUP BY user_id)
+         |a AS (SELECT user_id,
+         |  array_to_string(list(event_id ORDER BY rn), ',') AS ids,
+         |  array_to_string(list(event_type ORDER BY rn), ',') AS types
+         |  FROM s GROUP BY user_id)
          |SELECT n.user_id, n.n_events, a.ids, a.types
          |FROM n JOIN a ON n.user_id = a.user_id
          |ORDER BY n.user_id""".stripMargin) { (s, d) =>
@@ -975,8 +977,14 @@ object AnalyticsQueries {
         .agg(array_sort(collect_list(struct(col("rn"), col("event_id"),
           col("event_type")))).as("o"))
         .select(col("user_id"), col("n_events"),
-          transform(col("o"), x => x("event_id")).as("ids"),
-          transform(col("o"), x => x("event_type")).as("types"))
+          // scalar output contract: the driver's oracle harness sorts
+          // result frames with pandas, which cannot hash ARRAY cells —
+          // every driver-declared query must emit scalar columns only,
+          // so the aligned trajectories ship as comma-joined strings.
+          array_join(transform(col("o"),
+            x => x("event_id").cast("string")), ",").as("ids"),
+          array_join(transform(col("o"),
+            x => x("event_type").cast("string")), ",").as("types"))
         .orderBy("user_id")
     },
 

@@ -152,4 +152,18 @@ class SketchSpec extends SparkSpec {
     assert(u(333L) == ((-1L, 0L)))          // rank 1 -> underflow, est lo
     assert(u(1000L) == ((1L, 20000000L)))   // top bucket interpolates to 20
   }
+
+  test("histogramQuantiles: empty / all-null input returns zero rows") {
+    import spark.implicits._
+    // n = 0 used to walk hist(-1) -> ArrayIndexOutOfBounds; the
+    // honest answer is an empty frame with the contract schema
+    for (df <- Seq(Seq.empty[Double].toDF("v"),
+        Seq[java.lang.Double](null, null).toDF("v"))) {
+      val got = Sketch.histogramQuantiles(df, col("v"), 0.0, 100.0, 10,
+        Seq(500))
+      assert(got.columns.toSeq ==
+        Seq("q_pm", "n", "rank", "bucket", "est_e6"))
+      assert(got.count() == 0L)
+    }
+  }
 }

@@ -83,6 +83,39 @@ class TarShardsSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("write + readRange work through a Hadoop FileSystem scheme path") {
+    // file: is the local stand-in for hdfs:/s3a: — it exercises the
+    // Hadoop FileSystem code path (globStatus listing, FS.create
+    // streams), NOT java.io.File. Before the port, readRange listed
+    // via java.io.File and a scheme-qualified dir NPE'd.
+    val dir = "file:" + tmp()
+    val n = TarShards.write(fixture, "doc_id", "text", dir, docsPerShard = 3)
+    assert(n == 3L)
+    val got = TarShards.readRange(spark, dir, docsPerShard = 3,
+        loId = 5, hiId = 7)
+      .select(expr("CAST(substring(name, 1, 12) AS BIGINT)").as("id"),
+        col("payload").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((5L, "gap in ids"), (6L, "last")))
+  }
+
+  test("ids outside the 12-digit name contract fail loudly") {
+    // a negative id won't match readRange's shard-name regex and an
+    // id >= 1e12 widens %012d past 12 chars, breaking the
+    // substring(name,1,12) parse — both must be refused at write
+    for (bad <- Seq(-1L, 1000000000000L)) {
+      val dir = tmp()
+      val ex = intercept[Exception] {
+        TarShards.write(Seq((bad, "x")).toDF("doc_id", "text"),
+          "doc_id", "text", dir, docsPerShard = 3)
+      }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: causes(t.getCause)
+      assert(causes(ex).exists(m =>
+        m != null && m.contains("12-digit name contract")))
+    }
+  }
+
   test("a flipped payload byte is caught by the checksum on read") {
     val dir = tmp()
     TarShards.write(fixture, "doc_id", "text", dir, docsPerShard = 100)
