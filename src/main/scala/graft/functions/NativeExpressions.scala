@@ -313,6 +313,44 @@ object NativeExpressions {
     GraftShims.column(BloomMightContainExpr(
       GraftShims.expression(key), bloomBytes))
 
+  /** Production-vocab BPE segmentation: greedy rank-order apply over
+    * a merge-rank table ([[NativeImpl.bpeSegment]]) — per-word cost
+    * independent of vocabulary size, vs the replace fold whose
+    * expression depth is O(nMerges) and dies at a 32–50k production
+    * vocabulary. The merge list rides the expression (content
+    * equality, so canonicalization and subexpression elimination see
+    * byte-identical tables as equal); the rank table materializes
+    * lazily once per deserialized instance and ships into generated
+    * code through the `references` array (the BloomMightContainExpr
+    * pattern). Not SQL-registered: the table argument is a driver
+    * object, not a literal — SQL callers use the replayable replace
+    * fold, which is also the oracle twin.
+    */
+  case class BpeSegmentExpr(child: Expression,
+      merges: Seq[(String, String)]) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nodeName: String = "graft_bpe_segment"
+
+    @transient private lazy val table: BpeTable =
+      new BpeTable(merges.map(_._1).toArray, merges.map(_._2).toArray)
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeImpl.bpeSegment(input.asInstanceOf[UTF8String], table)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val t = ctx.addReferenceObj("graftBpeTable", table,
+        classOf[BpeTable].getName)
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.NativeImpl.bpeSegment($c, $t)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def bpeSegmentNative(word: Column, merges: Seq[(String, String)]): Column =
+    GraftShims.column(BpeSegmentExpr(GraftShims.expression(word), merges))
+
   /** Build a serialized Bloom filter over a LONG key column by a
     * per-partition put + bitwise-OR merge (treeAggregate). Why not
     * `df.stat.bloomFilter`: that routes through `bloom_filter_agg`,

@@ -345,4 +345,104 @@ object NativeImpl {
     }
     UTF8String.fromString(out)
   }
+
+  /** Greedy rank-order BPE segmentation of `word` under the merge
+    * ranking `t` — the production-vocab apply (HF-tokenizers shape):
+    * repeatedly find the adjacent symbol pair with the LOWEST merge
+    * rank present in the word and merge ALL its left-to-right
+    * non-overlapping occurrences, until no adjacent pair is in the
+    * table. Per-word cost is O(len²) in the worst case and
+    * INDEPENDENT of the merge-table size — the sequential
+    * replace-fold is O(nMerges) expression depth and dies at a
+    * production 32–50k vocabulary (Janino method limits, analyzer
+    * time).
+    *
+    * Byte-equal to the replace fold for any TRAINED merge table
+    * (property-pinned in BpeSpec): training creates a pair's
+    * constituent symbols strictly before the pair, so merging rank r
+    * only ever creates pairs of rank > r — processing present ranks
+    * in increasing order therefore visits exactly the same merges, in
+    * the same order, with the same left-to-right sweep, as folding
+    * the full sequence.
+    *
+    * Returns the delimited symbol form `(s1)(s2)…` (same contract as
+    * the fold, so `nSymbols` and every downstream consumer are
+    * unchanged).
+    */
+  def bpeSegment(word: UTF8String, t: BpeTable): UTF8String = {
+    val str = word.toString
+    var syms = new java.util.ArrayList[String](str.length)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val cc = Character.charCount(cp)
+      syms.add(str.substring(i, i + cc))
+      i += cc
+    }
+    var merging = syms.size > 1
+    while (merging) {
+      var best = Int.MaxValue
+      var j = 0
+      while (j < syms.size - 1) {
+        val r = t.rankOf(syms.get(j), syms.get(j + 1))
+        if (r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) merging = false
+      else {
+        val a = t.a(best)
+        val b = t.b(best)
+        val out = new java.util.ArrayList[String](syms.size)
+        var k = 0
+        while (k < syms.size) {
+          if (k + 1 < syms.size && syms.get(k) == a &&
+              syms.get(k + 1) == b) {
+            out.add(a + b); k += 2
+          } else { out.add(syms.get(k)); k += 1 }
+        }
+        syms = out
+        merging = syms.size > 1
+      }
+    }
+    val sb = new java.lang.StringBuilder(str.length + 2 * syms.size)
+    var m = 0
+    while (m < syms.size) {
+      sb.append('(').append(syms.get(m)).append(')')
+      m += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Immutable merge ranking for [[NativeImpl.bpeSegment]]: pair
+  * `(a(r), b(r))` carries rank `r` (training order; on a duplicate
+  * pair the FIRST rank wins, matching the fold where the earlier
+  * merge consumes every occurrence). Serializable so the one table
+  * rides the expression into tasks (a 50k-merge table is ~1 MB);
+  * the rank map materializes lazily once per deserialized instance.
+  * Top-level class so Janino can resolve it in generated code.
+  */
+final class BpeTable(val pairsA: Array[String], val pairsB: Array[String])
+    extends Serializable {
+  require(pairsA.length == pairsB.length, "ragged merge table")
+
+  @transient private lazy val rank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pairsA.length * 2)
+    var i = 0
+    while (i < pairsA.length) {
+      val k = pairsA(i) + "\u0000" + pairsB(i)
+      if (!m.containsKey(k)) m.put(k, Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  def a(r: Int): String = pairsA(r)
+  def b(r: Int): String = pairsB(r)
+  def size: Int = pairsA.length
+
+  def rankOf(x: String, y: String): Int = {
+    val r = rank.get(x + "\u0000" + y)
+    if (r == null) Int.MaxValue else r.intValue()
+  }
 }

@@ -46,14 +46,45 @@ object Bpe {
   def delimit(word: Column): Column =
     regexp_replace(word, "(.)", "($1)")
 
-  /** Greedy BPE segmentation of `word` under `merges`: the trained
-    * merge sequence folded as nested replace calls (one codegen'd
-    * projection). Returns the delimited symbol string.
+  /** Above this merge count, [[segment]] routes to the native
+    * rank-greedy expression: the replace fold's expression depth is
+    * O(nMerges), which blows Janino method limits and analyzer time
+    * long before a production 32–50k merge table; the native form's
+    * per-word cost is independent of vocabulary size. Below it, the
+    * fold stays — it is the SQL-replayable twin the DuckDB oracles
+    * unroll, and at fixture vocab sizes the two are byte-equal
+    * (property-pinned in BpeSpec).
+    */
+  val NativeMergeThreshold = 64
+
+  /** Greedy BPE segmentation of `word` under `merges`. Returns the
+    * delimited symbol string. Small merge tables fold as nested
+    * replace calls (one codegen'd projection, SQL-replayable);
+    * production-sized tables route to [[segmentNative]] — identical
+    * output, constant expression depth.
     */
   def segment(word: Column, merges: Seq[Merge]): Column =
+    if (merges.size > NativeMergeThreshold) segmentNative(word, merges)
+    else segmentFold(word, merges)
+
+  /** The replace-fold form of [[segment]]: the trained merge sequence
+    * as nested replace calls. O(nMerges) expression depth — fixture
+    * vocabularies only.
+    */
+  def segmentFold(word: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(delimit(word)) { case (acc, Merge(a, b)) =>
       replace(acc, lit(s"($a)($b)"), lit(s"($a$b)"))
     }
+
+  /** The production form of [[segment]]: one native codegen'd
+    * expression walking the word against the merge-rank table
+    * (HF-tokenizers greedy-rank loop — see
+    * [[graft.functions.NativeImpl.bpeSegment]] for the equality
+    * argument). Handles any vocabulary size.
+    */
+  def segmentNative(word: Column, merges: Seq[Merge]): Column =
+    graft.functions.NativeExpressions.bpeSegmentNative(
+      word, merges.map(m => (m.a, m.b)))
 
   /** Symbol count of a segmented form: occurrences of the `)(`
     * separator + 1.
@@ -136,12 +167,17 @@ object Bpe {
   /** Per-document subword token counts under `merges`:
     * (id, n_words, n_bpe_tokens) — documents with no tokens report
     * zeros. One scan projection + one aggregation by id.
+    * `forceNative` routes segmentation through [[segmentNative]]
+    * regardless of merge count (the driver-verified equality probe —
+    * see doc_bpe_tokenize_native).
     */
   def tokenStats(df: DataFrame, id: Column, text: Column,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge], forceNative: Boolean = false): DataFrame = {
     val words = df.select(id.as("id"), explode(tokens(text)).as("w"))
     val counted = words
-      .withColumn("seg", segment(col("w"), merges))
+      .withColumn("seg",
+        if (forceNative) segmentNative(col("w"), merges)
+        else segment(col("w"), merges))
       .withColumn("n", nSymbols(col("seg")))
       .groupBy("id")
       .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_bpe_tokens"))

@@ -2308,6 +2308,33 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // the PRODUCTION BPE apply, driver-certified: the same unrolled
+    // training twin as doc_bpe_tokenize, but the Spark side is forced
+    // through the native rank-greedy expression (graft_bpe_segment —
+    // constant expression depth, per-word cost independent of vocab
+    // size, the form a 32-50k production merge table requires). A
+    // hash match here is the driver's own proof that the native apply
+    // is byte-equal to the replace fold the SQL replays.
+    QueryDef("doc_bpe_tokenize_native",
+      bpeTrainCtes(BpeMerges) +
+        s"""ns AS (SELECT w, CAST((length(sym) -
+           |    length(replace(sym, ')(', ''))) / 2 + 1 AS BIGINT) AS n
+           |  FROM w$BpeMerges),
+           |d AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(ns.n) AS BIGINT) AS n_bpe_tokens
+           |  FROM toks t JOIN ns ON ns.w = t.w GROUP BY t.doc_id)
+           |SELECT doc_id,
+           |  coalesce(d.n_words, 0) AS n_words,
+           |  coalesce(d.n_bpe_tokens, 0) AS n_bpe_tokens
+           |FROM documents LEFT JOIN d USING (doc_id)
+           |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Bpe.tokenStats(load(s, d, "documents"),
+          col("doc_id"), col("text"), bpeMergesFor(s, d),
+          forceNative = true)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     // exact duplicated-SPAN detection (Dedup.dupSpans): substring-level
     // dedup — every 16-token window hashed positionally, corpus-wide
     // occurrence counts, >1 survivors merged into maximal spans via a

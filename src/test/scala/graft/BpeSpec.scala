@@ -56,6 +56,84 @@ class BpeSpec extends SparkSpec {
     assert(got("xyz") == (("(x)(y)(z)", 3L)))
   }
 
+  test("native rank-greedy segment is byte-equal to the replace fold") {
+    // randomized corpora: train a real merge table (the equality
+    // argument only holds for TRAINED tables, where a pair's
+    // constituent symbols are created strictly before the pair), then
+    // segment both trained AND unseen words through the fold and the
+    // native expression — every output byte must agree.
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 8) {
+      val alpha = "abcd"
+      val corpus = Vector.fill(30)(
+        (1 to (1 + rnd.nextInt(7))).map(_ =>
+          alpha(rnd.nextInt(alpha.length))).mkString)
+      val freqs = corpus.groupBy(identity)
+        .map { case (w, g) => w -> (g.size.toLong * (1 + rnd.nextInt(5))) }
+        .toSeq
+      val merges = Bpe.train(freqs, 1 + rnd.nextInt(12))
+      val probe = (corpus ++ Vector.fill(20)(
+        (1 to (1 + rnd.nextInt(9))).map(_ =>
+          alpha(rnd.nextInt(alpha.length))).mkString)).distinct
+      val got = probe.toDF("w")
+        .select(col("w"),
+          Bpe.segmentFold(col("w"), merges).as("fold"),
+          Bpe.segmentNative(col("w"), merges).as("native"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getString(1) == r.getString(2),
+          s"trial=$trial w=${r.getString(0)} merges=$merges")
+      }
+    }
+  }
+
+  test("production vocab: >=1000 merges apply under CODEGEN_ONLY") {
+    // the r10 scale seam: the replace fold at this vocab size would be
+    // a 1000-deep nested expression (Janino method limits, analyzer
+    // time); segment() must route to the native expression and the
+    // generated code must COMPILE with fallback disabled — a Janino
+    // failure is a hard error here, not a silent drop to interpreted.
+    val rnd = new scala.util.Random(13)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val freqs = (1 to 4000).map { _ =>
+      (1 to (4 + rnd.nextInt(8))).map(_ =>
+        alpha(rnd.nextInt(alpha.length))).mkString
+    }.distinct.map(w => w -> (1L + rnd.nextInt(100)))
+    val merges = Bpe.train(freqs, 1200)
+    assert(merges.size >= 1000, s"fixture too small: ${merges.size}")
+    val conf = spark.conf
+    val prevFactory = conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // RDD-backed so ConvertToLocalRelation can't constant-fold the
+      // projection away (the NativeExprSpec lesson)
+      val words = freqs.take(200).map(_._1) :+ "zzzz" :+ "a"
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(words.map(Tuple1(_)), 2))
+        .toDF("w")
+        .select(col("w"), Bpe.segment(col("w"), merges).as("seg"),
+          Bpe.tokenCount(col("w"), merges).as("n"))
+      val rows = df.collect()
+      assert(rows.length == words.length)
+      // spot-check against the in-memory trainer's own apply
+      val byWord = rows.map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+      for (w <- words.take(20)) {
+        var syms = w.map(_.toString).toVector
+        merges.foreach(m => syms = Bpe.applyMerge(syms, m.a, m.b))
+        assert(byWord(w) ==
+          ((syms.map(s => s"($s)").mkString, syms.size.toLong)), s"w=$w")
+      }
+    } finally {
+      prevFactory.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+        conf.set("spark.sql.codegen.factoryMode", _))
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
+        conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("tokenStats: per-doc word and subword counts; empty docs zero") {
     val merges = Bpe.train(Seq("low" -> 5L, "lower" -> 2L, "lowest" -> 1L), 4)
     val docs = Seq((1L, "low lower lowest"), (2L, "LOW, low!"), (3L, "---"))
