@@ -184,4 +184,48 @@ object GraphOps {
             (col("deg") * (col("deg") - lit(1L))), 0).cast("long"))
           .otherwise(lit(0L)).as("lcc_e6"))
   }
+
+  /** The consumable syndication verdict: the three per-source signals
+    * the curation pipeline already computes separately — near-dup
+    * pollution (`perSource`: source, n_docs, n_dups), affinity
+    * centrality (`pr`: node, pr_e9), and ring tightness (`tri`:
+    * node, deg, tri, lcc_e6) — joined into ONE ranked suspect table.
+    * A syndication ring reads as (above-uniform PageRank ∧ high
+    * clustering): central AND tight-knit; per-doc dedup sees the
+    * same ring only pair by pair.
+    *
+    * Engine-exact flag and score, no floats: `suspect` ⇔
+    * pr_e9·|V| > 1e9 (rank above the uniform 1/|V| share) AND
+    * 2·lcc_e6 ≥ 1e6 (clustering ≥ ½); `score` = pr_e9·lcc_e6
+    * (≤ 1e15, no overflow); `rk` = row_number by (score desc,
+    * source) — fully deterministic. Sources outside the affinity
+    * graph keep their dedup stats with zeroed graph columns: absent
+    * from the graph is itself a verdict, not a dropped row.
+    *
+    * Scale shape: all three inputs are SOURCE-axis frames (bounded by
+    * #sources, not corpus size), so the joins and the single global
+    * rank window are O(#sources) — the corpus-sized work already
+    * happened inside the three inputs.
+    */
+  def syndicationSuspects(perSource: DataFrame, pr: DataFrame,
+      tri: DataFrame): DataFrame = {
+    val nNodes = pr.count()
+    val joined = perSource
+      .join(pr.select(col("node").as("source"), col("pr_e9")),
+        Seq("source"), "left")
+      .join(tri.select(col("node").as("source"), col("deg"), col("tri"),
+        col("lcc_e6")), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_dups"),
+        coalesce(col("pr_e9"), lit(0L)).as("pr_e9"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        coalesce(col("lcc_e6"), lit(0L)).as("lcc_e6"))
+      .withColumn("score", col("pr_e9") * col("lcc_e6"))
+      .withColumn("suspect",
+        col("pr_e9") * lit(nNodes) > lit(1000000000L) &&
+          col("lcc_e6") * lit(2L) >= lit(1000000L))
+    joined.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("source"))))
+  }
 }

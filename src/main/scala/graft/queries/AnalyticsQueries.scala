@@ -961,30 +961,47 @@ object AnalyticsQueries {
          |SELECT n.user_id, n.n_events, a.ids, a.types
          |FROM n JOIN a ON n.user_id = a.user_id
          |ORDER BY n.user_id""".stripMargin) { (s, d) =>
-      import graft.functions.TopKPairsAgg.topkPairs
       val ev = load(s, d, "events")
-      val e = ev.select(col("user_id"), col("event_id"),
-        col("event_type"), Tables.stepUs(ev).as("t"))
-      val picked = e.groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"),
-          topkPairs(-col("t"), col("event_id"), 12).as("top"))
-        .select(col("user_id"), col("n_events"),
-          posexplode(col("top")))
-        .select(col("user_id"), col("n_events"),
-          (col("pos") + 1).as("rn"), col("col.id").as("event_id"))
-      picked.join(e.select(col("event_id"), col("event_type")), "event_id")
-        .groupBy("user_id", "n_events")
-        .agg(array_sort(collect_list(struct(col("rn"), col("event_id"),
-          col("event_type")))).as("o"))
-        .select(col("user_id"), col("n_events"),
-          // scalar output contract: the driver's oracle harness sorts
-          // result frames with pandas, which cannot hash ARRAY cells —
-          // every driver-declared query must emit scalar columns only,
-          // so the aligned trajectories ship as comma-joined strings.
-          array_join(transform(col("o"),
-            x => x("event_id").cast("string")), ",").as("ids"),
-          array_join(transform(col("o"),
-            x => x("event_type").cast("string")), ",").as("types"))
+      // sequences ship comma-joined (scalar-output contract: the
+      // driver's pandas-based oracle harness cannot hash ARRAY cells)
+      graft.ops.Trajectories.export(ev, Tables.stepUs(ev), 12)
+        .orderBy("user_id")
+    },
+
+    // the export bounded for serving (Trajectories.writeShards +
+    // readShardRange): trajectories packed into tar shards keyed by
+    // user range, then users [40, 90) read back with shard files
+    // pruned BY NAME before any byte opens — the range-addressable
+    // artifact a training loader consumes, not a sorted DataFrame.
+    // The twin replays the same trajectory SQL filtered to the range:
+    // a hash match proves the container roundtrip byte-preserves
+    // every sequence.
+    QueryDef("q_traj_shard_range",
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |  ${OracleDefs.EventStepUs} AS t FROM events),
+         |r AS (SELECT user_id, event_id, event_type, row_number() OVER
+         |  (PARTITION BY user_id ORDER BY t, event_id) AS rn FROM e),
+         |s AS (SELECT user_id, event_id, event_type, rn FROM r
+         |  WHERE rn <= 12),
+         |n AS (SELECT user_id, count(*) AS n_events FROM e
+         |  GROUP BY user_id),
+         |a AS (SELECT user_id,
+         |  array_to_string(list(event_id ORDER BY rn), ',') AS ids,
+         |  array_to_string(list(event_type ORDER BY rn), ',') AS types
+         |  FROM s GROUP BY user_id)
+         |SELECT n.user_id, n.n_events, a.ids, a.types
+         |FROM n JOIN a ON n.user_id = a.user_id
+         |WHERE n.user_id >= 40 AND n.user_id < 90
+         |ORDER BY n.user_id""".stripMargin) { (s, d) =>
+      val dir = TempState.dir(
+        "trajshards|" + s.sparkContext.applicationId + "|" + d) { r =>
+        val ev = load(s, d, "events")
+        graft.ops.Trajectories.writeShards(
+          graft.ops.Trajectories.export(ev, Tables.stepUs(ev), 12),
+          s"$r/shards", usersPerShard = 32)
+      }
+      graft.ops.Trajectories.readShardRange(s, s"$dir/shards",
+          usersPerShard = 32, loUser = 40, hiUser = 90)
         .orderBy("user_id")
     },
 

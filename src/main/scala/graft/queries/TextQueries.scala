@@ -420,22 +420,91 @@ object TextQueries {
   private val PrIters = 3
 
   /** Shared oracle CTE prefix for the graph family: the rare-shingle
-    * source-affinity edge list, ending in `pairs (sa, sb, w)` with
-    * sa < sb — the twin of GraphOps.sharedShingleEdges. */
-  private lazy val affinityPairsCtes =
-    s"""t AS (SELECT source, $sqlToks AS w FROM documents),
-       |g0 AS (SELECT source, unnest(list_distinct(list_transform(
+    * source-affinity edge list, ending in `{p}pairs (sa, sb, w)` with
+    * sa < sb — the twin of GraphOps.sharedShingleEdges. The prefix
+    * parameter exists so the composed syndication-suspects twin can
+    * co-reside in one WITH with the minhash/component family (whose
+    * `t` and `e` names would otherwise collide); the standalone graph
+    * twins pass "".
+    */
+  private def affinityPairsCtes(p: String): String =
+    s"""${p}t AS (SELECT source, $sqlToks AS w FROM documents),
+       |${p}g0 AS (SELECT source, unnest(list_distinct(list_transform(
        |    list_distinct(list_transform(range(1, len(w) - 1),
        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])),
-       |    sp -> ${sqlPhash("sp")}))) AS h FROM t),
-       |g AS (SELECT DISTINCT source, h FROM g0),
-       |keep AS (SELECT h FROM g GROUP BY h
+       |    sp -> ${sqlPhash("sp")}))) AS h FROM ${p}t),
+       |${p}g AS (SELECT DISTINCT source, h FROM ${p}g0),
+       |${p}keep AS (SELECT h FROM ${p}g GROUP BY h
        |  HAVING count(*) BETWEEN 2 AND $PrSrcCap),
-       |f AS (SELECT g.source, g.h FROM g JOIN keep ON g.h = keep.h),
-       |pairs AS (SELECT a.source AS sa, b.source AS sb,
+       |${p}f AS (SELECT g.source, g.h FROM ${p}g g
+       |  JOIN ${p}keep keep ON g.h = keep.h),
+       |${p}pairs AS (SELECT a.source AS sa, b.source AS sb,
        |  CAST(count(*) AS BIGINT) AS w
-       |  FROM f a JOIN f b ON a.h = b.h AND a.source < b.source
+       |  FROM ${p}f a JOIN ${p}f b ON a.h = b.h AND a.source < b.source
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** The PageRank trajectory CTEs over `{p}pairs` — {p}e/n/nn/ow and
+    * {p}p0..{p}p$PrIters; the final ranks are `{p}p$PrIters (s, pr)`.
+    * One builder shared by doc_source_pagerank and the suspects
+    * composition so the trajectory cannot drift between them.
+    */
+  private def prTrajectoryCtes(p: String): String = {
+    val iterCtes = (1 to PrIters).map { k =>
+      s"""${p}c$k AS (SELECT e.t AS s, CAST(sum(CAST(round(
+         |    CAST(p${k - 1}.pr AS DOUBLE) * e.w / ow.wt * 1e3) AS BIGINT))
+         |  AS BIGINT) AS c
+         |  FROM ${p}e e JOIN ${p}p${k - 1} p${k - 1} ON e.s = p${k - 1}.s
+         |    JOIN ${p}ow ow ON e.s = ow.s GROUP BY e.t),
+         |${p}p$k AS (SELECT n.s, CAST(round((1e0 - 0.85e0) / nn.n * 1e9
+         |    + 0.85e0 * coalesce(c$k.c, 0) / 1e3) AS BIGINT) AS pr
+         |  FROM ${p}n n LEFT JOIN ${p}c$k c$k ON n.s = c$k.s, ${p}nn nn)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""${p}e AS (SELECT sa AS s, sb AS t, w FROM ${p}pairs
+       |  UNION ALL SELECT sb AS s, sa AS t, w FROM ${p}pairs),
+       |${p}n AS (SELECT DISTINCT s FROM ${p}e),
+       |${p}nn AS (SELECT count(*) AS n FROM ${p}n),
+       |${p}ow AS (SELECT s, sum(w) AS wt FROM ${p}e GROUP BY s),
+       |${p}p0 AS (SELECT n.s, CAST(round(1e9 / nn.n) AS BIGINT) AS pr
+       |  FROM ${p}n n, ${p}nn nn),
+       |$iterCtes""".stripMargin
+  }
+
+  /** The triangle/LCC CTEs over `{p}pairs`, ending in
+    * `{p}tric (source, deg, tri, lcc_e6)` — degree-ordered
+    * orientation, wedge join, directed closure, one row per graph
+    * node. Shared by doc_affinity_triangles and the suspects
+    * composition.
+    */
+  private def triangleCtes(p: String): String =
+    s"""${p}und AS (SELECT sa AS s FROM ${p}pairs
+       |  UNION ALL SELECT sb FROM ${p}pairs),
+       |${p}deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
+       |  FROM ${p}und GROUP BY s),
+       |${p}ed AS (SELECT
+       |  CASE WHEN da.deg < db.deg
+       |    OR (da.deg = db.deg AND p.sa < p.sb)
+       |    THEN p.sa ELSE p.sb END AS u,
+       |  CASE WHEN da.deg < db.deg
+       |    OR (da.deg = db.deg AND p.sa < p.sb)
+       |    THEN p.sb ELSE p.sa END AS v
+       |  FROM ${p}pairs p JOIN ${p}deg da ON p.sa = da.s
+       |    JOIN ${p}deg db ON p.sb = db.s),
+       |${p}tri0 AS (SELECT e1.u, e1.v AS y, e2.v AS z
+       |  FROM ${p}ed e1 JOIN ${p}ed e2 ON e1.u = e2.u AND e1.v <> e2.v
+       |  WHERE EXISTS (SELECT 1 FROM ${p}ed e3
+       |    WHERE e3.u = e1.v AND e3.v = e2.v)),
+       |${p}pn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+       |    SELECT u AS node FROM ${p}tri0
+       |    UNION ALL SELECT y FROM ${p}tri0
+       |    UNION ALL SELECT z FROM ${p}tri0)
+       |  GROUP BY node),
+       |${p}tric AS (SELECT d.s AS source, d.deg,
+       |  coalesce(pn.tri, 0) AS tri,
+       |  CASE WHEN d.deg >= 2 THEN CAST(round(2e6 * coalesce(pn.tri, 0)
+       |    / (d.deg * (d.deg - 1))) AS BIGINT) ELSE 0 END AS lcc_e6
+       |  FROM ${p}deg d LEFT JOIN ${p}pn pn ON d.s = pn.node)"""
+      .stripMargin
 
   /** The synthetic corpus has NO byte-identical documents, so an
     * exact-dedup verdict over it is vacuous (is_canonical always
@@ -2073,29 +2142,11 @@ object TextQueries {
     // syndication-ring detector. Rank state is integer e9 and every
     // edge transfer quantizes to e12 BEFORE summation, so the twin
     // replays the exact trajectory with unrolled CTEs.
-    QueryDef("doc_source_pagerank", {
-      val iterCtes = (1 to PrIters).map { k =>
-        s"""c$k AS (SELECT e.t AS s, CAST(sum(CAST(round(
-           |    CAST(p${k - 1}.pr AS DOUBLE) * e.w / ow.wt * 1e3) AS BIGINT))
-           |  AS BIGINT) AS c
-           |  FROM e JOIN p${k - 1} ON e.s = p${k - 1}.s
-           |    JOIN ow ON e.s = ow.s GROUP BY e.t),
-           |p$k AS (SELECT n.s, CAST(round((1e0 - 0.85e0) / nn.n * 1e9
-           |    + 0.85e0 * coalesce(c$k.c, 0) / 1e3) AS BIGINT) AS pr
-           |  FROM n LEFT JOIN c$k ON n.s = c$k.s, nn)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $affinityPairsCtes,
-         |e AS (SELECT sa AS s, sb AS t, w FROM pairs
-         |  UNION ALL SELECT sb AS s, sa AS t, w FROM pairs),
-         |n AS (SELECT DISTINCT s FROM e),
-         |nn AS (SELECT count(*) AS n FROM n),
-         |ow AS (SELECT s, sum(w) AS wt FROM e GROUP BY s),
-         |p0 AS (SELECT s, CAST(round(1e9 / nn.n) AS BIGINT) AS pr
-         |  FROM n, nn),
-         |$iterCtes
+    QueryDef("doc_source_pagerank",
+      s"""WITH ${affinityPairsCtes("")},
+         |${prTrajectoryCtes("")}
          |SELECT s AS source, pr AS pr_e9 FROM p$PrIters
-         |ORDER BY source""".stripMargin
-    }) { (s, d) =>
+         |ORDER BY source""".stripMargin) { (s, d) =>
       val edges = GraphOps.sharedShingleEdges(load(s, d, "documents"),
         col("source"), col("text"), PrShingleW, PrSrcCap)
       GraphOps.pageRank(edges, PrIters)
@@ -2113,34 +2164,9 @@ object TextQueries {
     // directed closure verbatim, so each triangle counts exactly once
     // in both engines.
     QueryDef("doc_affinity_triangles",
-      s"""WITH $affinityPairsCtes,
-         |und AS (SELECT sa AS s FROM pairs
-         |  UNION ALL SELECT sb FROM pairs),
-         |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg
-         |  FROM und GROUP BY s),
-         |ed AS (SELECT
-         |  CASE WHEN da.deg < db.deg
-         |    OR (da.deg = db.deg AND p.sa < p.sb)
-         |    THEN p.sa ELSE p.sb END AS u,
-         |  CASE WHEN da.deg < db.deg
-         |    OR (da.deg = db.deg AND p.sa < p.sb)
-         |    THEN p.sb ELSE p.sa END AS v
-         |  FROM pairs p JOIN deg da ON p.sa = da.s
-         |    JOIN deg db ON p.sb = db.s),
-         |tri0 AS (SELECT e1.u, e1.v AS y, e2.v AS z
-         |  FROM ed e1 JOIN ed e2 ON e1.u = e2.u AND e1.v <> e2.v
-         |  WHERE EXISTS (SELECT 1 FROM ed e3
-         |    WHERE e3.u = e1.v AND e3.v = e2.v)),
-         |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
-         |    SELECT u AS node FROM tri0
-         |    UNION ALL SELECT y FROM tri0
-         |    UNION ALL SELECT z FROM tri0)
-         |  GROUP BY node)
-         |SELECT d.s AS source, d.deg,
-         |  coalesce(pn.tri, 0) AS tri,
-         |  CASE WHEN d.deg >= 2 THEN CAST(round(2e6 * coalesce(pn.tri, 0)
-         |    / (d.deg * (d.deg - 1))) AS BIGINT) ELSE 0 END AS lcc_e6
-         |FROM deg d LEFT JOIN pn ON d.s = pn.node
+      s"""WITH ${affinityPairsCtes("")},
+         |${triangleCtes("")}
+         |SELECT source, deg, tri, lcc_e6 FROM tric
          |ORDER BY source""".stripMargin) { (s, d) =>
       val edges = GraphOps.sharedShingleEdges(load(s, d, "documents"),
         col("source"), col("text"), PrShingleW, PrSrcCap)
@@ -2148,6 +2174,62 @@ object TextQueries {
         .select(col("node").as("source"), col("deg"), col("tri"),
           col("lcc_e6"))
         .orderBy("source")
+    },
+
+    // the consumable syndication verdict (GraphOps.
+    // syndicationSuspects): near-dup pollution, affinity PageRank and
+    // triangle clustering — three signals the pipeline already
+    // computes separately — joined into ONE ranked per-source suspect
+    // table. suspect ⇔ above-uniform centrality (pr·|V| > 1e9) AND
+    // clustering ≥ ½ (2·lcc_e6 ≥ 1e6); score = pr_e9·lcc_e6; rk =
+    // deterministic row_number. The twin composes the SAME CTE
+    // builders the standalone twins use (the graph family carries a
+    // `g` prefix so its names can co-reside with the minhash/
+    // component family), so none of the three trajectories can drift
+    // between the standalone and composed forms.
+    QueryDef("doc_syndication_suspects",
+      s"""WITH RECURSIVE $sqlMinhashPairCtes,
+         |$sqlComponentCtes,
+         |lab AS (SELECT d.doc_id, d.source,
+         |  coalesce(c.comp, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |srcdup AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (comp <> doc_id) AS BIGINT) AS n_dups
+         |  FROM lab GROUP BY source),
+         |${affinityPairsCtes("g")},
+         |${prTrajectoryCtes("g")},
+         |${triangleCtes("g")},
+         |j AS (SELECT sd.source, sd.n_docs, sd.n_dups,
+         |  coalesce(p.pr, 0) AS pr_e9,
+         |  coalesce(tc.deg, 0) AS deg, coalesce(tc.tri, 0) AS tri,
+         |  coalesce(tc.lcc_e6, 0) AS lcc_e6
+         |  FROM srcdup sd
+         |  LEFT JOIN gp$PrIters p ON p.s = sd.source
+         |  LEFT JOIN gtric tc ON tc.source = sd.source)
+         |SELECT source, n_docs, n_dups, pr_e9, deg, tri, lcc_e6,
+         |  pr_e9 * lcc_e6 AS score,
+         |  pr_e9 * (SELECT n FROM gnn) > 1000000000
+         |    AND lcc_e6 * 2 >= 1000000 AS suspect,
+         |  CAST(row_number() OVER (ORDER BY pr_e9 * lcc_e6 DESC, source)
+         |    AS BIGINT) AS rk
+         |FROM j ORDER BY rk""".stripMargin) { (s, d) =>
+      val docs = load(s, d, "documents")
+        .withColumn("hs", Dedup.tokenHashSet(col("text")))
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "hs",
+        MinhashK, RowsPerBand, MinhashJaccard)
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val perSource = docs.select(col("doc_id"), col("source"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("is_dup",
+          coalesce(col("comp"), col("doc_id")) =!= col("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      val edges = GraphOps.sharedShingleEdges(load(s, d, "documents"),
+        col("source"), col("text"), PrShingleW, PrSrcCap)
+      GraphOps.syndicationSuspects(perSource,
+          GraphOps.pageRank(edges, PrIters), GraphOps.triangleCount(edges))
+        .orderBy("rk")
     },
 
     // Naive-Bayes log-odds scorer (TextOps.naiveBayesLogOdds): the

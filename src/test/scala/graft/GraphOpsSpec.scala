@@ -109,4 +109,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(got("c") == ((1L, 0L, 0L)))
     assert(got("d") == ((1L, 0L, 0L)))
   }
+
+  test("syndicationSuspects: flag semantics, zero-fill, stable rank") {
+    import spark.implicits._
+    // 4-node graph: ring {a,b,c} (triangle) + pendant d; source x has
+    // dedup stats but NO graph presence — zero-filled, never dropped
+    val perSource = Seq(("a", 10L, 5L), ("b", 10L, 4L), ("c", 10L, 3L),
+      ("d", 10L, 0L), ("x", 7L, 0L)).toDF("source", "n_docs", "n_dups")
+    val pr = Seq(("a", 300000000L), ("b", 300000000L),
+      ("c", 260000000L), ("d", 140000000L)).toDF("node", "pr_e9")
+    val tri = Seq(("a", 2L, 1L, 1000000L), ("b", 2L, 1L, 1000000L),
+      ("c", 3L, 1L, 333333L), ("d", 1L, 0L, 0L))
+      .toDF("node", "deg", "tri", "lcc_e6")
+    val got = GraphOps.syndicationSuspects(perSource, pr, tri)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("pr_e9"), r.getAs[Long]("lcc_e6"),
+          r.getAs[Long]("score"), r.getAs[Boolean]("suspect"),
+          r.getAs[Int]("rk")))).toMap
+    // suspect ⇔ pr·|V| > 1e9 AND 2·lcc ≥ 1e6; |V| = 4
+    assert(got("a") == ((300000000L, 1000000L, 300000000000000L, true, 1)))
+    // b ties a on score — source tiebreak makes the rank stable
+    assert(got("b")._5 == 2 && got("b")._4)
+    // c: central (260e6·4 > 1e9) but clustering below ½ — not suspect
+    assert(got("c") == ((260000000L, 333333L, 86666580000000L, false, 3)))
+    // d: below uniform share AND no clustering
+    assert(!got("d")._4)
+    // x: absent from the graph — zero columns, rank after all scored
+    assert(got("x") == ((0L, 0L, 0L, false, 5)))
+  }
 }

@@ -116,6 +116,35 @@ class TarShardsSpec extends SparkSpec {
     }
   }
 
+  test("trajectory export roundtrips through user-range shards") {
+    // the 100 TB serving form: trajectories packed into shards keyed
+    // by user range, then a user window read back through readRange's
+    // name prune — via a Hadoop scheme path, like a real cluster.
+    import graft.ops.Trajectories
+    val events = Seq(
+      (1L, 10L, "view", 100L), (1L, 11L, "click", 200L),
+      (5L, 20L, "view", 50L), (5L, 21L, "buy", 40L), (5L, 22L, "view", 60L),
+      (70L, 30L, "click", 10L)
+    ).toDF("user_id", "event_id", "event_type", "t")
+    val traj = Trajectories.export(events, col("t"), 2)
+    val dir = "file:" + tmp() + "/traj"
+    val n = Trajectories.writeShards(traj, dir, usersPerShard = 64)
+    assert(n == 2L) // users {1,5} -> shard 0, user 70 -> shard 1
+    val got = Trajectories.readShardRange(spark, dir, 64, 0L, 64L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    // k = 2 caps user 5 to its two EARLIEST events (t=40,50 -> ids 21,20)
+    assert(got == Map(
+      1L -> ((2L, "10,11", "view,click")),
+      5L -> ((3L, "21,20", "buy,view"))))
+    // the out-of-range shard is never opened: destroy it, reread
+    val s1 = java.nio.file.Paths.get(dir.stripPrefix("file:"),
+      "shard-00001.tar")
+    java.nio.file.Files.write(s1, "garbage".getBytes)
+    val again = Trajectories.readShardRange(spark, dir, 64, 0L, 64L)
+    assert(again.count() == 2L)
+  }
+
   test("a flipped payload byte is caught by the checksum on read") {
     val dir = tmp()
     TarShards.write(fixture, "doc_id", "text", dir, docsPerShard = 100)
