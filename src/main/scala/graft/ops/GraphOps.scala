@@ -228,4 +228,26 @@ object GraphOps {
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("source"))))
   }
+
+  /** [[syndicationSuspects]] with the edge frame computed ONCE: both
+    * graph consumers (PageRank's internal materialization and the
+    * triangle count) read a persisted `edges`, the triangle result is
+    * materialized into a frame that owns its data (O(#sources), like
+    * pageRank's own return), and the cache is released before return
+    * — the shingle-explode pipeline that feeds the edge list runs one
+    * time instead of once per consumer, and nothing stays pinned.
+    */
+  def syndicationSuspectsFromEdges(perSource: DataFrame,
+      edges: DataFrame, prIters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    edges.persist()
+    try {
+      val pr = pageRank(edges, prIters) // materializes the edge cache
+      val tri0 = triangleCount(edges)
+      val triRows = tri0.collect().toIndexedSeq
+      val tri = spark.createDataFrame(
+        spark.sparkContext.parallelize(triRows, 1), tri0.schema)
+      syndicationSuspects(perSource, pr, tri)
+    } finally { edges.unpersist(); () }
+  }
 }

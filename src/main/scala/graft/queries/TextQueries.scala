@@ -2227,8 +2227,7 @@ object TextQueries {
           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
       val edges = GraphOps.sharedShingleEdges(load(s, d, "documents"),
         col("source"), col("text"), PrShingleW, PrSrcCap)
-      GraphOps.syndicationSuspects(perSource,
-          GraphOps.pageRank(edges, PrIters), GraphOps.triangleCount(edges))
+      GraphOps.syndicationSuspectsFromEdges(perSource, edges, PrIters)
         .orderBy("rk")
     },
 
