@@ -164,6 +164,32 @@ object Bpe {
     train(freqs, nMerges)
   }
 
+  /** Persist a trained merge table as a rank-ordered parquet artifact
+    * — the vocab file a production tokenizer ships. One tiny file
+    * (O(nMerges) rows), written through the session's filesystem, so
+    * the same artifact round-trips on file:/hdfs:/s3a:.
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case (m, i) => (i.toLong, m.a, m.b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table saved by [[saveMerges]], rank order restored.
+    * The table is vocabulary-sized — collecting it to the driver is
+    * exactly how production tokenizers hold their merge ranking.
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Merge] =
+    spark.read.parquet(path)
+      .orderBy("rank")
+      .collect()
+      .map(r => Merge(r.getAs[String]("a"), r.getAs[String]("b")))
+      .toSeq
+
   /** Per-document subword token counts under `merges`:
     * (id, n_words, n_bpe_tokens) — documents with no tokens report
     * zeros. One scan projection + one aggregation by id.

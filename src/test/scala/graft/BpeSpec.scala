@@ -134,6 +134,14 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("merge tables persist and reload in rank order") {
+    val merges = Bpe.train(Seq("low" -> 5L, "lower" -> 2L, "lowest" -> 1L), 4)
+    val dir = "file:" + java.nio.file.Files
+      .createTempDirectory("bpevocab").toString + "/merges"
+    Bpe.saveMerges(spark, merges, dir)
+    assert(Bpe.loadMerges(spark, dir) == merges)
+  }
+
   test("tokenStats: per-doc word and subword counts; empty docs zero") {
     val merges = Bpe.train(Seq("low" -> 5L, "lower" -> 2L, "lowest" -> 1L), 4)
     val docs = Seq((1L, "low lower lowest"), (2L, "LOW, low!"), (3L, "---"))
