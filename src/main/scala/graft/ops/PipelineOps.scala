@@ -520,4 +520,76 @@ object PipelineOps {
       .withColumn("shard", col("ord") % nShards)
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Exact top-`num/den` fraction by an integral weight, WITHOUT a
+    * global sort: flags the k = ⌊N·num/den⌋ heaviest rows
+    * (ties broken by ascending id, matching
+    * `row_number() OVER (ORDER BY weight DESC, id) <= k`).
+    *
+    * The selection threshold is found by histogram descent instead of
+    * ranking the corpus:
+    *   1. one scan → N, min, max;
+    *   2. per-distinct-weight counts, coarse-binned to ≤4096 buckets;
+    *      the bucket histogram collects (O(bins)) and a driver walk
+    *      locates the bucket containing the k-th weight;
+    *   3. the per-distinct-weight counts of THAT bucket alone collect
+    *      (O(distinct weights in one bucket)) and pin the exact
+    *      threshold weight w* plus how many ties at w* to keep;
+    *   4. the flag is then a pure comparison against w*, except inside
+    *      the tie group, which gets ranked by id — a window over only
+    *      the rows at exactly w*.
+    * Every data-sized pass is scan-parallel; nothing ever funnels the
+    * corpus through one partition. (A pointmass weight distribution
+    * degrades step 3's collect to the distinct weights of one bucket
+    * and step 4's window to the tie group — both bounded by the
+    * distribution's concentration, which is exactly when distinct
+    * weights are few.)
+    *
+    * `df` must have unique values in `idName`; `weightName` must be a
+    * long column. Adds a boolean `selected` column.
+    */
+  def topFractionByWeight(df: DataFrame, idName: String, weightName: String,
+      num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0, "fraction must be num/den with den > 0")
+    val wCol = col(weightName)
+    val st = df.agg(count(lit(1)), min(wCol), max(wCol)).head()
+    val n = st.getLong(0)
+    if (n == 0L) return df.withColumn("selected", lit(false))
+    val k = (BigInt(n) * num / den).toLong
+    if (k <= 0L) return df.withColumn("selected", lit(false))
+    if (k >= n) return df.withColumn("selected", lit(true))
+    val (lo, hi) = (st.getLong(1), st.getLong(2))
+    val binW = math.max(1L, Math.floorDiv(hi - lo, 4096L) + 1L)
+    val binned = df.withColumn("__bin",
+      expr(s"($weightName - ${lo}L) div ${binW}L"))
+    val hist = binned.groupBy("__bin").agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1) // heaviest bucket first
+    // walk buckets heaviest-first until the one holding the k-th row
+    // (terminates: Σ counts = n ≥ k > 0)
+    var above = 0L
+    var i = 0
+    while (above + hist(i)._2 < k) { above += hist(i)._2; i += 1 }
+    val bStar = hist(i)._1
+    // exact descent inside the one bucket holding the k-th weight
+    val inBin = binned.filter(col("__bin") === bStar)
+      .groupBy(weightName).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var aboveW = above
+    var j = 0
+    while (j < inBin.length && aboveW + inBin(j)._2 < k) {
+      aboveW += inBin(j)._2; j += 1
+    }
+    val wStar = inBin(j)._1
+    val tieTake = k - aboveW
+    // rank ONLY the tie group at w* (bounded by the tie-group size)
+    val tieW = Window.orderBy(col(idName))
+    val tieRanks = df.filter(wCol === wStar)
+      .select(col(idName), row_number().over(tieW).cast("long").as("__tr"))
+    df.join(tieRanks, Seq(idName), "left")
+      .withColumn("selected",
+        wCol > wStar || coalesce(col("__tr") <= tieTake, lit(false)))
+      .drop("__tr")
+  }
 }

@@ -504,4 +504,112 @@ object TextOps {
       .withColumn("score_e6", col("llr_e6") + lit(priorE6))
       .withColumn("predicted", col("score_e6") > 0L)
   }
+
+  /** BM25 retrieval scoring (Robertson & Walker; the Lucene-form idf):
+    * ranks the corpus against a fixed term query — the retrieval
+    * primitive behind keyword-based decontamination sweeps and
+    * targeted corpus audits ("show me the docs about X").
+    *
+    *   score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * Engine-exactness: idf is quantized to micro-units once per query
+    * term; the tf-saturation factor is pure rational IEEE arithmetic
+    * (identical literal order on both engines); the per-(doc,term)
+    * weight quantizes once more and document scores are exact integer
+    * sums — the surprisal-family contract.
+    *
+    * Shape at scale: the exploded scan filters to the query's terms
+    * BEFORE any shuffle (a q-term query keeps O(matches), not the
+    * corpus posting lists); df/idf is an O(q)-row broadcast; top-k is
+    * Spark's TakeOrdered (per-partition partial top-k, never a global
+    * sort). Returns (doc_id, n_hit, score_e6, rank) for the top `topK`
+    * docs, ties broken by ascending id.
+    */
+  def bm25TopK(df: DataFrame, id: Column, text: Column,
+      queryTerms: Seq[String], k1: Double, b: Double,
+      topK: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val docs = df.select(id.as("doc_id"), tokens(text).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    val st = docs.agg(count(lit(1)), sum("__dl")).head()
+    val (n, sumDl) = (st.getLong(0), st.getLong(1))
+    require(n > 0, "bm25TopK needs a non-empty corpus")
+    val avgdl = sumDl.toDouble / n.toDouble
+    val tf = docs
+      .select(col("doc_id"), col("__dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "__dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = dfreq.withColumn("idf_e6",
+      round(log(lit(1.0d) + (lit(n.toDouble) - col("df") + lit(0.5d)) /
+        (col("df") + lit(0.5d))) * 1000000d, 0).cast("long"))
+      .select("term", "idf_e6")
+    val scored = tf.join(broadcast(idf), "term")
+      .withColumn("w_e6",
+        round(col("idf_e6").cast("double") *
+          (col("tf") * lit(k1 + 1.0d)) /
+          (col("tf") + lit(k1) * (lit(1.0d - b) +
+            lit(b) * col("__dl") / lit(avgdl))), 0).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum("w_e6").as("score_e6"))
+    val ranked = scored.orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(topK)
+    val w = Window.orderBy(col("score_e6").desc, col("doc_id"))
+    // the rank window runs over the already-limited topK rows only
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** DSIR-style importance weights over hashed n-gram features
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): each document's unigrams+bigrams hash
+    * into `buckets` feature buckets; a target subset (the in-domain
+    * proxy) and the raw corpus each induce a smoothed multinomial
+    * over buckets, and a document's log importance weight is the
+    * exact integer sum of its grams' per-bucket log-likelihood ratios
+    * (micro-nats, quantized once per bucket).
+    *
+    * Feature hashing is the scale move the NB scorer doesn't make:
+    * the priced table is O(buckets) — fixed, tiny, broadcastable —
+    * independent of vocabulary size, which is what survives a 100 TB
+    * corpus whose raw vocab would itself be TB-scale.
+    *
+    * Returns (doc_id, n_grams, weight_e6) for every document (empty
+    * docs keep weight 0).
+    */
+  def dsirWeights(df: DataFrame, id: Column, text: Column,
+      target: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val docs = df.select(id.as("doc_id"), tokens(text).as("__toks"),
+      target.as("__t"))
+    // unigrams ++ bigrams ("a b"), the zip-against-tail idiom
+    val grams = docs.select(col("doc_id"), col("__t"),
+      explode(concat(col("__toks"),
+        filter(zip_with(
+          col("__toks"),
+          slice(col("__toks"), lit(2),
+            greatest(size(col("__toks")) - 1, lit(0))),
+          (a, bb) => when(bb.isNotNull, concat_ws(" ", a, bb))),
+          x => x.isNotNull))).as("gram"))
+      .withColumn("bucket", pmod(portableHash(col("gram")), lit(buckets.toLong)))
+    val cnt = grams.groupBy("bucket").agg(
+      sum(when(col("__t") === true, 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = cnt.agg(sum("ct"), sum("cr")).head()
+    val (totT, totR) = (tot.getLong(0), tot.getLong(1))
+    require(totT > 0, "dsirWeights needs a non-empty target subset")
+    val priced = cnt.withColumn("llr_e6",
+      round((log((col("ct") + lit(1.0d)) / lit((totT + buckets).toDouble)) -
+        log((col("cr") + lit(1.0d)) / lit((totR + buckets).toDouble)))
+        * 1000000d, 0).cast("long"))
+      .select("bucket", "llr_e6")
+    val perDoc = grams.join(broadcast(priced), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum("llr_e6").as("weight_e6"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("weight_e6"), lit(0L)).as("weight_e6"))
+  }
 }

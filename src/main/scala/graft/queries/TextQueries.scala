@@ -182,6 +182,67 @@ object TextQueries {
     */
   private val ContainThreshold = 0.9
 
+  /** BM25 fixed query + parameters (doc_bm25_topk): one rare term
+    * (df ≈ 5%) and two common ones so idf discrimination and tf
+    * saturation both matter. The floating constants interpolate into
+    * the twin from these SAME Scala doubles (Double.toString
+    * round-trips exactly), so both engines evaluate identical IEEE
+    * expressions.
+    */
+  private val Bm25Terms = Seq("dup", "vector", "merge")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 20
+
+  /** DSIR feature-hash bucket count and selected fraction (1/4) for
+    * doc_dsir_select.
+    */
+  private val DsirBuckets = 1024
+  private val DsirNum = 1L
+  private val DsirDen = 4L
+
+  /** The NB train+score pipeline as a reusable CTE prefix ending in
+    * `sc(doc_id, pos, score_e6)` — the classifier-eval queries
+    * (doc_nb_auc, doc_nb_calibration) grade this scorer. Kept
+    * textually in sync with doc_nb_score's inline twin.
+    */
+  private val sqlNbScoreCtes: String =
+    """d0 AS (SELECT doc_id, lang = 'en' AS pos,
+      |  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |    x -> x <> '') AS w FROM documents),
+      |t AS (SELECT doc_id, pos, unnest(w) AS tok FROM d0),
+      |v AS (SELECT tok,
+      |  sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+      |  sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+      |  FROM t GROUP BY tok),
+      |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS vv FROM v),
+      |pr AS (SELECT CAST(round(ln(
+      |    CAST(count(*) FILTER (WHERE pos) AS DOUBLE) /
+      |    CAST(count(*) FILTER (WHERE NOT pos) AS DOUBLE)) * 1000000)
+      |  AS BIGINT) AS prior_e6 FROM d0),
+      |p AS (SELECT tok, CAST(round(
+      |    (ln((cp + 1.0) / CAST(tp + vv AS DOUBLE)) -
+      |     ln((cn + 1.0) / CAST(tn + vv AS DOUBLE))) * 1000000)
+      |  AS BIGINT) AS llr_e6 FROM v, tot),
+      |s AS (SELECT t.doc_id,
+      |  CAST(sum(p.llr_e6) AS BIGINT) AS llr_e6
+      |  FROM t JOIN p USING (tok) GROUP BY t.doc_id),
+      |sc AS (SELECT d0.doc_id, d0.pos,
+      |  coalesce(s.llr_e6, 0) + pr.prior_e6 AS score_e6
+      |  FROM d0 LEFT JOIN s USING (doc_id), pr)""".stripMargin
+
+  /** The (doc_id, pos, score_e6) frame both eval queries grade —
+    * the Spark twin of [[sqlNbScoreCtes]].
+    */
+  private def nbScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = load(s, d, "documents")
+    docs.select(col("doc_id"), (col("lang") === "en").as("pos"))
+      .join(TextOps.naiveBayesLogOdds(docs, col("doc_id"), col("text"),
+        col("lang") === "en")
+        .select(col("id").as("doc_id"), col("score_e6")), "doc_id")
+  }
+
   /** doc_span_gate_e2e admission threshold: a document whose
     * duplicated-span coverage exceeds this fraction is rejected (the
     * corpus is bimodal here — near-0 or near-1 coverage — so any
@@ -2750,6 +2811,140 @@ object TextQueries {
         .select(col("id").as("doc_id"), col("n_toks"), col("cost_e6"),
           col("mean_cost_e6"))
         .orderBy("doc_id")
+    },
+
+    // BM25 top-k retrieval (TextOps.bm25TopK): the keyword-retrieval
+    // primitive behind targeted decontamination sweeps and corpus
+    // audits. idf quantized e6 per query term, saturation in pure
+    // rational IEEE arithmetic, doc scores exact integer sums; the
+    // query-term filter lands BEFORE any shuffle and top-k is
+    // TakeOrdered, never a global sort.
+    QueryDef("doc_bm25_topk", {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM d),
+         |e AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM e WHERE term IN ($termList) GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1),
+         |idf AS (SELECT term, CAST(round(ln(1.0 +
+         |    (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1000000)
+         |  AS BIGINT) AS idf_e6 FROM dfq, st),
+         |w8 AS (SELECT tf.doc_id, CAST(round(
+         |    CAST(idf_e6 AS DOUBLE) * (tf * ${Bm25K1 + 1.0d}) /
+         |    (tf + $Bm25K1 * (${1.0d - Bm25B} + $Bm25B * dl / avgdl)))
+         |  AS BIGINT) AS w_e6
+         |  FROM tf JOIN idf USING (term) JOIN d USING (doc_id), st),
+         |sr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         |  CAST(sum(w_e6) AS BIGINT) AS score_e6 FROM w8 GROUP BY 1)
+         |SELECT doc_id, n_hit, score_e6,
+         |  CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id)
+         |    AS BIGINT) AS rank
+         |FROM sr ORDER BY rank LIMIT $Bm25TopK""".stripMargin
+    }) { (s, d) =>
+      TextOps.bm25TopK(load(s, d, "documents"), col("doc_id"), col("text"),
+        Bm25Terms, k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
+        .orderBy("rank")
+    },
+
+    // DSIR importance selection (Xie et al. 2023; TextOps.dsirWeights
+    // + PipelineOps.topFractionByWeight): hashed unigram+bigram
+    // features priced by the target-vs-raw log-likelihood ratio —
+    // the priced table is O(buckets), vocabulary-independent — then
+    // the exact top-1/4 by weight flagged WITHOUT a global sort
+    // (histogram-descent threshold; the twin states the selection as
+    // the row_number definition it is provably equal to).
+    QueryDef("doc_dsir_select",
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, $sqlToks AS w
+         |  FROM documents),
+         |g AS (SELECT doc_id, tgt, unnest(list_concat(w,
+         |  list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])))
+         |  AS gram FROM t),
+         |hb AS (SELECT doc_id, tgt,
+         |  ${sqlPhash("gram")} % $DsirBuckets AS bucket FROM g),
+         |c AS (SELECT bucket,
+         |  sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         |  count(*) AS cr FROM hb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+         |  CAST(sum(cr) AS BIGINT) AS tr FROM c),
+         |p AS (SELECT bucket, CAST(round(
+         |    (ln((ct + 1.0) / CAST(tt + $DsirBuckets AS DOUBLE)) -
+         |     ln((cr + 1.0) / CAST(tr + $DsirBuckets AS DOUBLE)))
+         |    * 1000000) AS BIGINT) AS llr_e6 FROM c, tot),
+         |s AS (SELECT hb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(p.llr_e6) AS BIGINT) AS weight_e6
+         |  FROM hb JOIN p USING (bucket) GROUP BY 1),
+         |a AS (SELECT t.doc_id, coalesce(s.n_grams, 0) AS n_grams,
+         |  coalesce(s.weight_e6, 0) AS weight_e6
+         |  FROM t LEFT JOIN s USING (doc_id)),
+         |k AS (SELECT count(*) * $DsirNum // $DsirDen AS k FROM documents)
+         |SELECT doc_id, n_grams, weight_e6,
+         |  row_number() OVER (ORDER BY weight_e6 DESC, doc_id) <= k.k
+         |    AS selected
+         |FROM a, k ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.PipelineOps.topFractionByWeight(
+        TextOps.dsirWeights(load(s, d, "documents"), col("doc_id"),
+          col("text"), col("lang") === "en", DsirBuckets),
+        "doc_id", "weight_e6", DsirNum, DsirDen)
+        .orderBy("doc_id")
+    },
+
+    // ROC-AUC of the NB scorer against its own training label
+    // (Eval.binaryAuc): train-set separability, the first readout of
+    // a quality-gate model. Exact tie-aware Mann-Whitney in pure
+    // integers; the Spark side finds the rank prefix sums two-level
+    // (≤4096 coarse bins on the driver + per-bin parallel windows),
+    // never sorting the corpus — the twin states the same sum with a
+    // plain window over distinct scores.
+    QueryDef("doc_nb_auc",
+      s"""WITH $sqlNbScoreCtes,
+         |g AS (SELECT score_e6 AS sv,
+         |  sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+         |  sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS nn
+         |  FROM sc GROUP BY 1),
+         |cw AS (SELECT sv, np, nn, coalesce(sum(nn) OVER (ORDER BY sv
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  AS cumneg FROM g),
+         |tt AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg FROM g)
+         |SELECT tt.n_pos, tt.n_neg,
+         |  CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS auc_num,
+         |  CAST(sum(np * (2 * cumneg + nn)) AS DOUBLE) /
+         |    (2.0 * tt.n_pos * tt.n_neg) AS auc
+         |FROM cw, tt GROUP BY tt.n_pos, tt.n_neg""".stripMargin) { (s, d) =>
+      graft.ops.Eval.binaryAuc(nbScored(s, d), col("score_e6"), col("pos"))
+    },
+
+    // Equal-width calibration table for the same scorer
+    // (Eval.calibrationBins): 10 score bands, each with its observed
+    // positive rate. Equal-width (not ntile) is deliberate — band
+    // membership is pure arithmetic on the score, so the pass is one
+    // scan + one O(bins) aggregation with no global ranking, and each
+    // band reads directly as a score threshold.
+    QueryDef("doc_nb_calibration",
+      s"""WITH $sqlNbScoreCtes,
+         |mm AS (SELECT min(score_e6) AS lo, max(score_e6) AS hi FROM sc),
+         |bw AS (SELECT lo, greatest(1, (hi - lo) // 10 + 1) AS binw
+         |  FROM mm),
+         |bb AS (SELECT least((score_e6 - lo) // binw, 9) AS bin,
+         |  count(*) AS n, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos
+         |  FROM sc, bw GROUP BY 1),
+         |sk AS (SELECT unnest(range(0, 10)) AS bin)
+         |SELECT sk.bin, bw.lo + sk.bin * bw.binw AS score_lo,
+         |  CAST(coalesce(bb.n, 0) AS BIGINT) AS n,
+         |  CAST(coalesce(bb.n_pos, 0) AS BIGINT) AS n_pos,
+         |  CASE WHEN coalesce(bb.n, 0) > 0
+         |    THEN CAST(bb.n_pos AS DOUBLE) / CAST(bb.n AS DOUBLE)
+         |    ELSE 0.0 END AS pos_rate
+         |FROM sk LEFT JOIN bb USING (bin), bw
+         |ORDER BY sk.bin""".stripMargin) { (s, d) =>
+      graft.ops.Eval.calibrationBins(nbScored(s, d), col("score_e6"),
+        col("pos"), nBins = 10)
+        .orderBy("bin")
     })
 
   /** One trained merge table per (session, dataset) — training is

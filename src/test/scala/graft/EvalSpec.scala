@@ -1,0 +1,192 @@
+package graft
+
+import graft.ops.{Eval, PipelineOps, TextOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Eval (AUC / calibration), PipelineOps.topFractionByWeight, and the
+  * BM25 / DSIR scorers: each distributed formulation is pinned
+  * against the textbook single-partition definition it must equal.
+  */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- binaryAuc -------------------------------------------------
+
+  /** Brute-force pair-counting AUC with midrank ties. */
+  private def bruteAuc(rows: Seq[(Long, Boolean)]): Double = {
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    wins / (pos.size.toDouble * neg.size.toDouble)
+  }
+
+  private def aucOf(rows: Seq[(Long, Boolean)]): (Long, Long, Double) = {
+    val r = Eval.binaryAuc(rows.toDF("s", "y"), col("s"), col("y")).head()
+    (r.getLong(0), r.getLong(1), r.getDouble(3))
+  }
+
+  test("binaryAuc: perfect, inverted, and random separators") {
+    val perfect = Seq((10L, true), (9L, true), (1L, false), (0L, false))
+    assert(aucOf(perfect) == ((2L, 2L, 1.0)))
+    val inverted = perfect.map { case (s, y) => (s, !y) }
+    assert(aucOf(inverted)._3 == 0.0)
+  }
+
+  test("binaryAuc: tie handling matches midrank pair counting") {
+    val rows = Seq((5L, true), (5L, false), (5L, true), (3L, false),
+      (7L, false), (3L, true), (9L, true), (-2L, false))
+    assert(math.abs(aucOf(rows)._3 - bruteAuc(rows)) < 1e-12)
+  }
+
+  test("binaryAuc: randomized equals brute force across seeds") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      // narrow score domain → many ties; negative scores included
+      val rows = Seq.fill(200)((rnd.nextInt(21).toLong - 10L,
+        rnd.nextBoolean()))
+      if (rows.exists(_._2) && rows.exists(!_._2))
+        assert(math.abs(aucOf(rows)._3 - bruteAuc(rows)) < 1e-12)
+    }
+  }
+
+  test("binaryAuc: wide score range exercises the coarse binning") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(300)((rnd.nextLong() / 1000L, rnd.nextBoolean()))
+    assert(math.abs(aucOf(rows)._3 - bruteAuc(rows)) < 1e-12)
+  }
+
+  test("binaryAuc: one-class input is rejected") {
+    intercept[IllegalArgumentException] {
+      Eval.binaryAuc(Seq((1L, true), (2L, true)).toDF("s", "y"),
+        col("s"), col("y"))
+    }
+  }
+
+  // ---- calibrationBins -------------------------------------------
+
+  test("calibrationBins: bands partition rows and rates are exact") {
+    val rows = (0L until 100L).map(s => (s, s >= 60L))
+    val got = Eval.calibrationBins(rows.toDF("s", "y"), col("s"), col("y"),
+      nBins = 10).orderBy("bin").collect()
+    assert(got.length == 10)
+    assert(got.map(_.getLong(2)).sum == 100L)
+    assert(got.map(_.getLong(3)).sum == 40L)
+    // scores 0..99, binW = 10: band b covers [10b, 10b+9]
+    assert(got(5).getLong(3) == 0L && got(6).getLong(3) == 10L)
+    assert(got(6).getDouble(4) == 1.0)
+  }
+
+  test("calibrationBins: empty bands are emitted with zero counts") {
+    val rows = Seq((0L, false), (1000L, true))
+    val got = Eval.calibrationBins(rows.toDF("s", "y"), col("s"), col("y"),
+      nBins = 10).orderBy("bin").collect()
+    assert(got.length == 10)
+    assert(got.count(_.getLong(2) > 0L) == 2)
+    assert(got.map(_.getLong(2)).sum == 2L)
+  }
+
+  // ---- topFractionByWeight ---------------------------------------
+
+  /** The definition: row_number() OVER (ORDER BY w DESC, id) <= k. */
+  private def bruteSelect(rows: Seq[(Long, Long)], num: Long,
+      den: Long): Set[Long] = {
+    val k = rows.size * num / den
+    rows.sortBy { case (id, w) => (-w, id) }.take(k.toInt).map(_._1).toSet
+  }
+
+  private def gotSelect(rows: Seq[(Long, Long)], num: Long,
+      den: Long): Set[Long] =
+    PipelineOps.topFractionByWeight(rows.toDF("id", "w"), "id", "w",
+      num, den)
+      .filter(col("selected")).select("id").as[Long].collect().toSet
+
+  test("topFractionByWeight: equals the ranked definition, with ties") {
+    val rnd = new scala.util.Random(3)
+    for (trial <- 1 to 6) {
+      // heavy tie mass: weights from a 7-value domain
+      val rows = (0L until 97L).map(i => (i, rnd.nextInt(7).toLong - 3L))
+      for ((num, den) <- Seq((1L, 4L), (1L, 2L), (9L, 10L)))
+        assert(gotSelect(rows, num, den) == bruteSelect(rows, num, den),
+          s"trial=$trial frac=$num/$den")
+    }
+  }
+
+  test("topFractionByWeight: degenerate fractions and pointmass weights") {
+    val rows = (0L until 10L).map(i => (i, 5L)) // all weights equal
+    assert(gotSelect(rows, 0L, 4L) == Set.empty[Long])
+    assert(gotSelect(rows, 1L, 1L) == rows.map(_._1).toSet)
+    // k=5 of 10 equal weights: smallest five ids win the tie
+    assert(gotSelect(rows, 1L, 2L) == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("topFractionByWeight: wide weight range (histogram descent)") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 200L).map(i => (i, rnd.nextLong() / 1000L))
+    assert(gotSelect(rows, 1L, 4L) == bruteSelect(rows, 1L, 4L))
+  }
+
+  // ---- bm25TopK --------------------------------------------------
+
+  test("bm25TopK: rare term dominates; tf saturates; rank is total") {
+    val docs = Seq(
+      (1L, "alpha beta beta beta beta beta beta beta beta"),
+      (2L, "alpha gamma"),
+      (3L, "beta gamma delta"),
+      (4L, "gamma delta gamma")).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("alpha", "beta"), k1 = 1.2, b = 0.75, topK = 10)
+      .orderBy("rank").collect()
+    // docs 1,2,3 match; doc 4 has no query term
+    assert(got.map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(got.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+    // alpha (df=2) outweighs beta (df=3): doc 2's single rare hit in a
+    // short doc beats doc 3's single common hit
+    val byId = got.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(2L) > byId(3L))
+    // doc 1 has both terms plus saturated beta mass: highest score
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 2L)
+  }
+
+  test("bm25TopK: topK truncation keeps the heaviest docs") {
+    val docs = (1L to 30L).map(i =>
+      (i, ("common " * i.toInt).trim)).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("common"), k1 = 1.2, b = 0.75, topK = 5)
+    assert(got.count() == 5L)
+  }
+
+  // ---- dsirWeights -----------------------------------------------
+
+  test("dsirWeights: target-like docs outweigh off-target docs") {
+    val docs = Seq(
+      (1L, "spark join hash join", true),
+      (2L, "spark join hash scan", true),
+      (3L, "llama vicuna alpaca", false),
+      (4L, "spark join hash join", false), // target-like but unlabeled
+      (5L, "llama vicuna gamma", false)).toDF("doc_id", "text", "tgt")
+    val got = TextOps.dsirWeights(docs, col("doc_id"), col("text"),
+      col("tgt"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc 4 shares the target's grams → weight close to docs 1-2 and
+    // far above the off-target docs. (Absolute sign is not asserted:
+    // at fixture scale the add-1 smoothing mass Tt+B vs Tr+B skews
+    // both log partition terms, so only the ORDERING is meaningful.)
+    assert(got(4L) > got(3L) && got(4L) > got(5L))
+    assert(got(1L) == got(4L)) // identical text → identical weight
+    assert(got(1L) > got(3L) && got(2L) > got(5L))
+  }
+
+  test("dsirWeights: empty docs keep zero weight and zero grams") {
+    val docs = Seq((1L, "a b", true), (2L, "", false))
+      .toDF("doc_id", "text", "tgt")
+    val got = TextOps.dsirWeights(docs, col("doc_id"), col("text"),
+      col("tgt"), buckets = 16)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(2L) == ((0L, 0L)))
+    // doc 1: 2 unigrams + 1 bigram
+    assert(got(1L)._1 == 3L)
+  }
+}
