@@ -89,6 +89,124 @@ object Eval {
           lit(2.0d * nPos.toDouble * nNeg.toDouble)).as("auc"))
   }
 
+  /** Per-group exact ROC-AUC: [[binaryAuc]] partitioned by a group
+    * column — the per-slice readout (per source, per shard, per
+    * language family) that catches a score that separates globally
+    * but fails on one slice.
+    *
+    * Strictly MORE parallel than the ungrouped form: nothing ever
+    * touches the driver. The coarse-bin negative offsets become a
+    * `Window.partitionBy(grp)` over per-(grp,bin) rows (≤4096 rows
+    * per group partition), and the within-bin prefix runs partitioned
+    * by (grp, bin). Groups with one class absent report NULL auc
+    * (their auc_num is still the exact Mann-Whitney numerator, 0 when
+    * a class is empty).
+    *
+    * Returns one row per group: (grp, n_pos, n_neg, auc_num, auc).
+    */
+  def binaryAucBy(df: DataFrame, group: Column, score: Column,
+      label: Column): DataFrame = {
+    val s = df.select(group.as("grp"), score.cast("long").as("__s"),
+      label.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val st = s.agg(min("__s"), max("__s")).head()
+    require(!st.isNullAt(0), "binaryAucBy needs at least one scored row")
+    val (lo, hi) = (st.getLong(0), st.getLong(1))
+    // global equal-width bins: any partition of score space preserves
+    // per-group prefix sums, so one global (lo, binW) serves all groups
+    val binW = math.max(1L, Math.floorDiv(hi - lo, CoarseBins) + 1L)
+    val perScore = s.groupBy("grp", "__s").agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("__np"),
+      sum(when(!col("__y"), 1L).otherwise(0L)).as("__nn"))
+      .withColumn("__bin", expr(s"(__s - ${lo}L) div ${binW}L"))
+    val wBins = Window.partitionBy("grp").orderBy("__bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binOff = perScore.groupBy("grp", "__bin")
+      .agg(sum("__nn").as("__bn"))
+      .withColumn("__below", coalesce(sum("__bn").over(wBins), lit(0L)))
+      .drop("__bn")
+    val wIn = Window.partitionBy("grp", "__bin").orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore.join(binOff, Seq("grp", "__bin"))
+      .withColumn("__cumneg",
+        col("__below") + coalesce(sum("__nn").over(wIn), lit(0L)))
+      .groupBy("grp")
+      .agg(sum("__np").as("n_pos"), sum("__nn").as("n_neg"),
+        sum(col("__np") * (lit(2L) * col("__cumneg") + col("__nn")))
+          .as("auc_num"))
+      .select(col("grp"), col("n_pos"), col("n_neg"),
+        col("auc_num").cast("long").as("auc_num"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          col("auc_num").cast("double") /
+            (lit(2.0d) * col("n_pos").cast("double") *
+              col("n_neg").cast("double"))).as("auc"))
+  }
+
+  /** Operating-point sweep: precision / recall / F1 of the rule
+    * `score >= threshold` at `nBins` equal-width thresholds — the
+    * table a pipeline owner reads to PICK the gate threshold (AUC
+    * says the score works; this says where to cut it and what each
+    * cut costs in kept-bad vs dropped-good).
+    *
+    * One corpus scan builds the per-band (n, n_pos) aggregate (same
+    * arithmetic binning as [[calibrationBins]] — no ranking); the
+    * confusion counts at every threshold are then suffix sums over
+    * the O(nBins) band table (a bounded window), and each metric is
+    * ONE IEEE division of exact integer counts. Emits all `nBins`
+    * thresholds, lowest (loosest gate) first:
+    * (bin, threshold, n_pred_pos, tp, fp, fn, tn, precision, recall,
+    * f1).
+    */
+  def thresholdSweep(df: DataFrame, score: Column, label: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val spark = df.sparkSession
+    val s = df.select(score.cast("long").as("__s"),
+      label.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val st = s.agg(min("__s"), max("__s"), count(lit(1)),
+      sum(when(col("__y"), 1L).otherwise(0L))).head()
+    require(!st.isNullAt(0), "thresholdSweep needs at least one row")
+    val (lo, hi) = (st.getLong(0), st.getLong(1))
+    val (nTot, nPos) = (st.getLong(2), st.getLong(3))
+    // positives must exist: recall's denominator is nPos, and a sweep
+    // over a corpus with nothing to recall has no operating point
+    require(nPos > 0, "thresholdSweep needs at least one positive row")
+    val binW = math.max(1L, Math.floorDiv(hi - lo, nBins.toLong) + 1L)
+    import spark.implicits._
+    val skeleton = (0 until nBins).map(_.toLong).toDF("bin")
+    val bands = s
+      .withColumn("bin",
+        least(expr(s"(__s - ${lo}L) div ${binW}L"),
+          lit(nBins.toLong - 1L)).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as("__n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__npos"))
+    // suffix sums over the nBins band rows only — a bounded window,
+    // never the corpus
+    val wSuf = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    skeleton.join(bands, Seq("bin"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+      .withColumn("__npos", coalesce(col("__npos"), lit(0L)))
+      .withColumn("n_pred_pos", sum("__n").over(wSuf))
+      .withColumn("tp", sum("__npos").over(wSuf))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * lit(binW)).as("threshold"),
+        col("n_pred_pos"), col("tp"),
+        (col("n_pred_pos") - col("tp")).as("fp"),
+        (lit(nPos) - col("tp")).as("fn"),
+        (lit(nTot - nPos) - (col("n_pred_pos") - col("tp"))).as("tn"),
+        when(col("n_pred_pos") > 0L, col("tp").cast("double") /
+          col("n_pred_pos").cast("double")).otherwise(lit(0.0d))
+          .as("precision"),
+        (col("tp").cast("double") / lit(nPos.toDouble)).as("recall"),
+        (lit(2.0d) * col("tp").cast("double") /
+          (lit(2.0d) * col("tp").cast("double") +
+            (col("n_pred_pos") - col("tp")).cast("double") +
+            (lit(nPos) - col("tp")).cast("double"))).as("f1"))
+      .orderBy("bin")
+  }
+
   /** Equal-width calibration table: `nBins` score bands over
     * [min, max], each reporting its row count, positive count, and
     * observed positive rate. Equal-width (not ntile) is deliberate:

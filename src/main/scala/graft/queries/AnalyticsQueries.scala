@@ -79,6 +79,39 @@ object AnalyticsQueries {
     ("ship_us", "CAST(epoch_us(l_shipdate) AS VARCHAR)",
       "epoch_us(l_shipdate)"))
 
+  /** Bradley-Terry MM iteration count (q_bt_strengths). Correctness
+    * is iteration-count-independent — the twin replays the exact
+    * integer trajectory — so this is a budget, not a convergence
+    * guarantee; the MM map contracts geometrically (spec-pinned) and
+    * ten rounds put the 5-type fixture well inside reading precision.
+    */
+  private val BtIters = 10
+
+  /** Unrolled MM trajectory CTEs t1..t[[BtIters]] over the pair CTEs
+    * (`e` directed games, `w` per-item wins, `kk` item count,
+    * `t0` = 1e6 flat start) — the DuckDB twin of
+    * [[graft.ops.Preference.bradleyTerry]]'s BigInt loop. HUGEINT
+    * `//` and BigInt `/` agree (both floor) because every operand is
+    * positive; sums of floor-divided integers are exact, so the whole
+    * trajectory replays bit-identically. Every CTE is MATERIALIZED:
+    * each round references the previous one twice, so inlining would
+    * re-evaluate the chain 2^iters times.
+    */
+  private def btTrajectoryCtes: String =
+    (1 to BtIters).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT e.i,
+         |  sum(e.n * 1000000000000 // (ta.th + tb.th)) AS den
+         |  FROM e JOIN t${k - 1} ta ON ta.i = e.i
+         |  JOIN t${k - 1} tb ON tb.i = e.j GROUP BY e.i),
+         |r$k AS MATERIALIZED (SELECT w.i, CASE WHEN w.w = 0 THEN CAST(1 AS HUGEINT)
+         |    ELSE CAST(w.w AS HUGEINT) * 1000000000000 // d$k.den END
+         |  AS raw FROM w JOIN d$k USING (i)),
+         |s$k AS MATERIALIZED (SELECT sum(raw) AS s FROM r$k),
+         |t$k AS MATERIALIZED (SELECT i, greatest(CAST(1 AS HUGEINT),
+         |    raw * (kk.k * 1000000) // s$k.s) AS th
+         |  FROM r$k, s$k, kk)""".stripMargin
+    }.mkString(",\n")
+
   /** q_zorder_scan box: users below this id × one January-2024 week
     * (the base corpus spans 2024-01-01..31 at every sf; GenScale
     * copies occupy later, disjoint ranges, so the box stays valid and
@@ -1095,5 +1128,55 @@ object AnalyticsQueries {
         ProfileSpec("l_returnflag", col("l_returnflag"), col("l_returnflag")),
         ProfileSpec("ship_us", su.cast("string"), su)),
         k = ProfileK)
+    },
+
+    // Bradley-Terry preference strengths (Preference): consecutive
+    // same-user events with different types and values form pairwise
+    // games (higher value wins); Hunter's MM iteration then fits a
+    // strength per event type. The corpus-sized work is ONE lag
+    // window + one groupBy onto the O(items²) pair table; the MM
+    // fixed point runs on that bounded table in exact BigInt integer
+    // arithmetic (e6 θ, e12 transfers, floor division, per-round
+    // renormalization), which the twin replays verbatim with unrolled
+    // HUGEINT CTEs.
+    QueryDef("q_bt_strengths",
+      s"""WITH o AS (SELECT user_id, event_id, event_type, value,
+         |  lag(event_type) OVER uw AS pt, lag(value) OVER uw AS pv
+         |  FROM (SELECT user_id, event_id, event_type, value,
+         |    ${OracleDefs.EventStepUs} AS t FROM events)
+         |  WINDOW uw AS (PARTITION BY user_id ORDER BY t, event_id)),
+         |v AS (SELECT * FROM o WHERE pt IS NOT NULL
+         |  AND pt <> event_type AND value <> pv),
+         |c AS (SELECT
+         |  CASE WHEN event_type < pt THEN event_type ELSE pt END AS item_a,
+         |  CASE WHEN event_type < pt THEN pt ELSE event_type END AS item_b,
+         |  CASE WHEN value > pv THEN event_type ELSE pt END AS win
+         |  FROM v),
+         |pc AS MATERIALIZED (SELECT item_a, item_b,
+         |  sum(CASE WHEN win = item_a THEN 1 ELSE 0 END) AS wins_a,
+         |  sum(CASE WHEN win = item_b THEN 1 ELSE 0 END) AS wins_b
+         |  FROM c GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT item_a AS i, item_b AS j,
+         |    CAST(wins_a + wins_b AS HUGEINT) AS n FROM pc
+         |  UNION ALL SELECT item_b, item_a, CAST(wins_a + wins_b AS HUGEINT)
+         |  FROM pc),
+         |w AS MATERIALIZED (SELECT i, CAST(sum(ww) AS BIGINT) AS w FROM (
+         |    SELECT item_a AS i, wins_a AS ww FROM pc
+         |    UNION ALL SELECT item_b, wins_b FROM pc) GROUP BY i),
+         |g AS (SELECT i, CAST(sum(n) AS BIGINT) AS games FROM e GROUP BY i),
+         |kk AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS k FROM w),
+         |t0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS th FROM w),
+         |$btTrajectoryCtes
+         |SELECT w.i AS item, w.w AS wins, g.games,
+         |  CAST(t$BtIters.th AS BIGINT) AS theta_e6,
+         |  CAST(row_number() OVER (ORDER BY t$BtIters.th DESC, w.i)
+         |    AS BIGINT) AS rk
+         |FROM w JOIN g USING (i) JOIN t$BtIters USING (i)
+         |ORDER BY rk""".stripMargin) { (s, d) =>
+      val ev = load(s, d, "events")
+      graft.ops.Preference.bradleyTerry(s,
+        graft.ops.Preference.pairwiseFromEvents(ev, Tables.stepUs(ev)),
+        BtIters)
+        .orderBy("rk")
     })
 }

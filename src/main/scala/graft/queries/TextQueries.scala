@@ -201,6 +201,53 @@ object TextQueries {
   private val DsirNum = 1L
   private val DsirDen = 4L
 
+  /** Threshold-sweep band count (doc_nb_threshold_sweep). */
+  private val SweepBins = 10
+
+  /** Drift feature-hash bucket count and the per-bucket PSI
+    * contribution (nano-units) above which a bucket counts as "hot"
+    * in doc_drift_summary. The slice pair is crawl-generation-shaped:
+    * sources src0–src9 as the reference corpus vs src10–src19 as the
+    * incoming candidate.
+    */
+  private val DriftBuckets = 256
+  private val DriftHotPsiE9 = 100000L
+
+  /** The drift pipeline as a reusable CTE prefix ending in
+    * `drift(bucket, c_ref, c_cand, psi_e9, kl_e9)` — shared by the
+    * per-bucket table and the one-row summary so the two cannot
+    * drift. Kept IEEE-identical to [[graft.ops.Drift]]: smoothed p's
+    * by one division each, ratio, ln, multiply, round.
+    */
+  private val sqlDriftCtes: String =
+    s"""dt AS (SELECT CAST(substr(source, 4) AS BIGINT) < 10 AS r,
+       |  $sqlToks AS w FROM documents),
+       |dtk AS (SELECT r, unnest(w) AS tok FROM dt),
+       |dhb AS (SELECT r, ${sqlPhash("tok")} % $DriftBuckets AS bucket
+       |  FROM dtk),
+       |dc AS (SELECT bucket,
+       |  sum(CASE WHEN r THEN 1 ELSE 0 END) AS c_ref,
+       |  sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS c_cand
+       |  FROM dhb GROUP BY 1),
+       |dtot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS tr,
+       |  CAST(sum(c_cand) AS BIGINT) AS tc FROM dc),
+       |dsk AS (SELECT unnest(range(0, $DriftBuckets)) AS bucket),
+       |df0 AS (SELECT dsk.bucket, coalesce(dc.c_ref, 0) AS c_ref,
+       |  coalesce(dc.c_cand, 0) AS c_cand
+       |  FROM dsk LEFT JOIN dc USING (bucket)),
+       |drift AS (SELECT bucket, CAST(c_ref AS BIGINT) AS c_ref,
+       |  CAST(c_cand AS BIGINT) AS c_cand,
+       |  CAST(round(((c_cand + 1.0) / CAST(tc + $DriftBuckets AS DOUBLE) -
+       |      (c_ref + 1.0) / CAST(tr + $DriftBuckets AS DOUBLE)) *
+       |    ln(((c_cand + 1.0) / CAST(tc + $DriftBuckets AS DOUBLE)) /
+       |       ((c_ref + 1.0) / CAST(tr + $DriftBuckets AS DOUBLE))) *
+       |    1000000000) AS BIGINT) AS psi_e9,
+       |  CAST(round((c_cand + 1.0) / CAST(tc + $DriftBuckets AS DOUBLE) *
+       |    ln(((c_cand + 1.0) / CAST(tc + $DriftBuckets AS DOUBLE)) /
+       |       ((c_ref + 1.0) / CAST(tr + $DriftBuckets AS DOUBLE))) *
+       |    1000000000) AS BIGINT) AS kl_e9
+       |  FROM df0, dtot)""".stripMargin
+
   /** The NB train+score pipeline as a reusable CTE prefix ending in
     * `sc(doc_id, pos, score_e6)` — the classifier-eval queries
     * (doc_nb_auc, doc_nb_calibration) grade this scorer. Kept
@@ -2945,6 +2992,116 @@ object TextQueries {
       graft.ops.Eval.calibrationBins(nbScored(s, d), col("score_e6"),
         col("pos"), nBins = 10)
         .orderBy("bin")
+    },
+
+    // per-slice AUC (Eval.binaryAucBy): the same Mann-Whitney
+    // machinery partitioned by source — the readout that catches a
+    // score separating globally but failing on one slice. Strictly
+    // more parallel than the global form: the coarse-bin offsets
+    // become per-group windows, so NOTHING touches the driver;
+    // single-class groups report NULL auc.
+    QueryDef("doc_nb_auc_by_source",
+      s"""WITH $sqlNbScoreCtes,
+         |ag AS (SELECT d.source AS grp, sc.score_e6 AS sv,
+         |  sum(CASE WHEN sc.pos THEN 1 ELSE 0 END) AS np,
+         |  sum(CASE WHEN NOT sc.pos THEN 1 ELSE 0 END) AS nn
+         |  FROM sc JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |cw AS (SELECT grp, np, nn, coalesce(sum(nn) OVER (
+         |  PARTITION BY grp ORDER BY sv
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  AS cumneg FROM ag)
+         |SELECT grp AS source, CAST(sum(np) AS BIGINT) AS n_pos,
+         |  CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  CAST(sum(np * (2 * cumneg + nn)) AS BIGINT) AS auc_num,
+         |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+         |    CAST(sum(np * (2 * cumneg + nn)) AS DOUBLE) /
+         |      (2.0 * sum(np) * sum(nn)) ELSE NULL END AS auc
+         |FROM cw GROUP BY grp ORDER BY source""".stripMargin) { (s, d) =>
+      graft.ops.Eval.binaryAucBy(
+        nbScored(s, d).join(
+          load(s, d, "documents").select(col("doc_id"), col("source")),
+          "doc_id"),
+        col("source"), col("score_e6"), col("pos"))
+        .select(col("grp").as("source"), col("n_pos"), col("n_neg"),
+          col("auc_num"), col("auc"))
+        .orderBy("source")
+    },
+
+    // operating-point sweep (Eval.thresholdSweep): precision / recall
+    // / F1 of `score >= t` at 10 equal-width thresholds — the table
+    // that PICKS the gate threshold. One scan builds the band
+    // aggregate; confusion counts are suffix sums over the O(bins)
+    // band table; each metric is one IEEE division of exact integer
+    // counts.
+    QueryDef("doc_nb_threshold_sweep",
+      s"""WITH $sqlNbScoreCtes,
+         |mm AS (SELECT min(score_e6) AS lo, max(score_e6) AS hi,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+         |  FROM sc),
+         |bw AS (SELECT lo, n, p,
+         |  greatest(1, (hi - lo) // $SweepBins + 1) AS binw FROM mm),
+         |bb AS (SELECT least((score_e6 - lo) // binw,
+         |    ${SweepBins - 1}) AS bin,
+         |  CAST(count(*) AS BIGINT) AS bn,
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS bp
+         |  FROM sc, bw GROUP BY 1),
+         |sk AS (SELECT unnest(range(0, $SweepBins)) AS bin),
+         |f AS (SELECT sk.bin, coalesce(bb.bn, 0) AS bn,
+         |  coalesce(bb.bp, 0) AS bp FROM sk LEFT JOIN bb USING (bin)),
+         |suf AS (SELECT bin, sum(bn) OVER (ORDER BY bin DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS npp,
+         |  sum(bp) OVER (ORDER BY bin DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+         |  FROM f)
+         |SELECT suf.bin, bw.lo + suf.bin * bw.binw AS threshold,
+         |  CAST(npp AS BIGINT) AS n_pred_pos, CAST(tp AS BIGINT) AS tp,
+         |  CAST(npp - tp AS BIGINT) AS fp,
+         |  CAST(bw.p - tp AS BIGINT) AS fn,
+         |  CAST((bw.n - bw.p) - (npp - tp) AS BIGINT) AS tn,
+         |  CASE WHEN npp > 0 THEN CAST(tp AS DOUBLE) / CAST(npp AS DOUBLE)
+         |    ELSE 0.0 END AS "precision",
+         |  CAST(tp AS DOUBLE) / CAST(bw.p AS DOUBLE) AS recall,
+         |  2.0 * CAST(tp AS DOUBLE) / (2.0 * CAST(tp AS DOUBLE) +
+         |    CAST(npp - tp AS DOUBLE) + CAST(bw.p - tp AS DOUBLE)) AS f1
+         |FROM suf, bw ORDER BY bin""".stripMargin) { (s, d) =>
+      graft.ops.Eval.thresholdSweep(nbScored(s, d), col("score_e6"),
+        col("pos"), SweepBins)
+        .orderBy("bin")
+    },
+
+    // token-distribution drift between crawl generations
+    // (Drift.tokenBucketDrift): per-bucket PSI + KL of the src10–19
+    // candidate slice against the src0–9 reference over 256 hashed
+    // buckets — O(buckets) priced table off one token scan, the
+    // "does the new crawl look like the corpus" monitor.
+    QueryDef("doc_drift_psi",
+      s"""WITH $sqlDriftCtes
+         |SELECT bucket, c_ref, c_cand, psi_e9, kl_e9 FROM drift
+         |ORDER BY bucket""".stripMargin) { (s, d) =>
+      graft.ops.Drift.tokenBucketDrift(load(s, d, "documents"),
+        col("text"), expr("cast(substring(source, 4) as bigint) < 10"),
+        DriftBuckets)
+        .orderBy("bucket")
+    },
+
+    // the one-row drift verdict (Drift.driftSummary): exact integer
+    // totals of the quantized per-bucket contributions plus the
+    // hot-bucket count that routes an operator to the table above.
+    QueryDef("doc_drift_summary",
+      s"""WITH $sqlDriftCtes
+         |SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+         |  CAST(sum(c_cand) AS BIGINT) AS n_cand,
+         |  CAST(sum(psi_e9) AS BIGINT) AS psi_e9,
+         |  CAST(sum(kl_e9) AS BIGINT) AS kl_e9,
+         |  CAST(sum(CASE WHEN psi_e9 > $DriftHotPsiE9 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hot_buckets
+         |FROM drift""".stripMargin) { (s, d) =>
+      graft.ops.Drift.driftSummary(
+        graft.ops.Drift.tokenBucketDrift(load(s, d, "documents"),
+          col("text"), expr("cast(substring(source, 4) as bigint) < 10"),
+          DriftBuckets),
+        DriftHotPsiE9)
     })
 
   /** One trained merge table per (session, dataset) — training is

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.Drift
+import org.apache.spark.sql.functions._
+
+/** Drift: the PSI/KL bucket table's identities — zero on identical
+  * slices, positive and hot on disjoint ones, totals exact.
+  */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical slices drift by exactly zero") {
+    // every text once in each slice → equal counts, equal totals,
+    // p_ref == p_cand bucket-for-bucket → every contribution is 0
+    val texts = Seq("alpha beta gamma", "delta alpha", "beta beta zeta")
+    val df = texts.flatMap(t => Seq((t, true), (t, false)))
+      .toDF("text", "r")
+    val got = Drift.tokenBucketDrift(df, col("text"), col("r"), 32)
+      .collect()
+    assert(got.length == 32)
+    assert(got.forall(r => r.getLong(3) == 0L && r.getLong(4) == 0L))
+    assert(got.map(_.getLong(1)).sum == 8L) // 8 ref tokens
+  }
+
+  test("disjoint vocabularies drift hard and per-bucket PSI is >= 0") {
+    val df = (
+      Seq.fill(20)(("aardvark albatross auk", true)) ++
+      Seq.fill(20)(("zebra zorilla zebu", false))).toDF("text", "r")
+    val per = Drift.tokenBucketDrift(df, col("text"), col("r"), 64)
+    val rows = per.collect()
+    assert(rows.forall(_.getLong(3) >= 0L)) // PSI contributions >= 0
+    val sum = Drift.driftSummary(per, hotPsiE9 = 1000000L).head()
+    // total PSI far above the 0.25 'shifted' reading
+    assert(sum.getLong(2) > 250000000L)
+    assert(sum.getLong(4) >= 2L) // hot buckets on both sides
+    assert(sum.getLong(0) == 60L && sum.getLong(1) == 60L)
+  }
+
+  test("summary totals are the exact integer sums of the table") {
+    val df = Seq(("a b c d", true), ("a b x y z", false), ("c c d", true))
+      .toDF("text", "r")
+    val per = Drift.tokenBucketDrift(df, col("text"), col("r"), 16)
+    val rows = per.collect()
+    val sum = Drift.driftSummary(per, hotPsiE9 = 0L).head()
+    assert(sum.getLong(2) == rows.map(_.getLong(3)).sum)
+    assert(sum.getLong(3) == rows.map(_.getLong(4)).sum)
+    assert(sum.getLong(4) == rows.count(_.getLong(3) > 0L).toLong)
+  }
+
+  test("an empty slice is rejected") {
+    intercept[IllegalArgumentException] {
+      Drift.tokenBucketDrift(Seq(("a", true)).toDF("text", "r"),
+        col("text"), col("r"), 8)
+    }
+  }
+}

@@ -189,4 +189,59 @@ class EvalSpec extends SparkSpec {
     // doc 1: 2 unigrams + 1 bigram
     assert(got(1L)._1 == 3L)
   }
+
+  // ---- binaryAucBy -----------------------------------------------
+
+  test("binaryAucBy: each group equals the ungrouped AUC of its slice") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.tabulate(300)(i =>
+      (s"g${i % 3}", rnd.nextInt(15).toLong - 7L, rnd.nextBoolean()))
+    val got = Eval.binaryAucBy(rows.toDF("g", "s", "y"), col("g"),
+      col("s"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val slice = rows.filter(_._1 == g).map(t => (t._2, t._3))
+      assert(math.abs(got(g) - bruteAuc(slice)) < 1e-12, g)
+    }
+  }
+
+  test("binaryAucBy: a single-class group reports NULL auc") {
+    val rows = Seq(("a", 3L, true), ("a", 1L, false),
+      ("b", 5L, true), ("b", 9L, true))
+    val got = Eval.binaryAucBy(rows.toDF("g", "s", "y"), col("g"),
+      col("s"), col("y")).collect()
+      .map(r => r.getString(0) -> r.isNullAt(4)).toMap
+    assert(!got("a") && got("b"))
+  }
+
+  // ---- thresholdSweep --------------------------------------------
+
+  test("thresholdSweep: confusion counts equal direct counting") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.fill(250)((rnd.nextInt(1000).toLong - 500L,
+      rnd.nextInt(3) == 0))
+    val got = Eval.thresholdSweep(rows.toDF("s", "y"), col("s"),
+      col("y"), nBins = 8).orderBy("bin").collect()
+    assert(got.length == 8)
+    for (r <- got) {
+      val t = r.getLong(1)
+      val tp = rows.count { case (s, y) => s >= t && y }.toLong
+      val pp = rows.count { case (s, _) => s >= t }.toLong
+      assert(r.getLong(3) == tp && r.getLong(2) == pp, s"t=$t")
+      assert(r.getLong(4) == pp - tp)
+      assert(r.getLong(5) == rows.count(_._2) - tp)
+      assert(r.getLong(3) + r.getLong(4) + r.getLong(5) + r.getLong(6)
+        == rows.size.toLong)
+    }
+    // loosest gate keeps everything: recall 1, predicted = corpus
+    assert(got(0).getLong(2) == rows.size.toLong)
+    assert(got(0).getDouble(8) == 1.0)
+  }
+
+  test("thresholdSweep: needs a positive row") {
+    intercept[IllegalArgumentException] {
+      Eval.thresholdSweep(Seq((1L, false), (2L, false)).toDF("s", "y"),
+        col("s"), col("y"), nBins = 4)
+    }
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.ops.Preference
+import org.apache.spark.sql.functions._
+
+/** Preference: pair derivation from event streams and the
+  * Bradley-Terry MM fixed point's closed-form identities.
+  */
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsDF(rows: (String, String, Long, Long)*) =
+    rows.toDF("item_a", "item_b", "wins_a", "wins_b")
+
+  private def thetas(rows: (String, String, Long, Long)*) =
+    Preference.bradleyTerry(spark, pairsDF(rows: _*), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+
+  test("two items: theta ratio matches the closed-form wa/wb") {
+    // BT MLE for two items: θa/θb = wa/wb; normalized to Σθ = 2e6
+    val th = thetas(("a", "b", 30L, 10L))
+    assert(math.abs(th("a") - 1500000L) <= 2L)
+    assert(math.abs(th("b") - 500000L) <= 2L)
+  }
+
+  test("symmetric records give equal strengths") {
+    val th = thetas(("a", "b", 7L, 7L), ("a", "c", 5L, 5L),
+      ("b", "c", 9L, 9L))
+    assert(th("a") == th("b") && th("b") == th("c"))
+  }
+
+  test("a dominant item ranks first; a winless item floors at 1") {
+    val got = Preference.bradleyTerry(spark,
+      pairsDF(("a", "b", 20L, 0L), ("a", "c", 20L, 5L),
+        ("b", "c", 0L, 10L)), iters = 10)
+      .orderBy("rk").collect()
+    assert(got(0).getString(0) == "a")
+    val b = got.find(_.getString(0) == "b").get
+    assert(b.getLong(1) == 0L && b.getLong(3) == 1L) // winless → floor
+    // games column: total comparisons touching the item
+    assert(got(0).getLong(2) == 45L)
+  }
+
+  test("the MM iteration contracts to its fixed point") {
+    val pairs = Seq(("a", "b", 13L, 4L), ("a", "c", 2L, 9L),
+      ("b", "c", 6L, 6L), ("a", "d", 1L, 1L))
+    def at(iters: Int) =
+      Preference.bradleyTerry(spark, pairsDF(pairs: _*), iters)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    def delta(x: Map[String, Long], y: Map[String, Long]) =
+      x.map { case (i, t) => math.abs(t - y(i)) }.max
+    val (t1, t2, t9, t10, t29, t30) =
+      (at(1), at(2), at(9), at(10), at(29), at(30))
+    // geometric contraction: successive deltas shrink by >5× over the
+    // first ten rounds, and by round 30 the e6 fixed point is exact
+    assert(delta(t10, t9) * 5L < delta(t2, t1))
+    assert(delta(t30, t29) <= 1L)
+  }
+
+  test("pairwiseFromEvents: consecutive same-user events with " +
+      "distinct types and values form one canonical game") {
+    val ev = Seq(
+      // user 1: A(1.0) -> B(2.0) -> B(3.0) -> C(1.5) -> C(1.5)... last
+      // C vs C dropped (same type); B vs B dropped too
+      (1L, 1L, 1L, "A", 1.0), (1L, 2L, 2L, "B", 2.0),
+      (1L, 3L, 3L, "B", 3.0), (1L, 4L, 4L, "C", 1.5),
+      // user 2: C(5.0) -> A(5.0) dropped (equal values), A -> B(7.0)
+      (2L, 5L, 1L, "C", 5.0), (2L, 6L, 2L, "A", 5.0),
+      (2L, 7L, 3L, "B", 7.0))
+      .toDF("user_id", "event_id", "t_us", "event_type", "value")
+    val got = Preference.pairwiseFromEvents(ev, col("t_us"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // user 1: A<B game won by B; B<C game won by B (3.0 > 1.5)
+    // user 2: A<B game won by B (7.0 > 5.0)
+    assert(got(("A", "B")) == ((0L, 2L)))
+    assert(got(("B", "C")) == ((1L, 0L)))
+    assert(got.size == 2)
+  }
+}
