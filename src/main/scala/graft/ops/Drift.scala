@@ -45,7 +45,6 @@ object Drift {
   def tokenBucketDrift(df: DataFrame, text: Column, isRef: Column,
       buckets: Int): DataFrame = {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
-    val spark = df.sparkSession
     val toks = df.select(isRef.as("__r"), explode(tokens(text)).as("tok"))
       .withColumn("bucket", pmod(portableHash(col("tok")), lit(buckets.toLong)))
     val cnt = toks.groupBy("bucket").agg(
@@ -56,11 +55,34 @@ object Drift {
       "tokenBucketDrift needs a non-empty reference slice")
     require(tot.getLong(1) > 0,
       "tokenBucketDrift needs a non-empty candidate slice")
-    val (totR, totC) = (tot.getLong(0), tot.getLong(1))
+    priceBuckets(cnt, tot.getLong(0), tot.getLong(1), buckets)
+  }
+
+  /** One slice's bucket counts: (bucket, cnt) over the hashed token
+    * stream — the monitor's per-batch / reference building block.
+    * Sparse (buckets with no tokens are absent).
+    */
+  def bucketCounts(df: DataFrame, text: Column, buckets: Int): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    df.select(explode(tokens(text)).as("tok"))
+      .withColumn("bucket",
+        pmod(portableHash(col("tok")), lit(buckets.toLong)))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** THE pricing step, shared by the batch operator and the streaming
+    * [[graft.streaming.DriftMonitor]] so the two cannot drift: takes
+    * sparse per-bucket counts (bucket, c_ref, c_cand), densifies over
+    * the full bucket skeleton, and appends the quantized PSI/KL
+    * contributions. Identical IEEE sequence on both engines: smoothed
+    * p's by one division each, ratio, ln, multiply, round — from
+    * exact counts.
+    */
+  private[graft] def priceBuckets(cnt: DataFrame, totR: Long, totC: Long,
+      buckets: Int): DataFrame = {
+    val spark = cnt.sparkSession
     import spark.implicits._
     val skeleton = (0 until buckets).map(_.toLong).toDF("bucket")
-    // identical IEEE sequence on both engines: smoothed p's by one
-    // division each, ratio, ln, multiply, round — from exact counts
     val pR = (col("c_ref") + lit(1.0d)) / lit((totR + buckets).toDouble)
     val pC = (col("c_cand") + lit(1.0d)) / lit((totC + buckets).toDouble)
     skeleton.join(cnt, Seq("bucket"), "left")

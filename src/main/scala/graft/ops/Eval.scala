@@ -207,6 +207,44 @@ object Eval {
       .orderBy("bin")
   }
 
+  /** Cohen's kappa between two boolean labelers — the agreement
+    * readout a labeling pipeline runs between a model and a heuristic
+    * (or two annotators) to decide whether the cheap labeler can
+    * stand in for the expensive one: observed agreement corrected by
+    * the agreement two independent labelers with these marginals
+    * would reach by chance,
+    *
+    *   κ = (p_o − p_e) / (1 − p_e).
+    *
+    * One scan, one 4-cell confusion aggregate — no shuffle wider than
+    * O(1). Exactness: all counts and count products stay in exact
+    * integers (n² fits Long to ~3·10⁹ rows, the [[binaryAuc]] bound);
+    * p_o and p_e are each ONE IEEE division, κ one subtraction-ratio —
+    * identical op sequence on both engines. Returns one row:
+    * (n, n00, n01, n10, n11, po, pe, kappa); κ is NULL when p_e = 1
+    * (both labelers constant — chance explains everything).
+    */
+  def cohenKappa(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val s = df.select(labelA.cast("boolean").as("__a"),
+      labelB.cast("boolean").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    s.agg(
+      count(lit(1)).as("n"),
+      sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("n00"),
+      sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("n01"),
+      sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("n10"),
+      sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n11"))
+      .withColumn("po",
+        (col("n00") + col("n11")).cast("double") / col("n").cast("double"))
+      .withColumn("pe",
+        ((col("n10") + col("n11")) * (col("n01") + col("n11")) +
+          (col("n00") + col("n01")) * (col("n00") + col("n10")))
+          .cast("double") / (col("n") * col("n")).cast("double"))
+      .withColumn("kappa",
+        when(col("pe") < 1.0d,
+          (col("po") - col("pe")) / (lit(1.0d) - col("pe"))))
+  }
+
   /** Equal-width calibration table: `nBins` score bands over
     * [min, max], each reporting its row count, positive count, and
     * observed positive rate. Equal-width (not ntile) is deliberate:

@@ -248,6 +248,60 @@ object TextQueries {
        |    1000000000) AS BIGINT) AS kl_e9
        |  FROM df0, dtot)""".stripMargin
 
+  /** One drift-monitor state dir per (session, dataset): the e2e
+    * query is side-effecting (setReference + two applyBatch runs), so
+    * bench reps reuse the first run's state via [[TempState]].
+    */
+  private def driftGateStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    TempState.dir("driftgate|" + s.sparkContext.applicationId + "|" + d) {
+      root =>
+        val mon = new graft.streaming.DriftMonitor(s, root,
+          DriftBuckets, DriftHotPsiE9)
+        val docs = load(s, d, "documents")
+        val isRef = expr("cast(substring(source, 4) as bigint) < 10")
+        mon.setReference(docs.filter(isRef), col("text"))
+        val cand = docs.filter(!isRef)
+        mon.applyBatch(cand.filter(col("doc_id") % 2 === 0), col("text"), 0L)
+        mon.applyBatch(cand.filter(col("doc_id") % 2 === 1), col("text"), 1L)
+    }
+
+  /** Per-batch drift CTEs for the monitor twin: batch `b` of the
+    * candidate slice (doc_id % 2 = b) priced against the shared
+    * reference counts `rc`/`rtot` — the same smoothing/quantization
+    * arithmetic as [[sqlDriftCtes]], totals per BATCH.
+    */
+  private def sqlDriftBatchCtes(b: Int): String =
+    s"""cb$b AS (SELECT bucket, count(*) AS c_cand FROM mhb
+       |  WHERE par = $b GROUP BY 1),
+       |ct$b AS (SELECT CAST(count(*) AS BIGINT) AS tc FROM mhb
+       |  WHERE par = $b),
+       |f$b AS (SELECT dsk.bucket, coalesce(rc.c_ref, 0) AS c_ref,
+       |  coalesce(cb$b.c_cand, 0) AS c_cand
+       |  FROM dsk LEFT JOIN rc USING (bucket)
+       |  LEFT JOIN cb$b USING (bucket)),
+       |dr$b AS (SELECT bucket, CAST(c_cand AS BIGINT) AS c_cand,
+       |  CAST(round(((c_cand + 1.0) / CAST(tc + $DriftBuckets AS DOUBLE) -
+       |      (c_ref + 1.0) / CAST(tr + $DriftBuckets AS DOUBLE)) *
+       |    ln(((c_cand + 1.0) / CAST(tc + $DriftBuckets AS DOUBLE)) /
+       |       ((c_ref + 1.0) / CAST(tr + $DriftBuckets AS DOUBLE))) *
+       |    1000000000) AS BIGINT) AS psi_e9,
+       |  CAST(round((c_cand + 1.0) / CAST(tc + $DriftBuckets AS DOUBLE) *
+       |    ln(((c_cand + 1.0) / CAST(tc + $DriftBuckets AS DOUBLE)) /
+       |       ((c_ref + 1.0) / CAST(tr + $DriftBuckets AS DOUBLE))) *
+       |    1000000000) AS BIGINT) AS kl_e9
+       |  FROM f$b, rtot, ct$b),
+       |v$b AS (SELECT CAST($b AS BIGINT) AS batch,
+       |  (SELECT tc FROM ct$b) AS n_cand,
+       |  CAST(sum(psi_e9) AS BIGINT) AS psi_e9,
+       |  CAST(sum(kl_e9) AS BIGINT) AS kl_e9,
+       |  CAST(sum(CASE WHEN psi_e9 > $DriftHotPsiE9 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hot_buckets,
+       |  coalesce((SELECT string_agg(CAST(bucket AS VARCHAR), ','
+       |    ORDER BY bucket) FROM dr$b WHERE psi_e9 > $DriftHotPsiE9), '')
+       |    AS hot_buckets
+       |  FROM dr$b)""".stripMargin
+
   /** The NB train+score pipeline as a reusable CTE prefix ending in
     * `sc(doc_id, pos, score_e6)` — the classifier-eval queries
     * (doc_nb_auc, doc_nb_calibration) grade this scorer. Kept
@@ -3102,6 +3156,74 @@ object TextQueries {
           col("text"), expr("cast(substring(source, 4) as bigint) < 10"),
           DriftBuckets),
         DriftHotPsiE9)
+    },
+
+    // Cohen's kappa (Eval.cohenKappa) between the NB scorer's
+    // prediction (score > 0) and the truth label — the
+    // chance-corrected agreement that says whether the cheap labeler
+    // can stand in for the expensive one. One scan, a 4-cell
+    // confusion aggregate, exact integer marginal products, three
+    // IEEE ops.
+    QueryDef("doc_nb_kappa",
+      s"""WITH $sqlNbScoreCtes,
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN NOT (score_e6 > 0) AND NOT pos
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+         |  CAST(sum(CASE WHEN NOT (score_e6 > 0) AND pos
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |  CAST(sum(CASE WHEN score_e6 > 0 AND NOT pos
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |  CAST(sum(CASE WHEN score_e6 > 0 AND pos
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n11
+         |  FROM sc)
+         |SELECT n, n00, n01, n10, n11,
+         |  CAST(n00 + n11 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |  CAST((n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10)
+         |    AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe,
+         |  CASE WHEN CAST((n10 + n11) * (n01 + n11) + (n00 + n01) *
+         |      (n00 + n10) AS DOUBLE) / CAST(n * n AS DOUBLE) < 1.0
+         |    THEN (CAST(n00 + n11 AS DOUBLE) / CAST(n AS DOUBLE) -
+         |      CAST((n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10)
+         |        AS DOUBLE) / CAST(n * n AS DOUBLE)) /
+         |      (1.0 - CAST((n10 + n11) * (n01 + n11) + (n00 + n01) *
+         |        (n00 + n10) AS DOUBLE) / CAST(n * n AS DOUBLE))
+         |  END AS kappa
+         |FROM ag""".stripMargin) { (s, d) =>
+      graft.ops.Eval.cohenKappa(nbScored(s, d),
+        col("score_e6") > 0L, col("pos"))
+    },
+
+    // the drift monitor end-to-end (streaming/DriftMonitor): pin the
+    // src0-9 reference distribution, then feed the src10-19 candidate
+    // slice as two micro-batches — each gets one verdict row (total
+    // PSI/KL, hot-bucket count, the hot bucket ids comma-joined). The
+    // monitor prices buckets through the SAME Drift.priceBuckets step
+    // as the batch operator, and this twin re-states both batches'
+    // arithmetic end to end, so batch and stream cannot drift.
+    QueryDef("doc_drift_gate_e2e",
+      s"""WITH mt AS (SELECT doc_id % 2 AS par, $sqlToks AS w
+         |  FROM documents WHERE CAST(substr(source, 4) AS BIGINT) >= 10),
+         |mtk AS (SELECT par, unnest(w) AS tok FROM mt),
+         |mhb AS (SELECT par, ${sqlPhash("tok")} % $DriftBuckets AS bucket
+         |  FROM mtk),
+         |rt AS (SELECT $sqlToks AS w FROM documents
+         |  WHERE CAST(substr(source, 4) AS BIGINT) < 10),
+         |rtk AS (SELECT unnest(w) AS tok FROM rt),
+         |rhb AS (SELECT ${sqlPhash("tok")} % $DriftBuckets AS bucket
+         |  FROM rtk),
+         |rc AS (SELECT bucket, count(*) AS c_ref FROM rhb GROUP BY 1),
+         |rtot AS (SELECT CAST(count(*) AS BIGINT) AS tr FROM rhb),
+         |dsk AS (SELECT unnest(range(0, $DriftBuckets)) AS bucket),
+         |${sqlDriftBatchCtes(0)},
+         |${sqlDriftBatchCtes(1)}
+         |SELECT batch, n_cand, psi_e9, kl_e9, n_hot_buckets, hot_buckets
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+         |ORDER BY batch""".stripMargin) { (s, d) =>
+      val dir = driftGateStateDir(s, d)
+      new graft.streaming.DriftMonitor(s, dir, DriftBuckets,
+          DriftHotPsiE9)
+        .readVerdicts(1L)
+        .orderBy("batch")
     })
 
   /** One trained merge table per (session, dataset) — training is

@@ -244,4 +244,35 @@ class EvalSpec extends SparkSpec {
         col("s"), col("y"), nBins = 4)
     }
   }
+
+  // ---- cohenKappa ------------------------------------------------
+
+  test("cohenKappa: identities — perfect, inverted, independent") {
+    def kap(rows: Seq[(Boolean, Boolean)]): Option[Double] = {
+      val r = Eval.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+        .head()
+      if (r.isNullAt(7)) None else Some(r.getDouble(7))
+    }
+    val xs = Seq(true, true, true, false, false)
+    assert(kap(xs.map(x => (x, x))) == Some(1.0))
+    assert(kap(xs.map(x => (x, !x))).get < 0.0)
+    // independence: every (a,b) cell equally filled → po == pe → κ = 0
+    val indep = for (a <- Seq(true, false); b <- Seq(true, false);
+      _ <- 1 to 5) yield (a, b)
+    assert(kap(indep) == Some(0.0))
+    // both labelers constant: pe = 1 → NULL
+    assert(kap(Seq.fill(4)((true, true))).isEmpty)
+  }
+
+  test("cohenKappa: matches the textbook formula on a mixed table") {
+    // confusion n00=4 n01=2 n10=1 n11=3
+    val rows = Seq.fill(4)((false, false)) ++ Seq.fill(2)((false, true)) ++
+      Seq.fill(1)((true, false)) ++ Seq.fill(3)((true, true))
+    val r = Eval.cohenKappa(rows.toDF("a", "b"), col("a"), col("b")).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((4L, 2L, 1L, 3L)))
+    val po = 7.0 / 10.0
+    val pe = (4.0 * 5.0 + 6.0 * 5.0) / 100.0
+    assert(math.abs(r.getDouble(7) - (po - pe) / (1.0 - pe)) < 1e-12)
+  }
 }
