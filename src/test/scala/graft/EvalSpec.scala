@@ -245,6 +245,26 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("binaryAucBy plan never funnels through one partition") {
+    val rows = Seq.tabulate(100)(i =>
+      (s"g${i % 4}", (i % 13).toLong, i % 3 == 0))
+    val got = Eval.binaryAucBy(rows.toDF("g", "s", "y"), col("g"),
+      col("s"), col("y"))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"grouped AUC must stay partitioned by group:\n$plan")
+  }
+
+  test("bm25TopK plan is a partial top-k, not a global sort") {
+    val docs = (1L to 50L).map(i => (i, s"alpha beta t$i"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("alpha"), k1 = 1.2, b = 0.75, topK = 5)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered (per-partition partial top-k):\n$plan")
+  }
+
   // ---- cohenKappa ------------------------------------------------
 
   test("cohenKappa: identities — perfect, inverted, independent") {

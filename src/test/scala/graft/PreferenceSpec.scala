@@ -57,6 +57,19 @@ class PreferenceSpec extends SparkSpec {
     assert(delta(t30, t29) <= 1L)
   }
 
+  test("pairwiseFromEvents plan: one data-sized shuffle (the user " +
+      "window), one post-partial-agg pair exchange") {
+    val ev = Seq.tabulate(64)(i =>
+      (i.toLong % 8L, i.toLong, i.toLong, s"t${i % 3}", (i % 7).toDouble))
+      .toDF("user_id", "event_id", "t_us", "event_type", "value")
+    val plan = Preference.pairwiseFromEvents(ev, col("t_us"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected exactly the user-window + pair-agg exchanges:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"nothing may funnel through one partition:\n$plan")
+  }
+
   test("pairwiseFromEvents: consecutive same-user events with " +
       "distinct types and values form one canonical game") {
     val ev = Seq(
