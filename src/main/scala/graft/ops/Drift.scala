@@ -58,6 +58,74 @@ object Drift {
     priceBuckets(cnt, tot.getLong(0), tot.getLong(1), buckets)
   }
 
+  /** Numeric-score drift: PSI/KL between two slices' distributions of
+    * an integral score over `bins` equal-width bands — the monitor a
+    * pipeline points at its own quality scores ("did the gate model's
+    * score distribution move on the new crawl?"), complementing the
+    * token-space [[tokenBucketDrift]]. Same arithmetic binning as the
+    * calibration table (membership is a comparison, no ranking), same
+    * [[priceBuckets]] pricing, so one scan + one O(bins) aggregate.
+    * Returns `bins` rows: (bucket, score_lo, c_ref, c_cand, psi_e9,
+    * kl_e9), ordered by bucket.
+    */
+  def scoreDrift(df: DataFrame, score: Column, isRef: Column,
+      bins: Int): DataFrame = {
+    require(bins >= 2, s"need bins >= 2, got $bins")
+    val s = df.select(score.cast("long").as("__s"),
+      isRef.cast("boolean").as("__r"))
+      .filter(col("__s").isNotNull && col("__r").isNotNull)
+    val st = s.agg(min("__s"), max("__s"),
+      sum(when(col("__r"), 1L).otherwise(0L)),
+      sum(when(!col("__r"), 1L).otherwise(0L))).head()
+    require(!st.isNullAt(0), "scoreDrift needs at least one scored row")
+    val (lo, hi) = (st.getLong(0), st.getLong(1))
+    val (totR, totC) = (st.getLong(2), st.getLong(3))
+    require(totR > 0, "scoreDrift needs a non-empty reference slice")
+    require(totC > 0, "scoreDrift needs a non-empty candidate slice")
+    val binW = math.max(1L, Math.floorDiv(hi - lo, bins.toLong) + 1L)
+    val cnt = s
+      .withColumn("bucket",
+        least(expr(s"(__s - ${lo}L) div ${binW}L"),
+          lit(bins.toLong - 1L)).cast("long"))
+      .groupBy("bucket").agg(
+        sum(when(col("__r"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("__r"), 1L).otherwise(0L)).as("c_cand"))
+    priceBuckets(cnt, totR, totC, bins)
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * lit(binW)).as("score_lo"),
+        col("c_ref"), col("c_cand"), col("psi_e9"), col("kl_e9"))
+      .orderBy("bucket")
+  }
+
+  /** Embedding-space drift: PSI/KL between two slices' distributions
+    * over sign-pattern LSH buckets (2^planes cells from
+    * [[Similarity.lshBucket]]'s deterministic hyperplanes) — the
+    * monitor a multimodal pipeline points at its embedding columns
+    * ("did the new batch land in different regions of embedding
+    * space?"), completing the modality triple with
+    * [[tokenBucketDrift]] and [[scoreDrift]]. `vec` must be a
+    * quantized long-array ([[Similarity.quantize]]). One scan with
+    * the codegen'd bucket fold, one O(2^planes) aggregate, the shared
+    * [[priceBuckets]] pricing.
+    */
+  def embeddingDrift(df: DataFrame, vec: Column, isRef: Column,
+      planes: Int, dims: Int): DataFrame = {
+    require(planes >= 1 && planes <= 20,
+      s"need 1 <= planes <= 20 (2^planes buckets), got $planes")
+    val buckets = 1 << planes
+    val s = df.select(isRef.cast("boolean").as("__r"),
+      Similarity.lshBucket(vec, planes, dims).as("bucket"))
+    val cnt = s.groupBy("bucket").agg(
+      sum(when(col("__r"), 1L).otherwise(0L)).as("c_ref"),
+      sum(when(!col("__r"), 1L).otherwise(0L)).as("c_cand"))
+    val tot = cnt.agg(sum("c_ref"), sum("c_cand")).head()
+    require(!tot.isNullAt(0) && tot.getLong(0) > 0,
+      "embeddingDrift needs a non-empty reference slice")
+    require(tot.getLong(1) > 0,
+      "embeddingDrift needs a non-empty candidate slice")
+    priceBuckets(cnt, tot.getLong(0), tot.getLong(1), buckets)
+  }
+
   /** One slice's bucket counts: (bucket, cnt) over the hashed token
     * stream — the monitor's per-batch / reference building block.
     * Sparse (buckets with no tokens are absent).

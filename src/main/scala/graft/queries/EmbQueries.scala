@@ -121,6 +121,20 @@ object EmbQueries {
     s"(CASE WHEN list_dot_product(e, $w) > 0 THEN ${1L << j} ELSE 0 END)"
   }.mkString(" +\n  ")
 
+  /** emb_drift cell geometry: 2^8 sign-pattern cells — coarse enough
+    * that the 500-vector fixture populates many cells, fine enough
+    * that class clusters separate.
+    */
+  private val DriftPlanes = 8
+  private val DriftCells = 1 << DriftPlanes
+
+  /** [[sqlBucketTerms]] at the emb_drift plane count. */
+  private val sqlDriftBucketTerms = (0 until DriftPlanes).map { j =>
+    val w = (0 until Dims).map(i => Similarity.planeWeight(j, i, Dims))
+      .mkString("[", ",", "]")
+    s"(CASE WHEN list_dot_product(e, $w) > 0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString(" +\n  ")
+
   /** DuckDB twin of the banded-LSH near-dup pair join over a blocked
     * relation `bb(vec_id, <blockCol>, e, bucket)` — the band
     * constants are part of the operator definition, kept in ONE
@@ -980,5 +994,45 @@ object EmbQueries {
         .agg(sum(coalesce(col("__h"), lit(0L))).as("n"))
         .select(col("q_id"), expr(s"n * 1000000 div $K").as("recall_ppm"))
         .orderBy("q_id")
+    },
+
+    // embedding-space drift (Drift.embeddingDrift): PSI/KL between
+    // the label<5 and label>=5 slices' distributions over 2^8
+    // sign-pattern LSH cells — "did the new batch land in different
+    // regions of embedding space?", the modality triple's third leg
+    // (tokens, scores, embeddings). Codegen'd bucket fold off one
+    // scan, O(256) pricing through the shared Drift.priceBuckets.
+    QueryDef("emb_drift",
+      s"""WITH $sqlQuant,
+         |hb AS (SELECT label < 5 AS r, ($sqlDriftBucketTerms) AS bucket
+         |  FROM q),
+         |c AS (SELECT bucket,
+         |  sum(CASE WHEN r THEN 1 ELSE 0 END) AS c_ref,
+         |  sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS c_cand
+         |  FROM hb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c_ref) AS BIGINT) AS tr,
+         |  CAST(sum(c_cand) AS BIGINT) AS tc FROM c),
+         |sk AS (SELECT unnest(range(0, $DriftCells)) AS bucket),
+         |f AS (SELECT sk.bucket, coalesce(c.c_ref, 0) AS c_ref,
+         |  coalesce(c.c_cand, 0) AS c_cand
+         |  FROM sk LEFT JOIN c USING (bucket))
+         |SELECT bucket, CAST(c_ref AS BIGINT) AS c_ref,
+         |  CAST(c_cand AS BIGINT) AS c_cand,
+         |  CAST(round(((c_cand + 1.0) / CAST(tc + $DriftCells AS DOUBLE) -
+         |      (c_ref + 1.0) / CAST(tr + $DriftCells AS DOUBLE)) *
+         |    ln(((c_cand + 1.0) / CAST(tc + $DriftCells AS DOUBLE)) /
+         |       ((c_ref + 1.0) / CAST(tr + $DriftCells AS DOUBLE))) *
+         |    1000000000) AS BIGINT) AS psi_e9,
+         |  CAST(round((c_cand + 1.0) / CAST(tc + $DriftCells AS DOUBLE) *
+         |    ln(((c_cand + 1.0) / CAST(tc + $DriftCells AS DOUBLE)) /
+         |       ((c_ref + 1.0) / CAST(tr + $DriftCells AS DOUBLE))) *
+         |    1000000000) AS BIGINT) AS kl_e9
+         |FROM f, tot ORDER BY bucket""".stripMargin) { (s, d) =>
+      graft.ops.Drift.embeddingDrift(
+        load(s, d, "embeddings")
+          .select(Similarity.quantize(col("embedding")).as("vec"),
+            col("label")),
+        col("vec"), col("label") < 5, DriftPlanes, Dims)
+        .orderBy("bucket")
     })
 }

@@ -213,6 +213,9 @@ object TextQueries {
   private val DriftBuckets = 256
   private val DriftHotPsiE9 = 100000L
 
+  /** Score-drift band count (doc_score_drift). */
+  private val ScoreDriftBins = 16
+
   /** The drift pipeline as a reusable CTE prefix ending in
     * `drift(bucket, c_ref, c_cand, psi_e9, kl_e9)` — shared by the
     * per-bucket table and the one-row summary so the two cannot
@@ -3224,6 +3227,55 @@ object TextQueries {
           DriftHotPsiE9)
         .readVerdicts(1L)
         .orderBy("batch")
+    },
+
+    // numeric-score drift (Drift.scoreDrift): PSI/KL between the two
+    // crawl generations' NB-score distributions over 16 equal-width
+    // bands — "did the gate model's score move on the new crawl?",
+    // the companion monitor to token-space drift. Arithmetic binning
+    // (no ranking), the same priceBuckets quantization, one scan +
+    // one O(bins) aggregate.
+    QueryDef("doc_score_drift",
+      s"""WITH $sqlNbScoreCtes,
+         |j AS (SELECT sc.score_e6 AS s,
+         |  CAST(substr(d.source, 4) AS BIGINT) < 10 AS r
+         |  FROM sc JOIN documents d USING (doc_id)),
+         |mm AS (SELECT min(s) AS lo, max(s) AS hi,
+         |  CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+         |  CAST(sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS tc
+         |  FROM j),
+         |bw AS (SELECT lo, tr, tc,
+         |  greatest(1, (hi - lo) // $ScoreDriftBins + 1) AS binw FROM mm),
+         |bb AS (SELECT least((s - lo) // binw,
+         |    ${ScoreDriftBins - 1}) AS bucket,
+         |  sum(CASE WHEN r THEN 1 ELSE 0 END) AS c_ref,
+         |  sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS c_cand
+         |  FROM j, bw GROUP BY 1),
+         |sk AS (SELECT unnest(range(0, $ScoreDriftBins)) AS bucket),
+         |f AS (SELECT sk.bucket, coalesce(bb.c_ref, 0) AS c_ref,
+         |  coalesce(bb.c_cand, 0) AS c_cand
+         |  FROM sk LEFT JOIN bb USING (bucket))
+         |SELECT bucket, CAST(bw.lo + bucket * bw.binw AS BIGINT)
+         |    AS score_lo,
+         |  CAST(c_ref AS BIGINT) AS c_ref, CAST(c_cand AS BIGINT) AS c_cand,
+         |  CAST(round(((c_cand + 1.0) /
+         |      CAST(tc + $ScoreDriftBins AS DOUBLE) -
+         |      (c_ref + 1.0) / CAST(tr + $ScoreDriftBins AS DOUBLE)) *
+         |    ln(((c_cand + 1.0) / CAST(tc + $ScoreDriftBins AS DOUBLE)) /
+         |       ((c_ref + 1.0) / CAST(tr + $ScoreDriftBins AS DOUBLE))) *
+         |    1000000000) AS BIGINT) AS psi_e9,
+         |  CAST(round((c_cand + 1.0) /
+         |      CAST(tc + $ScoreDriftBins AS DOUBLE) *
+         |    ln(((c_cand + 1.0) / CAST(tc + $ScoreDriftBins AS DOUBLE)) /
+         |       ((c_ref + 1.0) / CAST(tr + $ScoreDriftBins AS DOUBLE))) *
+         |    1000000000) AS BIGINT) AS kl_e9
+         |FROM f, bw ORDER BY bucket""".stripMargin) { (s, d) =>
+      graft.ops.Drift.scoreDrift(
+        nbScored(s, d).join(
+          load(s, d, "documents").select(col("doc_id"), col("source")),
+          "doc_id"),
+        col("score_e6"), expr("cast(substring(source, 4) as bigint) < 10"),
+        ScoreDriftBins)
     })
 
   /** One trained merge table per (session, dataset) — training is
