@@ -526,24 +526,26 @@ object PipelineOps {
     * (ties broken by ascending id, matching
     * `row_number() OVER (ORDER BY weight DESC, id) <= k`).
     *
-    * The selection threshold is found by histogram descent instead of
-    * ranking the corpus:
+    * The selection threshold is found by RECURSIVE histogram descent
+    * instead of ranking the corpus:
     *   1. one scan → N, min, max;
-    *   2. per-distinct-weight counts, coarse-binned to ≤4096 buckets;
-    *      the bucket histogram collects (O(bins)) and a driver walk
+    *   2. the current weight range coarse-bins to ≤4096 buckets; the
+    *      bucket histogram collects (O(bins)) and a driver walk
     *      locates the bucket containing the k-th weight;
-    *   3. the per-distinct-weight counts of THAT bucket alone collect
-    *      (O(distinct weights in one bucket)) and pin the exact
-    *      threshold weight w* plus how many ties at w* to keep;
+    *   3. recurse into THAT bucket's sub-range until the bin width
+    *      reaches 1 — at which point bins ARE weights, pinning the
+    *      exact threshold w* and the tie-take count. Depth is
+    *      ≤ ⌈log₄₀₉₆(range)⌉ ≤ 6 for any Long range, so driver state
+    *      is ≤ 6 × 4096 histogram cells NO MATTER how the weights are
+    *      distributed (an earlier form collected the distinct weights
+    *      of one bucket — adversarially O(n) on the driver; this
+    *      version has no data-dependent collect at all);
     *   4. the flag is then a pure comparison against w*, except inside
     *      the tie group, which gets ranked by id — a window over only
     *      the rows at exactly w*.
-    * Every data-sized pass is scan-parallel; nothing ever funnels the
-    * corpus through one partition. (A pointmass weight distribution
-    * degrades step 3's collect to the distinct weights of one bucket
-    * and step 4's window to the tie group — both bounded by the
-    * distribution's concentration, which is exactly when distinct
-    * weights are few.)
+    * Every data-sized pass is scan-parallel (each level re-scans with
+    * a tighter range predicate); nothing ever funnels the corpus
+    * through one partition.
     *
     * `df` must have unique values in `idName`; `weightName` must be a
     * long column. Adds a boolean `selected` column.
@@ -558,31 +560,38 @@ object PipelineOps {
     val k = (BigInt(n) * num / den).toLong
     if (k <= 0L) return df.withColumn("selected", lit(false))
     if (k >= n) return df.withColumn("selected", lit(true))
-    val (lo, hi) = (st.getLong(1), st.getLong(2))
-    val binW = math.max(1L, Math.floorDiv(hi - lo, 4096L) + 1L)
-    val binned = df.withColumn("__bin",
-      expr(s"($weightName - ${lo}L) div ${binW}L"))
-    val hist = binned.groupBy("__bin").agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(-_._1) // heaviest bucket first
-    // walk buckets heaviest-first until the one holding the k-th row
-    // (terminates: Σ counts = n ≥ k > 0)
+    // descend: [curLo, curHi] always contains the k-th weight;
+    // `above` counts rows with weight strictly above curHi
+    var curLo = st.getLong(1)
+    var curHi = st.getLong(2)
     var above = 0L
-    var i = 0
-    while (above + hist(i)._2 < k) { above += hist(i)._2; i += 1 }
-    val bStar = hist(i)._1
-    // exact descent inside the one bucket holding the k-th weight
-    val inBin = binned.filter(col("__bin") === bStar)
-      .groupBy(weightName).agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(-_._1)
-    var aboveW = above
-    var j = 0
-    while (j < inBin.length && aboveW + inBin(j)._2 < k) {
-      aboveW += inBin(j)._2; j += 1
+    var wStar = curLo
+    var tieTake = 0L
+    var done = false
+    while (!done) {
+      val binW = math.max(1L, Math.floorDiv(curHi - curLo, 4096L) + 1L)
+      val hist = df
+        .filter(wCol >= curLo && wCol <= curHi)
+        .groupBy(expr(s"($weightName - ${curLo}L) div ${binW}L").as("__bin"))
+        .agg(count(lit(1)).as("__c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(-_._1) // heaviest bucket first
+      // walk buckets heaviest-first until the one holding the k-th row
+      // (terminates: Σ counts = n − above ≥ k − above > 0)
+      var i = 0
+      while (above + hist(i)._2 < k) { above += hist(i)._2; i += 1 }
+      val bStar = hist(i)._1
+      if (binW == 1L) {
+        // bins are single weights: the k-th weight is this one
+        wStar = curLo + bStar
+        tieTake = k - above
+        done = true
+      } else {
+        val subLo = curLo + bStar * binW
+        curHi = math.min(curHi, subLo + binW - 1L)
+        curLo = subLo
+      }
     }
-    val wStar = inBin(j)._1
-    val tieTake = k - aboveW
     // rank ONLY the tie group at w* (bounded by the tie-group size)
     val tieW = Window.orderBy(col(idName))
     val tieRanks = df.filter(wCol === wStar)

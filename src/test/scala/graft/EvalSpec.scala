@@ -127,6 +127,20 @@ class EvalSpec extends SparkSpec {
     assert(gotSelect(rows, 1L, 4L) == bruteSelect(rows, 1L, 4L))
   }
 
+  test("topFractionByWeight: adversarial cluster + outlier forces " +
+      "multi-level descent") {
+    // one extreme outlier stretches the range so the first 4096-way
+    // binning drops EVERY clustered weight into bucket 0: the
+    // threshold is only reachable by recursing (the pre-hardening
+    // per-distinct-weight collect would have pulled the whole
+    // cluster to the driver here)
+    val rows = (0L until 300L).map(i => (i, i)) :+
+      (300L, Long.MaxValue / 2L)
+    for ((num, den) <- Seq((1L, 4L), (1L, 2L)))
+      assert(gotSelect(rows, num, den) == bruteSelect(rows, num, den),
+        s"frac=$num/$den")
+  }
+
   // ---- bm25TopK --------------------------------------------------
 
   test("bm25TopK: rare term dominates; tf saturates; rank is total") {
