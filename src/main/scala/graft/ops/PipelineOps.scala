@@ -554,51 +554,61 @@ object PipelineOps {
       num: Long, den: Long): DataFrame = {
     require(num >= 0 && den > 0, "fraction must be num/den with den > 0")
     val wCol = col(weightName)
-    val st = df.agg(count(lit(1)), min(wCol), max(wCol)).head()
-    val n = st.getLong(0)
-    if (n == 0L) return df.withColumn("selected", lit(false))
-    val k = (BigInt(n) * num / den).toLong
-    if (k <= 0L) return df.withColumn("selected", lit(false))
-    if (k >= n) return df.withColumn("selected", lit(true))
-    // descend: [curLo, curHi] always contains the k-th weight;
-    // `above` counts rows with weight strictly above curHi
-    var curLo = st.getLong(1)
-    var curHi = st.getLong(2)
-    var above = 0L
-    var wStar = curLo
-    var tieTake = 0L
-    var done = false
-    while (!done) {
-      val binW = math.max(1L, Math.floorDiv(curHi - curLo, 4096L) + 1L)
-      val hist = df
-        .filter(wCol >= curLo && wCol <= curHi)
-        .groupBy(expr(s"($weightName - ${curLo}L) div ${binW}L").as("__bin"))
-        .agg(count(lit(1)).as("__c"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-        .sortBy(-_._1) // heaviest bucket first
-      // walk buckets heaviest-first until the one holding the k-th row
-      // (terminates: Σ counts = n − above ≥ k − above > 0)
-      var i = 0
-      while (above + hist(i)._2 < k) { above += hist(i)._2; i += 1 }
-      val bStar = hist(i)._1
-      if (binW == 1L) {
-        // bins are single weights: the k-th weight is this one
-        wStar = curLo + bStar
-        tieTake = k - above
-        done = true
-      } else {
-        val subLo = curLo + bStar * binW
-        curHi = math.min(curHi, subLo + binW - 1L)
-        curLo = subLo
+    // the descent scans the weight column several times; pin the
+    // NARROW projection so a derived input (e.g. the DSIR weight
+    // pipeline) prices its lineage once, not once per level
+    val wts = df.select(wCol.as("__w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = wts.agg(count(lit(1)), min("__w"), max("__w")).head()
+      val n = st.getLong(0)
+      if (n == 0L) return df.withColumn("selected", lit(false))
+      val k = (BigInt(n) * num / den).toLong
+      if (k <= 0L) return df.withColumn("selected", lit(false))
+      if (k >= n) return df.withColumn("selected", lit(true))
+      // descend: [curLo, curHi] always contains the k-th weight;
+      // `above` counts rows with weight strictly above curHi
+      var curLo = st.getLong(1)
+      var curHi = st.getLong(2)
+      var above = 0L
+      var wStar = curLo
+      var tieTake = 0L
+      var done = false
+      while (!done) {
+        val binW = math.max(1L, Math.floorDiv(curHi - curLo, 4096L) + 1L)
+        val hist = wts
+          .filter(col("__w") >= curLo && col("__w") <= curHi)
+          .groupBy(expr(s"(__w - ${curLo}L) div ${binW}L").as("__bin"))
+          .agg(count(lit(1)).as("__c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(-_._1) // heaviest bucket first
+        // walk buckets heaviest-first until the one holding the k-th
+        // row (terminates: Σ counts = n − above ≥ k − above > 0)
+        var i = 0
+        while (above + hist(i)._2 < k) { above += hist(i)._2; i += 1 }
+        val bStar = hist(i)._1
+        if (binW == 1L) {
+          // bins are single weights: the k-th weight is this one
+          wStar = curLo + bStar
+          tieTake = k - above
+          done = true
+        } else {
+          val subLo = curLo + bStar * binW
+          curHi = math.min(curHi, subLo + binW - 1L)
+          curLo = subLo
+        }
       }
-    }
-    // rank ONLY the tie group at w* (bounded by the tie-group size)
-    val tieW = Window.orderBy(col(idName))
-    val tieRanks = df.filter(wCol === wStar)
-      .select(col(idName), row_number().over(tieW).cast("long").as("__tr"))
-    df.join(tieRanks, Seq(idName), "left")
-      .withColumn("selected",
-        wCol > wStar || coalesce(col("__tr") <= tieTake, lit(false)))
-      .drop("__tr")
+      // rank ONLY the tie group at w* (bounded by the tie-group size)
+      val tieW = Window.orderBy(col(idName))
+      val tieRanks = df.filter(wCol === wStar)
+        .select(col(idName),
+          row_number().over(tieW).cast("long").as("__tr"))
+      // the returned frame reads `df` directly (never `wts`), so the
+      // cache can drop as soon as the descent's collects are done
+      df.join(tieRanks, Seq(idName), "left")
+        .withColumn("selected",
+          wCol > wStar || coalesce(col("__tr") <= tieTake, lit(false)))
+        .drop("__tr")
+    } finally wts.unpersist()
   }
 }
