@@ -541,14 +541,19 @@ object PipelineOps {
     *      of one bucket — adversarially O(n) on the driver; this
     *      version has no data-dependent collect at all);
     *   4. the flag is then a pure comparison against w*, except inside
-    *      the tie group, which gets ranked by id — a window over only
-    *      the rows at exactly w*.
+    *      the tie group, which gets ranked by id through
+    *      [[Ranks.globalRowNumber]]'s two-level decomposition — so
+    *      even an ALL-TIED weight column (every row at w*) ranks in
+    *      parallel instead of funneling the corpus through one
+    *      window partition.
     * Every data-sized pass is scan-parallel (each level re-scans with
     * a tighter range predicate); nothing ever funnels the corpus
     * through one partition.
     *
     * `df` must have unique values in `idName`; `weightName` must be a
-    * long column. Adds a boolean `selected` column.
+    * long column with NO nulls (a null weight has no place in the
+    * `ORDER BY weight DESC` contract — the call fails loudly rather
+    * than guessing a null's rank). Adds a boolean `selected` column.
     */
   def topFractionByWeight(df: DataFrame, idName: String, weightName: String,
       num: Long, den: Long): DataFrame = {
@@ -560,9 +565,15 @@ object PipelineOps {
     val wts = df.select(wCol.as("__w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val st = wts.agg(count(lit(1)), min("__w"), max("__w")).head()
+      val st = wts.agg(count(lit(1)), min("__w"), max("__w"),
+        sum(when(col("__w").isNull, 1L).otherwise(0L))).head()
       val n = st.getLong(0)
       if (n == 0L) return df.withColumn("selected", lit(false))
+      val nNull = if (st.isNullAt(3)) 0L else st.getLong(3)
+      require(nNull == 0L,
+        s"topFractionByWeight: $weightName has $nNull null values — " +
+          "nulls have no rank under ORDER BY weight DESC; filter or " +
+          "impute them first")
       val k = (BigInt(n) * num / den).toLong
       if (k <= 0L) return df.withColumn("selected", lit(false))
       if (k >= n) return df.withColumn("selected", lit(true))
@@ -598,14 +609,18 @@ object PipelineOps {
           curLo = subLo
         }
       }
-      // rank ONLY the tie group at w* (bounded by the tie-group size)
-      val tieW = Window.orderBy(col(idName))
-      val tieRanks = df.filter(wCol === wStar)
-        .select(col(idName),
-          row_number().over(tieW).cast("long").as("__tr"))
-      // the returned frame reads `df` directly (never `wts`), so the
-      // cache can drop as soon as the descent's collects are done
-      df.join(tieRanks, Seq(idName), "left")
+      // rank ONLY the tie group at w*, in parallel: the two-level
+      // range-partitioned rank never moves the group through one
+      // partition, so even an all-tied corpus stays distributed. Only
+      // the SELECTED prefix of the tie group survives into the join.
+      val tieSel = Ranks.globalRowNumber(
+          df.filter(wCol === wStar).select(col(idName)),
+          Seq(col(idName)), "__tr")
+        .filter(col("__tr") <= tieTake)
+      // the returned frame reads `df` directly (never `wts`; tieSel
+      // owns its rows), so the cache can drop as soon as the
+      // descent's collects are done
+      df.join(tieSel, Seq(idName), "left")
         .withColumn("selected",
           wCol > wStar || coalesce(col("__tr") <= tieTake, lit(false)))
         .drop("__tr")

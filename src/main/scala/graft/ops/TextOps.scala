@@ -574,15 +574,32 @@ object TextOps {
     * independent of vocabulary size, which is what survives a 100 TB
     * corpus whose raw vocab would itself be TB-scale.
     *
+    * ONE corpus scan prices everything: the narrow
+    * (doc_id, is_target, bucket) gram projection is pinned once and
+    * feeds all three consumers — the bucket-count totals, the priced
+    * LLR table (collected to O(buckets) rows, so the broadcast side
+    * carries NO corpus lineage), and the per-doc weight join. The
+    * returned frame is local-checkpointed (eager) before the pin is
+    * released: downstream consumers (a selection threshold descent,
+    * the final write) re-read materialized blocks, never the
+    * tokenize+explode. On a multi-executor cluster trade note:
+    * localCheckpoint blocks die with their executor — a deployment
+    * with aggressive dynamic allocation should swap this seam for a
+    * reliable checkpoint dir or a staged parquet; the lineage shape
+    * (one scan, literal priced table) is identical either way.
+    *
     * Returns (doc_id, n_grams, weight_e6) for every document (empty
     * docs keep weight 0).
     */
   def dsirWeights(df: DataFrame, id: Column, text: Column,
       target: Column, buckets: Int): DataFrame = {
     require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val spark = df.sparkSession
     val docs = df.select(id.as("doc_id"), tokens(text).as("__toks"),
       target.as("__t"))
-    // unigrams ++ bigrams ("a b"), the zip-against-tail idiom
+    // unigrams ++ bigrams ("a b"), the zip-against-tail idiom; the
+    // gram STRING is projected away before the pin — only the hashed
+    // bucket is ever stored or shuffled
     val grams = docs.select(col("doc_id"), col("__t"),
       explode(concat(col("__toks"),
         filter(zip_with(
@@ -591,25 +608,47 @@ object TextOps {
             greatest(size(col("__toks")) - 1, lit(0))),
           (a, bb) => when(bb.isNotNull, concat_ws(" ", a, bb))),
           x => x.isNotNull))).as("gram"))
-      .withColumn("bucket", pmod(portableHash(col("gram")), lit(buckets.toLong)))
-    val cnt = grams.groupBy("bucket").agg(
-      sum(when(col("__t") === true, 1L).otherwise(0L)).as("ct"),
-      count(lit(1)).as("cr"))
-    val tot = cnt.agg(sum("ct"), sum("cr")).head()
-    val (totT, totR) = (tot.getLong(0), tot.getLong(1))
-    require(totT > 0, "dsirWeights needs a non-empty target subset")
-    val priced = cnt.withColumn("llr_e6",
-      round((log((col("ct") + lit(1.0d)) / lit((totT + buckets).toDouble)) -
-        log((col("cr") + lit(1.0d)) / lit((totR + buckets).toDouble)))
-        * 1000000d, 0).cast("long"))
-      .select("bucket", "llr_e6")
-    val perDoc = grams.join(broadcast(priced), "bucket")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"), sum("llr_e6").as("weight_e6"))
-    docs.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("weight_e6"), lit(0L)).as("weight_e6"))
+      .select(col("doc_id"), col("__t"),
+        pmod(portableHash(col("gram")), lit(buckets.toLong)).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // consumer 1+2: one O(buckets) collect yields both the totals
+      // and the raw counts; pricing re-states the SAME Spark column
+      // arithmetic over a literal O(buckets) frame, so the broadcast
+      // join below ships values identical to the former inline form
+      // without re-deriving the corpus
+      val cnt = grams.groupBy("bucket").agg(
+        sum(when(col("__t") === true, 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("cr")).collect()
+      val totT = cnt.map(_.getLong(1)).sum
+      val totR = cnt.map(_.getLong(2)).sum
+      require(totT > 0, "dsirWeights needs a non-empty target subset")
+      val cntLit = spark.createDataFrame(
+        java.util.Arrays.asList(cnt: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("ct",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cr",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val priced = cntLit.withColumn("llr_e6",
+        round((log((col("ct") + lit(1.0d)) / lit((totT + buckets).toDouble)) -
+          log((col("cr") + lit(1.0d)) / lit((totR + buckets).toDouble)))
+          * 1000000d, 0).cast("long"))
+        .select("bucket", "llr_e6")
+      // consumer 3: the per-doc weight join reads the pinned grams;
+      // the eager localCheckpoint materializes the result and cuts
+      // the lineage before the finally releases the pin
+      val perDoc = grams.join(broadcast(priced), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum("llr_e6").as("weight_e6"))
+      docs.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("weight_e6"), lit(0L)).as("weight_e6"))
+        .localCheckpoint(true)
+    } finally grams.unpersist()
   }
 }
