@@ -15,6 +15,7 @@ object Verify {
       s"unknown queries: ${unknown.toSeq.sorted.mkString(", ")}")
     val spark = GraftSession.get()
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -40,6 +41,7 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> String.valueOf(e.getMessage)
       }
       // queries share nothing across the loop; drop any cache an
       // iterative operator (kmeans, connected components) left behind
@@ -60,6 +62,25 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a run with skipped queries must be distinguishable from a green
+    // one: the failure map lands as an artifact next to the outputs
+    // (one loud summary line too), and under SPARK_GRAFT_VERIFY_STRICT
+    // the process exits non-zero. The default stays exit-0 because the
+    // driver's per-query compare already reports each missing output
+    // as a red row, and its tolerance for a non-zero Verify exit is
+    // unknown — strict mode is for local iteration and CI.
+    Files.writeString(Paths.get(s"$outDir/_failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} quer" +
+        (if (failures.size == 1) "y" else "ies") +
+        s" FAILED (outputs missing): ${failures.keys.mkString(", ")}")
+      if (sys.env.get("SPARK_GRAFT_VERIFY_STRICT").contains("1")) {
+        spark.stop()
+        sys.exit(1)
+      }
+    }
     spark.stop()
   }
 }

@@ -57,15 +57,43 @@ object Bpe {
     */
   val NativeMergeThreshold = 64
 
+  /** The trained-order invariant [[segmentNative]]'s equality
+    * argument rests on: every merge's constituents are single
+    * characters or the product of an EARLIER merge in the same table
+    * (true of any table [[trainFromCorpus]] produces, where a symbol
+    * can only exist once built). A hand-assembled table that violates
+    * it can make the rank-greedy loop and the replace fold segment
+    * differently, so [[segment]] refuses to route such a table to
+    * the native form silently.
+    */
+  def trainedOrder(merges: Seq[Merge]): Boolean = {
+    val known = scala.collection.mutable.HashSet.empty[String]
+    merges.forall { case Merge(a, b) =>
+      val ok = (a.length == 1 || known(a)) && (b.length == 1 || known(b))
+      known += (a + b)
+      ok
+    }
+  }
+
   /** Greedy BPE segmentation of `word` under `merges`. Returns the
     * delimited symbol string. Small merge tables fold as nested
     * replace calls (one codegen'd projection, SQL-replayable);
     * production-sized tables route to [[segmentNative]] — identical
-    * output, constant expression depth.
+    * output, constant expression depth — after checking the
+    * [[trainedOrder]] invariant that equality rests on (a hand-built
+    * untrained table must call [[segmentFold]] explicitly).
     */
   def segment(word: Column, merges: Seq[Merge]): Column =
-    if (merges.size > NativeMergeThreshold) segmentNative(word, merges)
-    else segmentFold(word, merges)
+    if (merges.size > NativeMergeThreshold) {
+      require(trainedOrder(merges),
+        "segment: the merge table violates the trained-order " +
+          "invariant (each pair's constituents must be single " +
+          "characters or products of EARLIER merges) — the native " +
+          "rank-greedy form is only proven equal to the replace fold " +
+          "for trained tables; call segmentFold explicitly for " +
+          "hand-built tables")
+      segmentNative(word, merges)
+    } else segmentFold(word, merges)
 
   /** The replace-fold form of [[segment]]: the trained merge sequence
     * as nested replace calls. O(nMerges) expression depth — fixture

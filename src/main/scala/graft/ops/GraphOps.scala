@@ -107,20 +107,19 @@ object GraphOps {
       cached = next
       pr = spark.createDataFrame(next.rdd, next.schema)
     }
-    // hand back a frame that owns its data: the node domain here is
-    // the SOURCE axis (bounded by #sources, not corpus size), so the
-    // final ranks collect in O(#nodes) and every cache this loop
-    // pinned — including the last round's — is released before
-    // return. Without this the final persisted frame leaked one
-    // cached RDD per invocation (only the bench harness's
-    // clearCache() recovered it).
-    val outSchema = pr.schema
-    val ranks = pr.collect().toIndexedSeq
+    // hand back a frame that owns its data WITHOUT funneling it
+    // through the driver: the eager localCheckpoint materializes the
+    // final ranks on the executors (node-domain-sized, partition
+    // count preserved — a doc-level graph stays distributed), cuts
+    // the lineage, and lets every cache this loop pinned — including
+    // the last round's — release before return. The checkpointed
+    // blocks free themselves when the returned frame is collected
+    // (ContextCleaner), so nothing leaks per invocation.
+    val out = pr.select(col("s").as("node"), col("pr").as("pr_e9"))
+      .localCheckpoint(true)
     if (cached != null) cached.unpersist()
     e.unpersist()
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(ranks, 1), outSchema)
-      .select(col("s").as("node"), col("pr").as("pr_e9"))
+    out
   }
 
   /** Per-node triangle count and local clustering coefficient over an

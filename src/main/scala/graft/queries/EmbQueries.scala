@@ -128,6 +128,11 @@ object EmbQueries {
   private val DriftPlanes = 8
   private val DriftCells = 1 << DriftPlanes
 
+  /** Embedding-gate hot-bucket PSI threshold (nano-units), matching
+    * the token gate's bar.
+    */
+  private val GateHotPsiE9 = 100000L
+
   /** [[sqlBucketTerms]] at the emb_drift plane count. */
   private val sqlDriftBucketTerms = (0 until DriftPlanes).map { j =>
     val w = (0 until Dims).map(i => Similarity.planeWeight(j, i, Dims))
@@ -1034,5 +1039,55 @@ object EmbQueries {
             col("label")),
         col("vec"), col("label") < 5, DriftPlanes, Dims)
         .orderBy("bucket")
+    },
+
+    // streaming drift gate, EMBEDDING modality (DriftMonitor.
+    // setEmbeddingReference/applyEmbeddingBatch): the label<5 slice
+    // pins the reference cell distribution (the LSH hyperplanes are
+    // deterministic, so no geometry persists beyond the plane count),
+    // then the label>=5 slice arrives as two vec-parity micro-batches
+    // — one verdict row each, priced through the same priceBuckets
+    // step and replayed by the shared gate CTEs.
+    QueryDef("emb_drift_gate_e2e",
+      s"""WITH $sqlQuant,
+         |rhb AS (SELECT ($sqlDriftBucketTerms) AS bucket FROM q
+         |  WHERE label < 5),
+         |rc AS (SELECT bucket, count(*) AS c_ref FROM rhb GROUP BY 1),
+         |rtot AS (SELECT CAST(count(*) AS BIGINT) AS tr FROM rhb),
+         |dsk AS (SELECT unnest(range(0, $DriftCells)) AS bucket),
+         |mhb AS (SELECT vec_id % 2 AS par,
+         |  ($sqlDriftBucketTerms) AS bucket FROM q WHERE label >= 5),
+         |${TextQueries.sqlGateBatchCtes(0, DriftCells, GateHotPsiE9)},
+         |${TextQueries.sqlGateBatchCtes(1, DriftCells, GateHotPsiE9)}
+         |SELECT batch, n_cand, psi_e9, kl_e9, n_hot_buckets, hot_buckets
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+         |ORDER BY batch""".stripMargin) { (s, d) =>
+      val dir = embGateStateDir(s, d)
+      new graft.streaming.DriftMonitor(s, dir, DriftCells,
+          GateHotPsiE9)
+        .readVerdicts(1L)
+        .orderBy("batch")
     })
+
+  /** Embedding-gate state: quantized vectors split by label —
+    * label<5 pins the reference cells, label>=5 arrives as two
+    * vec-parity micro-batches.
+    */
+  private def embGateStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    TempState.dir("embgate|" + s.sparkContext.applicationId + "|" + d) {
+      root =>
+        val mon = new graft.streaming.DriftMonitor(s, root, DriftCells,
+          GateHotPsiE9)
+        val q = load(s, d, "embeddings")
+          .select(col("vec_id"), col("label"),
+            Similarity.quantize(col("embedding")).as("vec"))
+        mon.setEmbeddingReference(q.filter(col("label") < 5), col("vec"),
+          DriftPlanes, Dims)
+        val cand = q.filter(col("label") >= 5)
+        mon.applyEmbeddingBatch(cand.filter(col("vec_id") % 2 === 0),
+          col("vec"), DriftPlanes, Dims, 0L)
+        mon.applyEmbeddingBatch(cand.filter(col("vec_id") % 2 === 1),
+          col("vec"), DriftPlanes, Dims, 1L)
+    }
 }

@@ -269,12 +269,16 @@ object TextQueries {
         mon.applyBatch(cand.filter(col("doc_id") % 2 === 1), col("text"), 1L)
     }
 
-  /** Per-batch drift CTEs for the monitor twin: batch `b` of the
-    * candidate slice (doc_id % 2 = b) priced against the shared
-    * reference counts `rc`/`rtot` — the same smoothing/quantization
-    * arithmetic as [[sqlDriftCtes]], totals per BATCH.
+  /** Per-batch gate-verdict CTEs for a DriftMonitor twin: batch `b`
+    * of the candidate bucket stream `mhb(par, bucket)` (par = batch
+    * id) priced against shared reference counts `rc(bucket, c_ref)` /
+    * `rtot(tr)` over the bucket skeleton `dsk(bucket)` — the same
+    * smoothing/quantization arithmetic as [[sqlDriftCtes]], totals
+    * per BATCH. Parametrized on the bucket count so the token, score,
+    * and embedding gate twins all replay ONE verdict formulation.
     */
-  private def sqlDriftBatchCtes(b: Int): String =
+  private[queries] def sqlGateBatchCtes(b: Int, buckets: Int,
+      hotPsiE9: Long): String =
     s"""cb$b AS (SELECT bucket, count(*) AS c_cand FROM mhb
        |  WHERE par = $b GROUP BY 1),
        |ct$b AS (SELECT CAST(count(*) AS BIGINT) AS tc FROM mhb
@@ -284,24 +288,24 @@ object TextQueries {
        |  FROM dsk LEFT JOIN rc USING (bucket)
        |  LEFT JOIN cb$b USING (bucket)),
        |dr$b AS (SELECT bucket, CAST(c_cand AS BIGINT) AS c_cand,
-       |  CAST(round(((c_cand + 1.0) / CAST(tc + $DriftBuckets AS DOUBLE) -
-       |      (c_ref + 1.0) / CAST(tr + $DriftBuckets AS DOUBLE)) *
-       |    ln(((c_cand + 1.0) / CAST(tc + $DriftBuckets AS DOUBLE)) /
-       |       ((c_ref + 1.0) / CAST(tr + $DriftBuckets AS DOUBLE))) *
+       |  CAST(round(((c_cand + 1.0) / CAST(tc + $buckets AS DOUBLE) -
+       |      (c_ref + 1.0) / CAST(tr + $buckets AS DOUBLE)) *
+       |    ln(((c_cand + 1.0) / CAST(tc + $buckets AS DOUBLE)) /
+       |       ((c_ref + 1.0) / CAST(tr + $buckets AS DOUBLE))) *
        |    1000000000) AS BIGINT) AS psi_e9,
-       |  CAST(round((c_cand + 1.0) / CAST(tc + $DriftBuckets AS DOUBLE) *
-       |    ln(((c_cand + 1.0) / CAST(tc + $DriftBuckets AS DOUBLE)) /
-       |       ((c_ref + 1.0) / CAST(tr + $DriftBuckets AS DOUBLE))) *
+       |  CAST(round((c_cand + 1.0) / CAST(tc + $buckets AS DOUBLE) *
+       |    ln(((c_cand + 1.0) / CAST(tc + $buckets AS DOUBLE)) /
+       |       ((c_ref + 1.0) / CAST(tr + $buckets AS DOUBLE))) *
        |    1000000000) AS BIGINT) AS kl_e9
        |  FROM f$b, rtot, ct$b),
        |v$b AS (SELECT CAST($b AS BIGINT) AS batch,
        |  (SELECT tc FROM ct$b) AS n_cand,
        |  CAST(sum(psi_e9) AS BIGINT) AS psi_e9,
        |  CAST(sum(kl_e9) AS BIGINT) AS kl_e9,
-       |  CAST(sum(CASE WHEN psi_e9 > $DriftHotPsiE9 THEN 1 ELSE 0 END)
+       |  CAST(sum(CASE WHEN psi_e9 > $hotPsiE9 THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_hot_buckets,
        |  coalesce((SELECT string_agg(CAST(bucket AS VARCHAR), ','
-       |    ORDER BY bucket) FROM dr$b WHERE psi_e9 > $DriftHotPsiE9), '')
+       |    ORDER BY bucket) FROM dr$b WHERE psi_e9 > $hotPsiE9), '')
        |    AS hot_buckets
        |  FROM dr$b)""".stripMargin
 
@@ -3217,8 +3221,8 @@ object TextQueries {
          |rc AS (SELECT bucket, count(*) AS c_ref FROM rhb GROUP BY 1),
          |rtot AS (SELECT CAST(count(*) AS BIGINT) AS tr FROM rhb),
          |dsk AS (SELECT unnest(range(0, $DriftBuckets)) AS bucket),
-         |${sqlDriftBatchCtes(0)},
-         |${sqlDriftBatchCtes(1)}
+         |${sqlGateBatchCtes(0, DriftBuckets, DriftHotPsiE9)},
+         |${sqlGateBatchCtes(1, DriftBuckets, DriftHotPsiE9)}
          |SELECT batch, n_cand, psi_e9, kl_e9, n_hot_buckets, hot_buckets
          |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
          |ORDER BY batch""".stripMargin) { (s, d) =>
@@ -3276,7 +3280,66 @@ object TextQueries {
           "doc_id"),
         col("score_e6"), expr("cast(substring(source, 4) as bigint) < 10"),
         ScoreDriftBins)
+    },
+
+    // streaming drift gate, SCORE modality (DriftMonitor.
+    // setScoreReference/applyScoreBatch): the reference crawl
+    // generation's NB-score distribution pins the band geometry
+    // (lo, binw persisted WITH the reference — a batch never
+    // re-derives bins from itself), then each incoming half of the
+    // new generation gets one verdict row. Same priceBuckets pricing,
+    // same verdict formulation as the token gate — the twin replays
+    // both batches through the shared gate CTEs.
+    QueryDef("doc_score_drift_gate_e2e",
+      s"""WITH $sqlNbScoreCtes,
+         |j AS (SELECT sc.doc_id, sc.score_e6 AS s,
+         |  CAST(substr(d.source, 4) AS BIGINT) < 10 AS r
+         |  FROM sc JOIN documents d USING (doc_id)),
+         |bw AS (SELECT min(s) AS lo,
+         |  greatest(1, (max(s) - min(s)) // $ScoreDriftBins + 1) AS binw,
+         |  CAST(count(*) AS BIGINT) AS tr FROM j WHERE r),
+         |rc AS (SELECT least(greatest((s - lo) // binw, 0),
+         |    ${ScoreDriftBins - 1}) AS bucket, count(*) AS c_ref
+         |  FROM j, bw WHERE r GROUP BY 1),
+         |rtot AS (SELECT tr FROM bw),
+         |dsk AS (SELECT unnest(range(0, $ScoreDriftBins)) AS bucket),
+         |mhb AS (SELECT doc_id % 2 AS par,
+         |  least(greatest((s - lo) // binw, 0),
+         |    ${ScoreDriftBins - 1}) AS bucket
+         |  FROM j, bw WHERE NOT r),
+         |${sqlGateBatchCtes(0, ScoreDriftBins, DriftHotPsiE9)},
+         |${sqlGateBatchCtes(1, ScoreDriftBins, DriftHotPsiE9)}
+         |SELECT batch, n_cand, psi_e9, kl_e9, n_hot_buckets, hot_buckets
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+         |ORDER BY batch""".stripMargin) { (s, d) =>
+      val dir = scoreGateStateDir(s, d)
+      new graft.streaming.DriftMonitor(s, dir, ScoreDriftBins,
+          DriftHotPsiE9)
+        .readVerdicts(1L)
+        .orderBy("batch")
     })
+
+  /** Score-gate state: NB-scored docs split crawl-generation-wise —
+    * src0–src9 pins the reference bands, src10–src19 arrives as two
+    * doc-parity micro-batches.
+    */
+  private def scoreGateStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    TempState.dir("scoregate|" + s.sparkContext.applicationId + "|" + d) {
+      root =>
+        val mon = new graft.streaming.DriftMonitor(s, root,
+          ScoreDriftBins, DriftHotPsiE9)
+        val scored = nbScored(s, d).join(
+          load(s, d, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        val isRef = expr("cast(substring(source, 4) as bigint) < 10")
+        mon.setScoreReference(scored.filter(isRef), col("score_e6"))
+        val cand = scored.filter(!isRef)
+        mon.applyScoreBatch(cand.filter(col("doc_id") % 2 === 0),
+          col("score_e6"), 0L)
+        mon.applyScoreBatch(cand.filter(col("doc_id") % 2 === 1),
+          col("score_e6"), 1L)
+    }
 
   /** One trained merge table per (session, dataset) — training is
     * deterministic, so memoizing only saves the word-frequency job on

@@ -87,6 +87,26 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("segment refuses to route an untrained merge table to the " +
+      "native form") {
+    // 65 merges crosses NativeMergeThreshold; the first one's left
+    // constituent "xy" was never built by an earlier merge, so the
+    // fold/native equality argument does not apply — segment must
+    // fail loudly instead of silently switching semantics
+    val bad = Bpe.Merge("xy", "z") +:
+      (0 until 64).map(i => Bpe.Merge("a", ('b' + i % 20).toChar.toString))
+    assert(!Bpe.trainedOrder(bad))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.segment(col("w"), bad)
+    }
+    assert(e.getMessage.contains("trained-order"))
+    // a genuinely trained table of the same size routes fine
+    val words = Vector.tabulate(40)(i => ("ab" * (1 + i % 5)) + "cd" * (i % 3))
+    val trained = Bpe.train(words.map(_ -> 1L), 70)
+    assert(Bpe.trainedOrder(trained))
+    Bpe.segment(col("w"), trained) // no throw
+  }
+
   test("production vocab: >=1000 merges apply under CODEGEN_ONLY") {
     // the r10 scale seam: the replace fold at this vocab size would be
     // a 1000-deep nested expression (Janino method limits, analyzer
