@@ -536,15 +536,17 @@ object TextOps {
     val (n, sumDl) = (st.getLong(0), st.getLong(1))
     require(n > 0, "bm25TopK needs a non-empty corpus")
     val avgdl = sumDl.toDouble / n.toDouble
+    // the matched posting list materializes ONCE (eager
+    // localCheckpoint): both its consumers — the O(terms) df
+    // aggregate and the scoring join — read the checkpointed blocks,
+    // so the corpus tokenize+explode never runs twice
     val tf = docs
       .select(col("doc_id"), col("__dl"), explode(col("__toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy("doc_id", "__dl", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = dfreq.withColumn("idf_e6",
-      round(log(lit(1.0d) + (lit(n.toDouble) - col("df") + lit(0.5d)) /
-        (col("df") + lit(0.5d))) * 1000000d, 0).cast("long"))
-      .select("term", "idf_e6")
+      .localCheckpoint(true)
+    val idf = idfLiteral(df.sparkSession,
+      tf.groupBy("term").agg(count(lit(1)).as("df")).collect(), n)
     val scored = tf.join(broadcast(idf), "term")
       .withColumn("w_e6",
         round(col("idf_e6").cast("double") *
@@ -559,6 +561,105 @@ object TextOps {
     // the rank window runs over the already-limited topK rows only
     ranked.withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** [[bm25TopK]] over a query TABLE — the retrieval sweep a
+    * decontamination or audit pipeline runs: top-`topK` documents per
+    * query, for `queries` = (query_id, term) rows, in ONE pass over
+    * the corpus.
+    *
+    * Scoring is identical to [[bm25TopK]] (same idf quantization,
+    * same tf saturation, df computed over the union of all query
+    * terms — df is a corpus property, query-independent).
+    *
+    * Shape at scale: the exploded corpus scan filters against the
+    * broadcast term set BEFORE any shuffle, so posting lists are
+    * built once for the union of query terms — never re-scanned per
+    * query; the per-query fan-out is a broadcast join of the
+    * O(Σ query terms) table; the ONE corpus-sized shuffle is the
+    * score aggregation keyed (query_id, doc_id). Per-query top-k
+    * rides `graft_topk`'s map-side partial combine (each map task
+    * emits ≤ k rows per query), with `n_hit` packed into the low 20
+    * bits of the comparison id so no second corpus pass re-derives
+    * it — the pack preserves the (score desc, doc_id asc) tie order
+    * because doc_id occupies the high bits.
+    *
+    * Returns (query_id, doc_id, n_hit, score_e6, rank), rank 1-based
+    * per query. Requires 0 <= doc_id < 2^43 and < 2^20 terms per
+    * query (the packing headroom — loud requires, not silent caps).
+    */
+  def bm25TopKPerQuery(df: DataFrame, id: Column, text: Column,
+      queries: DataFrame, k1: Double, b: Double, topK: Int): DataFrame = {
+    import graft.functions.TopKPairsAgg.topkPairs
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val qterms = queries.select(
+      col("query_id").cast("long").as("query_id"),
+      col("term").cast("string").as("term")).distinct()
+    val qs = qterms.groupBy("query_id").agg(count(lit(1)).as("__nt"))
+      .agg(count(lit(1)), max("__nt")).head()
+    require(qs.getLong(0) > 0, "bm25TopKPerQuery needs at least one query")
+    require(qs.getLong(1) < (1L << 20),
+      s"bm25TopKPerQuery: a query with ${qs.getLong(1)} terms exceeds " +
+        "the 2^20 n_hit packing headroom")
+    val docs = df.select(id.cast("long").as("doc_id"),
+      tokens(text).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    val st = docs.agg(count(lit(1)), sum("__dl"),
+      min("doc_id"), max("doc_id")).head()
+    val n = st.getLong(0)
+    require(n > 0, "bm25TopKPerQuery needs a non-empty corpus")
+    require(st.getLong(2) >= 0L && st.getLong(3) < (1L << 43),
+      "bm25TopKPerQuery needs 0 <= doc_id < 2^43 (packing headroom)")
+    val avgdl = st.getLong(1).toDouble / n.toDouble
+    val terms = qterms.select("term").distinct()
+    // as in [[bm25TopK]]: the posting list over the UNION of query
+    // terms materializes once; df and scoring both read it back
+    val tf = docs
+      .select(col("doc_id"), col("__dl"), explode(col("__toks")).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy("doc_id", "__dl", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val idf = idfLiteral(df.sparkSession,
+      tf.groupBy("term").agg(count(lit(1)).as("df")).collect(), n)
+    val scored = tf.join(broadcast(idf), "term")
+      .withColumn("w_e6",
+        round(col("idf_e6").cast("double") *
+          (col("tf") * lit(k1 + 1.0d)) /
+          (col("tf") + lit(k1) * (lit(1.0d - b) +
+            lit(b) * col("__dl") / lit(avgdl))), 0).cast("long"))
+      .join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hit"), sum("w_e6").as("score_e6"))
+    scored.groupBy("query_id")
+      .agg(topkPairs(col("score_e6"),
+        shiftleft(col("doc_id"), 20) + col("n_hit"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        shiftright(col("col.id"), 20).as("doc_id"),
+        (col("col.id") % lit(1048576L)).as("n_hit"),
+        col("col.ord").as("score_e6"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** The BM25 idf table as a LITERAL frame from collected
+    * (term, df) rows — O(query terms), so the driver round-trip is
+    * free, and the broadcast side carries no corpus lineage. The
+    * quantization re-states the SAME Spark column arithmetic the
+    * inline form used (one ln, one multiply, one HALF_UP round), so
+    * values are bit-identical.
+    */
+  private def idfLiteral(spark: org.apache.spark.sql.SparkSession,
+      dfreq: Array[org.apache.spark.sql.Row], n: Long): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(dfreq: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("df",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+      .withColumn("idf_e6",
+        round(log(lit(1.0d) + (lit(n.toDouble) - col("df") + lit(0.5d)) /
+          (col("df") + lit(0.5d))) * 1000000d, 0).cast("long"))
+      .select("term", "idf_e6")
 
   /** DSIR-style importance weights over hashed n-gram features
     * (Xie et al. 2023, "Data Selection for Language Models via

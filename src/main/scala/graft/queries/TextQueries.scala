@@ -194,6 +194,18 @@ object TextQueries {
   private val Bm25B = 0.75
   private val Bm25TopK = 20
 
+  /** The retrieval-sweep query table (doc_bm25_multi): query 0 is the
+    * single-query fixture (rare + common), 1–2 mix common terms, 3
+    * pairs a dead term with a live one, 4 is entirely dead (no output
+    * rows).
+    */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "dup", 0L -> "vector", 0L -> "merge",
+    1L -> "spark", 1L -> "join",
+    2L -> "window", 2L -> "stream", 2L -> "slow",
+    3L -> "zzznope", 3L -> "hash",
+    4L -> "qqqmissing")
+
   /** DSIR feature-hash bucket count and selected fraction (1/4) for
     * doc_dsir_select.
     */
@@ -2957,6 +2969,56 @@ object TextQueries {
       TextOps.bm25TopK(load(s, d, "documents"), col("doc_id"), col("text"),
         Bm25Terms, k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
         .orderBy("rank")
+    },
+
+    // BM25 retrieval sweep (TextOps.bm25TopKPerQuery): top-k per
+    // query over a query TABLE in one corpus pass — the posting list
+    // over the union of query terms materializes once, df/idf stay
+    // query-independent, the per-query fan-out is a broadcast join,
+    // and per-query top-k rides graft_topk's partial combine (n_hit
+    // packed into the comparison id's low bits, so no second corpus
+    // pass re-derives it). Query 3 pairs a dead term with a live one;
+    // query 4 is entirely dead and must yield no rows.
+    QueryDef("doc_bm25_multi", {
+      val values = Bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+         |  FROM (VALUES $values) AS v(query_id, term)),
+         |t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+         |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+         |  FROM d),
+         |e AS (SELECT doc_id, unnest(w) AS term FROM t),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM e WHERE term IN (SELECT DISTINCT term FROM qt)
+         |  GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1),
+         |idf AS (SELECT term, CAST(round(ln(1.0 +
+         |    (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1000000)
+         |  AS BIGINT) AS idf_e6 FROM dfq, st),
+         |w8 AS (SELECT tf.doc_id, tf.term, CAST(round(
+         |    CAST(idf_e6 AS DOUBLE) * (tf * ${Bm25K1 + 1.0d}) /
+         |    (tf + $Bm25K1 * (${1.0d - Bm25B} + $Bm25B * dl / avgdl)))
+         |  AS BIGINT) AS w_e6
+         |  FROM tf JOIN idf USING (term) JOIN d USING (doc_id), st),
+         |sr AS (SELECT qt.query_id, w8.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_hit,
+         |  CAST(sum(w_e6) AS BIGINT) AS score_e6
+         |  FROM w8 JOIN qt USING (term) GROUP BY 1, 2)
+         |SELECT query_id, doc_id, n_hit, score_e6, rank FROM (
+         |  SELECT query_id, doc_id, n_hit, score_e6,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM sr)
+         |WHERE rank <= $Bm25TopK
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (s, d) =>
+      val q = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
+      TextOps.bm25TopKPerQuery(load(s, d, "documents"), col("doc_id"),
+        col("text"), q, k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
+        .orderBy("query_id", "rank")
     },
 
     // DSIR importance selection (Xie et al. 2023; TextOps.dsirWeights

@@ -171,6 +171,73 @@ class EvalSpec extends SparkSpec {
     assert(got.count() == 5L)
   }
 
+  // ---- bm25TopKPerQuery --------------------------------------------
+
+  test("bm25TopKPerQuery: each query's slice equals the single-query " +
+      "operator") {
+    val docs = Seq(
+      (1L, "alpha beta beta beta beta beta beta beta beta"),
+      (2L, "alpha gamma"),
+      (3L, "beta gamma delta"),
+      (4L, "gamma delta gamma"),
+      (5L, "delta delta alpha beta")).toDF("doc_id", "text")
+    val qmap = Map(
+      0L -> Seq("alpha", "beta"),
+      1L -> Seq("gamma"),
+      2L -> Seq("delta", "alpha", "zzznope"), // dead term contributes 0
+      3L -> Seq("zzznope"))                   // fully dead query
+    val queries = qmap.toSeq.flatMap { case (q, ts) => ts.map((q, _)) }
+      .toDF("query_id", "term")
+    val got = TextOps.bm25TopKPerQuery(docs, col("doc_id"), col("text"),
+      queries, k1 = 1.2, b = 0.75, topK = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .groupBy(_._1)
+    assert(!got.contains(3L)) // no matches → no rows
+    for ((q, ts) <- qmap if q != 3L) {
+      val want = TextOps.bm25TopK(docs, col("doc_id"), col("text"),
+        ts.filter(_ != "zzznope"), k1 = 1.2, b = 0.75, topK = 3)
+        .collect()
+        .map(r => (q, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(got(q).toSeq.sortBy(_._5) == want, s"query $q")
+    }
+  }
+
+  test("bm25TopKPerQuery plan: one corpus explode, one shuffle keyed " +
+      "(query_id, doc_id), partial top-k") {
+    val docs = (1L to 50L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val queries = Seq((0L, "alpha"), (1L, "beta"), (1L, "gamma"))
+      .toDF("query_id", "term")
+    val plan = TextOps.bm25TopKPerQuery(docs, col("doc_id"), col("text"),
+      queries, 1.2, 0.75, 5).queryExecution.executedPlan.toString
+    // the corpus token stream explodes ONCE, into the checkpointed
+    // posting list — the returned plan only ever re-reads that
+    // materialization (zero explodes downstream), so queries can
+    // never re-scan the corpus
+    assert("explode\\(__toks".r.findAllIn(plan).isEmpty, plan)
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan RDD"), plan)
+    // exactly one exchange carries doc_id: the score aggregation
+    val docIdExchanges = "hashpartitioning\\([^)]*doc_id".r
+      .findAllIn(plan).size
+    assert(docIdExchanges == 1, plan)
+    // per-query top-k is the partial-combining aggregate, not a window
+    assert(plan.contains("graft_topk"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("bm25TopKPerQuery: packing headroom requires fail loudly") {
+    val docs = Seq((-1L, "alpha")).toDF("doc_id", "text")
+    val queries = Seq((0L, "alpha")).toDF("query_id", "term")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bm25TopKPerQuery(docs, col("doc_id"), col("text"),
+        queries, 1.2, 0.75, 3)
+    }
+    assert(e.getMessage.contains("doc_id"))
+  }
+
   // ---- dsirWeights -----------------------------------------------
 
   test("dsirWeights: target-like docs outweigh off-target docs") {
