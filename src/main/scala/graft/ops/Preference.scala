@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -68,9 +68,18 @@ object Preference {
           .as("wins_b"))
   }
 
+  /** The driver path's hard ceiling: above this many items the
+    * O(items²) pair collect and the per-item neighbor scan stop being
+    * "bounded driver state" — [[bradleyTerry]] refuses loudly and
+    * [[bradleyTerryAuto]] routes to [[bradleyTerryDistributed]].
+    */
+  val DriverMaxItems = 1024
+
   /** Bradley-Terry strengths by `iters` MM rounds over a canonical
     * pair table (item_a, item_b, wins_a, wins_b). The pair table is
-    * collected — it is O(items²) by construction (see object doc).
+    * collected — it is O(items²) by construction (see object doc) and
+    * guarded by [[DriverMaxItems]]: a larger domain fails loudly and
+    * belongs on [[bradleyTerryDistributed]].
     * Returns (item, wins, games, theta_e6, rk) ranked by strength
     * (ties by item).
     */
@@ -82,6 +91,10 @@ object Preference {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     require(pc.nonEmpty, "bradleyTerry needs at least one compared pair")
     val items = pc.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    require(items.length <= DriverMaxItems,
+      s"bradleyTerry keeps the O(items²) pair table on the driver — " +
+        s"${items.length} items exceeds the $DriverMaxItems ceiling; " +
+        "use bradleyTerryDistributed (or bradleyTerryAuto)")
     val wins = items.map { i =>
       i -> pc.map { case (a, b, wa, wb) =>
         if (i == a) wa else if (i == b) wb else 0L }.sum
@@ -122,5 +135,110 @@ object Preference {
         StructField("games", LongType, nullable = false),
         StructField("theta_e6", LongType, nullable = false),
         StructField("rk", LongType, nullable = false))))
+  }
+
+  /** [[bradleyTerry]] with every per-round quantity computed as
+    * DataFrame aggregates — the path for item domains too large to
+    * collect (content sources, prompt clusters): θ lives as an
+    * O(items) frame broadcast into the edge join, the O(items²) edge
+    * table only ever scans and aggregates, and the single driver-side
+    * value per round is the 1-row normalization sum.
+    *
+    * Exactness: the SAME integer trajectory as the BigInt loop.
+    * Every transfer/normalization floor-divides DECIMAL(38,0)
+    * integers via an exact two-step floor (the HALF_UP quotient is
+    * provably in {⌊q⌋, ⌊q⌋+1}, so one multiply-back correction pins
+    * the floor), and a per-round null count fails loudly if any
+    * intermediate ever exceeded 38 digits — quantization can
+    * overflow only by raising, never by drifting.
+    *
+    * Per-round lineage is cut with the persist + LogicalRDD pattern
+    * (the PageRank loop); the returned frame owns its rows.
+    */
+  def bradleyTerryDistributed(pairs: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = pairs.sparkSession
+    val dec = DecimalType(38, 0)
+    val qLit = lit(new java.math.BigDecimal(Q.bigInteger)).cast(dec)
+    // exact floor(a / b) for non-negative DECIMAL(38,0) operands:
+    // the decimal division rounds HALF_UP at scale 6 then again at
+    // scale 0, landing in {floor, floor+1}; multiplying back picks
+    def dfloor(a: Column, b: Column): Column = {
+      val qa = (a / b).cast(dec)
+      when(qa * b > a, qa - lit(1)).otherwise(qa)
+    }
+    val e = pairs.select(
+        col("item_a").as("i"), col("item_b").as("j"),
+        (col("wins_a") + col("wins_b")).as("n"), col("wins_a").as("wi"))
+      .unionByName(pairs.select(
+        col("item_b").as("i"), col("item_a").as("j"),
+        (col("wins_a") + col("wins_b")).as("n"), col("wins_b").as("wi")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = e.groupBy("i")
+      .agg(sum("wi").as("wins"), sum("n").as("games"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cached: DataFrame = null
+    try {
+      val k = w.count() // materializes both caches
+      require(k > 0, "bradleyTerryDistributed needs a compared pair")
+      val kScale = lit(new java.math.BigDecimal(
+        (BigInt(k) * Scale).bigInteger)).cast(dec)
+      var th = w.select(col("i"),
+        lit(new java.math.BigDecimal(Scale.bigInteger)).cast(dec).as("th"))
+      for (_ <- 1 to iters) {
+        val ta = th.select(col("i"), col("th").as("__ta"))
+        val tb = th.select(col("i").as("j"), col("th").as("__tb"))
+        val den = e.join(broadcast(ta), "i").join(broadcast(tb), "j")
+          .select(col("i"),
+            dfloor(col("n").cast(dec) * qLit,
+              col("__ta") + col("__tb")).as("t"))
+          .groupBy("i").agg(sum("t").cast(dec).as("den"))
+        val raw = w.join(den, "i")
+          .select(col("i"),
+            when(col("wins") === 0L, lit(1).cast(dec))
+              .otherwise(dfloor(col("wins").cast(dec) * qLit,
+                col("den"))).as("raw"))
+        val sRow = raw.agg(sum("raw").cast(dec).as("s"),
+          sum(when(col("raw").isNull, 1L).otherwise(0L)).as("nn")).head()
+        require(sRow.getLong(1) == 0L,
+          "bradleyTerryDistributed: a transfer overflowed DECIMAL(38,0)" +
+            " — the win/game magnitudes exceed the e12 quantization's" +
+            " headroom")
+        val next = raw.select(col("i"),
+          greatest(dfloor(col("raw") * kScale,
+            lit(sRow.getDecimal(0)).cast(dec)), lit(1).cast(dec)).as("th"))
+        // persist + LogicalRDD cut per round: round k's plan must not
+        // embed k copies of the iteration subtree
+        next.persist().count()
+        if (cached != null) cached.unpersist()
+        cached = next
+        th = spark.createDataFrame(next.rdd, next.schema)
+      }
+      val out = w.join(th, "i")
+        .select(col("i").as("item"), col("wins"), col("games"),
+          col("th").cast("long").as("theta_e6"))
+      // the two-level rank materializes the result (items-bounded)
+      // before the finally releases every pin
+      Ranks.globalRowNumber(out,
+          Seq(col("theta_e6").desc, col("item")), "rk")
+        .select("item", "wins", "games", "theta_e6", "rk")
+    } finally {
+      e.unpersist(); w.unpersist()
+      if (cached != null) cached.unpersist()
+    }
+  }
+
+  /** Route by item count: the exact-BigInt driver trajectory while
+    * the domain collects comfortably, the frame-based iteration
+    * beyond — both produce the identical integer trajectory
+    * (spec-pinned), so the route changes cost, never answers.
+    */
+  def bradleyTerryAuto(spark: SparkSession, pairs: DataFrame, iters: Int,
+      driverMaxItems: Int = DriverMaxItems): DataFrame = {
+    val nItems = pairs.select(col("item_a").as("i"))
+      .unionByName(pairs.select(col("item_b").as("i")))
+      .distinct().count()
+    if (nItems <= driverMaxItems) bradleyTerry(spark, pairs, iters)
+    else bradleyTerryDistributed(pairs, iters)
   }
 }

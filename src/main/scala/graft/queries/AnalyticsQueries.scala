@@ -1178,5 +1178,61 @@ object AnalyticsQueries {
         graft.ops.Preference.pairwiseFromEvents(ev, Tables.stepUs(ev)),
         BtIters)
         .orderBy("rk")
+    },
+
+    // Bradley-Terry over a WIDE item domain
+    // (Preference.bradleyTerryDistributed via the auto router): items
+    // are (event_type, event_id mod 7) composites — ~7× the type
+    // domain, past the router's ceiling here — so θ lives as a frame
+    // broadcast into the edge join and the only driver-side value per
+    // round is the 1-row normalization sum. The trajectory is the
+    // SAME exact integer MM recursion (DECIMAL(38,0) two-step floor
+    // == BigInt floor == HUGEINT `//`), so the twin replays it with
+    // the identical unrolled CTEs, only the item definition changing.
+    QueryDef("q_bt_strengths_dist",
+      s"""WITH o AS (SELECT user_id, event_id, event_type, value,
+         |  lag(event_type) OVER uw AS pt, lag(value) OVER uw AS pv
+         |  FROM (SELECT user_id, event_id,
+         |    event_type || '#' || CAST(event_id % 7 AS VARCHAR)
+         |      AS event_type, value,
+         |    ${OracleDefs.EventStepUs} AS t FROM events)
+         |  WINDOW uw AS (PARTITION BY user_id ORDER BY t, event_id)),
+         |v AS (SELECT * FROM o WHERE pt IS NOT NULL
+         |  AND pt <> event_type AND value <> pv),
+         |c AS (SELECT
+         |  CASE WHEN event_type < pt THEN event_type ELSE pt END AS item_a,
+         |  CASE WHEN event_type < pt THEN pt ELSE event_type END AS item_b,
+         |  CASE WHEN value > pv THEN event_type ELSE pt END AS win
+         |  FROM v),
+         |pc AS MATERIALIZED (SELECT item_a, item_b,
+         |  sum(CASE WHEN win = item_a THEN 1 ELSE 0 END) AS wins_a,
+         |  sum(CASE WHEN win = item_b THEN 1 ELSE 0 END) AS wins_b
+         |  FROM c GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT item_a AS i, item_b AS j,
+         |    CAST(wins_a + wins_b AS HUGEINT) AS n FROM pc
+         |  UNION ALL SELECT item_b, item_a, CAST(wins_a + wins_b AS HUGEINT)
+         |  FROM pc),
+         |w AS MATERIALIZED (SELECT i, CAST(sum(ww) AS BIGINT) AS w FROM (
+         |    SELECT item_a AS i, wins_a AS ww FROM pc
+         |    UNION ALL SELECT item_b, wins_b FROM pc) GROUP BY i),
+         |g AS (SELECT i, CAST(sum(n) AS BIGINT) AS games FROM e GROUP BY i),
+         |kk AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS k FROM w),
+         |t0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS th FROM w),
+         |$btTrajectoryCtes
+         |SELECT w.i AS item, w.w AS wins, g.games,
+         |  CAST(t$BtIters.th AS BIGINT) AS theta_e6,
+         |  CAST(row_number() OVER (ORDER BY t$BtIters.th DESC, w.i)
+         |    AS BIGINT) AS rk
+         |FROM w JOIN g USING (i) JOIN t$BtIters USING (i)
+         |ORDER BY rk""".stripMargin) { (s, d) =>
+      val ev = load(s, d, "events")
+      val composite = ev.withColumn("event_type",
+        concat(col("event_type"), lit("#"),
+          (col("event_id") % 7).cast("string")))
+      graft.ops.Preference.bradleyTerryAuto(s,
+        graft.ops.Preference.pairwiseFromEvents(composite,
+          Tables.stepUs(ev)),
+        BtIters, driverMaxItems = 16)
+        .orderBy("rk")
     })
 }

@@ -57,6 +57,60 @@ class PreferenceSpec extends SparkSpec {
     assert(delta(t30, t29) <= 1L)
   }
 
+  test("bradleyTerryDistributed replays the driver trajectory " +
+      "bit-identically (randomized domains)") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 4) {
+      val nItems = 4 + rnd.nextInt(12)
+      val items = (0 until nItems).map(i => f"it$i%02d")
+      val rows = for {
+        a <- items.indices; b <- (a + 1) until nItems
+        if rnd.nextInt(3) > 0 // leave some pairs uncompared
+      } yield (items(a), items(b),
+        rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)
+      val nonEmpty = rows.filter(r => r._3 + r._4 > 0)
+      if (nonEmpty.nonEmpty) {
+        val iters = 1 + rnd.nextInt(6)
+        val want = Preference.bradleyTerry(spark, pairsDF(nonEmpty: _*),
+          iters).collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+        val got = Preference.bradleyTerryDistributed(pairsDF(nonEmpty: _*),
+          iters).collect().map(r => (r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+        assert(got == want, s"trial=$trial iters=$iters")
+      }
+    }
+  }
+
+  test("bradleyTerryDistributed: a winless item floors at theta 1") {
+    val got = Preference.bradleyTerryDistributed(
+      pairsDF(("a", "b", 30L, 0L), ("b", "c", 0L, 5L)), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("b") == 1L)
+    assert(got("a") > got("b") && got("c") > got("b"))
+  }
+
+  test("the driver path refuses an item domain past its ceiling; " +
+      "auto routes it to the distributed path") {
+    // tiny threshold via the auto router's parameter — the contract
+    // under test is routing, not scale
+    val p = pairsDF(("a", "b", 2L, 1L), ("b", "c", 3L, 1L),
+      ("a", "c", 1L, 1L))
+    val viaAuto = Preference.bradleyTerryAuto(spark, p, iters = 3,
+      driverMaxItems = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val direct = Preference.bradleyTerryDistributed(p, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(viaAuto == direct)
+    // the ceiling itself is a loud require on the driver path
+    val wide = (0 until Preference.DriverMaxItems + 1).map(i =>
+      (f"x$i%05d", "zz", 1L, 1L))
+    val e = intercept[IllegalArgumentException] {
+      Preference.bradleyTerry(spark, pairsDF(wide: _*), iters = 1)
+    }
+    assert(e.getMessage.contains("ceiling"))
+  }
+
   test("pairwiseFromEvents plan: one data-sized shuffle (the user " +
       "window), one post-partial-agg pair exchange") {
     val ev = Seq.tabulate(64)(i =>
