@@ -282,4 +282,60 @@ object Eval {
           coalesce(col("n_pos"), lit(0L)).cast("double") /
             col("n").cast("double")).otherwise(lit(0.0d)).as("pos_rate"))
   }
+
+  /** nDCG@k — the retrieval grader: how close is a scorer's top-k
+    * ranking to the best ranking its candidates allow?
+    *
+    *   DCG@k  = Σ_{i≤k} rel_i / log₂(i+1)   (ranking: score desc, id)
+    *   IDCG@k = the same sum over rel sorted descending
+    *   nDCG   = DCG / IDCG
+    *
+    * Exactness: the position discount quantizes ONCE per position —
+    * w_pos = round(1e9 / (ln(pos+1)/ln 2)), the same ln-ratio
+    * expression on both engines (the surprisal-family convention) —
+    * so DCG/IDCG are exact integer dot products of (rel, w) and the
+    * final ratio is one integer floor division to micro-units.
+    *
+    * Shape at scale: both the actual and the ideal top-k are
+    * TakeOrdered (per-partition partial top-k over the candidate
+    * set, never a global sort); the two k-row lists join one
+    * O(k)-row weight column and reduce to ONE verdict row —
+    * (n_cand, k, dcg_e9, idcg_e9, ndcg_e6), ndcg_e6 null when every
+    * candidate has zero relevance.
+    *
+    * `rel` must be a non-negative integral column.
+    */
+  def ndcgAtK(df: DataFrame, id: Column, rel: Column, score: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val cand = df.select(id.as("__id"), rel.cast("long").as("__rel"),
+      score.cast("long").as("__s"))
+    // one shared discount expression: pos → e9 weight
+    def wE9(pos: Column): Column =
+      round(lit(1000000000.0d) /
+        (log(pos.cast("double") + lit(1.0d)) / log(lit(2.0d))), 0)
+        .cast("long")
+    def gain(top: DataFrame, order: Seq[Column], name: String): DataFrame = {
+      val w = Window.orderBy(order: _*)
+      // the position window runs over the already-limited k rows only
+      top.withColumn("__pos", row_number().over(w))
+        .select(sum(col("__rel") * wE9(col("__pos"))).as(name))
+    }
+    val dcg = gain(
+      cand.orderBy(col("__s").desc, col("__id")).limit(k),
+      Seq(col("__s").desc, col("__id")), "dcg_e9")
+    val idcg = gain(
+      cand.orderBy(col("__rel").desc, col("__id")).limit(k),
+      Seq(col("__rel").desc, col("__id")), "idcg_e9")
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(dcg).crossJoin(idcg)
+      .select(col("n_cand"), lit(k.toLong).as("k"),
+        coalesce(col("dcg_e9"), lit(0L)).as("dcg_e9"),
+        coalesce(col("idcg_e9"), lit(0L)).as("idcg_e9"),
+        when(coalesce(col("idcg_e9"), lit(0L)) > 0L,
+          // DECIMAL(38,0) headroom for the e6 scale-up; integral
+          // division of decimals is exact (divideToIntegralValue)
+          expr("CAST(dcg_e9 AS DECIMAL(38,0)) * 1000000 div idcg_e9"))
+          .as("ndcg_e6"))
+  }
 }

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank fusion for hybrid retrieval — the step that merges a lexical
+  * ranking (BM25) with a semantic one (embedding k-NN) into a single
+  * consensus list, the standard shape of a modern retrieval stack.
+  */
+object Retrieval {
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009, SIGIR):
+    *
+    *   score(d) = Σ_lists 1 / (k0 + rank_list(d))
+    *
+    * Robust without score calibration because only RANKS cross lists
+    * — BM25's unbounded scores and cosine's [-1,1] never meet.
+    *
+    * Exactness: each contribution quantizes once per integer rank to
+    * round(1e9 / (k0 + rank)) — fused scores are exact integer sums,
+    * ties break by ascending id.
+    *
+    * Shape at scale: the inputs are already-truncated top-k lists
+    * (O(k) rows each, the cheap output of TakeOrdered retrievers), so
+    * the fusion is a union of O(N·k) rows, one aggregation, and a
+    * TakeOrdered — nothing corpus-sized. Every input must carry
+    * (id, rank) with rank ≥ 1.
+    *
+    * Returns (id, n_lists, rrf_e9, rank) for the fused top `topK`.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k0: Int, topK: Int): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k0 >= 1, s"need k0 >= 1, got $k0")
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val u = lists.map(_.select(col("id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = u.select(col("id"),
+        round(lit(1000000000.0d) /
+          (lit(k0) + col("rank")).cast("double"), 0).cast("long").as("c"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lists"), sum("c").as("rrf_e9"))
+    val top = fused.orderBy(col("rrf_e9").desc, col("id")).limit(topK)
+    val w = Window.orderBy(col("rrf_e9").desc, col("id"))
+    // the rank window runs over the already-limited topK rows only
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+}

@@ -529,12 +529,28 @@ object TextOps {
   def bm25TopK(df: DataFrame, id: Column, text: Column,
       queryTerms: Seq[String], k1: Double, b: Double,
       topK: Int): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    val scored = bm25Scores(df, id, text, queryTerms, k1, b)
+    val ranked = scored.orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(topK)
+    val w = Window.orderBy(col("score_e6").desc, col("doc_id"))
+    // the rank window runs over the already-limited topK rows only
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  /** [[bm25TopK]]'s full candidate set — every matched document with
+    * its hit count and score, unranked and untruncated. The seam a
+    * grader ([[Eval.ndcgAtK]]) or a rank-fusion step consumes when it
+    * needs the whole pool, not just the top-k.
+    * Returns (doc_id, n_hit, score_e6).
+    */
+  def bm25Scores(df: DataFrame, id: Column, text: Column,
+      queryTerms: Seq[String], k1: Double, b: Double): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scores needs at least one query term")
     val docs = df.select(id.as("doc_id"), tokens(text).as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("long"))
     val st = docs.agg(count(lit(1)), sum("__dl")).head()
     val (n, sumDl) = (st.getLong(0), st.getLong(1))
-    require(n > 0, "bm25TopK needs a non-empty corpus")
+    require(n > 0, "bm25Scores needs a non-empty corpus")
     val avgdl = sumDl.toDouble / n.toDouble
     // the matched posting list materializes ONCE (eager
     // localCheckpoint): both its consumers — the O(terms) df
@@ -547,7 +563,7 @@ object TextOps {
       .localCheckpoint(true)
     val idf = idfLiteral(df.sparkSession,
       tf.groupBy("term").agg(count(lit(1)).as("df")).collect(), n)
-    val scored = tf.join(broadcast(idf), "term")
+    tf.join(broadcast(idf), "term")
       .withColumn("w_e6",
         round(col("idf_e6").cast("double") *
           (col("tf") * lit(k1 + 1.0d)) /
@@ -555,11 +571,6 @@ object TextOps {
             lit(b) * col("__dl") / lit(avgdl))), 0).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit"), sum("w_e6").as("score_e6"))
-    val ranked = scored.orderBy(col("score_e6").desc, col("doc_id"))
-      .limit(topK)
-    val w = Window.orderBy(col("score_e6").desc, col("doc_id"))
-    // the rank window runs over the already-limited topK rows only
-    ranked.withColumn("rank", row_number().over(w).cast("long"))
   }
 
   /** [[bm25TopK]] over a query TABLE — the retrieval sweep a

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.Similarity
+import graft.ops.{Similarity, TextOps}
 import graft.queries.Tables.load
 import org.apache.spark.sql.functions._
 
@@ -132,6 +132,11 @@ object EmbQueries {
     * the token gate's bar.
     */
   private val GateHotPsiE9 = 100000L
+
+  /** RRF smoothing constant (doc_hybrid_rrf) — the k=60 the original
+    * paper fixed and most stacks keep.
+    */
+  private val RrfK0 = 60
 
   /** [[sqlBucketTerms]] at the emb_drift plane count. */
   private val sqlDriftBucketTerms = (0 until DriftPlanes).map { j =>
@@ -1039,6 +1044,54 @@ object EmbQueries {
             col("label")),
         col("vec"), col("label") < 5, DriftPlanes, Dims)
         .orderBy("bucket")
+    },
+
+    // hybrid retrieval (Retrieval.rrfFuse): BM25's lexical top-20 and
+    // the embedding cosine top-20 for the fixed query vector (vec_id
+    // 0) fuse by reciprocal rank — only RANKS cross the two lists, so
+    // BM25's unbounded scores and cosine's [-1,1] never need
+    // calibration. The corpus-with-embeddings fixture shares one id
+    // space (doc_id == vec_id). Each contribution quantizes once per
+    // integer rank; fused scores are exact integer sums.
+    QueryDef("doc_hybrid_rrf",
+      s"""WITH $sqlQuant,
+         |${TextQueries.sqlBm25SrCtes},
+         |bl AS (SELECT id, rank FROM (SELECT doc_id AS id,
+         |    CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id)
+         |      AS BIGINT) AS rank FROM sr)
+         |  WHERE rank <= ${TextQueries.Bm25TopK}),
+         |ec AS (SELECT b.vec_id AS id, $sqlCos AS sim
+         |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id = 0),
+         |el AS (SELECT id, rank FROM (SELECT id,
+         |    CAST(row_number() OVER (ORDER BY sim DESC, id)
+         |      AS BIGINT) AS rank FROM ec)
+         |  WHERE rank <= ${TextQueries.Bm25TopK}),
+         |u AS (SELECT id, rank FROM bl
+         |  UNION ALL SELECT id, rank FROM el),
+         |f AS (SELECT id, CAST(count(*) AS BIGINT) AS n_lists,
+         |  CAST(sum(CAST(round(1000000000.0 / ($RrfK0 + rank))
+         |    AS BIGINT)) AS BIGINT) AS rrf_e9
+         |  FROM u GROUP BY 1)
+         |SELECT id, n_lists, rrf_e9,
+         |  CAST(row_number() OVER (ORDER BY rrf_e9 DESC, id)
+         |    AS BIGINT) AS rank
+         |FROM f ORDER BY rank LIMIT ${TextQueries.Bm25TopK}"""
+        .stripMargin) { (s, d) =>
+      val bl = TextOps.bm25TopK(load(s, d, "documents"),
+        col("doc_id"), col("text"), TextQueries.Bm25Terms,
+        k1 = TextQueries.Bm25K1, b = TextQueries.Bm25B,
+        topK = TextQueries.Bm25TopK)
+        .select(col("doc_id").as("id"), col("rank"))
+      val vecs = load(s, d, "embeddings")
+        .select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"))
+      val el = Similarity.knnBrute(vecs.filter(col("id") === 0), vecs,
+        TextQueries.Bm25TopK)
+        .select(col("c_id").as("id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(bl, el), RrfK0,
+        TextQueries.Bm25TopK)
+        .orderBy("rank")
     },
 
     // streaming drift gate, EMBEDDING modality (DriftMonitor.

@@ -189,10 +189,10 @@ object TextQueries {
     * round-trips exactly), so both engines evaluate identical IEEE
     * expressions.
     */
-  private val Bm25Terms = Seq("dup", "vector", "merge")
-  private val Bm25K1 = 1.2
-  private val Bm25B = 0.75
-  private val Bm25TopK = 20
+  private[queries] val Bm25Terms = Seq("dup", "vector", "merge")
+  private[queries] val Bm25K1 = 1.2
+  private[queries] val Bm25B = 0.75
+  private[queries] val Bm25TopK = 20
 
   /** The retrieval-sweep query table (doc_bm25_multi): query 0 is the
     * single-query fixture (rare + common), 1–2 mix common terms, 3
@@ -205,6 +205,38 @@ object TextQueries {
     2L -> "window", 2L -> "stream", 2L -> "slow",
     3L -> "zzznope", 3L -> "hash",
     4L -> "qqqmissing")
+
+  /** nDCG truncation depth (doc_bm25_ndcg). */
+  private val NdcgK = 10
+
+  /** The single-query BM25 pipeline as a CTE prefix ending in
+    * `sr(doc_id, n_hit, score_e6)` — shared by the top-k twin and the
+    * nDCG grader twin so the scoring arithmetic cannot drift.
+    */
+  private[queries] val sqlBm25SrCtes: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM d),
+       |e AS (SELECT doc_id, unnest(w) AS term FROM t),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM e WHERE term IN ($termList) GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM tf GROUP BY 1),
+       |idf AS (SELECT term, CAST(round(ln(1.0 +
+       |    (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1000000)
+       |  AS BIGINT) AS idf_e6 FROM dfq, st),
+       |w8 AS (SELECT tf.doc_id, CAST(round(
+       |    CAST(idf_e6 AS DOUBLE) * (tf * ${Bm25K1 + 1.0d}) /
+       |    (tf + $Bm25K1 * (${1.0d - Bm25B} + $Bm25B * dl / avgdl)))
+       |  AS BIGINT) AS w_e6
+       |  FROM tf JOIN idf USING (term) JOIN d USING (doc_id), st),
+       |sr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       |  CAST(sum(w_e6) AS BIGINT) AS score_e6 FROM w8 GROUP BY 1)"""
+      .stripMargin
+  }
 
   /** DSIR feature-hash bucket count and selected fraction (1/4) for
     * doc_dsir_select.
@@ -2939,33 +2971,12 @@ object TextQueries {
     // rational IEEE arithmetic, doc scores exact integer sums; the
     // query-term filter lands BEFORE any shuffle and top-k is
     // TakeOrdered, never a global sort.
-    QueryDef("doc_bm25_topk", {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, $sqlToks AS w FROM documents),
-         |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-         |  FROM d),
-         |e AS (SELECT doc_id, unnest(w) AS term FROM t),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |  FROM e WHERE term IN ($termList) GROUP BY 1, 2),
-         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-         |  FROM tf GROUP BY 1),
-         |idf AS (SELECT term, CAST(round(ln(1.0 +
-         |    (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1000000)
-         |  AS BIGINT) AS idf_e6 FROM dfq, st),
-         |w8 AS (SELECT tf.doc_id, CAST(round(
-         |    CAST(idf_e6 AS DOUBLE) * (tf * ${Bm25K1 + 1.0d}) /
-         |    (tf + $Bm25K1 * (${1.0d - Bm25B} + $Bm25B * dl / avgdl)))
-         |  AS BIGINT) AS w_e6
-         |  FROM tf JOIN idf USING (term) JOIN d USING (doc_id), st),
-         |sr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
-         |  CAST(sum(w_e6) AS BIGINT) AS score_e6 FROM w8 GROUP BY 1)
+    QueryDef("doc_bm25_topk",
+      s"""WITH $sqlBm25SrCtes
          |SELECT doc_id, n_hit, score_e6,
          |  CAST(row_number() OVER (ORDER BY score_e6 DESC, doc_id)
          |    AS BIGINT) AS rank
-         |FROM sr ORDER BY rank LIMIT $Bm25TopK""".stripMargin
-    }) { (s, d) =>
+         |FROM sr ORDER BY rank LIMIT $Bm25TopK""".stripMargin) { (s, d) =>
       TextOps.bm25TopK(load(s, d, "documents"), col("doc_id"), col("text"),
         Bm25Terms, k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
         .orderBy("rank")
@@ -3019,6 +3030,38 @@ object TextQueries {
       TextOps.bm25TopKPerQuery(load(s, d, "documents"), col("doc_id"),
         col("text"), q, k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
         .orderBy("query_id", "rank")
+    },
+
+    // retrieval grading (Eval.ndcgAtK over TextOps.bm25Scores): how
+    // close is BM25's top-10 to the best ranking its candidate pool
+    // allows, with the hit count as graded relevance? Position
+    // discounts quantize once per position (the same ln-ratio
+    // expression on both engines), DCG/IDCG are exact integer dot
+    // products, both top-k's are TakeOrdered — one verdict row.
+    QueryDef("doc_bm25_ndcg",
+      s"""WITH $sqlBm25SrCtes,
+         |tk AS (SELECT n_hit, row_number() OVER
+         |  (ORDER BY score_e6 DESC, doc_id) AS pos FROM sr),
+         |il AS (SELECT n_hit, row_number() OVER
+         |  (ORDER BY n_hit DESC, doc_id) AS pos FROM sr),
+         |wd AS (SELECT CAST(sum(n_hit * CAST(round(1000000000.0 /
+         |    (ln(pos + 1.0) / ln(2.0))) AS BIGINT)) AS BIGINT) AS dcg_e9
+         |  FROM tk WHERE pos <= $NdcgK),
+         |wi AS (SELECT CAST(sum(n_hit * CAST(round(1000000000.0 /
+         |    (ln(pos + 1.0) / ln(2.0))) AS BIGINT)) AS BIGINT) AS idcg_e9
+         |  FROM il WHERE pos <= $NdcgK)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM sr) AS n_cand,
+         |  CAST($NdcgK AS BIGINT) AS k,
+         |  coalesce(dcg_e9, 0) AS dcg_e9,
+         |  coalesce(idcg_e9, 0) AS idcg_e9,
+         |  CASE WHEN coalesce(idcg_e9, 0) > 0 THEN
+         |    CAST(CAST(dcg_e9 AS HUGEINT) * 1000000 // idcg_e9 AS BIGINT)
+         |  END AS ndcg_e6
+         |FROM wd, wi""".stripMargin) { (s, d) =>
+      graft.ops.Eval.ndcgAtK(
+        TextOps.bm25Scores(load(s, d, "documents"), col("doc_id"),
+          col("text"), Bm25Terms, k1 = Bm25K1, b = Bm25B),
+        col("doc_id"), col("n_hit"), col("score_e6"), NdcgK)
     },
 
     // DSIR importance selection (Xie et al. 2023; TextOps.dsirWeights

@@ -346,6 +346,58 @@ class EvalSpec extends SparkSpec {
       s"expected TakeOrdered (per-partition partial top-k):\n$plan")
   }
 
+  // ---- ndcgAtK -----------------------------------------------------
+
+  /** The definition with the operator's own quantization: integer
+    * dot products of (rel, round(1e9/log2(pos+1))).
+    */
+  private def bruteNdcg(rows: Seq[(Long, Long, Long)],
+      k: Int): (Long, Long, Option[Long]) = {
+    def w(pos: Int) =
+      math.round(1e9 / (math.log(pos + 1.0) / math.log(2.0)))
+    def dot(rels: Seq[Long]) =
+      rels.take(k).zipWithIndex.map { case (r, i) => r * w(i + 1) }.sum
+    val dcg = dot(rows.sortBy { case (id, _, s) => (-s, id) }.map(_._2))
+    val idcg = dot(rows.sortBy { case (id, r, _) => (-r, id) }.map(_._2))
+    (dcg, idcg,
+      if (idcg > 0) Some(dcg * 1000000L / idcg) else None)
+  }
+
+  private def gotNdcg(rows: Seq[(Long, Long, Long)],
+      k: Int): (Long, Long, Long, Option[Long]) = {
+    val r = Eval.ndcgAtK(rows.toDF("id", "rel", "s"), col("id"),
+      col("rel"), col("s"), k).head()
+    (r.getLong(0), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getLong(4)))
+  }
+
+  test("ndcgAtK: a score order matching the relevance order is " +
+      "exactly 1.0") {
+    val rows = (1L to 20L).map(i => (i, 21L - i, 1000L - i))
+    val (n, dcg, idcg, nd) = gotNdcg(rows, 10)
+    assert(n == 20L && dcg == idcg && nd == Some(1000000L))
+  }
+
+  test("ndcgAtK: randomized equals the quantized definition") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val rows = (1L to 40L).map(i =>
+        (i, rnd.nextInt(4).toLong, rnd.nextInt(15).toLong))
+      for (k <- Seq(1, 5, 10, 40, 100)) {
+        val (dcg, idcg, nd) = bruteNdcg(rows, k)
+        val (n, gd, gi, gn) = gotNdcg(rows, k)
+        assert(n == 40L && gd == dcg && gi == idcg && gn == nd,
+          s"trial=$trial k=$k")
+      }
+    }
+  }
+
+  test("ndcgAtK: all-zero relevance yields a NULL grade, not a crash") {
+    val rows = (1L to 5L).map(i => (i, 0L, i))
+    val (_, dcg, idcg, nd) = gotNdcg(rows, 3)
+    assert(dcg == 0L && idcg == 0L && nd.isEmpty)
+  }
+
   // ---- cohenKappa ------------------------------------------------
 
   test("cohenKappa: identities — perfect, inverted, independent") {
