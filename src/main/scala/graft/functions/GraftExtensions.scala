@@ -101,5 +101,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKPairsAgg(args(0), args(1), args(2).eval().asInstanceOf[Int])
           .toAggregateExpression()
       }))
+    ext.injectFunction((FunctionIdentifier("graft_heavy"),
+      info("graft_heavy",
+        "Misra-Gries heavy-hitter summary (key string, cap literal) " +
+          "with map-side partial combine; returns struct(err, items)"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "graft_heavy expects 2 arguments")
+        require(args(1).foldable &&
+          args(1).dataType == org.apache.spark.sql.types.IntegerType,
+          "graft_heavy: cap must be an INT literal")
+        MgHeavyAgg(args(0), args(1).eval().asInstanceOf[Int])
+          .toAggregateExpression()
+      }))
   }
 }

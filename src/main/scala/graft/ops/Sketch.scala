@@ -295,4 +295,83 @@ object Sketch {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("est_e6",
         org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** EXACT top-`k` most frequent keys via the Misra-Gries two-pass —
+    * the hot-key detector (skew diagnosis, stop-word discovery,
+    * crawl-host concentration) that never shuffles the key domain:
+    *
+    *   1. one scan reduces to ≤ `capacity` candidate counters per
+    *      task before the exchange ([[graft.functions.MgHeavyAgg]],
+    *      shuffle = O(capacity · tasks)), with the summary's
+    *      accumulated error bound `err` carried alongside — every key
+    *      whose true count exceeds `err` is PROVABLY in the summary;
+    *   2. a second scan counts ONLY the ≤ capacity candidates exactly
+    *      (broadcast semi-join ahead of the exchange, which then
+    *      carries O(capacity) rows).
+    *
+    * The result is exact, not approximate: if the k-th candidate's
+    * exact count clears `err`, no non-candidate can belong to the
+    * top-k; when it doesn't (adversarially flat data for the chosen
+    * capacity) the call FAILS LOUDLY asking for a larger capacity —
+    * never a silently wrong ranking. `err == 0` (no eviction ever
+    * happened, the summary is the complete exact key census) skips
+    * the bar.
+    *
+    * Returns (key, cnt, rk) — the top `k` by (cnt desc, key asc).
+    */
+  def heavyHittersExact(df: DataFrame, key: Column, k: Int,
+      capacity: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(capacity > k, s"need capacity > k, got $capacity <= $k")
+    val spark = df.sparkSession
+    val keyed = df.select(key.cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+    val sum0 = keyed
+      .agg(graft.functions.MgHeavyAgg.mgSummary(col("__k"), capacity)
+        .as("s")).head().getStruct(0)
+    val err = sum0.getLong(0)
+    val cands = sum0.getSeq[Row](1).map(_.getString(0))
+    // an empty summary is only a real "no keys" answer when nothing
+    // was ever evicted; with err > 0 it means every counter cancelled
+    // out (adversarially flat data) and nothing is provable
+    require(cands.nonEmpty || err == 0L,
+      s"heavyHittersExact: the summary cancelled out entirely (error " +
+        s"bound $err, zero candidates) — no top-$k is provable at " +
+        s"capacity $capacity; raise the capacity")
+    if (cands.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], heavySchema)
+    val candDf = spark.createDataFrame(
+      java.util.Arrays.asList(cands.map(Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__k",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val exact = keyed.join(broadcast(candDf), "__k")
+      .groupBy("__k").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("__k"))
+      .limit(k)
+      .collect()
+    if (err > 0L) {
+      require(exact.length == k && exact.last.getLong(1) > err,
+        s"heavyHittersExact: the $k-th candidate count " +
+          s"(${if (exact.length == k) exact.last.getLong(1) else "n/a"})" +
+          s" does not clear the summary's error bound $err — the " +
+          s"top-$k is not provable at capacity $capacity; raise the " +
+          "capacity")
+    }
+    val rows = exact.zipWithIndex.map { case (r, i) =>
+      Row(r.getString(0), r.getLong(1), i + 1L)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), heavySchema)
+  }
+
+  private val heavySchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rk",
+        org.apache.spark.sql.types.LongType, nullable = false)))
 }

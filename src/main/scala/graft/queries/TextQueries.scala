@@ -3032,6 +3032,28 @@ object TextQueries {
         .orderBy("query_id", "rank")
     },
 
+    // heavy hitters (Sketch.heavyHittersExact): the exact top-20
+    // tokens by frequency via the Misra-Gries two-pass — one scan
+    // reduces to <=512 candidate counters per task (the shuffle never
+    // carries the key domain), a second scan counts only the
+    // candidates, and the result is provably exact or fails loudly.
+    // The twin states the definition it is provably equal to.
+    QueryDef("doc_heavy_tokens",
+      s"""WITH t AS (SELECT $sqlToks AS w FROM documents),
+         |tok AS (SELECT unnest(w) AS key FROM t),
+         |c AS (SELECT key, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok GROUP BY 1)
+         |SELECT key, cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT)
+         |    AS rk
+         |FROM c ORDER BY rk LIMIT 20""".stripMargin) { (s, d) =>
+      graft.ops.Sketch.heavyHittersExact(
+        load(s, d, "documents")
+          .select(explode(tokens(col("text"))).as("tok")),
+        col("tok"), k = 20, capacity = 512)
+        .orderBy("rk")
+    },
+
     // retrieval grading (Eval.ndcgAtK over TextOps.bm25Scores): how
     // close is BM25's top-10 to the best ranking its candidate pool
     // allows, with the hit count as graded relevance? Position
