@@ -305,6 +305,47 @@ object Eval {
     *
     * `rel` must be a non-negative integral column.
     */
+  /** Per-group [[ndcgAtK]] — one verdict row per `group` (the
+    * retrieval sweep's per-query grades), with ZERO driver work: both
+    * position assignments are windows PARTITIONED BY the group (the
+    * [[binaryAucBy]] pattern), the discounts are the same
+    * once-per-position quantization, and one aggregation emits every
+    * group's (n_cand, dcg_e9, idcg_e9, ndcg_e6).
+    *
+    * The per-group window sorts each group's candidate pool — the
+    * inherent cost of grading per query; groups are query-sized, and
+    * no single-partition exchange ever appears.
+    */
+  def ndcgAtKBy(df: DataFrame, group: Column, id: Column, rel: Column,
+      score: Column, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val cand = df.select(group.as("__g"), id.as("__id"),
+      rel.cast("long").as("__rel"), score.cast("long").as("__s"))
+    val wS = Window.partitionBy("__g")
+      .orderBy(col("__s").desc, col("__id"))
+    val wR = Window.partitionBy("__g")
+      .orderBy(col("__rel").desc, col("__id"))
+    def wE9(pos: Column): Column =
+      round(lit(1000000000.0d) /
+        (log(pos.cast("double") + lit(1.0d)) / log(lit(2.0d))), 0)
+        .cast("long")
+    cand
+      .withColumn("__ps", row_number().over(wS))
+      .withColumn("__pr", row_number().over(wR))
+      .groupBy("__g")
+      .agg(
+        count(lit(1)).as("n_cand"),
+        coalesce(sum(when(col("__ps") <= k,
+          col("__rel") * wE9(col("__ps")))), lit(0L)).as("dcg_e9"),
+        coalesce(sum(when(col("__pr") <= k,
+          col("__rel") * wE9(col("__pr")))), lit(0L)).as("idcg_e9"))
+      .select(col("__g").as("group"), col("n_cand"),
+        lit(k.toLong).as("k"), col("dcg_e9"), col("idcg_e9"),
+        when(col("idcg_e9") > 0L,
+          expr("CAST(dcg_e9 AS DECIMAL(38,0)) * 1000000 div idcg_e9"))
+          .as("ndcg_e6"))
+  }
+
   def ndcgAtK(df: DataFrame, id: Column, rel: Column, score: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")

@@ -602,24 +602,45 @@ object TextOps {
       queries: DataFrame, k1: Double, b: Double, topK: Int): DataFrame = {
     import graft.functions.TopKPairsAgg.topkPairs
     require(topK >= 1, s"need topK >= 1, got $topK")
+    val scored = bm25ScoresPerQuery(df, id, text, queries, k1, b)
+    scored.groupBy("query_id")
+      .agg(topkPairs(col("score_e6"),
+        shiftleft(col("doc_id"), 20) + col("n_hit"), topK).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        shiftright(col("col.id"), 20).as("doc_id"),
+        (col("col.id") % lit(1048576L)).as("n_hit"),
+        col("col.ord").as("score_e6"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** [[bm25TopKPerQuery]]'s full per-query candidate pool — every
+    * (query, matched document) with its hit count and score, unranked
+    * and untruncated; the seam a per-query grader
+    * ([[Eval.ndcgAtKBy]]) consumes.
+    * Returns (query_id, doc_id, n_hit, score_e6).
+    */
+  def bm25ScoresPerQuery(df: DataFrame, id: Column, text: Column,
+      queries: DataFrame, k1: Double, b: Double): DataFrame = {
     val qterms = queries.select(
       col("query_id").cast("long").as("query_id"),
       col("term").cast("string").as("term")).distinct()
     val qs = qterms.groupBy("query_id").agg(count(lit(1)).as("__nt"))
       .agg(count(lit(1)), max("__nt")).head()
-    require(qs.getLong(0) > 0, "bm25TopKPerQuery needs at least one query")
+    require(qs.getLong(0) > 0,
+      "bm25ScoresPerQuery needs at least one query")
     require(qs.getLong(1) < (1L << 20),
-      s"bm25TopKPerQuery: a query with ${qs.getLong(1)} terms exceeds " +
-        "the 2^20 n_hit packing headroom")
+      s"bm25ScoresPerQuery: a query with ${qs.getLong(1)} terms " +
+        "exceeds the 2^20 n_hit packing headroom")
     val docs = df.select(id.cast("long").as("doc_id"),
       tokens(text).as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("long"))
     val st = docs.agg(count(lit(1)), sum("__dl"),
       min("doc_id"), max("doc_id")).head()
     val n = st.getLong(0)
-    require(n > 0, "bm25TopKPerQuery needs a non-empty corpus")
+    require(n > 0, "bm25ScoresPerQuery needs a non-empty corpus")
     require(st.getLong(2) >= 0L && st.getLong(3) < (1L << 43),
-      "bm25TopKPerQuery needs 0 <= doc_id < 2^43 (packing headroom)")
+      "bm25ScoresPerQuery needs 0 <= doc_id < 2^43 (packing headroom)")
     val avgdl = st.getLong(1).toDouble / n.toDouble
     val terms = qterms.select("term").distinct()
     // as in [[bm25TopK]]: the posting list over the UNION of query
@@ -631,7 +652,7 @@ object TextOps {
       .localCheckpoint(true)
     val idf = idfLiteral(df.sparkSession,
       tf.groupBy("term").agg(count(lit(1)).as("df")).collect(), n)
-    val scored = tf.join(broadcast(idf), "term")
+    tf.join(broadcast(idf), "term")
       .withColumn("w_e6",
         round(col("idf_e6").cast("double") *
           (col("tf") * lit(k1 + 1.0d)) /
@@ -640,15 +661,6 @@ object TextOps {
       .join(broadcast(qterms), "term")
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_hit"), sum("w_e6").as("score_e6"))
-    scored.groupBy("query_id")
-      .agg(topkPairs(col("score_e6"),
-        shiftleft(col("doc_id"), 20) + col("n_hit"), topK).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"),
-        shiftright(col("col.id"), 20).as("doc_id"),
-        (col("col.id") % lit(1048576L)).as("n_hit"),
-        col("col.ord").as("score_e6"),
-        (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** The BM25 idf table as a LITERAL frame from collected

@@ -206,8 +206,43 @@ object TextQueries {
     3L -> "zzznope", 3L -> "hash",
     4L -> "qqqmissing")
 
-  /** nDCG truncation depth (doc_bm25_ndcg). */
+  /** nDCG truncation depth (doc_bm25_ndcg, doc_bm25_multi_ndcg). */
   private val NdcgK = 10
+
+  /** The multi-query BM25 pipeline as a CTE prefix ending in
+    * `sr(query_id, doc_id, n_hit, score_e6)` — shared by the sweep
+    * twin and its per-query grader so the scoring arithmetic cannot
+    * drift.
+    */
+  private val sqlBm25MultiSrCtes: String = {
+    val values = Bm25Queries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+       |  FROM (VALUES $values) AS v(query_id, term)),
+       |t AS (SELECT doc_id, $sqlToks AS w FROM documents),
+       |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM d),
+       |e AS (SELECT doc_id, unnest(w) AS term FROM t),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM e WHERE term IN (SELECT DISTINCT term FROM qt)
+       |  GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM tf GROUP BY 1),
+       |idf AS (SELECT term, CAST(round(ln(1.0 +
+       |    (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1000000)
+       |  AS BIGINT) AS idf_e6 FROM dfq, st),
+       |w8 AS (SELECT tf.doc_id, tf.term, CAST(round(
+       |    CAST(idf_e6 AS DOUBLE) * (tf * ${Bm25K1 + 1.0d}) /
+       |    (tf + $Bm25K1 * (${1.0d - Bm25B} + $Bm25B * dl / avgdl)))
+       |  AS BIGINT) AS w_e6
+       |  FROM tf JOIN idf USING (term) JOIN d USING (doc_id), st),
+       |sr AS (SELECT qt.query_id, w8.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_hit,
+       |  CAST(sum(w_e6) AS BIGINT) AS score_e6
+       |  FROM w8 JOIN qt USING (term) GROUP BY 1, 2)""".stripMargin
+  }
 
   /** The single-query BM25 pipeline as a CTE prefix ending in
     * `sr(doc_id, n_hit, score_e6)` — shared by the top-k twin and the
@@ -2990,46 +3025,56 @@ object TextQueries {
     // packed into the comparison id's low bits, so no second corpus
     // pass re-derives it). Query 3 pairs a dead term with a live one;
     // query 4 is entirely dead and must yield no rows.
-    QueryDef("doc_bm25_multi", {
-      val values = Bm25Queries
-        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-      s"""WITH qt AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
-         |  FROM (VALUES $values) AS v(query_id, term)),
-         |t AS (SELECT doc_id, $sqlToks AS w FROM documents),
-         |d AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
-         |  FROM d),
-         |e AS (SELECT doc_id, unnest(w) AS term FROM t),
-         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |  FROM e WHERE term IN (SELECT DISTINCT term FROM qt)
-         |  GROUP BY 1, 2),
-         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-         |  FROM tf GROUP BY 1),
-         |idf AS (SELECT term, CAST(round(ln(1.0 +
-         |    (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1000000)
-         |  AS BIGINT) AS idf_e6 FROM dfq, st),
-         |w8 AS (SELECT tf.doc_id, tf.term, CAST(round(
-         |    CAST(idf_e6 AS DOUBLE) * (tf * ${Bm25K1 + 1.0d}) /
-         |    (tf + $Bm25K1 * (${1.0d - Bm25B} + $Bm25B * dl / avgdl)))
-         |  AS BIGINT) AS w_e6
-         |  FROM tf JOIN idf USING (term) JOIN d USING (doc_id), st),
-         |sr AS (SELECT qt.query_id, w8.doc_id,
-         |  CAST(count(*) AS BIGINT) AS n_hit,
-         |  CAST(sum(w_e6) AS BIGINT) AS score_e6
-         |  FROM w8 JOIN qt USING (term) GROUP BY 1, 2)
+    QueryDef("doc_bm25_multi",
+      s"""WITH $sqlBm25MultiSrCtes
          |SELECT query_id, doc_id, n_hit, score_e6, rank FROM (
          |  SELECT query_id, doc_id, n_hit, score_e6,
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank
          |  FROM sr)
          |WHERE rank <= $Bm25TopK
-         |ORDER BY query_id, rank""".stripMargin
-    }) { (s, d) =>
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
       val q = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
       TextOps.bm25TopKPerQuery(load(s, d, "documents"), col("doc_id"),
         col("text"), q, k1 = Bm25K1, b = Bm25B, topK = Bm25TopK)
         .orderBy("query_id", "rank")
+    },
+
+    // per-query retrieval grading (Eval.ndcgAtKBy over
+    // TextOps.bm25ScoresPerQuery): one nDCG@10 verdict row per sweep
+    // query, with zero driver work — both position assignments are
+    // windows PARTITIONED BY query_id, discounts quantize once per
+    // position. The fully-dead query (no candidates) yields no row,
+    // matching the grader's input domain.
+    QueryDef("doc_bm25_multi_ndcg",
+      s"""WITH $sqlBm25MultiSrCtes,
+         |tk AS (SELECT query_id, n_hit, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY score_e6 DESC, doc_id)
+         |  AS ps, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY n_hit DESC, doc_id)
+         |  AS pr FROM sr),
+         |gr AS (SELECT query_id,
+         |  CAST(count(*) AS BIGINT) AS n_cand,
+         |  CAST(coalesce(sum(CASE WHEN ps <= $NdcgK THEN
+         |    n_hit * CAST(round(1000000000.0 / (ln(ps + 1.0) / ln(2.0)))
+         |    AS BIGINT) END), 0) AS BIGINT) AS dcg_e9,
+         |  CAST(coalesce(sum(CASE WHEN pr <= $NdcgK THEN
+         |    n_hit * CAST(round(1000000000.0 / (ln(pr + 1.0) / ln(2.0)))
+         |    AS BIGINT) END), 0) AS BIGINT) AS idcg_e9
+         |  FROM tk GROUP BY 1)
+         |SELECT query_id AS "group", n_cand,
+         |  CAST($NdcgK AS BIGINT) AS k, dcg_e9, idcg_e9,
+         |  CASE WHEN idcg_e9 > 0 THEN
+         |    CAST(CAST(dcg_e9 AS HUGEINT) * 1000000 // idcg_e9 AS BIGINT)
+         |  END AS ndcg_e6
+         |FROM gr ORDER BY 1""".stripMargin) { (s, d) =>
+      val q = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
+      graft.ops.Eval.ndcgAtKBy(
+        TextOps.bm25ScoresPerQuery(load(s, d, "documents"),
+          col("doc_id"), col("text"), q, k1 = Bm25K1, b = Bm25B),
+        col("query_id"), col("doc_id"), col("n_hit"), col("score_e6"),
+        NdcgK)
+        .orderBy("group")
     },
 
     // heavy hitters (Sketch.heavyHittersExact): the exact top-20

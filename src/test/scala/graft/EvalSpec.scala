@@ -398,6 +398,33 @@ class EvalSpec extends SparkSpec {
     assert(dcg == 0L && idcg == 0L && nd.isEmpty)
   }
 
+  test("ndcgAtKBy: each group equals the ungrouped grade of its slice") {
+    val rnd = new scala.util.Random(43)
+    val rows = (1L to 120L).map(i =>
+      (s"g${i % 4}", i, rnd.nextInt(4).toLong, rnd.nextInt(30).toLong))
+    val got = Eval.ndcgAtKBy(rows.toDF("g", "id", "rel", "s"),
+      col("g"), col("id"), col("rel"), col("s"), k = 7)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5)))))
+      .toMap
+    assert(got.keySet == Set("g0", "g1", "g2", "g3"))
+    for (g <- got.keySet) {
+      val slice = rows.filter(_._1 == g).map(t => (t._2, t._3, t._4))
+      val (n, dcg, idcg, nd) = gotNdcg(slice, 7)
+      assert(got(g) == ((n, dcg, idcg, nd)), s"group $g")
+    }
+  }
+
+  test("ndcgAtKBy plan: group-partitioned windows, no single-partition " +
+      "exchange") {
+    val rows = (1L to 50L).map(i => (s"g${i % 3}", i, i % 4, i % 7))
+    val plan = Eval.ndcgAtKBy(rows.toDF("g", "id", "rel", "s"),
+      col("g"), col("id"), col("rel"), col("s"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   // ---- cohenKappa ------------------------------------------------
 
   test("cohenKappa: identities — perfect, inverted, independent") {
