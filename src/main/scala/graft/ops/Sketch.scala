@@ -374,4 +374,85 @@ object Sketch {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("rk",
         org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Per-group [[heavyHittersExact]] — the hot-key census BY a
+    * bounded dimension (crawl host, source, event type): one MG
+    * summary per group off a single scan (still O(capacity) shuffled
+    * per task per group), one exact-count scan of the ≤
+    * groups·capacity candidates, the same provable-or-loud guarantee
+    * applied PER GROUP. Driver state is O(groups · capacity), guarded
+    * by `maxGroups` — this is a bounded-dimension operator, not a
+    * per-document one.
+    *
+    * Returns (group, key, cnt, rk) — each group's top `k` by
+    * (cnt desc, key asc).
+    */
+  def heavyHittersExactBy(df: DataFrame, grp: Column, key: Column,
+      k: Int, capacity: Int, maxGroups: Int = 4096): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(capacity > k, s"need capacity > k, got $capacity <= $k")
+    val spark = df.sparkSession
+    val keyed = df.select(grp.cast("string").as("__g"),
+      key.cast("string").as("__k"))
+      .filter(col("__g").isNotNull && col("__k").isNotNull)
+    val sums = keyed.groupBy("__g")
+      .agg(graft.functions.MgHeavyAgg.mgSummary(col("__k"), capacity)
+        .as("s"))
+      .collect()
+    require(sums.length <= maxGroups,
+      s"heavyHittersExactBy: ${sums.length} groups exceed the " +
+        s"$maxGroups bound — the group column must be a bounded " +
+        "dimension")
+    if (sums.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], heavyBySchema)
+    val errs = sums.map { r =>
+      r.getString(0) -> r.getStruct(1).getLong(0)
+    }.toMap
+    val candRows = sums.flatMap { r =>
+      val g = r.getString(0)
+      r.getStruct(1).getSeq[Row](1).map(it => Row(g, it.getString(0)))
+    }
+    val groupsWithCands = candRows.map(_.getString(0)).toSet
+    errs.foreach { case (g, err) =>
+      require(groupsWithCands(g) || err == 0L,
+        s"heavyHittersExactBy: group '$g' cancelled out entirely " +
+          s"(error bound $err, zero candidates) — raise the capacity")
+    }
+    val candDf = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__g",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__k",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val exact = keyed.join(broadcast(candDf), Seq("__g", "__k"))
+      .groupBy("__g", "__k").agg(count(lit(1)).as("cnt"))
+      .collect() // ≤ groups·capacity rows by construction
+      .groupBy(_.getString(0))
+    val out = exact.toSeq.sortBy(_._1).flatMap { case (g, rows) =>
+      val err = errs(g)
+      val top = rows.map(r => (r.getString(1), r.getLong(2)))
+        .sortBy { case (kk, c) => (-c, kk) }.take(k)
+      if (err > 0L)
+        require(top.length == k && top.last._2 > err,
+          s"heavyHittersExactBy: group '$g': the $k-th candidate " +
+            s"count does not clear the error bound $err — raise the " +
+            "capacity")
+      top.zipWithIndex.map { case ((kk, c), i) => Row(g, kk, c, i + 1L) }
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*), heavyBySchema)
+  }
+
+  private val heavyBySchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rk",
+        org.apache.spark.sql.types.LongType, nullable = false)))
 }

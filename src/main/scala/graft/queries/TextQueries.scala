@@ -3099,6 +3099,27 @@ object TextQueries {
         .orderBy("rk")
     },
 
+    // per-source heavy hitters (Sketch.heavyHittersExactBy): each
+    // crawl source's exact top-5 tokens — the per-host hot-key census
+    // (boilerplate and skew diagnosis BY origin) with the same
+    // provable-or-loud Misra-Gries two-pass applied per group.
+    QueryDef("doc_heavy_by_source",
+      s"""WITH t AS (SELECT source AS grp, $sqlToks AS w FROM documents),
+         |tok AS (SELECT grp, unnest(w) AS key FROM t),
+         |c AS (SELECT grp, key, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok GROUP BY 1, 2),
+         |r AS (SELECT grp, key, cnt,
+         |  CAST(row_number() OVER (PARTITION BY grp
+         |    ORDER BY cnt DESC, key) AS BIGINT) AS rk FROM c)
+         |SELECT grp, key, cnt, rk FROM r WHERE rk <= 5
+         |ORDER BY grp, rk""".stripMargin) { (s, d) =>
+      graft.ops.Sketch.heavyHittersExactBy(
+        load(s, d, "documents")
+          .select(col("source"), explode(tokens(col("text"))).as("tok")),
+        col("source"), col("tok"), k = 5, capacity = 256)
+        .orderBy("grp", "rk")
+    },
+
     // retrieval grading (Eval.ndcgAtK over TextOps.bm25Scores): how
     // close is BM25's top-10 to the best ranking its candidate pool
     // allows, with the hit count as graded relevance? Position

@@ -72,6 +72,40 @@ class MgHeavySpec extends SparkSpec {
     assert(got.toSeq == Seq(("a", 50L), ("b", 3L), ("c", 1L)))
   }
 
+  test("heavyHittersExactBy: each group equals its slice's brute " +
+      "top-k") {
+    val rnd = new scala.util.Random(47)
+    val rows = (1 to 12000).map { _ =>
+      (s"g${rnd.nextInt(3)}", s"w${(math.sqrt(rnd.nextInt(4000)).toInt)}")
+    }
+    val brute = rows.groupBy(_._1).flatMap { case (g, slice) =>
+      slice.map(_._2).groupBy(identity)
+        .map { case (k, xs) => (k, xs.size.toLong) }.toSeq
+        .sortBy { case (k, c) => (-c, k) }.take(5)
+        .zipWithIndex.map { case ((k, c), i) => (g, k, c, i + 1L) }
+    }.toSet
+    val got = Sketch.heavyHittersExactBy(
+      rows.toDF("g", "w").repartition(9), col("g"), col("w"),
+      k = 5, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    assert(got == brute)
+  }
+
+  test("heavyHittersExactBy: the group bound and the per-group bar " +
+      "fail loudly") {
+    val wide = (1 to 300).map(i => (s"g$i", "x"))
+    intercept[IllegalArgumentException] {
+      Sketch.heavyHittersExactBy(wide.toDF("g", "w"), col("g"),
+        col("w"), k = 1, capacity = 4, maxGroups = 100)
+    }
+    val flat = (1 to 5000).map(i => ("g0", s"u$i"))
+    intercept[IllegalArgumentException] {
+      Sketch.heavyHittersExactBy(flat.toDF("g", "w"), col("g"),
+        col("w"), k = 3, capacity = 8)
+    }
+  }
+
   test("adversarially flat data fails loudly instead of guessing") {
     // 5000 distinct singletons, capacity 8: nothing is provably hot
     val rows = (1 to 5000).map(i => s"u$i")
