@@ -193,26 +193,33 @@ object Preference {
             dfloor(col("n").cast(dec) * qLit,
               col("__ta") + col("__tb")).as("t"))
           .groupBy("i").agg(sum("t").cast(dec).as("den"))
+        // persist + LogicalRDD cut per round at the RAW stage: the
+        // normalization collect and next-θ projection both read the
+        // cache, so the den+raw join subtree prices once per round
+        // (pinning `next` instead re-ran it for the collect), and
+        // round k's plan never embeds k copies of the iteration
         val raw = w.join(den, "i")
           .select(col("i"),
             when(col("wins") === 0L, lit(1).cast(dec))
               .otherwise(dfloor(col("wins").cast(dec) * qLit,
                 col("den"))).as("raw"))
-        val sRow = raw.agg(sum("raw").cast(dec).as("s"),
+        raw.persist()
+        val rawCut = spark.createDataFrame(raw.rdd, raw.schema)
+        // the normalization collect doubles as the cache
+        // materializer — one driver action per round, not two; the
+        // PREVIOUS round's pin is released only after it runs (this
+        // round's raw reads the previous θ)
+        val sRow = rawCut.agg(sum("raw").cast(dec).as("s"),
           sum(when(col("raw").isNull, 1L).otherwise(0L)).as("nn")).head()
+        if (cached != null) cached.unpersist()
+        cached = raw
         require(sRow.getLong(1) == 0L,
           "bradleyTerryDistributed: a transfer overflowed DECIMAL(38,0)" +
             " — the win/game magnitudes exceed the e12 quantization's" +
             " headroom")
-        val next = raw.select(col("i"),
+        th = rawCut.select(col("i"),
           greatest(dfloor(col("raw") * kScale,
             lit(sRow.getDecimal(0)).cast(dec)), lit(1).cast(dec)).as("th"))
-        // persist + LogicalRDD cut per round: round k's plan must not
-        // embed k copies of the iteration subtree
-        next.persist().count()
-        if (cached != null) cached.unpersist()
-        cached = next
-        th = spark.createDataFrame(next.rdd, next.schema)
       }
       val out = w.join(th, "i")
         .select(col("i").as("item"), col("wins"), col("games"),
