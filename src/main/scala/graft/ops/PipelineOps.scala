@@ -556,7 +556,7 @@ object PipelineOps {
     * than guessing a null's rank). Adds a boolean `selected` column.
     */
   def topFractionByWeight(df: DataFrame, idName: String, weightName: String,
-      num: Long, den: Long): DataFrame = {
+      num: Long, den: Long, tieWindowLimit: Long = 65536L): DataFrame = {
     require(num >= 0 && den > 0, "fraction must be num/den with den > 0")
     val wCol = col(weightName)
     // the descent scans the weight column several times; pin the
@@ -584,6 +584,7 @@ object PipelineOps {
       var above = 0L
       var wStar = curLo
       var tieTake = 0L
+      var tieSize = 0L
       var done = false
       while (!done) {
         val binW = math.max(1L, Math.floorDiv(curHi - curLo, 4096L) + 1L)
@@ -602,6 +603,7 @@ object PipelineOps {
           // bins are single weights: the k-th weight is this one
           wStar = curLo + bStar
           tieTake = k - above
+          tieSize = hist(i)._2
           done = true
         } else {
           val subLo = curLo + bStar * binW
@@ -609,14 +611,21 @@ object PipelineOps {
           curLo = subLo
         }
       }
-      // rank ONLY the tie group at w*, in parallel: the two-level
-      // range-partitioned rank never moves the group through one
-      // partition, so even an all-tied corpus stays distributed. Only
-      // the SELECTED prefix of the tie group survives into the join.
-      val tieSel = Ranks.globalRowNumber(
-          df.filter(wCol === wStar).select(col(idName)),
-          Seq(col(idName)), "__tr")
-        .filter(col("__tr") <= tieTake)
+      // rank ONLY the tie group at w*. The descent pinned the group's
+      // EXACT size, so the rank is routed: a provably small group
+      // takes one bounded window (one job — the same bounded-window
+      // license the top-k rankers use, `tieWindowLimit` rows through
+      // one task), and only a large one pays the two-level
+      // range-partitioned machinery — an all-tied corpus still ranks
+      // in parallel, a 5-row tie costs 5 rows. Only the SELECTED
+      // prefix of the tie group survives into the join.
+      val ties = df.filter(wCol === wStar).select(col(idName))
+      val tieSel =
+        (if (tieSize <= tieWindowLimit)
+          ties.withColumn("__tr",
+            row_number().over(Window.orderBy(col(idName))).cast("long"))
+        else Ranks.globalRowNumber(ties, Seq(col(idName)), "__tr"))
+          .filter(col("__tr") <= tieTake)
       // the returned frame reads `df` directly (never `wts`; tieSel
       // owns its rows), so the cache can drop as soon as the
       // descent's collects are done

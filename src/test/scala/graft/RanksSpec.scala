@@ -45,13 +45,19 @@ class RanksSpec extends SparkSpec {
   }
 
   test("topFractionByWeight: all-tied weights select the smallest ids " +
-      "without a single-partition window") {
-    // every row at w*: the ENTIRE input is the tie group
+      "on BOTH tie-rank routes") {
+    // every row at w*: the ENTIRE input is the tie group. The descent
+    // knows the group's exact size, so it routes: the default limit
+    // takes the bounded window, tieWindowLimit = 0 forces the
+    // two-level parallel rank — identical selections required.
     val rows = (0L until 1000L).map(i => (i, 42L))
-    val got = PipelineOps.topFractionByWeight(
-      rows.toDF("id", "w"), "id", "w", 1L, 4L)
-      .filter(col("selected")).select("id").as[Long].collect().toSet
-    assert(got == (0L until 250L).toSet)
+    for (limit <- Seq(65536L, 0L)) {
+      val got = PipelineOps.topFractionByWeight(
+        rows.toDF("id", "w"), "id", "w", 1L, 4L,
+        tieWindowLimit = limit)
+        .filter(col("selected")).select("id").as[Long].collect().toSet
+      assert(got == (0L until 250L).toSet, s"limit=$limit")
+    }
   }
 
   test("topFractionByWeight: null weights fail loudly") {
