@@ -154,6 +154,14 @@ object Preference {
     *
     * Per-round lineage is cut with the persist + LogicalRDD pattern
     * (the PageRank loop); the returned frame owns its rows.
+    *
+    * Quantization bound (shared with the driver path, where BigInt
+    * division by zero throws the same way): a per-edge transfer
+    * floors to 0 when θ_i + θ_j exceeds n·Q — reachable only when
+    * the item domain passes ~5·10⁵ items AND an item's every edge
+    * carries a single game — and an all-zero denominator then fails
+    * loudly as a division error. Domains beyond that regime need a
+    * larger transfer quantum Q, not silent rescaling.
     */
   def bradleyTerryDistributed(pairs: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
