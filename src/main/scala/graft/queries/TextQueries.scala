@@ -2402,6 +2402,35 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // DOC-level PageRank over the capped near-dup pair graph
+    // (GraphOps.pageRank, similarity-weighted edges): centrality as
+    // the canonical-document signal — inside a duplication cluster
+    // the most-connected, most-similar-to-everyone member is the one
+    // a keep-best policy should favor. Exercises the iteration on a
+    // DOCUMENT-sized node domain (the r11 advice seam: the final
+    // ranks now hand back via localCheckpoint, never a driver
+    // funnel). Isolated docs (no near-dup edge) have no affinity
+    // evidence and are the caller's join-back, as in the source form.
+    QueryDef("doc_dup_pagerank",
+      s"""WITH $sqlMinhashCappedPairCtes,
+         |dppairs AS (SELECT id_a AS sa, id_b AS sb,
+         |  CAST(round(jac * 1e6) AS BIGINT) AS w FROM mj
+         |  WHERE jac >= $MinhashJaccard),
+         |${prTrajectoryCtes("dp")}
+         |SELECT s AS doc_id, pr AS pr_e9 FROM dpp$PrIters
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = load(s, d, "documents")
+        .withColumn("hs", Dedup.tokenHashSet(col("text")))
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "hs",
+        MinhashK, RowsPerBand, MinhashJaccard,
+        bucketCap = MinhashBucketCap)
+        .select(col("id_a").as("s_a"), col("id_b").as("s_b"),
+          round(col("jac") * 1000000d, 0).cast("long").as("w"))
+      GraphOps.pageRank(pairs, PrIters)
+        .select(col("node").as("doc_id"), col("pr_e9"))
+        .orderBy("doc_id")
+    },
+
     // per-source triangle count + local clustering coefficient
     // (GraphOps.triangleCount) over the same affinity graph: the
     // tight-knit-ring detector PageRank's centrality misses — a
