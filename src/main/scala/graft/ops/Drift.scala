@@ -85,7 +85,10 @@ object Drift {
     val binW = math.max(1L, Math.floorDiv(hi - lo, bins.toLong) + 1L)
     val cnt = s
       .withColumn("bucket",
-        least(expr(s"(__s - ${lo}L) div ${binW}L"),
+        // typed-Column integral division (IntegralDivide, exact);
+        // __s >= lo by construction (lo is the global min), so
+        // truncation equals floor here
+        least(call_function("div", col("__s") - lit(lo), lit(binW)),
           lit(bins.toLong - 1L)).cast("long"))
       .groupBy("bucket").agg(
         sum(when(col("__r"), 1L).otherwise(0L)).as("c_ref"),

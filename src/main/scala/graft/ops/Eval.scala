@@ -319,6 +319,8 @@ object Eval {
   def ndcgAtKBy(df: DataFrame, group: Column, id: Column, rel: Column,
       score: Column, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    requireIntegral(df, rel, "rel")
+    requireIntegral(df, score, "score")
     val cand = df.select(group.as("__g"), id.as("__id"),
       rel.cast("long").as("__rel"), score.cast("long").as("__s"))
     val wS = Window.partitionBy("__g")
@@ -346,9 +348,31 @@ object Eval {
           .as("ndcg_e6"))
   }
 
+  /** The ranking columns are cast to long, so a fractional score
+    * would silently truncate-reorder the ranking — refuse non-integral
+    * input types loudly instead (quantize fractional scores to `*_e6`
+    * integers first, the library-wide convention).
+    */
+  private def requireIntegral(df: DataFrame, c: Column,
+      what: String): Unit = {
+    val dt = df.select(c).schema.head.dataType
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"ndcgAtK: `$what` must be an integral column (got " +
+          s"${other.simpleString}) — fractional scores would " +
+          "truncate-reorder the ranking; quantize to e6 integers first")
+    }
+  }
+
   def ndcgAtK(df: DataFrame, id: Column, rel: Column, score: Column,
       k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    requireIntegral(df, rel, "rel")
+    requireIntegral(df, score, "score")
     val cand = df.select(id.as("__id"), rel.cast("long").as("__rel"),
       score.cast("long").as("__s"))
     // one shared discount expression: pos → e9 weight

@@ -108,15 +108,15 @@ object GraphOps {
       pr = spark.createDataFrame(next.rdd, next.schema)
     }
     // hand back a frame that owns its data WITHOUT funneling it
-    // through the driver: the eager localCheckpoint materializes the
+    // through the driver: Materialize.cut eagerly materializes the
     // final ranks on the executors (node-domain-sized, partition
     // count preserved — a doc-level graph stays distributed), cuts
     // the lineage, and lets every cache this loop pinned — including
-    // the last round's — release before return. The checkpointed
-    // blocks free themselves when the returned frame is collected
-    // (ContextCleaner), so nothing leaks per invocation.
-    val out = pr.select(col("s").as("node"), col("pr").as("pr_e9"))
-      .localCheckpoint(true)
+    // the last round's — release before return. On the default local
+    // route the blocks free themselves when the returned frame is
+    // collected (ContextCleaner), so nothing leaks per invocation.
+    val out = Materialize.cut(
+      pr.select(col("s").as("node"), col("pr").as("pr_e9")))
     if (cached != null) cached.unpersist()
     e.unpersist()
     out

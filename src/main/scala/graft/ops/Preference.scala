@@ -225,8 +225,19 @@ object Preference {
           "bradleyTerryDistributed: a transfer overflowed DECIMAL(38,0)" +
             " — the win/game magnitudes exceed the e12 quantization's" +
             " headroom")
+        // the theta scale-up gets its own loud overflow guard: if
+        // raw * kScale exceeds 38 digits the product is null, and a
+        // bare greatest(dfloor(null,...), 1) would SKIP the null and
+        // silently pin theta to 1 — raise instead (the nn null count
+        // above only covers the raw column, not this product)
+        val prod = (col("raw") * kScale).cast(dec)
+        val prodChecked = when(prod.isNull,
+          raise_error(lit("bradleyTerryDistributed: the theta " +
+            "scale-up overflowed DECIMAL(38,0) — the item count and " +
+            "quantization scale exceed the e12 headroom")).cast(dec))
+          .otherwise(prod)
         th = rawCut.select(col("i"),
-          greatest(dfloor(col("raw") * kScale,
+          greatest(dfloor(prodChecked,
             lit(sRow.getDecimal(0)).cast(dec)), lit(1).cast(dec)).as("th"))
       }
       val out = w.join(th, "i")

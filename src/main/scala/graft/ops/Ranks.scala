@@ -26,7 +26,8 @@ object Ranks {
     * `row_number() OVER (ORDER BY ...)` needs to be deterministic).
     *
     * Consistency: the range-partitioned input is pinned while the
-    * O(P) counts collect and the ranked result local-checkpoints, so
+    * O(P) counts collect and the ranked result materializes
+    * eagerly ([[Materialize.cut]], deployment-routed), so
     * both levels price the SAME partitioning and the returned frame
     * owns its rows — releasing the pin cannot skew ranks, and
     * downstream actions never recompute `df`'s lineage.
@@ -35,7 +36,7 @@ object Ranks {
       rankName: String): DataFrame = {
     val pinned = stamped(df, order)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try rankedOver(pinned, order, rankName).localCheckpoint(true)
+    try Materialize.cut(rankedOver(pinned, order, rankName))
     finally pinned.unpersist()
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,20 +24,25 @@ object Retrieval {
     * Shape at scale: the inputs are already-truncated top-k lists
     * (O(k) rows each, the cheap output of TakeOrdered retrievers), so
     * the fusion is a union of O(N·k) rows, one aggregation, and a
-    * TakeOrdered — nothing corpus-sized. Every input must carry
-    * (id, rank) with rank ≥ 1.
+    * TakeOrdered — nothing corpus-sized. A null or sub-1 rank FAILS
+    * LOUDLY per row (a rank of -k0 would divide by zero into a null
+    * that sum() silently drops — never a quietly wrong fused score).
     *
     * Returns (id, n_lists, rrf_e9, rank) for the fused top `topK`.
     */
-  def rrfFuse(lists: Seq[DataFrame], k0: Int, topK: Int): DataFrame = {
+  def rrfFuse(lists: Seq[DataFrame], id: Column, rank: Column,
+      k0: Int, topK: Int): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranking")
     require(k0 >= 1, s"need k0 >= 1, got $k0")
     require(topK >= 1, s"need topK >= 1, got $topK")
-    val u = lists.map(_.select(col("id"), col("rank")))
+    val u = lists.map(_.select(id.as("id"), rank.cast("long").as("rank")))
       .reduce(_ unionByName _)
     val fused = u.select(col("id"),
-        round(lit(1000000000.0d) /
-          (lit(k0) + col("rank")).cast("double"), 0).cast("long").as("c"))
+        when(col("rank").isNull || col("rank") < 1L,
+          raise_error(concat(lit("rrfFuse: every rank must be >= 1, got "),
+            coalesce(col("rank").cast("string"), lit("null")))).cast("long"))
+          .otherwise(round(lit(1000000000.0d) /
+            (lit(k0) + col("rank")).cast("double"), 0).cast("long")).as("c"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_lists"), sum("c").as("rrf_e9"))
     val top = fused.orderBy(col("rrf_e9").desc, col("id")).limit(topK)
@@ -45,4 +50,11 @@ object Retrieval {
     // the rank window runs over the already-limited topK rows only
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
+
+  /** Name-bound convenience form: inputs carrying the conventional
+    * (id, rank) column names, as emitted by this library's own
+    * retrievers.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k0: Int, topK: Int): DataFrame =
+    rrfFuse(lists, col("id"), col("rank"), k0, topK)
 }

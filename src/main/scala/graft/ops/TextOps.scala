@@ -553,14 +553,13 @@ object TextOps {
     require(n > 0, "bm25Scores needs a non-empty corpus")
     val avgdl = sumDl.toDouble / n.toDouble
     // the matched posting list materializes ONCE (eager
-    // localCheckpoint): both its consumers — the O(terms) df
+    // Materialize.cut): both its consumers — the O(terms) df
     // aggregate and the scoring join — read the checkpointed blocks,
     // so the corpus tokenize+explode never runs twice
-    val tf = docs
+    val tf = Materialize.cut(docs
       .select(col("doc_id"), col("__dl"), explode(col("__toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
-      .groupBy("doc_id", "__dl", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .groupBy("doc_id", "__dl", "term").agg(count(lit(1)).as("tf")))
     val idf = idfLiteral(df.sparkSession,
       tf.groupBy("term").agg(count(lit(1)).as("df")).collect(), n)
     tf.join(broadcast(idf), "term")
@@ -645,11 +644,10 @@ object TextOps {
     val terms = qterms.select("term").distinct()
     // as in [[bm25TopK]]: the posting list over the UNION of query
     // terms materializes once; df and scoring both read it back
-    val tf = docs
+    val tf = Materialize.cut(docs
       .select(col("doc_id"), col("__dl"), explode(col("__toks")).as("term"))
       .join(broadcast(terms), "term")
-      .groupBy("doc_id", "__dl", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .groupBy("doc_id", "__dl", "term").agg(count(lit(1)).as("tf")))
     val idf = idfLiteral(df.sparkSession,
       tf.groupBy("term").agg(count(lit(1)).as("df")).collect(), n)
     tf.join(broadcast(idf), "term")
@@ -703,14 +701,15 @@ object TextOps {
     * feeds all three consumers — the bucket-count totals, the priced
     * LLR table (collected to O(buckets) rows, so the broadcast side
     * carries NO corpus lineage), and the per-doc weight join. The
-    * returned frame is local-checkpointed (eager) before the pin is
-    * released: downstream consumers (a selection threshold descent,
-    * the final write) re-read materialized blocks, never the
-    * tokenize+explode. On a multi-executor cluster trade note:
-    * localCheckpoint blocks die with their executor — a deployment
-    * with aggressive dynamic allocation should swap this seam for a
-    * reliable checkpoint dir or a staged parquet; the lineage shape
-    * (one scan, literal priced table) is identical either way.
+    * returned frame is materialized eagerly through
+    * [[Materialize.cut]] before the pin is released: downstream
+    * consumers (a selection threshold descent, the final write)
+    * re-read materialized blocks, never the tokenize+explode. The
+    * route is deployment-selected (`spark.graft.materialize`: local
+    * blocks for speed, a reliable checkpoint dir or staged parquet
+    * for executor-loss resilience under dynamic allocation); the
+    * lineage shape (one scan, literal priced table) is identical on
+    * every route.
     *
     * Returns (doc_id, n_grams, weight_e6) for every document (empty
     * docs keep weight 0).
@@ -767,12 +766,11 @@ object TextOps {
       val perDoc = grams.join(broadcast(priced), "bucket")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"), sum("llr_e6").as("weight_e6"))
-      docs.select(col("doc_id"))
+      Materialize.cut(docs.select(col("doc_id"))
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-          coalesce(col("weight_e6"), lit(0L)).as("weight_e6"))
-        .localCheckpoint(true)
+          coalesce(col("weight_e6"), lit(0L)).as("weight_e6")))
     } finally grams.unpersist()
   }
 }

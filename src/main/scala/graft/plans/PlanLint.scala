@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.aggregate.Partial
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.{FileSourceScanExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
@@ -95,10 +95,11 @@ object PlanLint {
     case a: BaseAggregateExec =>
       a.aggregateExpressions.nonEmpty &&
         a.aggregateExpressions.forall(_.mode == Partial)
-    case w if w.children.length == 1 &&
-        Set("WholeStageCodegenExec", "InputAdapter", "ProjectExec")(
-          w.getClass.getSimpleName) =>
-      isPartialAgg(w.children.head)
+    // pass-through wrappers matched on the classes themselves (a
+    // string set silently rots when Spark renames a node)
+    case w: WholeStageCodegenExec => isPartialAgg(w.child)
+    case w: InputAdapter => isPartialAgg(w.child)
+    case w: ProjectExec => isPartialAgg(w.child)
     case _ => false
   }
 }

@@ -103,7 +103,12 @@ final class DriftMonitor(spark: SparkSession, stateDir: String,
       binw: Long): DataFrame =
     df.select(score.cast("long").as("__s"))
       .filter(col("__s").isNotNull)
-      .select(least(greatest(expr(s"(__s - ${lo}L) div ${binw}L"),
+      // typed-Column integral division (the same IntegralDivide the
+      // SQL `div` operator builds — exact, no string interpolation);
+      // truncation-vs-floor only differs for __s < lo, where both
+      // land in edge band 0 after the clamp
+      .select(least(greatest(
+        call_function("div", col("__s") - lit(lo), lit(binw)),
         lit(0L)), lit(buckets.toLong - 1L)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 

@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.{GraphOps, Materialize, Ranks, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Materialize.cut — the deployment-routed lineage-cut seam. Pins all
+  * three routes (local blocks / reliable checkpoint / staged parquet)
+  * frame-identical on one operator per family that rides the seam
+  * (the two-level rank, DSIR weights, PageRank), plus the loud
+  * refusals when a route's prerequisite conf is missing.
+  */
+class MaterializeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withMode[A](mode: Option[String])(body: => A): A = {
+    val prev = spark.conf.getOption(Materialize.ModeKey)
+    mode match {
+      case Some(m) => spark.conf.set(Materialize.ModeKey, m)
+      case None => spark.conf.unset(Materialize.ModeKey)
+    }
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(Materialize.ModeKey, p)
+      case None => spark.conf.unset(Materialize.ModeKey)
+    }
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def onAllRoutes(op: => DataFrame): Seq[(String, Seq[String])] = {
+    val local = withMode(Some("local"))(sortedRows(op))
+    val defaulted = withMode(None)(sortedRows(op))
+    spark.sparkContext.setCheckpointDir(tmp("graft-reliable"))
+    val reliable = withMode(Some("reliable"))(sortedRows(op))
+    val stage = tmp("graft-stage")
+    spark.conf.set(Materialize.DirKey, stage)
+    val parquet =
+      try withMode(Some("parquet"))(sortedRows(op))
+      finally spark.conf.unset(Materialize.DirKey)
+    Seq("local" -> local, "default" -> defaulted,
+      "reliable" -> reliable, "parquet" -> parquet)
+  }
+
+  test("two-level rank: all three routes return the identical frame") {
+    val rnd = new scala.util.Random(11)
+    val ids = rnd.shuffle((0L until 400L).toList)
+    val rows = onAllRoutes(
+      Ranks.globalRowNumber(ids.toDF("id"), Seq(col("id")), "rk"))
+    val want = rows.head._2
+    assert(want.nonEmpty)
+    rows.tail.foreach { case (m, got) => assert(got == want, s"route=$m") }
+  }
+
+  test("dsirWeights: all three routes return the identical frame") {
+    val docs = (0L until 60L).map(i =>
+      (i, s"alpha beta w$i gamma ${if (i % 3 == 0) "target words" else "crawl noise"}",
+        i % 3 == 0)).toDF("doc_id", "text", "is_t")
+    val rows = onAllRoutes(
+      TextOps.dsirWeights(docs, col("doc_id"), col("text"), col("is_t"), 32))
+    val want = rows.head._2
+    assert(want.size == 60)
+    rows.tail.foreach { case (m, got) => assert(got == want, s"route=$m") }
+  }
+
+  test("pageRank: all three routes return the identical frame") {
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (1L, 3L, 2L), (3L, 4L, 5L))
+      .toDF("s_a", "s_b", "w")
+    val rows = onAllRoutes(GraphOps.pageRank(edges, iters = 4))
+    val want = rows.head._2
+    assert(want.size == 4)
+    rows.tail.foreach { case (m, got) => assert(got == want, s"route=$m") }
+  }
+
+  test("parquet route refuses loudly without a staging dir") {
+    withMode(Some("parquet")) {
+      val e = intercept[IllegalArgumentException] {
+        Materialize.cut(Seq(1L).toDF("x"))
+      }
+      assert(e.getMessage.contains(Materialize.DirKey))
+    }
+  }
+
+  test("unknown mode refuses loudly") {
+    withMode(Some("ramdisk")) {
+      val e = intercept[IllegalArgumentException] {
+        Materialize.cut(Seq(1L).toDF("x"))
+      }
+      assert(e.getMessage.contains("local|reliable|parquet"))
+    }
+  }
+}
