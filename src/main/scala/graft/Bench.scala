@@ -103,15 +103,11 @@ object Bench {
     // message and the process exits nonzero — a throwing query used to
     // contribute elapsed time indistinguishably from success
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // canary warm + first sample; further samples interleave every 8
-    // queries so one throttled stretch can't mis-price the whole run
-    canaryOnce(spark)
-    val canaries = scala.collection.mutable.ArrayBuffer(canaryOnce(spark))
-    val results = selected.zipWithIndex.map { case (name, qi) =>
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def runReps(name: String, n: Int): Unit = {
       val fn = SparkEntry.queries(name)
-      var best = Double.MaxValue
       var rep = 0
-      while (rep < reps && !errors.contains(name)) {
+      while (rep < n && !errors.contains(name)) {
         val t0 = System.nanoTime()
         // noop sink, NOT count(): count() lets Catalyst elide
         // row-preserving left joins and every final projection, so a
@@ -127,16 +123,45 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString.replace("\"", "'").take(200)
         }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val el = (System.nanoTime() - t0) / 1e9
+        times(name) = math.min(times.getOrElse(name, Double.MaxValue), el)
         // outside the timed section: a cache an iterative operator
         // left behind must not pressure the next measurement
         spark.catalog.clearCache()
         rep += 1
       }
-      if ((qi + 1) % 8 == 0) canaries += canaryOnce(spark)
-      name -> best
     }
-    canaries += canaryOnce(spark)
+    // canary warm + first sample; further samples bracket every 8-query
+    // batch so one throttled stretch can't mis-price the whole run —
+    // and each QUERY is normalized by ITS OWN bracketing samples, not
+    // the run-level median (a single noisy window used to manufacture
+    // fake multi-x "regressions" on unchanged queries)
+    canaryOnce(spark)
+    val canaries = scala.collection.mutable.ArrayBuffer(canaryOnce(spark))
+    val noRetry = sys.env.contains("SPARK_GRAFT_BENCH_NORETRY")
+    val batches = selected.grouped(8).toSeq
+    batches.foreach { batch =>
+      batch.foreach(runReps(_, reps))
+      var sample = canaryOnce(spark)
+      // spike pass: if this batch's closing canary prices >1.5x the
+      // best window seen, the batch ran throttled — give each of its
+      // queries ONE more rep (min-merge) and re-sample, so a transient
+      // host spike can't stamp inflated numbers on unchanged code.
+      // Bounded: at most one extra rep per query per run.
+      if (!noRetry && sample > 1.5 * canaries.min) {
+        batch.foreach(runReps(_, 1))
+        sample = math.min(sample, canaryOnce(spark))
+      }
+      canaries += sample
+    }
+    val results = selected.map(n => n -> times(n))
+    // per-query neighborhood canary: the mean of the two samples
+    // bracketing the query's batch
+    val canaryOf: Map[String, Double] = batches.zipWithIndex.flatMap {
+      case (batch, b) =>
+        val cq = (canaries(b) + canaries(b + 1)) / 2.0
+        batch.map(_ -> cq)
+    }.toMap
     val canSorted = canaries.toSeq.sorted
     val canMed = canSorted(canSorted.size / 2)
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
@@ -157,17 +182,25 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // canary-normalized twin of every row: seconds ÷ this window's
-    // median canary second — the unit a different window reproduces
+    // canary-normalized twin of every row: seconds ÷ the query's OWN
+    // bracketing canary samples — the unit a different window
+    // reproduces, robust to intra-run spikes the run median averages
+    // away
     val normQs = results.map { case (k, v) =>
-      "\"" + k + "\":" + (if (canMed > 0) v / canMed else v) }
+      val c = canaryOf.getOrElse(k, canMed)
+      "\"" + k + "\":" + (if (c > 0) v / c else v) }
+      .mkString("{", ",", "}")
+    // the per-query canary values themselves, so an artifact reader
+    // can reconstruct raw seconds from the normalized rows
+    val canQs = results.map { case (k, _) =>
+      "\"" + k + "\":" + canaryOf.getOrElse(k, canMed) }
       .mkString("{", ",", "}")
     val canaryJson =
       s"""{"med":$canMed,"min":${canSorted.head},"max":${canSorted.last},"n":${canSorted.size}}"""
     val sfBase = new java.io.File(sfDir).getName
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"BENCH_LOCAL_$sfBase.json")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_norm":$normQs,"canary":$canaryJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size}}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_norm":$normQs,"canary_q":$canQs,"canary":$canaryJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       fullLine + "\n")
     catch { case e: Throwable =>
