@@ -455,4 +455,65 @@ object Sketch {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("rk",
         org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** [[heavyHittersExact]]'s confirm pass over a SNAPSHOT of
+    * streaming summaries ([[graft.streaming.StreamOps.mgHeavyStream]]
+    * output rows: bucket, ver, err, keys, cnts — any mix of versions;
+    * the max-ver row per bucket is the standing state). Buckets
+    * partition the key space, so the global guarantee composes from
+    * the per-bucket invariants: a key ABSENT from its bucket's
+    * summary has true count ≤ that bucket's err ≤ the max err across
+    * buckets — so if the k-th candidate's exact count clears the max
+    * err, no non-candidate can belong to the top-k. Same
+    * provable-or-loud contract as the batch operator, same one
+    * exact-count scan of the ≤ buckets·cap candidates.
+    *
+    * Returns (key, cnt, rk) — the top `k` by (cnt desc, key asc) over
+    * everything the stream ingested, exactly.
+    */
+  def heavyHittersExactFromSummaries(df: DataFrame, key: Column,
+      summaries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val spark = df.sparkSession
+    // O(buckets · cap · triggers) rows by construction — bounded
+    val snap = summaries
+      .select(col("bucket"), col("ver"), col("err"), col("keys"))
+      .collect()
+      .groupBy(_.getInt(0)).map { case (_, rows) =>
+        rows.maxBy(_.getLong(1))
+      }.toSeq
+    val maxErr = if (snap.isEmpty) 0L else snap.map(_.getLong(2)).max
+    val cands = snap.flatMap(_.getSeq[String](3)).distinct
+    require(cands.nonEmpty || maxErr == 0L,
+      s"heavyHittersExactFromSummaries: every bucket summary " +
+        s"cancelled out (max error bound $maxErr, zero candidates) — " +
+        s"no top-$k is provable; raise the stream's capacity")
+    if (cands.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], heavySchema)
+    val keyed = df.select(key.cast("string").as("__k"))
+      .filter(col("__k").isNotNull)
+    val candDf = spark.createDataFrame(
+      java.util.Arrays.asList(cands.map(Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__k",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    val exact = keyed.join(broadcast(candDf), "__k")
+      .groupBy("__k").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("__k"))
+      .limit(k)
+      .collect()
+    if (maxErr > 0L) {
+      require(exact.length == k && exact.last.getLong(1) > maxErr,
+        s"heavyHittersExactFromSummaries: the $k-th candidate count " +
+          s"(${if (exact.length == k) exact.last.getLong(1) else "n/a"})" +
+          s" does not clear the max bucket error bound $maxErr — the " +
+          s"top-$k is not provable; raise the stream's capacity")
+    }
+    val rows = exact.zipWithIndex.map { case (r, i) =>
+      Row(r.getString(0), r.getLong(1), i + 1L)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), heavySchema)
+  }
 }

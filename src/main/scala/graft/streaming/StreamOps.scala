@@ -93,6 +93,77 @@ object StreamOps {
       .as[KmvBucketIn]
   }
 
+  final case class MgIn(bucket: Int, key: String)
+  final case class MgState(ver: Long, keys: Seq[String], cnts: Seq[Long],
+      err: Long)
+  final case class MgBucketSummary(bucket: Int, ver: Long, err: Long,
+      keys: Seq[String], cnts: Seq[Long])
+
+  /** Streaming Misra-Gries heavy hitters — the continuous form of
+    * `ops.Sketch.heavyHittersExact`'s first pass: the hot-key census
+    * runs AT INGEST instead of waiting for a batch job. Rows are
+    * pre-bucketed by key hash ([[mgBucketize]]) so state shuffles
+    * across `buckets` tasks, not one; each bucket folds its batch's
+    * keys into a standing MG summary of at most `cap` counters (the
+    * SAME [[graft.functions.MgBuffer]] the batch aggregate uses, so
+    * stream and batch carry one invariant: per key, residual ≤ true
+    * count ≤ residual + err, and any key whose true count within the
+    * bucket exceeds err IS present). State is ≤ buckets·cap counters,
+    * inherently bounded — NoTimeout is safe because the key domain of
+    * the STATE is the fixed bucket set, never the data's keys.
+    *
+    * Each trigger emits every updated bucket's current summary with a
+    * monotone `ver`; a snapshot of the latest (max-ver) row per
+    * bucket feeds [[graft.ops.Sketch.heavyHittersExactFromSummaries]]
+    * for the exact-or-loud top-k over everything ingested so far
+    * (buckets partition the key space, so candidacy evidence never
+    * crosses buckets). Residuals are arrival-order dependent — the MG
+    * guarantee is order-free, which is why equality with the batch
+    * operator is pinned at the exact-confirm level, not bit-by-bit on
+    * the summaries (spec: MgHeavyStreamSpec).
+    */
+  def mgHeavyStream(in: Dataset[MgIn], cap: Int): Dataset[MgBucketSummary] = {
+    require(cap >= 1, s"need cap >= 1, got $cap")
+    import in.sparkSession.implicits._
+    in.groupByKey(_.bucket)
+      .flatMapGroupsWithState[MgState, MgBucketSummary](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (bucket, rows, state: GroupState[MgState]) =>
+          val buf = new graft.functions.MgBuffer(cap)
+          state.getOption.foreach { s =>
+            s.keys.iterator.zip(s.cnts.iterator).foreach {
+              case (k, c) => buf.m.update(k, c)
+            }
+            buf.err = s.err
+          }
+          rows.foreach(r => buf.add(r.key, 1L))
+          val items = buf.m.toArray.sortBy { case (k, c) => (-c, k) }
+          val ver = state.getOption.map(_.ver + 1L).getOrElse(1L)
+          val keys = items.map(_._1).toSeq
+          val cnts = items.map(_._2).toSeq
+          state.update(MgState(ver, keys, cnts, buf.err))
+          Iterator(MgBucketSummary(bucket, ver, buf.err, keys, cnts))
+      }
+  }
+
+  /** Map (any frame, key column) to the bucketed key rows
+    * [[mgHeavyStream]] consumes — hash-partitioned into `buckets`
+    * disjoint key subspaces (null keys dropped, like the batch
+    * operator's filter).
+    */
+  def mgBucketize(df: DataFrame, key: org.apache.spark.sql.Column,
+      buckets: Int): Dataset[MgIn] = {
+    require(buckets >= 1, s"need buckets >= 1, got $buckets")
+    import df.sparkSession.implicits._
+    df.select(key.cast("string").as("key"))
+      .filter(col("key").isNotNull)
+      .select(
+        pmod(graft.functions.GraftFunctions.portableHash(col("key")),
+          lit(buckets.toLong)).cast("int").as("bucket"),
+        col("key"))
+      .as[MgIn]
+  }
+
   final case class CmIn(j: Int, b: Long)
   final case class CmState(counts: Map[Long, Long])
   final case class CmOut(j: Int, b: Long, c: Long)
