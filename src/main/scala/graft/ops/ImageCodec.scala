@@ -112,6 +112,65 @@ object ImageCodec {
     out.toByteArray
   }
 
+  // ---- full-raster codec (javax.imageio, in-JDK, headless-safe) ----
+
+  /** A decoded raster: dimensions + packed 0xRRGGBB pixels row-major.
+    * The FULL decode slot of the multimodal seam — real pixels, not
+    * just the header (ImageIO covers PNG/JPEG/GIF/BMP in the JDK; no
+    * native codec libraries involved).
+    */
+  final case class PixelImage(width: Int, height: Int, rgb: Array[Int])
+
+  /** Decode the payload to pixels. None when the bytes are not a
+    * decodable image — the caller routes those to its malformed/DLQ
+    * branch (never an exception: ImageIO errors are data, not bugs).
+    */
+  def decodePixels(bytes: Array[Byte]): Option[PixelImage] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = img.getRGB(x, y) & 0xffffff
+            x += 1
+          }
+          y += 1
+        }
+        Some(PixelImage(w, h, out))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Encode a REAL PNG from a pixel function (x, y) → packed
+    * 0xRRGGBB. PNG is lossless and ImageIO's TYPE_INT_RGB round-trip
+    * is bit-exact, so [[decodePixels]] recovers exactly these values
+    * — the property the pixel-stats oracle checks end to end.
+    */
+  def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"need positive dims, got ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, rgb(x, y) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   def jpegHeader(w: Int, h: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI

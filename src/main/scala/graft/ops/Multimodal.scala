@@ -7,15 +7,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque binary payloads with
   * typed metadata, processed in distributed batches.
   *
-  * The decode step is STUBBED (this container has no image/audio
-  * codecs): `fakeDecodeMeta` derives deterministic pseudo-metadata
-  * from the payload hash, clearly marked. Everything around the stub —
-  * the binary column representation, the schema, the per-partition
-  * batch processing shape, frame sampling — is real and is what a
-  * production pipeline would keep while swapping the stub for an
-  * actual codec (on PySpark this is the `mapInPandas` slot; the Scala
-  * analog used here is `mapPartitions` over an iterator of payload
-  * batches).
+  * The decode seam is REAL where the JDK reaches: header metadata for
+  * PNG/JPEG/GIF/WAV/ISO-BMFF ([[ImageCodec]]/[[AudioCodec]]/
+  * [[VideoCodec]], pure byte parsing) and FULL pixel decode +
+  * nearest-neighbor raster resize for the javax.imageio formats
+  * ([[pixelStats]]/[[resizePixels]] — lossless round-trip,
+  * oracle-checked as exact integers). Only codecs absent from the
+  * JDK (e.g. video FRAME decode) stay stubbed: `fakeDecodeMeta`
+  * derives clearly-marked pseudo-metadata from the payload hash.
+  * Either way the plumbing — the binary column representation, the
+  * schema, the per-partition batch shape (one codec init per
+  * partition; on PySpark this is the `mapInPandas` slot, the Scala
+  * analog is `mapPartitions`), frame sampling — is what a production
+  * pipeline keeps while swapping codecs.
   */
 object Multimodal {
 
@@ -109,6 +113,72 @@ object Multimodal {
       ImageCodec.decodeMeta(bytes) match {
         case Some(m) => ImageMetaRow(id, m.format, m.width.toLong, m.height.toLong)
         case None => ImageMetaRow(id, "unknown", -1L, -1L)
+      }
+    })
+  }
+
+  final case class PixelStatsRow(
+      doc_id: Long, status: String, width: Long, height: Long,
+      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL pixel decode through the codec seam
+    * ([[ImageCodec.decodePixels]], javax.imageio — in-JDK, no native
+    * libraries): decode validity plus exact integer per-channel pixel
+    * sums, the raster-level census (mean luminance, over/under
+    * -exposure screens, actual-vs-declared dimension audits) a
+    * multimodal curation pipeline runs after the header pass.
+    * Undecodable payloads become ("corrupt", all −1) rows for the
+    * caller's DLQ branch — data, never exceptions. One decoder init
+    * per partition, pixels never leave the task: only the O(1) stat
+    * row is shuffled.
+    */
+  def pixelStats(ds: Dataset[(Long, Array[Byte])]): Dataset[PixelStatsRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      ImageCodec.decodePixels(bytes) match {
+        case Some(p) =>
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < p.rgb.length) {
+            val v = p.rgb(i)
+            sr += (v >>> 16) & 0xff; sg += (v >>> 8) & 0xff; sb += v & 0xff
+            i += 1
+          }
+          PixelStatsRow(id, "ok", p.width.toLong, p.height.toLong,
+            p.rgb.length.toLong, sr, sg, sb)
+        case None =>
+          PixelStatsRow(id, "corrupt", -1L, -1L, -1L, -1L, -1L, -1L)
+      }
+    })
+  }
+
+  /** REAL raster resize through the codec seam: decode
+    * ([[ImageCodec.decodePixels]]), the same exact integer
+    * fit-within plan as [[resizeFit]] (scale ppm, floor target dims,
+    * never upscale), NEAREST-NEIGHBOR sampling
+    * (src x = x'·w div tw — exact integer, deterministic across
+    * JVMs, unlike interpolating AWT transforms), and a lossless PNG
+    * re-encode — so the output payload decodes to exactly the
+    * sampled pixels. Undecodable payloads pass through as empty
+    * bytes (the DLQ marker [[pixelStats]] downstream reports as
+    * corrupt).
+    */
+  def resizePixels(ds: Dataset[(Long, Array[Byte])], maxW: Long,
+      maxH: Long): Dataset[(Long, Array[Byte])] = {
+    require(maxW > 0 && maxH > 0, "resize box must be positive")
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      ImageCodec.decodePixels(bytes) match {
+        case Some(p) =>
+          val s = math.min(1000000L, math.min(
+            maxW * 1000000L / p.width, maxH * 1000000L / p.height))
+          val tw = math.max(1L, p.width * s / 1000000L).toInt
+          val th = math.max(1L, p.height * s / 1000000L).toInt
+          val out = ImageCodec.encodePng(tw, th, (x, y) =>
+            p.rgb((y.toLong * p.height / th).toInt * p.width +
+              (x.toLong * p.width / tw).toInt))
+          (id, out)
+        case None => (id, Array.emptyByteArray)
       }
     })
   }

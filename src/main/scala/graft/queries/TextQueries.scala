@@ -295,6 +295,31 @@ object TextQueries {
   /** Score-drift band count (doc_score_drift). */
   private val ScoreDriftBins = 16
 
+  /** The pixel-query payload source: per-doc PNGs REALLY ENCODED
+    * (javax.imageio, lossless) from a closed-form RGB gradient keyed
+    * off doc_id — r=(d+31x+17y)%256, g=(7d+5x)%256, b=(13d+3y)%256
+    * over a (4+d%13)×(3+d%7) raster — so the SQL twin can recompute
+    * every pixel. Every 11th payload is garbage for the corrupt/DLQ
+    * branch. Shared by mm_pixel_stats and mm_pixel_resize so both
+    * sides agree on one synthesis.
+    */
+  private def pixelPayload(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4L + id % 13L).toInt
+        val h = (3L + id % 7L).toInt
+        val bytes =
+          if (id % 11L == 0L) Array[Byte](0x42, 0x41, 0x44, 0x00)
+          else graft.ops.ImageCodec.encodePng(w, h, (x, y) =>
+            ((((id + 31L * x + 17L * y) % 256L).toInt << 16) |
+              (((7L * id + 5L * x) % 256L).toInt << 8) |
+              ((13L * id + 3L * y) % 256L).toInt))
+        (id, bytes)
+      })
+  }
+
   /** Streaming heavy-hitter census (doc_heavy_stream_e2e): per-bucket
     * MG capacity, key-space buckets, and the confirmed top-k. NOTE:
     * interpolated into the twin SQL — must precede `all`.
@@ -2106,6 +2131,93 @@ object TextQueries {
       Multimodal.resizeFit(payload, maxW = 640L, maxH = 480L).toDF()
         .select("doc_id", "format", "width", "height", "scale_ppm",
           "target_w", "target_h")
+        .orderBy("doc_id")
+    },
+
+    // REAL pixel decode (Multimodal.pixelStats over javax.imageio):
+    // per-doc PNGs are REALLY ENCODED from a closed-form pixel
+    // gradient keyed off doc_id, decoded back through the raster
+    // seam, and reduced to exact integer per-channel sums + floor-div
+    // mean luminance — the oracle recomputes the gradient in SQL, so
+    // any lossy step (a wrong pixel, a swapped channel, a dimension
+    // misread) hash-mismatches. Every 11th payload is garbage and
+    // must ROUTE to the corrupt/-1 branch, never throw.
+    QueryDef("mm_pixel_stats",
+      s"""WITH p AS (SELECT doc_id, 4 + doc_id % 13 AS w,
+         |  3 + doc_id % 7 AS h FROM documents),
+         |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p
+         |  WHERE doc_id % 11 <> 0),
+         |xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y
+         |  FROM xs),
+         |s AS (SELECT doc_id, w, h,
+         |  CAST(sum((doc_id + 31 * x + 17 * y) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum((7 * doc_id + 5 * x) % 256) AS BIGINT) AS sum_g,
+         |  CAST(sum((13 * doc_id + 3 * y) % 256) AS BIGINT) AS sum_b
+         |  FROM xy GROUP BY 1, 2, 3)
+         |SELECT doc_id, 'ok' AS status, CAST(w AS BIGINT) AS width,
+         |  CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_px,
+         |  sum_r, sum_g, sum_b,
+         |  CAST((299 * sum_r + 587 * sum_g + 114 * sum_b) // (w * h)
+         |    AS BIGINT) AS lum_e3
+         |FROM s
+         |UNION ALL
+         |SELECT doc_id, 'corrupt', -1, -1, -1, -1, -1, -1, -1 FROM p
+         |WHERE doc_id % 11 = 0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      Multimodal.pixelStats(pixelPayload(s, d)).toDF()
+        .withColumn("lum_e3", when(col("status") === "ok",
+          call_function("div",
+            lit(299L) * col("sum_r") + lit(587L) * col("sum_g") +
+              lit(114L) * col("sum_b"), col("n_px")))
+          .otherwise(lit(-1L)))
+        .select("doc_id", "status", "width", "height", "n_px",
+          "sum_r", "sum_g", "sum_b", "lum_e3")
+        .orderBy("doc_id")
+    },
+
+    // REAL raster resize (Multimodal.resizePixels): decode the same
+    // synthesized PNGs, fit-within a 7x5 box with the exact integer
+    // plan, NEAREST-NEIGHBOR-sample the raster (src = x'·w div tw —
+    // deterministic integer sampling, no interpolation), re-encode
+    // losslessly, and decode the RESIZED payload again for its pixel
+    // sums. The oracle replays plan + sampling + gradient in SQL —
+    // end-to-end proof the emitted payload holds exactly the planned
+    // pixels. Corrupt inputs pass through as empty payloads → the
+    // corrupt branch downstream.
+    QueryDef("mm_pixel_resize",
+      s"""WITH p AS (SELECT doc_id, 4 + doc_id % 13 AS w,
+         |  3 + doc_id % 7 AS h FROM documents),
+         |pl AS (SELECT doc_id, w, h,
+         |  least(1000000, 7000000 // w, 5000000 // h) AS s FROM p
+         |  WHERE doc_id % 11 <> 0),
+         |t AS (SELECT doc_id, w, h,
+         |  greatest(1, w * s // 1000000) AS tw,
+         |  greatest(1, h * s // 1000000) AS th FROM pl),
+         |xs AS (SELECT doc_id, w, h, tw, th, unnest(range(0, tw)) AS x
+         |  FROM t),
+         |xy AS (SELECT doc_id, w, h, tw, th, x,
+         |  unnest(range(0, th)) AS y FROM xs),
+         |m AS (SELECT doc_id, tw, th, (x * w) // tw AS sx,
+         |  (y * h) // th AS sy FROM xy),
+         |s2 AS (SELECT doc_id, tw, th,
+         |  CAST(sum((doc_id + 31 * sx + 17 * sy) % 256) AS BIGINT) AS sum_r,
+         |  CAST(sum((7 * doc_id + 5 * sx) % 256) AS BIGINT) AS sum_g,
+         |  CAST(sum((13 * doc_id + 3 * sy) % 256) AS BIGINT) AS sum_b
+         |  FROM m GROUP BY 1, 2, 3)
+         |SELECT doc_id, 'ok' AS status, CAST(tw AS BIGINT) AS width,
+         |  CAST(th AS BIGINT) AS height, CAST(tw * th AS BIGINT) AS n_px,
+         |  sum_r, sum_g, sum_b
+         |FROM s2
+         |UNION ALL
+         |SELECT doc_id, 'corrupt', -1, -1, -1, -1, -1, -1 FROM p
+         |WHERE doc_id % 11 = 0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.pixelStats(
+          Multimodal.resizePixels(pixelPayload(s, d), maxW = 7L, maxH = 5L))
+        .toDF()
+        .select("doc_id", "status", "width", "height", "n_px",
+          "sum_r", "sum_g", "sum_b")
         .orderBy("doc_id")
     },
 
