@@ -1,0 +1,72 @@
+package graft
+
+import graft.plans.PlanLint
+
+/** PlanLint promoted from library to GATE: every declared query's
+  * physical plan is audited, and any single-partition exchange or
+  * cartesian/nested-loop join anywhere on the oracle surface fails
+  * the suite unless that query is on the pinned allowlist below —
+  * reintroducing a global-window funnel or an accidental cross join
+  * now breaks the build, not the next 100 TB run.
+  */
+class PlanGateSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val Bnlj = Set("nested-loop-join")
+  private val SinglePart = Set("single-partition-exchange")
+
+  /** Deliberate, bounded-row exceptions — each entry names the query
+    * and the finding kinds its plan is ALLOWED to contain, with the
+    * reason. Everything else must audit clean: a new finding anywhere
+    * on the surface fails this suite.
+    */
+  private val allow: Map[String, Set[String]] = Map(
+    // every ANN query crossJoins the corpus against a BROADCAST
+    // O(k)/O(centroids) literal side (query vectors, centroid table)
+    // — the scan stays partition-parallel, the "nested loop" is
+    // per-row against a handful of broadcast rows
+    "emb_knn_brute" -> Bnlj,
+    "emb_ivf_knn" -> Bnlj,
+    "emb_ivf_knn_nprobe2" -> Bnlj,
+    "emb_ivf_recall" -> Bnlj,
+    "emb_pq_recall" -> Bnlj,
+    "emb_rp_knn" -> Bnlj,
+    "emb_rp_recall" -> Bnlj,
+    "emb_sq8_knn" -> Bnlj,
+    "emb_sq8_recall" -> Bnlj,
+    "emb_hard_negatives" -> Bnlj,
+    // one-row verdict frames crossJoined together (count x dcg x
+    // idcg; the quorum-cut scalar against the batch) — 1-row sides
+    "doc_bm25_ndcg" -> Bnlj,
+    "doc_hybrid_rrf" -> Bnlj,
+    "cdc_quorum_cut" -> Bnlj,
+    // suffix-sum window over exactly nBins=10 skeleton rows
+    "doc_nb_threshold_sweep" -> SinglePart,
+    // final rank window over the bounded source dimension (crawl
+    // hosts — the heavyHittersExactBy maxGroups rationale)
+    "doc_syndication_suspects" -> SinglePart)
+
+  test("every declared query plan audits clean (pinned allowlist)") {
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val df =
+        try SparkEntry.queries(name)(spark, sfDir)
+        catch {
+          case e: Throwable =>
+            bad += s"$name: query construction failed: ${e.getMessage}"
+            null
+        }
+      if (df != null) {
+        val found = PlanLint.audit(df).map(_.kind).toSet
+        val allowed = allow.getOrElse(name, Set.empty)
+        val extra = found -- allowed
+        if (extra.nonEmpty)
+          bad += s"$name: ${extra.toSeq.sorted.mkString(",")} :: " +
+            PlanLint.audit(df).filter(f => extra(f.kind))
+              .map(_.node).mkString(" | ")
+      }
+    }
+    assert(bad.isEmpty, "\n" + bad.mkString("\n"))
+  }
+}
