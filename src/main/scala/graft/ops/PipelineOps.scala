@@ -521,6 +521,70 @@ object PipelineOps {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Concat-and-chunk sequence packing — the step that turns curated
+    * documents into fixed-length training sequences (the standard
+    * GPT-style pipeline: concatenate the shard's token stream, cut
+    * every `seqLen` tokens). Each document learns where it lands:
+    * its token offset in the shard stream, the first and last
+    * sequence it occupies, and whether it crosses a sequence
+    * boundary (the attention-masking / document-splitting signal a
+    * trainer consumes).
+    *
+    * Deterministic: documents concatenate in ascending `id` order
+    * within each shard, so the layout is a pure function of
+    * (id, n_tokens, shard) — any engine replays it.
+    *
+    * Scale shape: ONE shuffle on the shard key, then a per-shard
+    * prefix sum (the window partitions by shard, never a global
+    * single-reducer scan); nShards is the parallelism knob exactly as
+    * in [[shuffleShards]]. All integer arithmetic.
+    *
+    * Returns (doc_id, shard, n_tokens, start_tok, seq_first,
+    * seq_last, crosses); zero-token docs sit at their offset with
+    * seq_last = seq_first (they occupy no token, flagged
+    * non-crossing).
+    */
+  def chunkLayout(df: DataFrame, id: Column, nTokens: Column,
+      shard: Column, seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"need seqLen >= 1, got $seqLen")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(id.as("doc_id"), nTokens.cast("long").as("n_tokens"),
+        shard.as("shard"))
+      .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("seq_first",
+        call_function("div", col("start_tok"), lit(seqLen)))
+      .withColumn("seq_last",
+        call_function("div",
+          col("start_tok") + greatest(col("n_tokens") - 1L, lit(0L)),
+          lit(seqLen)))
+      .withColumn("crosses", col("seq_last") > col("seq_first"))
+  }
+
+  /** Per-shard packing census over [[chunkLayout]]'s layout: how
+    * many sequences each shard yields (⌈tokens/seqLen⌉), the exact
+    * fill rate in ppm (tokens·10⁶ div (n_seqs·seqLen) — the padding
+    * waste of the LAST chunk), and how many documents straddle a
+    * boundary. One O(shards) aggregation on top of the packing scan.
+    * Returns (shard, n_docs, n_tokens, n_seqs, fill_ppm, n_crossing).
+    */
+  def chunkLayoutStats(packed: DataFrame, seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"need seqLen >= 1, got $seqLen")
+    packed.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum(when(col("crosses"), 1L).otherwise(0L)).as("n_crossing"))
+      .withColumn("n_seqs",
+        call_function("div", col("n_tokens") + lit(seqLen - 1L),
+          lit(seqLen)))
+      .withColumn("fill_ppm",
+        when(col("n_seqs") > 0L,
+          call_function("div", col("n_tokens") * lit(1000000L),
+            col("n_seqs") * lit(seqLen))).otherwise(lit(0L)))
+      .select("shard", "n_docs", "n_tokens", "n_seqs", "fill_ppm",
+        "n_crossing")
+  }
+
   /** Exact top-`num/den` fraction by an integral weight, WITHOUT a
     * global sort: flags the k = ⌊N·num/den⌋ heaviest rows
     * (ties broken by ascending id, matching

@@ -650,6 +650,10 @@ object TextQueries {
   private val CmProbeK = 16
   private val ShuffleSeed = 42L
   private val ShuffleShards = 16
+  // sequence packing (doc_pack_sequences / doc_pack_stats) — NOTE:
+  // interpolated into the twin SQL, must precede `all`
+  private val PackSeqLen = 256L
+  private val PackShards = 8
   private val IndexBlockDocs = 128L
   private val EvalMod = 7
   // char-4-gram Jaccard pair generation, shared by the full pair query
@@ -1868,6 +1872,74 @@ object TextQueries {
         col("doc_id"), seed = ShuffleSeed, nShards = ShuffleShards)
         .select("doc_id", "shard", "ord", "pos")
         .orderBy("doc_id")
+    },
+
+    // concat-and-chunk sequence packing (PipelineOps.chunkLayout):
+    // the GPT-style layout — each shard's token stream concatenates
+    // in doc order and cuts every PackSeqLen tokens; every document
+    // learns its offset, first/last sequence, and whether it crosses
+    // a boundary. One shard-key shuffle + per-shard prefix sums
+    // (parallel windows), exact integers.
+    QueryDef("doc_pack_sequences",
+      s"""WITH t AS (SELECT doc_id, doc_id % $PackShards AS shard,
+         |  CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),
+         |p AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+         |  FROM t)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+         |  start_tok,
+         |  start_tok // $PackSeqLen AS seq_first,
+         |  (start_tok + greatest(n_tokens - 1, 0)) // $PackSeqLen
+         |    AS seq_last,
+         |  (start_tok + greatest(n_tokens - 1, 0)) // $PackSeqLen >
+         |    start_tok // $PackSeqLen AS crosses
+         |FROM p ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.PipelineOps.chunkLayout(
+          load(s, d, "documents").withColumn("__nt",
+            size(tokens(col("text"))).cast("long")),
+          col("doc_id"), col("__nt"), col("doc_id") % PackShards,
+          seqLen = PackSeqLen)
+        .select("doc_id", "shard", "n_tokens", "start_tok",
+          "seq_first", "seq_last", "crosses")
+        .orderBy("doc_id")
+    },
+
+    // the packing census (PipelineOps.chunkLayoutStats): sequences yielded
+    // per shard (ceil), exact ppm fill rate (the padding waste of the
+    // last chunk), boundary-crossing doc count — the capacity
+    // planning numbers a training run reads off the packed layout.
+    QueryDef("doc_pack_stats",
+      s"""WITH t AS (SELECT doc_id, doc_id % $PackShards AS shard,
+         |  CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),
+         |p AS (SELECT doc_id, shard, n_tokens,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+         |  FROM t),
+         |g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN (start_tok + greatest(n_tokens - 1, 0))
+         |      // $PackSeqLen > start_tok // $PackSeqLen
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing
+         |  FROM p GROUP BY 1),
+         |q AS (SELECT shard, n_docs, n_tokens, n_crossing,
+         |  (n_tokens + ${PackSeqLen - 1}) // $PackSeqLen AS n_seqs
+         |  FROM g)
+         |SELECT CAST(shard AS BIGINT) AS shard, n_docs, n_tokens,
+         |  n_seqs,
+         |  CASE WHEN n_seqs > 0
+         |    THEN n_tokens * 1000000 // (n_seqs * $PackSeqLen)
+         |    ELSE 0 END AS fill_ppm,
+         |  n_crossing
+         |FROM q ORDER BY shard""".stripMargin) { (s, d) =>
+      graft.ops.PipelineOps.chunkLayoutStats(
+          graft.ops.PipelineOps.chunkLayout(
+            load(s, d, "documents").withColumn("__nt",
+              size(tokens(col("text"))).cast("long")),
+            col("doc_id"), col("__nt"), col("doc_id") % PackShards,
+            seqLen = PackSeqLen),
+          seqLen = PackSeqLen)
+        .orderBy("shard")
     },
 
     // context-length chunking: 32-token windows, stride 24 (8-token

@@ -686,4 +686,53 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.getLong(3) == 693147L - 223144L)
     assert(got.getBoolean(4))
   }
+
+  test("chunkLayout: offsets, boundary crossing, zero-token docs, stats") {
+    import graft.ops.PipelineOps
+    import org.apache.spark.sql.functions.{col, lit}
+    // one shard, seqLen 10: docs of 4, 0, 7, 10, 1 tokens in id order
+    // stream offsets: 0, 4, 4, 11, 21 — doc 3 spans [4,10] (crosses),
+    // doc 4 spans [11,20] exactly (sequence 1..2? 11//10=1, 20//10=2:
+    // crosses), doc 5 sits at 21 (seq 2)
+    val docs = Seq((1L, 4L), (2L, 0L), (3L, 7L), (4L, 10L), (5L, 1L))
+      .toDF("id", "nt")
+    val got = PipelineOps.chunkLayout(docs, col("id"), col("nt"),
+        lit(0L), seqLen = 10L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, false)))
+    assert(got(2L) == ((4L, 0L, 0L, false))) // empty doc: no crossing
+    assert(got(3L) == ((4L, 0L, 1L, true)))
+    assert(got(4L) == ((11L, 1L, 2L, true)))
+    assert(got(5L) == ((21L, 2L, 2L, false)))
+    val st = PipelineOps.chunkLayoutStats(
+      PipelineOps.chunkLayout(docs, col("id"), col("nt"), lit(0L), 10L),
+      seqLen = 10L).collect().head
+    // 22 tokens -> ceil(22/10)=3 seqs, fill = 22e6 div 30 = 733333
+    assert(st.getLong(1) == 5L && st.getLong(2) == 22L)
+    assert(st.getLong(3) == 3L && st.getLong(4) == 733333L)
+    assert(st.getLong(5) == 2L)
+  }
+
+  test("chunkLayout: shards lay out independently and in parallel") {
+    import graft.ops.PipelineOps
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = (1L to 100L).map(i => (i, i % 5L)).toDF("id", "nt")
+    val got = PipelineOps.chunkLayout(docs, col("id"), col("nt"),
+        pmod(col("id"), lit(4L)), seqLen = 7L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .toSeq
+    // per shard, start_tok is the prefix sum of earlier docs' nt in
+    // id order — the scala fold is the reference
+    (0L until 4L).foreach { sh =>
+      var cum = 0L
+      (1L to 100L).filter(_ % 4L == sh).foreach { id =>
+        val (_, nt, start) =
+          got.find(_._1 == id).getOrElse(fail(s"missing id $id"))
+        assert(start == cum, s"id=$id")
+        cum += nt
+      }
+    }
+  }
 }
