@@ -57,4 +57,53 @@ object Retrieval {
     */
   def rrfFuse(lists: Seq[DataFrame], k0: Int, topK: Int): DataFrame =
     rrfFuse(lists, col("id"), col("rank"), k0, topK)
+
+  /** Per-group [[rrfFuse]] — the fusion step of a retrieval SWEEP
+    * (one fused top-k per query), with ZERO driver work: the fused
+    * scores aggregate on (group, id), and the per-group top-k rides
+    * `graft_topk`'s map-side partial combine (each map task emits ≤
+    * `topK` rows per group) with `n_lists` packed into the low 6
+    * bits of the comparison id — the pack preserves the
+    * (rrf_e9 desc, id asc) tie order because the id occupies the
+    * high bits. Same loud sub-1-rank refusal as the single-query
+    * form. Requires 0 ≤ id < 2^57 and < 64 lists (packing headroom —
+    * loud requires, not silent caps).
+    *
+    * Returns (group, id, n_lists, rrf_e9, rank), rank 1-based per
+    * group.
+    */
+  def rrfFuseBy(lists: Seq[DataFrame], group: Column, id: Column,
+      rank: Column, k0: Int, topK: Int): DataFrame = {
+    import graft.functions.TopKPairsAgg.topkPairs
+    require(lists.nonEmpty, "rrfFuseBy needs at least one ranking")
+    require(lists.size < 64,
+      s"rrfFuseBy: ${lists.size} lists exceed the 2^6 n_lists " +
+        "packing headroom")
+    require(k0 >= 1, s"need k0 >= 1, got $k0")
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    val u = lists.map(_.select(group.cast("long").as("grp"),
+        id.cast("long").as("id"), rank.cast("long").as("rank")))
+      .reduce(_ unionByName _)
+    val c = when(col("rank").isNull || col("rank") < 1L,
+      raise_error(concat(lit("rrfFuseBy: every rank must be >= 1, got "),
+        coalesce(col("rank").cast("string"), lit("null")))).cast("long"))
+      .otherwise(round(lit(1000000000.0d) /
+        (lit(k0) + col("rank")).cast("double"), 0).cast("long"))
+    val idGuard = when(col("id").isNull || col("id") < 0L ||
+        col("id") >= (1L << 57),
+      raise_error(lit("rrfFuseBy needs 0 <= id < 2^57 " +
+        "(packing headroom)")).cast("long")).otherwise(col("id"))
+    val fused = u.select(col("grp"), idGuard.as("id"), c.as("c"))
+      .groupBy("grp", "id")
+      .agg(count(lit(1)).as("n_lists"), sum("c").as("rrf_e9"))
+    fused.groupBy("grp")
+      .agg(topkPairs(col("rrf_e9"),
+        shiftleft(col("id"), 6) + col("n_lists"), topK).as("top"))
+      .select(col("grp"), posexplode(col("top")))
+      .select(col("grp").as("group"),
+        shiftright(col("col.id"), 6).as("id"),
+        (col("col.id") % lit(64L)).as("n_lists"),
+        col("col.ord").as("rrf_e9"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
 }

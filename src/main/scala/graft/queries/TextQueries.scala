@@ -654,6 +654,9 @@ object TextQueries {
   // interpolated into the twin SQL, must precede `all`
   private val PackSeqLen = 256L
   private val PackShards = 8
+  // per-query rank-fusion constant (doc_hybrid_rrf_multi) — the
+  // standard RRF k0, same value as EmbQueries' single-query fusion
+  private val RrfK0M = 60
   private val IndexBlockDocs = 128L
   private val EvalMod = 7
   // char-4-gram Jaccard pair generation, shared by the full pair query
@@ -3341,6 +3344,55 @@ object TextQueries {
         col("query_id"), col("doc_id"), col("n_hit"), col("score_e6"),
         NdcgK)
         .orderBy("group")
+    },
+
+    // per-query rank fusion (Retrieval.rrfFuseBy): the sweep's score
+    // ranking fuses with a coverage re-ranking (hit count) of the
+    // SAME per-query top-k pool — one fused consensus list per query
+    // with zero driver work: fused scores aggregate on
+    // (query_id, doc_id) and the per-query top-k rides graft_topk's
+    // partial combine, n_lists packed into the comparison id's low
+    // bits. Only ranks cross the two lists.
+    QueryDef("doc_hybrid_rrf_multi",
+      s"""WITH $sqlBm25MultiSrCtes,
+         |ra AS (SELECT query_id, doc_id, n_hit,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM sr),
+         |ta AS (SELECT query_id, doc_id, n_hit, rank FROM ra
+         |  WHERE rank <= $Bm25TopK),
+         |tb AS (SELECT query_id, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY n_hit DESC, doc_id) AS BIGINT) AS rank FROM ta),
+         |u AS (SELECT query_id, doc_id, rank FROM ta
+         |  UNION ALL SELECT query_id, doc_id, rank FROM tb),
+         |f AS (SELECT query_id, doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_lists,
+         |  CAST(sum(CAST(round(1000000000.0 / ($RrfK0M + rank))
+         |    AS BIGINT)) AS BIGINT) AS rrf_e9
+         |  FROM u GROUP BY 1, 2)
+         |SELECT query_id, doc_id, n_lists, rrf_e9, rank FROM (
+         |  SELECT query_id, doc_id, n_lists, rrf_e9,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) AS rank
+         |  FROM f)
+         |WHERE rank <= $Bm25TopK
+         |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val q = s.createDataFrame(Bm25Queries).toDF("query_id", "term")
+      val a = TextOps.bm25TopKPerQuery(load(s, d, "documents"),
+        col("doc_id"), col("text"), q, k1 = Bm25K1, b = Bm25B,
+        topK = Bm25TopK)
+      val wb = Window.partitionBy("query_id")
+        .orderBy(col("n_hit").desc, col("doc_id"))
+      val b = a.select(col("query_id"), col("doc_id"),
+        row_number().over(wb).cast("long").as("rank"))
+      graft.ops.Retrieval.rrfFuseBy(
+          Seq(a.select(col("query_id"), col("doc_id"), col("rank")), b),
+          col("query_id"), col("doc_id"), col("rank"),
+          RrfK0M, Bm25TopK)
+        .select(col("group").as("query_id"), col("id").as("doc_id"),
+          col("n_lists"), col("rrf_e9"), col("rank"))
+        .orderBy("query_id", "rank")
     },
 
     // heavy hitters (Sketch.heavyHittersExact): the exact top-20

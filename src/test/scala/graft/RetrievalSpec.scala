@@ -53,4 +53,58 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(a), 0, 5) }
     intercept[IllegalArgumentException] { Retrieval.rrfFuse(Seq(a), 60, 0) }
   }
+
+  test("rrfFuse: Column parameters resolve renamed inputs") {
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("doc", "pos")
+    val b = Seq((2L, 1L), (1L, 2L)).toDF("doc", "pos")
+    val named = Retrieval.rrfFuse(
+      Seq(a.toDF("id", "rank"), b.toDF("id", "rank")), 60, 5)
+    val cols = Retrieval.rrfFuse(Seq(a, b), col("doc"), col("pos"), 60, 5)
+    assert(cols.collect().map(_.toString).sorted.toSeq ==
+      named.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("rrfFuse fails loudly on a sub-1 rank instead of dropping it") {
+    val bad = Seq((1L, 1L), (2L, -60L)).toDF("id", "rank")
+    val e = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(bad), 60, 5).collect()
+    }
+    assert(e.getMessage.contains("rank must be >= 1"))
+  }
+
+  test("rrfFuseBy equals per-group rrfFuse over each group's slice") {
+    val rnd = new scala.util.Random(31)
+    val groups = (0L until 3L).toSeq
+    // two ranked lists per group
+    val lists = Seq.fill(2) {
+      groups.flatMap { g =>
+        rnd.shuffle((0L until 25L).toList).take(12)
+          .zipWithIndex.map { case (id, i) => (g, id, i + 1L) }
+      }
+    }
+    val fusedBy = Retrieval.rrfFuseBy(
+        lists.map(_.toDF("q", "id", "rank")),
+        col("q"), col("id"), col("rank"), k0 = 60, topK = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(t => (t._1, t._5))
+    val perGroup = groups.flatMap { g =>
+      Retrieval.rrfFuse(
+        lists.map(l => l.filter(_._1 == g).map(t => (t._2, t._3))
+          .toDF("id", "rank")), k0 = 60, topK = 8)
+        .collect()
+        .map(r => (g, r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+    }.sortBy(t => (t._1, t._5))
+    assert(fusedBy == perGroup)
+  }
+
+  test("rrfFuseBy packing guards refuse loudly") {
+    val a = Seq((0L, 1L << 58, 1L)).toDF("q", "id", "rank")
+    val e = intercept[Exception] {
+      Retrieval.rrfFuseBy(Seq(a), col("q"), col("id"), col("rank"),
+        60, 5).collect()
+    }
+    assert(e.getMessage.contains("2^57"))
+  }
 }
