@@ -1,6 +1,29 @@
 package graft
 
 object Bench {
+
+  /** The per-query canary assignment, pure so the noisy-window
+    * behavior is spec-testable: queries run in batches of
+    * [[BatchSize]], `canaries` carries one sample BEFORE the first
+    * batch plus one after each batch (size = nBatches + 1), and each
+    * query prices against the MEAN of its batch's two bracketing
+    * samples. A host spike confined to one stretch of the run then
+    * rescales exactly the queries it slowed — not the whole artifact
+    * (the old run-median let one throttled window fake multi-x
+    * regressions on unchanged queries).
+    */
+  private[graft] val BatchSize = 8
+  private[graft] def perQueryCanary(names: Seq[String],
+      canaries: Seq[Double]): Map[String, Double] = {
+    val batches = names.grouped(BatchSize).toSeq
+    require(canaries.size == batches.size + 1,
+      s"need ${batches.size + 1} canary samples, got ${canaries.size}")
+    batches.zipWithIndex.flatMap { case (batch, b) =>
+      val cq = (canaries(b) + canaries(b + 1)) / 2.0
+      batch.map(_ -> cq)
+    }.toMap
+  }
+
   /** Headline = EVERY declared query, in sorted order — a regression
     * anywhere on the oracle surface is visible in the bench artifact,
     * not just in the operator families a curated list happened to
@@ -139,7 +162,7 @@ object Bench {
     canaryOnce(spark)
     val canaries = scala.collection.mutable.ArrayBuffer(canaryOnce(spark))
     val noRetry = sys.env.contains("SPARK_GRAFT_BENCH_NORETRY")
-    val batches = selected.grouped(8).toSeq
+    val batches = selected.grouped(BatchSize).toSeq
     batches.foreach { batch =>
       batch.foreach(runReps(_, reps))
       var sample = canaryOnce(spark)
@@ -156,12 +179,8 @@ object Bench {
     }
     val results = selected.map(n => n -> times(n))
     // per-query neighborhood canary: the mean of the two samples
-    // bracketing the query's batch
-    val canaryOf: Map[String, Double] = batches.zipWithIndex.flatMap {
-      case (batch, b) =>
-        val cq = (canaries(b) + canaries(b + 1)) / 2.0
-        batch.map(_ -> cq)
-    }.toMap
+    // bracketing the query's batch (pure + spec-tested)
+    val canaryOf = perQueryCanary(selected, canaries.toSeq)
     val canSorted = canaries.toSeq.sorted
     val canMed = canSorted(canSorted.size / 2)
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
