@@ -35,8 +35,9 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col(textCol)).cast("long"))
 
   /** STUB decode: deterministic fake width/height from the payload
-    * hash — replace with a real codec (`??? -> libjpeg/ffmpeg`) in a
-    * real deployment. Declarative version (codegen'd).
+    * hash — the clearly-marked placeholder for codecs the JDK lacks
+    * (for the formats it has, [[decodeImageMeta]]/[[pixelStats]] are
+    * the real paths). Declarative version (codegen'd).
     */
   def fakeDecodeMeta(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("payload_hash", portableHash(col(textCol)))
@@ -62,17 +63,18 @@ object Multimodal {
       scale_ppm: Long, target_w: Long, target_h: Long,
       resized: Array[Byte])
 
-  /** Aspect-preserving fit-within resize through the codec seam. The
-    * REAL parts: the header decode ([[ImageCodec.decodeMeta]]) and
-    * the target-dimension plan — exact integer math (scale in parts
+  /** Aspect-preserving fit-within resize PLANNING through the codec
+    * seam — the header-only pass that never touches rasters: the
+    * header decode ([[ImageCodec.decodeMeta]]) and the
+    * target-dimension plan — exact integer math (scale in parts
     * -per-million = min(10⁶, maxW·10⁶ / w, maxH·10⁶ / h), floor
     * target dims clamped to ≥ 1, never upscale) shared verbatim with
-    * the SQL twin. The pixel transform is the STUB (no raster codec
-    * in this container): it re-emits a structurally valid header of
-    * the TARGET size, so the output payload re-decodes to the planned
-    * dimensions — which is exactly what the spec checks end to end.
-    * Unrecognized payloads pass through as ("unknown", −1 …, empty)
-    * for the malformed sink, like the other decoders.
+    * the SQL twin. The emitted payload is a structurally valid header
+    * of the TARGET size (this op plans; [[resizePixels]] is the REAL
+    * raster transform for the javax.imageio formats — same plan
+    * math, actual nearest-neighbor pixels). Unrecognized payloads
+    * pass through as ("unknown", −1 …, empty) for the malformed
+    * sink, like the other decoders.
     */
   def resizeFit(ds: Dataset[(Long, Array[Byte])], maxW: Long,
       maxH: Long): Dataset[ResizePlanRow] = {
