@@ -93,4 +93,57 @@ object AudioCodec {
     ascii("data"); le32(dataSize)
     o.toByteArray
   }
+
+  // ---- full-sample codec (javax.sound.sampled, in-JDK) ----
+
+  /** A decoded PCM clip: channel-interleaved signed 16-bit samples. */
+  final case class PcmAudio(channels: Int, sampleRate: Long,
+      samples: Array[Short])
+
+  /** Encode mono 16-bit PCM samples as a REAL little-endian WAV —
+    * the payload twin of [[wavHeader]]; [[decodePcm]] (the JDK's own
+    * RIFF reader, nothing shared with this writer) recovers exactly
+    * these values, which is the property the PCM-stats oracle checks
+    * end to end.
+    */
+  def encodeWav(sampleRate: Long, samples: Array[Short]): Array[Byte] = {
+    val head = wavHeader(1, sampleRate, 16, samples.length.toLong)
+    val o = new java.io.ByteArrayOutputStream(head.length + 2 * samples.length)
+    o.write(head, 0, head.length)
+    samples.foreach { s =>
+      o.write(s & 0xff); o.write((s >> 8) & 0xff)
+    }
+    o.toByteArray
+  }
+
+  /** Decode the payload to PCM samples through
+    * `javax.sound.sampled.AudioSystem` — the FULL decode slot of the
+    * audio seam (the header walker above reads metadata only). None
+    * when the bytes are not a decodable 16-bit PCM clip — the caller
+    * routes those to its malformed/DLQ branch, never an exception.
+    */
+  def decodePcm(bytes: Array[Byte]): Option[PcmAudio] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val f = ais.getFormat
+        if (f.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16) return None
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          val lo = raw(2 * i) & 0xff; val hi = raw(2 * i + 1)
+          out(i) = (if (f.isBigEndian) ((lo << 8) | (hi & 0xff))
+            else ((hi << 8) | lo)).toShort
+          i += 1
+        }
+        Some(PcmAudio(f.getChannels, f.getSampleRate.toLong, out))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
 }

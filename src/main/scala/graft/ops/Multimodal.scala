@@ -185,6 +185,44 @@ object Multimodal {
     })
   }
 
+  final case class PcmStatsRow(
+      doc_id: Long, status: String, channels: Long, sample_rate: Long,
+      n_samples: Long, sum_abs: Long, sum_sq: Long, peak: Long,
+      n_clipped: Long)
+
+  /** REAL PCM decode through the audio seam
+    * ([[AudioCodec.decodePcm]], javax.sound — in-JDK): decode
+    * validity plus the exact integer sample census a curation
+    * pipeline screens clips with — Σ|s| (loudness), Σs² (energy; RMS
+    * is one sqrt away), peak amplitude, and the count of full-scale
+    * samples (clipping evidence: |s| at the 16-bit rails).
+    * Undecodable payloads become ("corrupt", all −1) rows for the
+    * caller's DLQ branch. Samples never leave the task — only the
+    * O(1) stat row is shuffled.
+    */
+  def audioPcmStats(ds: Dataset[(Long, Array[Byte])]): Dataset[PcmStatsRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      AudioCodec.decodePcm(bytes) match {
+        case Some(p) =>
+          var sa = 0L; var sq = 0L; var peak = 0L; var clipped = 0L
+          var i = 0
+          while (i < p.samples.length) {
+            val v = p.samples(i).toLong
+            val a = math.abs(v)
+            sa += a; sq += v * v
+            if (a > peak) peak = a
+            if (v == 32767L || v == -32768L) clipped += 1
+            i += 1
+          }
+          PcmStatsRow(id, "ok", p.channels.toLong, p.sampleRate,
+            p.samples.length.toLong, sa, sq, peak, clipped)
+        case None =>
+          PcmStatsRow(id, "corrupt", -1L, -1L, -1L, -1L, -1L, -1L, -1L)
+      }
+    })
+  }
+
   final case class AudioMetaRow(
       doc_id: Long, channels: Long, sample_rate: Long, bits: Long,
       n_audio_frames: Long, duration_us: Long)

@@ -2336,6 +2336,64 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // REAL PCM sample decode (Multimodal.audioPcmStats over
+    // javax.sound's own RIFF reader — nothing shared with our WAV
+    // writer): per-doc 16-bit mono clips REALLY ENCODED from a
+    // closed-form sample formula (every 13th doc drives the formula
+    // past full scale, exercising the clip rails; every 11th payload
+    // is garbage → the corrupt branch). Exact integer loudness/
+    // energy/peak/clip census; the oracle recomputes every sample.
+    QueryDef("mm_audio_pcm_stats",
+      s"""WITH p AS (SELECT doc_id, 50 + doc_id % 97 AS n,
+         |  8000 + (doc_id % 5) * 1000 AS sr FROM documents),
+         |xs AS (SELECT doc_id, n, sr, unnest(range(0, n)) AS i FROM p
+         |  WHERE doc_id % 11 <> 0),
+         |v AS (SELECT doc_id, n, sr,
+         |  CASE WHEN doc_id % 13 = 0
+         |    THEN (((doc_id * 31 + i * 17) % 4001) - 2000) * 20
+         |    ELSE ((doc_id * 31 + i * 17) % 4001) - 2000 END AS w
+         |  FROM xs),
+         |s AS (SELECT doc_id, n, sr,
+         |  least(32767, greatest(-32768, w)) AS s FROM v),
+         |g AS (SELECT doc_id, n, sr,
+         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+         |  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+         |  CAST(max(abs(s)) AS BIGINT) AS peak,
+         |  CAST(sum(CASE WHEN s = 32767 OR s = -32768 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_clipped
+         |  FROM s GROUP BY 1, 2, 3)
+         |SELECT doc_id, 'ok' AS status, CAST(1 AS BIGINT) AS channels,
+         |  CAST(sr AS BIGINT) AS sample_rate, CAST(n AS BIGINT)
+         |    AS n_samples,
+         |  sum_abs, sum_sq, peak, n_clipped
+         |FROM g
+         |UNION ALL
+         |SELECT doc_id, 'corrupt', -1, -1, -1, -1, -1, -1, -1 FROM p
+         |WHERE doc_id % 11 = 0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val payload = load(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes =
+            if (id % 11L == 0L) Array[Byte](0x42, 0x41, 0x44, 0x00)
+            else {
+              val n = (50L + id % 97L).toInt
+              val samples = Array.tabulate[Short](n) { i =>
+                val v = ((id * 31L + i * 17L) % 4001L) - 2000L
+                val w = if (id % 13L == 0L) v * 20L else v
+                math.min(32767L, math.max(-32768L, w)).toShort
+              }
+              graft.ops.AudioCodec.encodeWav(
+                8000L + (id % 5L) * 1000L, samples)
+            }
+          (id, bytes)
+        })
+      Multimodal.audioPcmStats(payload).toDF()
+        .select("doc_id", "status", "channels", "sample_rate",
+          "n_samples", "sum_abs", "sum_sq", "peak", "n_clipped")
+        .orderBy("doc_id")
+    },
+
     // REAL ISO-BMFF (MP4) metadata decode (VideoCodec.decodeMeta):
     // synthesized-but-structurally-real box trees — ftyp, interleaved
     // free boxes, moov{mvhd,trak{tkhd}} in BOTH the v0 and v1 box
