@@ -283,6 +283,50 @@ object Eval {
             col("n").cast("double")).otherwise(lit(0.0d)).as("pos_rate"))
   }
 
+  /** Per-group [[calibrationBins]] — one calibration table per slice
+    * (crawl source, language), the per-slice companion to
+    * [[binaryAucBy]]: a gate model that is calibrated globally but
+    * mis-calibrated on one source is exactly the failure this table
+    * surfaces. The band geometry is GLOBAL (one (lo, binW) from the
+    * whole corpus) so rates are comparable ACROSS slices — bin i
+    * means the same score band everywhere.
+    *
+    * Zero driver work beyond the 2-value geometry row: one scan into
+    * a (grp, bin) aggregate, and the all-bands skeleton comes from
+    * exploding a literal bin array against the distinct groups — no
+    * nested-loop join, nothing group-count-dependent on the driver.
+    * Returns (grp, bin, score_lo, n, n_pos, pos_rate) with every
+    * group reporting all `nBins` bands (empty bands zero-filled).
+    */
+  def calibrationBinsBy(df: DataFrame, group: Column, score: Column,
+      label: Column, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"need nBins >= 2, got $nBins")
+    val s = df.select(group.as("grp"), score.cast("long").as("__s"),
+      label.cast("boolean").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val st = s.agg(min("__s"), max("__s")).head()
+    require(!st.isNullAt(0), "calibrationBinsBy needs at least one row")
+    val (lo, hi) = (st.getLong(0), st.getLong(1))
+    val binW = math.max(1L, Math.floorDiv(hi - lo, nBins.toLong) + 1L)
+    val agg = s
+      .withColumn("bin",
+        least(call_function("div", col("__s") - lit(lo), lit(binW)),
+          lit(nBins.toLong - 1L)).cast("long"))
+      .groupBy("grp", "bin").agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+    val skeleton = s.select("grp").distinct()
+      .select(col("grp"),
+        explode(lit((0L until nBins.toLong).toArray)).as("bin"))
+    skeleton.join(agg, Seq("grp", "bin"), "left")
+      .select(col("grp"), col("bin"),
+        (lit(lo) + col("bin") * lit(binW)).as("score_lo"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        when(coalesce(col("n"), lit(0L)) > 0L,
+          coalesce(col("n_pos"), lit(0L)).cast("double") /
+            col("n").cast("double")).otherwise(lit(0.0d)).as("pos_rate"))
+  }
+
   /** nDCG@k — the retrieval grader: how close is a scorer's top-k
     * ranking to the best ranking its candidates allow?
     *

@@ -3645,6 +3645,43 @@ object TextQueries {
         .orderBy("bin")
     },
 
+    // per-slice calibration (Eval.calibrationBinsBy): one calibration
+    // table per crawl source with GLOBAL band geometry, so bin i
+    // means the same score band on every slice — the readout that
+    // catches a gate model calibrated overall but mis-calibrated on
+    // one source. The all-bands skeleton is an exploded literal bin
+    // array against the distinct sources (no nested-loop join,
+    // nothing group-count-dependent on the driver); empty bands
+    // zero-fill.
+    QueryDef("doc_nb_calibration_by_source",
+      s"""WITH $sqlNbScoreCtes,
+         |j AS (SELECT sc.pos, sc.score_e6, d.source AS grp
+         |  FROM sc JOIN documents d USING (doc_id)),
+         |mm AS (SELECT min(score_e6) AS lo, max(score_e6) AS hi FROM j),
+         |bw AS (SELECT lo, greatest(1, (hi - lo) // 10 + 1) AS binw
+         |  FROM mm),
+         |bb AS (SELECT grp, least((score_e6 - lo) // binw, 9) AS bin,
+         |  count(*) AS n, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos
+         |  FROM j, bw GROUP BY 1, 2),
+         |gs AS (SELECT DISTINCT grp FROM j),
+         |sk AS (SELECT grp, unnest(range(0, 10)) AS bin FROM gs)
+         |SELECT sk.grp, CAST(sk.bin AS BIGINT) AS bin,
+         |  bw.lo + sk.bin * bw.binw AS score_lo,
+         |  CAST(coalesce(bb.n, 0) AS BIGINT) AS n,
+         |  CAST(coalesce(bb.n_pos, 0) AS BIGINT) AS n_pos,
+         |  CASE WHEN coalesce(bb.n, 0) > 0
+         |    THEN CAST(bb.n_pos AS DOUBLE) / CAST(bb.n AS DOUBLE)
+         |    ELSE 0.0 END AS pos_rate
+         |FROM sk LEFT JOIN bb USING (grp, bin), bw
+         |ORDER BY sk.grp, sk.bin""".stripMargin) { (s, d) =>
+      graft.ops.Eval.calibrationBinsBy(
+          nbScored(s, d).join(
+            load(s, d, "documents").select(col("doc_id"), col("source")),
+            "doc_id"),
+          col("source"), col("score_e6"), col("pos"), nBins = 10)
+        .orderBy("grp", "bin")
+    },
+
     // per-slice AUC (Eval.binaryAucBy): the same Mann-Whitney
     // machinery partitioned by source — the readout that catches a
     // score separating globally but failing on one slice. Strictly

@@ -87,6 +87,40 @@ class EvalSpec extends SparkSpec {
     assert(got.map(_.getLong(2)).sum == 2L)
   }
 
+  test("calibrationBinsBy: global geometry, per-group counts, zero fill") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 300L).map { i =>
+      val g = s"src${i % 3}"
+      val s = rnd.nextInt(1000).toLong
+      (g, s, s >= 500L + 100L * (i % 3))
+    }
+    val got = Eval.calibrationBinsBy(rows.toDF("g", "s", "y"),
+        col("g"), col("s"), col("y"), nBins = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // every group reports all 10 bands
+    assert(got.size == 30)
+    // band geometry is GLOBAL: score_lo identical across groups
+    (0L until 10L).foreach { b =>
+      assert(got(("src0", b))._1 == got(("src2", b))._1, s"bin $b")
+    }
+    // per-group counts equal the brute per-slice tally under the
+    // shared (lo, binW)
+    val lo = rows.map(_._2).min
+    val binW = math.max(1L,
+      Math.floorDiv(rows.map(_._2).max - lo, 10L) + 1L)
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val brute = rs.groupBy(r => math.min((r._2 - lo) / binW, 9L))
+      (0L until 10L).foreach { b =>
+        val (n, np) = brute.get(b)
+          .map(v => (v.size.toLong, v.count(_._3).toLong))
+          .getOrElse((0L, 0L))
+        assert(got((g, b))._2 == n && got((g, b))._3 == np, s"$g/$b")
+      }
+    }
+  }
+
   // ---- topFractionByWeight ---------------------------------------
 
   /** The definition: row_number() OVER (ORDER BY w DESC, id) <= k. */
