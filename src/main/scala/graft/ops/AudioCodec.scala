@@ -116,13 +116,30 @@ object AudioCodec {
     o.toByteArray
   }
 
+  /** Default sample budget for [[decodePcm]]: 2^27 16-bit samples
+    * (a 256 MB short array — ~23 minutes of 48 kHz stereo, the most a
+    * single task should materialize). Deployments override per call
+    * via `spark.graft.decode.maxSamples` (see [[Multimodal]]).
+    */
+  val DefaultMaxSamples: Long = 1L << 27
+
   /** Decode the payload to PCM samples through
     * `javax.sound.sampled.AudioSystem` — the FULL decode slot of the
     * audio seam (the header walker above reads metadata only). None
     * when the bytes are not a decodable 16-bit PCM clip — the caller
     * routes those to its malformed/DLQ branch, never an exception.
+    *
+    * `maxSamples` is the oversized-payload budget, gated from the
+    * HEADER-declared frame count (AudioInputStream.getFrameLength —
+    * javax.sound reads it from the `data` chunk size, no samples
+    * touched) before `readAllBytes` materializes anything; a giant or
+    * hostile payload routes to the same None branch instead of
+    * OOM-killing the executor. When the stream declares no length,
+    * the payload byte count itself bounds the decode and is gated the
+    * same way.
     */
-  def decodePcm(bytes: Array[Byte]): Option[PcmAudio] = {
+  def decodePcm(bytes: Array[Byte],
+      maxSamples: Long = DefaultMaxSamples): Option[PcmAudio] = {
     if (bytes == null || bytes.length == 0) return None
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -132,6 +149,11 @@ object AudioCodec {
         if (f.getEncoding !=
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
           f.getSampleSizeInBits != 16) return None
+        val frames = ais.getFrameLength
+        val declared =
+          if (frames >= 0) frames * f.getChannels
+          else bytes.length.toLong / 2 // no declared length: payload bound
+        if (declared > maxSamples) return None // budget gate, pre-allocation
         val raw = ais.readAllBytes()
         val n = raw.length / 2
         val out = new Array[Short](n)

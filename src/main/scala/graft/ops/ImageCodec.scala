@@ -121,16 +121,66 @@ object ImageCodec {
     */
   final case class PixelImage(width: Int, height: Int, rgb: Array[Int])
 
+  /** Default raster budget for [[decodePixels]]: 2^26 pixels
+    * (8192×8192 — a 256 MB int raster, the most a single task should
+    * ever materialize). Deployments override per call via
+    * `spark.graft.decode.maxPixels` (see [[Multimodal]]).
+    */
+  val DefaultMaxPixels: Long = 1L << 26
+
+  /** Cheap dimension probe through ImageIO's READER registry — the
+    * header parse only (ImageReader.getWidth/getHeight read the
+    * SOF/IHDR/LSD fields, never the raster), format-agnostic across
+    * everything ImageIO decodes (incl. BMP, which [[decodeMeta]]'s
+    * hand walkers don't cover). This is the decompression-bomb gate:
+    * a payload DECLARING huge dimensions is rejected from its header
+    * bytes before any w×h allocation exists.
+    */
+  def probeDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val w = r.getWidth(0); val h = r.getHeight(0)
+            if (w <= 0 || h <= 0) None else Some((w, h))
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => None }
+  }
+
   /** Decode the payload to pixels. None when the bytes are not a
     * decodable image — the caller routes those to its malformed/DLQ
     * branch (never an exception: ImageIO errors are data, not bugs).
+    *
+    * `maxPixels` is the decompression-bomb budget: the declared
+    * dimensions are probed from the HEADER ([[probeDims]]) first, and
+    * an over-budget payload routes to the same None branch WITHOUT
+    * ever allocating its raster — essential against hostile payloads
+    * (a 4 KB PNG declaring 30k×30k would otherwise allocate a 3.6 GB
+    * array and OOM the executor with an Error no Exception guard
+    * catches).
     */
-  def decodePixels(bytes: Array[Byte]): Option[PixelImage] = {
+  def decodePixels(bytes: Array[Byte],
+      maxPixels: Long = DefaultMaxPixels): Option[PixelImage] = {
     if (bytes == null || bytes.length == 0) return None
+    probeDims(bytes) match {
+      case None => return None // not an image ImageIO recognizes
+      case Some((w, h)) =>
+        if (w.toLong * h > maxPixels) return None // bomb gate: header-declared
+    }
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
-      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||
+          img.getWidth.toLong * img.getHeight > maxPixels) None
       else {
         val w = img.getWidth; val h = img.getHeight
         val out = new Array[Int](w * h)

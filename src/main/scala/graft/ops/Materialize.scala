@@ -42,6 +42,14 @@ object Materialize {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Every staged cut dir this JVM created, newest last — the
+    * session-scoped manifest [[vacuum]] sweeps. (Dirs from crashed
+    * sessions are swept by the same vacuum via their filesystem
+    * modification time.)
+    */
+  private val staged =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   /** Materialize `df` eagerly through the configured route and return
     * a frame that owns its rows.
     */
@@ -64,9 +72,62 @@ object Materialize {
         val dir = s"$root/stage-${counter.incrementAndGet()}-" +
           java.util.UUID.randomUUID().toString
         df.write.parquet(dir)
-        spark.read.parquet(dir)
+        staged.add(dir)
+        // read back under the PINNED schema: inference would fail
+        // outright on an empty frame (zero part files) and could
+        // widen types; with the schema pinned the cut round-trips
+        // every frame. One residue remains: file sources force user
+        // schemas nullable (and `.to` refuses to narrow), so the
+        // parquet route widens nullability to df.schema.asNullable —
+        // rows identical, spec-asserted in MaterializeSpec
+        spark.read.schema(df.schema).parquet(dir)
       case other => throw new IllegalArgumentException(
         s"$ModeKey must be local|reliable|parquet, got '$other'")
     }
+  }
+
+  /** Garbage-collect parquet-route staging dirs older than
+    * `olderThanMs` (by filesystem modification time) under this
+    * session's current staging root — both dirs registered by this
+    * JVM and `stage-*` leftovers from crashed sessions. The same
+    * retention contract as [[graft.sink.TransactionalStore.vacuum]]:
+    * callers pick a window longer than any job still reading a cut
+    * (a cut's frame reads its staged files lazily — vacuuming a LIVE
+    * cut's dir breaks that frame, exactly like vacuuming a snapshot a
+    * reader still holds). Returns the number of dirs removed.
+    */
+  def vacuum(spark: org.apache.spark.sql.SparkSession,
+      olderThanMs: Long): Int = {
+    require(olderThanMs >= 0, s"need olderThanMs >= 0, got $olderThanMs")
+    val root = spark.conf.getOption(DirKey).getOrElse(
+      throw new IllegalArgumentException(
+        s"Materialize.vacuum needs $DirKey set (the staging root to sweep)"))
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(hconf)
+    if (!fs.exists(rootPath)) return 0
+    var removed = 0
+    fs.listStatus(rootPath).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("stage-") &&
+          st.getModificationTime < cutoff) {
+        if (fs.delete(st.getPath, true)) {
+          removed += 1
+          staged.remove(st.getPath.toUri.getPath)
+          staged.remove(root + "/" + name) // registered-form path
+        }
+      }
+    }
+    removed
+  }
+
+  /** The staged dirs this JVM has created and not yet vacuumed —
+    * observability for deployments wiring [[vacuum]] into a
+    * maintenance job.
+    */
+  def stagedDirs: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    staged.iterator().asScala.toSeq
   }
 }

@@ -23,6 +23,31 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Session conf: raster budget (pixels) for full image decode —
+    * the decompression-bomb gate of [[pixelStats]]/[[resizePixels]]
+    * (and per-frame in [[videoFramePixelStats]]). Default
+    * [[ImageCodec.DefaultMaxPixels]]; over-budget payloads route to
+    * the corrupt/DLQ branch, never an allocation.
+    */
+  val MaxPixelsKey = "spark.graft.decode.maxPixels"
+
+  /** Session conf: sample budget for full PCM decode — the oversized
+    * -payload gate of [[audioPcmStats]]. Default
+    * [[AudioCodec.DefaultMaxSamples]].
+    */
+  val MaxSamplesKey = "spark.graft.decode.maxSamples"
+
+  /** Resolved at PLAN time on the driver and captured into the task
+    * closure — executors never read session conf.
+    */
+  private def pixelBudget(ds: Dataset[_]): Long =
+    ds.sparkSession.conf
+      .get(MaxPixelsKey, ImageCodec.DefaultMaxPixels.toString).toLong
+
+  private def sampleBudget(ds: Dataset[_]): Long =
+    ds.sparkSession.conf
+      .get(MaxSamplesKey, AudioCodec.DefaultMaxSamples.toString).toLong
+
   final case class MediaMeta(
       doc_id: Long, n_bytes: Long, fake_width: Long, fake_height: Long,
       payload_hash: Long)
@@ -136,8 +161,9 @@ object Multimodal {
     */
   def pixelStats(ds: Dataset[(Long, Array[Byte])]): Dataset[PixelStatsRow] = {
     import ds.sparkSession.implicits._
+    val budget = pixelBudget(ds)
     ds.mapPartitions(_.map { case (id, bytes) =>
-      ImageCodec.decodePixels(bytes) match {
+      ImageCodec.decodePixels(bytes, budget) match {
         case Some(p) =>
           var sr = 0L; var sg = 0L; var sb = 0L
           var i = 0
@@ -169,8 +195,9 @@ object Multimodal {
       maxH: Long): Dataset[(Long, Array[Byte])] = {
     require(maxW > 0 && maxH > 0, "resize box must be positive")
     import ds.sparkSession.implicits._
+    val budget = pixelBudget(ds)
     ds.mapPartitions(_.map { case (id, bytes) =>
-      ImageCodec.decodePixels(bytes) match {
+      ImageCodec.decodePixels(bytes, budget) match {
         case Some(p) =>
           val s = math.min(1000000L, math.min(
             maxW * 1000000L / p.width, maxH * 1000000L / p.height))
@@ -202,8 +229,9 @@ object Multimodal {
     */
   def audioPcmStats(ds: Dataset[(Long, Array[Byte])]): Dataset[PcmStatsRow] = {
     import ds.sparkSession.implicits._
+    val budget = sampleBudget(ds)
     ds.mapPartitions(_.map { case (id, bytes) =>
-      AudioCodec.decodePcm(bytes) match {
+      AudioCodec.decodePcm(bytes, budget) match {
         case Some(p) =>
           var sa = 0L; var sq = 0L; var peak = 0L; var clipped = 0L
           var i = 0
@@ -240,6 +268,52 @@ object Multimodal {
         case Some(m) => AudioMetaRow(id, m.channels.toLong, m.sampleRate,
           m.bitsPerSample.toLong, m.nFrames, m.durationUs)
         case None => AudioMetaRow(id, -1L, -1L, -1L, -1L, -1L)
+      }
+    })
+  }
+
+  final case class FramePixelStatsRow(
+      doc_id: Long, frame_idx: Long, status: String, width: Long,
+      height: Long, n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL video FRAME pixel decode — the container walk
+    * ([[VideoCodec.decodeAvi]]: MJPEG/PNG-in-AVI, pure RIFF parsing)
+    * followed by the same budgeted still-image decode as
+    * [[pixelStats]] on every frame payload. One row per frame with
+    * the exact integer per-channel census; an undecodable CONTAINER
+    * yields one ("corrupt", frame −1) row, an undecodable (or
+    * over-budget) individual FRAME yields a ("corrupt_frame", that
+    * index) row — both data for the DLQ branch, never exceptions.
+    * Rasters never leave the task: only O(1) stat rows per frame are
+    * shuffled, and the [[MaxPixelsKey]] budget gates every frame the
+    * same way it gates single images.
+    */
+  def videoFramePixelStats(
+      ds: Dataset[(Long, Array[Byte])]): Dataset[FramePixelStatsRow] = {
+    import ds.sparkSession.implicits._
+    val budget = pixelBudget(ds)
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      VideoCodec.decodeAvi(bytes) match {
+        case None => Iterator.single(FramePixelStatsRow(
+          id, -1L, "corrupt", -1L, -1L, -1L, -1L, -1L, -1L))
+        case Some(v) =>
+          v.frames.iterator.zipWithIndex.map { case (fb, fi) =>
+            ImageCodec.decodePixels(fb, budget) match {
+              case Some(p) =>
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var i = 0
+                while (i < p.rgb.length) {
+                  val px = p.rgb(i)
+                  sr += (px >>> 16) & 0xff; sg += (px >>> 8) & 0xff
+                  sb += px & 0xff
+                  i += 1
+                }
+                FramePixelStatsRow(id, fi.toLong, "ok", p.width.toLong,
+                  p.height.toLong, p.rgb.length.toLong, sr, sg, sb)
+              case None => FramePixelStatsRow(id, fi.toLong,
+                "corrupt_frame", -1L, -1L, -1L, -1L, -1L, -1L)
+            }
+          }
       }
     })
   }

@@ -532,7 +532,10 @@ object PipelineOps {
     *
     * Deterministic: documents concatenate in ascending `id` order
     * within each shard, so the layout is a pure function of
-    * (id, n_tokens, shard) — any engine replays it.
+    * (id, n_tokens, shard) — any engine replays it. That claim needs
+    * `id` UNIQUE within each shard (a duplicate would give the running
+    * sum a nondeterministic tie order), so a duplicate (shard, id)
+    * pair fails loudly instead of laying out differently per run.
     *
     * Scale shape: ONE shuffle on the shard key, then a per-shard
     * prefix sum (the window partitions by shard, never a global
@@ -549,9 +552,19 @@ object PipelineOps {
     require(seqLen >= 1, s"need seqLen >= 1, got $seqLen")
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // same partitioning + ordering as the prefix sum → one sort, no
+    // extra exchange; equal neighbors under the sort are exactly the
+    // duplicate (shard, doc_id) pairs the determinism contract bans
+    val wOrd = Window.partitionBy("shard").orderBy("doc_id")
     df.select(id.as("doc_id"), nTokens.cast("long").as("n_tokens"),
         shard.as("shard"))
-      .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("start_tok",
+        when(lag("doc_id", 1).over(wOrd) === col("doc_id"),
+          raise_error(concat(lit("chunkLayout: duplicate (shard, id) = ("),
+            col("shard"), lit(", "), col("doc_id"),
+            lit(") — the layout is only deterministic when ids are " +
+              "unique per shard"))).cast("long"))
+        .otherwise(sum("n_tokens").over(w) - col("n_tokens")))
       .withColumn("seq_first",
         call_function("div", col("start_tok"), lit(seqLen)))
       .withColumn("seq_last",

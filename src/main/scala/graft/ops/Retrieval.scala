@@ -66,8 +66,9 @@ object Retrieval {
     * bits of the comparison id — the pack preserves the
     * (rrf_e9 desc, id asc) tie order because the id occupies the
     * high bits. Same loud sub-1-rank refusal as the single-query
-    * form. Requires 0 ≤ id < 2^57 and < 64 lists (packing headroom —
-    * loud requires, not silent caps).
+    * form. Requires 0 ≤ id < 2^57, < 64 lists, and each id at most
+    * once per list (packing headroom — loud requires and runtime
+    * raise_errors, not silent caps).
     *
     * Returns (group, id, n_lists, rrf_e9, rank), rank 1-based per
     * group.
@@ -96,6 +97,18 @@ object Retrieval {
     val fused = u.select(col("grp"), idGuard.as("id"), c.as("c"))
       .groupBy("grp", "id")
       .agg(count(lit(1)).as("n_lists"), sum("c").as("rrf_e9"))
+      // n_lists is the per-(group,id) ROW count, which only equals the
+      // list count when each list carries an id at most once — an id
+      // DUPLICATED within one input list could reach 64 and silently
+      // overflow into the id bits of the pack below. Loud, per the
+      // library convention, not silently corrupted.
+      .withColumn("n_lists", when(col("n_lists") >= 64L,
+          raise_error(concat(lit("rrfFuseBy: id "), col("id"),
+            lit(" appears "), col("n_lists"),
+            lit(" times across <64 lists — an id must appear at most " +
+              "once per list (dedupe each ranking first)")))
+            .cast("long"))
+        .otherwise(col("n_lists")))
     fused.groupBy("grp")
       .agg(topkPairs(col("rrf_e9"),
         shiftleft(col("id"), 6) + col("n_lists"), topK).as("top"))

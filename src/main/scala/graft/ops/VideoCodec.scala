@@ -148,4 +148,148 @@ object VideoCodec {
       box("free", new Array[Byte](4)) ++ mvhd ++ box("trak", tkhd))
     ftyp ++ box("free", new Array[Byte](6)) ++ moov
   }
+
+  // ---- RIFF-AVI frame container (MJPEG / PNG-in-AVI) ----
+  //
+  // The one in-JDK route to real video FRAME content: an AVI is a
+  // RIFF tree whose `movi` list carries one compressed chunk per
+  // frame ('00dc'), and with an MJPEG ('MJPG') or PNG ('MPNG')
+  // handler each chunk is a standalone still image that
+  // [[ImageCodec.decodePixels]] already decodes — so frame-level
+  // pixel work needs only this container walk, no ffmpeg. Same
+  // parsing discipline as the WAV walker in [[AudioCodec]]: declared
+  // chunk sizes with a Long cursor (a hostile 32-bit size walks past
+  // the buffer and stops, never wraps negative), word-aligned pads,
+  // no fixed offsets.
+
+  /** A parsed AVI: stream handler fourcc, declared dimensions, frame
+    * interval (µs, from avih), and the raw per-frame payloads in
+    * stream order. Frame payloads are SLICES of the container —
+    * decoding them is the caller's (budgeted) step.
+    */
+  final case class AviVideo(handler: String, width: Int, height: Int,
+      usPerFrame: Long, frames: Vector[Array[Byte]])
+
+  private def u32le(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** Walk RIFF sibling chunks in [from, until): f(id, payloadFrom,
+    * payloadUntil). LIST/RIFF payloads INCLUDE their 4-byte list type
+    * (callers read it and recurse past it). Stops at the first
+    * malformed size.
+    */
+  private def riffWalk(b: Array[Byte], from: Long, until: Long)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var i = from
+    while (i + 8 <= until) {
+      val at = i.toInt
+      val id = tag(b, at)
+      val size = u32le(b, at + 4)
+      if (i + 8 + size > until) return // malformed / hostile: stop
+      f(id, (i + 8).toInt, (i + 8 + size).toInt)
+      i += 8L + size + (size & 1L) // chunks are word-aligned
+    }
+  }
+
+  /** Decode an AVI container to its header metadata + frame payload
+    * slices. None for non-AVI / malformed payloads (no `avih`, no
+    * `movi`) — callers route those to the corrupt branch like every
+    * other decoder here. Frames are the '##dc'/'##db' chunks of the
+    * `movi` list in order; `rec ` sub-lists (interleave grouping some
+    * muxers emit) are walked through.
+    */
+  def decodeAvi(b: Array[Byte]): Option[AviVideo] = {
+    if (b == null || b.length < 12 || tag(b, 0) != "RIFF" ||
+        tag(b, 8) != "AVI ") return None
+    var usPerFrame = -1L; var w = -1; var h = -1
+    var handler: String = null
+    val frames = Vector.newBuilder[Array[Byte]]
+    var sawMovi = false
+    def isFrameChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        (id.endsWith("dc") || id.endsWith("db"))
+    def moviWalk(from: Long, until: Long): Unit =
+      riffWalk(b, from, until) { (id, cf, cu) =>
+        if (isFrameChunk(id)) frames += java.util.Arrays.copyOfRange(b, cf, cu)
+        else if (id == "LIST" && cu - cf >= 4 && tag(b, cf) == "rec ")
+          moviWalk(cf + 4L, cu.toLong)
+      }
+    riffWalk(b, 12L, b.length.toLong) { (id, cf, cu) =>
+      if (id == "LIST" && cu - cf >= 4) tag(b, cf) match {
+        case "hdrl" =>
+          riffWalk(b, cf + 4L, cu.toLong) { (hid, hf, hu) =>
+            if (hid == "avih" && hu - hf >= 40) {
+              usPerFrame = u32le(b, hf)
+              w = u32le(b, hf + 32).toInt; h = u32le(b, hf + 36).toInt
+            } else if (hid == "LIST" && hu - hf >= 4 &&
+                tag(b, hf) == "strl") {
+              riffWalk(b, hf + 4L, hu.toLong) { (sid, sf, su) =>
+                if (sid == "strh" && su - sf >= 8 &&
+                    tag(b, sf) == "vids" && handler == null)
+                  handler = tag(b, sf + 4)
+              }
+            }
+          }
+        case "movi" =>
+          sawMovi = true
+          moviWalk(cf + 4L, cu.toLong)
+        case _ => ()
+      }
+    }
+    if (usPerFrame < 0 || !sawMovi) None
+    else Some(AviVideo(if (handler == null) "????" else handler,
+      w, h, usPerFrame, frames.result()))
+  }
+
+  private def le32(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def riffChunk(id: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = if ((payload.length & 1) == 1) Array(0.toByte)
+      else Array.emptyByteArray
+    fourcc(id) ++ le32(payload.length.toLong) ++ payload ++ pad
+  }
+  private def riffList(listType: String, payload: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", fourcc(listType) ++ payload)
+
+  /** Encode a structurally real AVI around pre-encoded still-image
+    * frames (JPEGs for 'MJPG', PNGs for 'MPNG'): RIFF('AVI ') {
+    * LIST(hdrl){avih, LIST(strl){strh,strf}}, LIST(movi){00dc…} }.
+    * No idx1 index — players want one, decoders must not need it
+    * (ODML-less AVIs are valid). [[decodeAvi]] is the independent
+    * walker for the round trip; frame content round-trips through
+    * [[ImageCodec]].
+    */
+  def encodeAvi(handler: String, width: Int, height: Int,
+      usPerFrame: Long, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(handler.length == 4, s"handler must be a fourcc, got '$handler'")
+    require(usPerFrame > 0, s"need usPerFrame > 0, got $usPerFrame")
+    val maxBuf = frames.foldLeft(0)((m, f) => math.max(m, f.length))
+    val avih = riffChunk("avih",
+      le32(usPerFrame) ++ le32(0L) ++ le32(0L) ++ le32(0x10L) ++
+        le32(frames.size.toLong) ++ le32(0L) ++ le32(1L) ++
+        le32(maxBuf.toLong) ++ le32(width.toLong) ++ le32(height.toLong) ++
+        le32(0L) ++ le32(0L) ++ le32(0L) ++ le32(0L))
+    val strh = riffChunk("strh",
+      fourcc("vids") ++ fourcc(handler) ++ le32(0L) ++
+        le16(0) ++ le16(0) ++ le32(0L) ++
+        le32(usPerFrame) ++ le32(1000000L) ++ // scale/rate = frame interval
+        le32(0L) ++ le32(frames.size.toLong) ++ le32(maxBuf.toLong) ++
+        le32(0xffffffffL) ++ le32(0L) ++
+        le16(0) ++ le16(0) ++ le16(width) ++ le16(height))
+    val strf = riffChunk("strf", // BITMAPINFOHEADER
+      le32(40L) ++ le32(width.toLong) ++ le32(height.toLong) ++
+        le16(1) ++ le16(24) ++ fourcc(handler) ++
+        le32(width.toLong * height * 3) ++ le32(0L) ++ le32(0L) ++
+        le32(0L) ++ le32(0L))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+    val movi = riffList("movi",
+      frames.map(f => riffChunk("00dc", f))
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
 }

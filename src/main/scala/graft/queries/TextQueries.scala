@@ -863,6 +863,66 @@ object TextQueries {
     s"""planted AS (SELECT * REPLACE (CASE WHEN doc_id % $DupMod = 1
        |  THEN '$DupSentinel' ELSE text END AS text) FROM documents)""".stripMargin
 
+  /** Synthesized crawl page around each document's text: head with
+    * style + script (must be REMOVED wholesale), a comment, an h1 and
+    * the body paragraph, a navigation div of three anchors (the
+    * boilerplate signal), and every third doc an extra content block
+    * with one inline anchor. Built by the SAME concat on both sides —
+    * the twin interpolates [[sqlHtmlSynth]].
+    */
+  private def htmlPayload: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>D"), col("doc_id"),
+    lit("</title><style type=\"text/css\">.m{color:red}</style>" +
+      "<script>var x = "), col("doc_id"),
+    lit("; if (x > 0) { x += 1; }</script></head><body><!-- synth "),
+    col("doc_id"),
+    lit(" --><h1>Doc "), col("doc_id"), lit("</h1><p>"), col("text"),
+    lit("</p><div><a href=\"/a\">home page</a> &amp; " +
+      "<a href=\"/b\">about us</a>&nbsp;|&nbsp;" +
+      "<a href=\"/c\">contact</a></div>"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit("<div>"), col("source"),
+        lit(" extra block text with an <a href=\"/e\">anchor</a> " +
+          "inside</div>"))).otherwise(lit("")),
+    lit("</body></html>"))
+
+  private val sqlHtmlSynth: String =
+    "'<html><head><title>D' || doc_id || '</title>" +
+      "<style type=\"text/css\">.m{color:red}</style>" +
+      "<script>var x = ' || doc_id || '; if (x > 0) { x += 1; }" +
+      "</script></head><body><!-- synth ' || doc_id || ' -->" +
+      "<h1>Doc ' || doc_id || '</h1><p>' || text || '</p>" +
+      "<div><a href=\"/a\">home page</a> &amp; " +
+      "<a href=\"/b\">about us</a>&nbsp;|&nbsp;" +
+      "<a href=\"/c\">contact</a></div>' || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '<div>' || source || " +
+      "' extra block text with an <a href=\"/e\">anchor</a> " +
+      "inside</div>' ELSE '' END || '</body></html>'"
+
+  /** The twin of [[graft.ops.Html]]'s preClean: comments, then script
+    * and style elements, same regex constants.
+    */
+  private def sqlHtmlClean(x: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($x, " +
+      s"'${graft.ops.Html.CommentRe}', '', 'g'), " +
+      s"'${graft.ops.Html.ScriptRe}', '', 'g'), " +
+      s"'${graft.ops.Html.StyleRe}', '', 'g')"
+
+  /** The twin of Html's normText: tag strip → the entity table in its
+    * fixed order → whitespace collapse → trim. Shares the constants
+    * by interpolation.
+    */
+  private def sqlHtmlNorm(x: String): String = {
+    val tagless =
+      s"regexp_replace($x, '${graft.ops.Html.TagRe}', '', 'g')"
+    val decoded = graft.ops.Html.Entities.foldLeft(tagless) {
+      case (acc, (k, v)) =>
+        val rep = if (v == "'") "chr(39)" else s"'$v'"
+        s"replace($acc, '$k', $rep)"
+    }
+    s"trim(regexp_replace($decoded, '${graft.ops.Html.WsRe}', ' ', 'g'))"
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("doc_token_stats",
@@ -2436,6 +2496,76 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // REAL video FRAME pixel decode (Multimodal.videoFramePixelStats):
+    // per-doc AVI containers REALLY MUXED (VideoCodec.encodeAvi,
+    // PNG-in-AVI so the round trip is lossless) around 1–4 frames of
+    // a closed-form per-frame gradient, then demuxed by the
+    // independent RIFF walker and pixel-decoded per frame through the
+    // same budgeted seam as mm_pixel_stats. Every 11th doc's
+    // CONTAINER is garbage → one ("corrupt", -1) row; docs ≡3 mod 7
+    // carry a garbage FRAME 0 → a ("corrupt_frame", 0) row with the
+    // remaining frames decoding fine — both routed, never thrown.
+    // The oracle replays frames × gradient in SQL.
+    QueryDef("mm_frame_pixels",
+      s"""WITH p AS (SELECT doc_id, 1 + doc_id % 4 AS nf FROM documents),
+         |fr AS (SELECT doc_id, unnest(range(0, nf)) AS f FROM p
+         |  WHERE doc_id % 11 <> 0),
+         |ok AS (SELECT doc_id, f FROM fr
+         |  WHERE NOT (doc_id % 7 = 3 AND f = 0)),
+         |d AS (SELECT doc_id, f, 3 + (doc_id + f) % 5 AS w,
+         |  2 + (doc_id + 2 * f) % 4 AS h FROM ok),
+         |xs AS (SELECT doc_id, f, w, h, unnest(range(0, w)) AS x FROM d),
+         |xy AS (SELECT doc_id, f, w, h, x, unnest(range(0, h)) AS y
+         |  FROM xs),
+         |s AS (SELECT doc_id, f, w, h,
+         |  CAST(sum((doc_id + 7 * f + 31 * x + 17 * y) % 256) AS BIGINT)
+         |    AS sum_r,
+         |  CAST(sum((5 * doc_id + 11 * f + 3 * x) % 256) AS BIGINT)
+         |    AS sum_g,
+         |  CAST(sum((3 * doc_id + 13 * f + 5 * y) % 256) AS BIGINT)
+         |    AS sum_b
+         |  FROM xy GROUP BY 1, 2, 3, 4)
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, 'ok' AS status,
+         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b
+         |FROM s
+         |UNION ALL
+         |SELECT doc_id, CAST(f AS BIGINT), 'corrupt_frame',
+         |  -1, -1, -1, -1, -1, -1 FROM fr
+         |WHERE doc_id % 7 = 3 AND f = 0
+         |UNION ALL
+         |SELECT doc_id, -1, 'corrupt', -1, -1, -1, -1, -1, -1 FROM p
+         |WHERE doc_id % 11 = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val payload = load(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val bytes =
+            if (id % 11L == 0L) Array[Byte](0x42, 0x41, 0x44, 0x00)
+            else {
+              val nf = (1L + id % 4L).toInt
+              val frames = (0 until nf).map { f =>
+                if (id % 7L == 3L && f == 0)
+                  Array[Byte](0x4e, 0x4f, 0x50, 0x45)
+                else {
+                  val w = (3L + (id + f) % 5L).toInt
+                  val h = (2L + (id + 2L * f) % 4L).toInt
+                  graft.ops.ImageCodec.encodePng(w, h, (x, y) =>
+                    ((((id + 7L * f + 31L * x + 17L * y) % 256L).toInt << 16) |
+                      (((5L * id + 11L * f + 3L * x) % 256L).toInt << 8) |
+                      ((3L * id + 13L * f + 5L * y) % 256L).toInt))
+                }
+              }
+              graft.ops.VideoCodec.encodeAvi("MPNG", 8, 8, 40000L, frames)
+            }
+          (id, bytes)
+        })
+      Multimodal.videoFramePixelStats(payload).toDF()
+        .select("doc_id", "frame_idx", "status", "width", "height",
+          "n_px", "sum_r", "sum_g", "sum_b")
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // multimodal frame-sampling plumbing (stub feature)
     QueryDef("mm_frame_sample",
       """WITH f AS (SELECT doc_id,
@@ -3944,6 +4074,90 @@ object TextQueries {
           DriftHotPsiE9)
         .readVerdicts(1L)
         .orderBy("batch")
+    },
+
+    // HTML text extraction (Html.extract) — stage 0 of a crawl
+    // pipeline: each doc's text is wrapped in a synthesized page
+    // (style+script elements, a comment, heading/paragraph blocks, a
+    // 3-anchor navigation div; every 3rd doc one extra content block)
+    // and extraction must recover clean block text, exact character
+    // tallies, and the link-density boilerplate flag. The twin
+    // replays synthesis AND extraction with the interpolated regex +
+    // entity constants — zero-shuffle scan fold on the Spark side.
+    QueryDef("doc_html_extract",
+      s"""WITH h AS (SELECT doc_id, $sqlHtmlSynth AS html
+         |  FROM documents),
+         |c AS (SELECT doc_id, ${sqlHtmlClean("html")} AS c1 FROM h),
+         |b AS (SELECT doc_id,
+         |  list_filter(list_transform(regexp_split_to_array(c1,
+         |      '${graft.ops.Html.BlockTagRe}'),
+         |    x -> ${sqlHtmlNorm("x")}), x -> length(x) > 0) AS blocks,
+         |  list_transform(regexp_extract_all(c1,
+         |      '${graft.ops.Html.AnchorRe}', 1),
+         |    a -> ${sqlHtmlNorm("a")}) AS anchors
+         |  FROM c),
+         |t AS (SELECT doc_id,
+         |  array_to_string(blocks, chr(10)) AS text_clean,
+         |  CAST(len(blocks) AS BIGINT) AS n_blocks,
+         |  CAST(coalesce(list_sum(list_transform(blocks,
+         |    x -> length(x))), 0) AS BIGINT) AS total_chars,
+         |  CAST(coalesce(list_sum(list_transform(anchors,
+         |    x -> length(x))), 0) AS BIGINT) AS link_chars
+         |  FROM b)
+         |SELECT doc_id, text_clean, n_blocks, total_chars, link_chars,
+         |  CAST(link_chars * 1000000 // greatest(total_chars, 1)
+         |    AS BIGINT) AS link_density_ppm,
+         |  link_chars * 1000000 // greatest(total_chars, 1) >
+         |    ${graft.ops.Html.DefaultBoilerplatePpm} AS boilerplate
+         |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Html.extract(
+          load(s, d, "documents").withColumn("html", htmlPayload),
+          col("doc_id"), col("html"))
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "text_clean", "n_blocks", "total_chars",
+          "link_chars", "link_density_ppm", "boilerplate")
+        .orderBy("doc_id")
+    },
+
+    // Block-level extraction (Html.blocks) — boilerpipe's decision
+    // unit: one row per non-empty block with ITS OWN link density, so
+    // the navigation div flags boilerplate while the paragraph and
+    // heading blocks pass. block_idx is the raw split position
+    // (stable under the emptiness filter). The explode is a flatMap —
+    // still zero shuffles before the output sort.
+    QueryDef("doc_html_blocks",
+      s"""WITH h AS (SELECT doc_id, $sqlHtmlSynth AS html
+         |  FROM documents),
+         |c AS (SELECT doc_id, ${sqlHtmlClean("html")} AS c1 FROM h),
+         |cs AS (SELECT doc_id, regexp_split_to_array(c1,
+         |  '${graft.ops.Html.BlockTagRe}') AS arr FROM c),
+         |ix AS (SELECT doc_id, arr, unnest(range(0, len(arr))) AS i
+         |  FROM cs),
+         |blk AS (SELECT doc_id, CAST(i AS BIGINT) AS block_idx,
+         |  arr[i + 1] AS raw FROM ix),
+         |nb AS (SELECT doc_id, block_idx,
+         |  ${sqlHtmlNorm("raw")} AS block_text,
+         |  CAST(coalesce(list_sum(list_transform(regexp_extract_all(
+         |      raw, '${graft.ops.Html.AnchorRe}', 1),
+         |    a -> length(${sqlHtmlNorm("a")}))), 0) AS BIGINT)
+         |    AS link_chars
+         |  FROM blk),
+         |f AS (SELECT doc_id, block_idx, block_text,
+         |  CAST(length(block_text) AS BIGINT) AS n_chars, link_chars
+         |  FROM nb WHERE length(block_text) > 0)
+         |SELECT doc_id, block_idx, block_text, n_chars, link_chars,
+         |  CAST(link_chars * 1000000 // greatest(n_chars, 1)
+         |    AS BIGINT) AS link_density_ppm,
+         |  link_chars * 1000000 // greatest(n_chars, 1) >
+         |    ${graft.ops.Html.DefaultBoilerplatePpm} AS boilerplate
+         |FROM f ORDER BY doc_id, block_idx""".stripMargin) { (s, d) =>
+      graft.ops.Html.blocks(
+          load(s, d, "documents").withColumn("html", htmlPayload),
+          col("doc_id"), col("html"))
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "block_idx", "block_text", "n_chars",
+          "link_chars", "link_density_ppm", "boilerplate")
+        .orderBy("doc_id", "block_idx")
     })
 
   /** Score-gate state: NB-scored docs split crawl-generation-wise —

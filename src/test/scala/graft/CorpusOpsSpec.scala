@@ -735,4 +735,23 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("chunkLayout refuses a duplicate (shard, id) pair loudly") {
+    import graft.ops.PipelineOps
+    import org.apache.spark.sql.functions.{col, lit}
+    // duplicate id 2 in one shard: the prefix sum's tie order would
+    // be nondeterministic — the determinism contract demands a loud
+    // failure, not a run-dependent layout
+    val docs = Seq((1L, 4L), (2L, 3L), (2L, 9L), (3L, 1L)).toDF("id", "nt")
+    val e = intercept[Exception] {
+      PipelineOps.chunkLayout(docs, col("id"), col("nt"), lit(0L), 10L)
+        .collect()
+    }
+    assert(e.getMessage.contains("unique per shard"))
+    // the same ids on DIFFERENT shards are fine
+    val ok = PipelineOps.chunkLayout(
+      Seq((1L, 4L, 0L), (2L, 3L, 0L), (2L, 9L, 1L)).toDF("id", "nt", "sh"),
+      col("id"), col("nt"), col("sh"), 10L).collect()
+    assert(ok.length == 3)
+  }
 }

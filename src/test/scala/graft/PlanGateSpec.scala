@@ -47,11 +47,11 @@ class PlanGateSpec extends SparkSpec {
     // hosts — the heavyHittersExactBy maxGroups rationale)
     "doc_syndication_suspects" -> SinglePart)
 
-  test("every declared query plan audits clean (pinned allowlist)") {
+  private def auditAt(names: Seq[String], dir: String): Seq[String] = {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
-    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    names.foreach { name =>
       val df =
-        try SparkEntry.queries(name)(spark, sfDir)
+        try SparkEntry.queries(name)(spark, dir)
         catch {
           case e: Throwable =>
             bad += s"$name: query construction failed: ${e.getMessage}"
@@ -67,6 +67,38 @@ class PlanGateSpec extends SparkSpec {
               .map(_.node).mkString(" | ")
       }
     }
+    bad.toSeq
+  }
+
+  test("every declared query plan audits clean (pinned allowlist)") {
+    val bad = auditAt(SparkEntry.queries.keys.toSeq.sorted, sfDir)
+    assert(bad.isEmpty, "\n" + bad.mkString("\n"))
+  }
+
+  /** Size-triggered plan flips (a broadcast falling back to SMJ, a
+    * new single-partition exchange appearing past a stats threshold)
+    * are invisible at sf0.001 — re-audit the expensive pure queries
+    * at sf0.1, where AQE/broadcast decisions use 100× the input
+    * stats. State-backed queries (engine e2e, memoized indexes) are
+    * excluded: constructing them here would rebuild their state at
+    * sf0.1 inside the unit suite; their plans are audited above.
+    */
+  private val heavyPure = Seq(
+    "doc_syndication_suspects", "hybrid_dup_components",
+    "doc_minhash_recall", "q_bt_strengths_dist", "doc_cluster_best",
+    "doc_dup_rate_by_source", "doc_dup_keep_best",
+    "doc_leakage_safe_split", "doc_dup_components",
+    "doc_decontaminate_frac", "doc_best_match", "doc_ngram_jaccard",
+    "doc_dup_pagerank", "doc_source_pagerank", "doc_affinity_triangles",
+    "doc_dedup_simhash", "emb_mmr_topk", "doc_containment_pairs",
+    "doc_span_overlap", "doc_pack_sequences", "doc_hybrid_rrf_multi",
+    "doc_nb_calibration_by_source", "mm_frame_pixels",
+    "doc_html_extract", "doc_html_blocks")
+
+  test("heavy pure queries audit clean at sf0.1 too (plan-flip guard)") {
+    val missing = heavyPure.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"unknown queries: $missing")
+    val bad = auditAt(heavyPure, "/root/testdata/sf0.1")
     assert(bad.isEmpty, "\n" + bad.mkString("\n"))
   }
 }

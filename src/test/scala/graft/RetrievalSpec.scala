@@ -107,4 +107,17 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("2^57"))
   }
+
+  test("rrfFuseBy refuses an id duplicated to the n_lists headroom") {
+    // 70 copies of one id inside ONE list: the per-(group,id) row
+    // count reaches 70 ≥ 64 and would silently overflow the 6-bit
+    // n_lists pack into the id bits — must raise, not corrupt
+    val dup = (0 until 70).map(i => (0L, 5L, (i + 1).toLong))
+      .toDF("q", "id", "rank")
+    val e = intercept[Exception] {
+      Retrieval.rrfFuseBy(Seq(dup), col("q"), col("id"), col("rank"),
+        60, 5).collect()
+    }
+    assert(e.getMessage.contains("at most once per list"))
+  }
 }
