@@ -45,6 +45,14 @@ object Html {
     */
   val AnchorRe = "(?is)<a(?:[ \\t\\n/][^>]*)?>(.*?)</a>"
 
+  /** Anchor element WITH an href attribute: group 1 is the href
+    * value (double-quoted), group 2 the anchor text — the crawl
+    * frontier / link-graph extractor. Non-greedy attribute scan, no
+    * lookahead (RE2 twin-compat).
+    */
+  val AnchorHrefRe = "(?is)<a[ \\t\\n][^>]*?href=\"([^\"]*)\"" +
+    "[^>]*>(.*?)</a>"
+
   /** Block-level boundary tags (open or close): splitting on these
     * yields the visual text blocks of the page. Non-capturing so the
     * split engines treat it as a bare separator; the name list is
@@ -119,6 +127,26 @@ object Html {
       .withColumn("boilerplate", col("link_density_ppm") > boilerplatePpm)
       .select("id", "text_clean", "n_blocks", "total_chars",
         "link_chars", "link_density_ppm", "boilerplate")
+  }
+
+  /** Link inventory — one row per href-carrying anchor in document
+    * order: (id, link_idx, href, anchor_text). The raw href is the
+    * caller's to canonicalize ([[UrlOps.canonicalize]]) before edge
+    * aggregation; anchor text is normalized like any block text.
+    * Both captures come from the SAME regex, so the two
+    * `regexp_extract_all` passes stay index-aligned by construction.
+    * The explode is a flatMap — zero shuffles.
+    */
+  def links(df: DataFrame, id: Column, html: Column): DataFrame = {
+    val c1 = preClean(html)
+    df.select(id.as("id"),
+        regexp_extract_all(c1, lit(AnchorHrefRe), lit(1)).as("__h"),
+        transform(regexp_extract_all(c1, lit(AnchorHrefRe), lit(2)),
+          a => normText(a)).as("__t"))
+      .select(col("id"), posexplode(arrays_zip(col("__h"), col("__t")))
+        .as(Seq("link_idx", "__z")))
+      .select(col("id"), col("link_idx").cast("long").as("link_idx"),
+        col("__z.__h").as("href"), col("__z.__t").as("anchor_text"))
   }
 
   /** Block-level extraction — boilerpipe's actual unit of decision:

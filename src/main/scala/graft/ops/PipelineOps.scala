@@ -712,4 +712,94 @@ object PipelineOps {
         .drop("__tr")
     } finally wts.unpersist()
   }
+
+  /** Capped proportional token-budget allocation (waterfilling) —
+    * the data-mixing primitive: give stratum i an allocation
+    * proportional to its weight `w_i`, but never above its cap `c_i`
+    * (the "at most k epochs of source i" rule), spending exactly
+    * `budget` tokens total (or Σc when the caps cannot absorb the
+    * budget). Formally: alloc_i = min(c_i, λ·w_i) with λ chosen so
+    * Σ alloc = budget — the closed-form waterline, NOT an iterative
+    * search.
+    *
+    * Exact-integer contract: the capped set is decided by
+    * cross-multiplied DECIMAL(38,0) comparisons (never a float λ);
+    * uncapped strata get floor(w·R / W') of the residual budget R
+    * over residual weight W', and the remainder lands +1 each on the
+    * strata with the largest fractional part (largest-remainder
+    * method, ties by stratum — fully deterministic, Σ alloc ==
+    * min(budget, Σc) EXACTLY). Correctness of the prefix rule: item
+    * i (ratio-sorted) is capped iff c_i·(W−cumW_i) ≤ w_i·(B−cumC_i),
+    * which telescopes to r_i ≤ λ_{i−1} (the mediant argument) and is
+    * monotone along the sort, so the predicate needs no iteration.
+    *
+    * Scale shape: one map-side-combined aggregation to stratum grain
+    * upstream of this call; here, one O(1) totals row to the driver
+    * and three window passes over the STRATUM-domain frame (O(number
+    * of mixture sources) rows — bounded, like the priced-table
+    * descent above). Input columns: stratum, w (> 0), cap (>= 0) —
+    * violations raise loudly. Returns (stratum, w, cap, alloc,
+    * capped).
+    */
+  def budgetAllocate(df: DataFrame, stratum: Column, weight: Column,
+      cap: Column, budget: Long): DataFrame = {
+    require(budget >= 0L, s"need budget >= 0, got $budget")
+    val dec = "decimal(38,0)"
+    val base = df.select(stratum.as("stratum"),
+      when(weight.cast("long") <= 0L, raise_error(concat(
+          lit("budgetAllocate needs w > 0 for every stratum, got "),
+          weight.cast("long").cast("string"))))
+        .otherwise(weight.cast("long")).as("w"),
+      when(cap.cast("long") < 0L, raise_error(concat(
+          lit("budgetAllocate needs cap >= 0, got "),
+          cap.cast("long").cast("string"))))
+        .otherwise(cap.cast("long")).as("cap"))
+    // O(1) totals row — the ONLY driver traffic
+    val tot = base.agg(
+      coalesce(sum(col("w")), lit(0L)).as("wt"),
+      coalesce(sum(col("cap")), lit(0L)).as("ct")).head()
+    val (wTot, cTot) = (tot.getLong(0), tot.getLong(1))
+    if (cTot <= budget)
+      // caps absorb everything: all capped, surplus unspent
+      return base.select(col("stratum"), col("w"), col("cap"),
+        col("cap").as("alloc"), lit(true).as("capped"))
+    // ratio sort: stratum-domain rows, so the unpartitioned windows
+    // are bounded (same rationale as the O(buckets) priced tables)
+    val ord = Window.orderBy(col("cap").cast("double") / col("w"),
+      col("stratum"))
+    val run = ord.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val all = ord.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val rows = base
+      .withColumn("capped",
+        col("cap").cast(dec) * (lit(wTot) - sum(col("w")).over(run))
+            .cast(dec) <=
+          col("w").cast(dec) * (lit(budget) - sum(col("cap")).over(run))
+            .cast(dec))
+      .withColumn("__R", lit(budget) -
+        sum(when(col("capped"), col("cap")).otherwise(0L)).over(all))
+      .withColumn("__Wp", lit(wTot) -
+        sum(when(col("capped"), col("w")).otherwise(0L)).over(all))
+      .withColumn("__base", when(col("capped"), col("cap"))
+        .otherwise(call_function("div",
+          col("w").cast(dec) * col("__R").cast(dec),
+          col("__Wp").cast(dec))))
+      .withColumn("__frac", when(col("capped"), lit(-1L).cast(dec))
+        .otherwise(pmod(col("w").cast(dec) * col("__R").cast(dec),
+          col("__Wp").cast(dec))))
+      .withColumn("__rem", col("__R") -
+        sum(when(col("capped"), lit(0L)).otherwise(col("__base")))
+          .over(all))
+    // largest-remainder: rank uncapped by frac desc (capped rows sit
+    // at frac −1, past every uncapped row; __rem < #uncapped since
+    // each frac < W'), ties by stratum
+    rows.withColumn("__rk",
+        row_number().over(Window.orderBy(col("__frac").desc,
+          col("stratum"))))
+      .withColumn("alloc", when(col("capped"), col("cap"))
+        .otherwise(col("__base") +
+          when(col("__rk") <= col("__rem"), 1L).otherwise(0L)))
+      .select("stratum", "w", "cap", "alloc", "capped")
+  }
 }

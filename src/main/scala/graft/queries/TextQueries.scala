@@ -4158,6 +4158,455 @@ object TextQueries {
         .select("doc_id", "block_idx", "block_text", "n_chars",
           "link_chars", "link_density_ppm", "boilerplate")
         .orderBy("doc_id", "block_idx")
+    }) ++ urlQueries ++ sentenceQueries ++ budgetQueries
+
+  // ---------------------------------------------------------------
+  // URL canonicalization / registered domain / link graph
+  // ---------------------------------------------------------------
+
+  /** Synthesized raw URL per document — every canonicalization seam
+    * exercised: scheme case (every 7th doc), a `www.` prefix (every
+    * 5th), an explicit default port `:80` (every 11th) vs a real
+    * `:8080` (every 13th), a trailing path slash (every 9th), four
+    * query-string variants (tracking params, parameter order), and a
+    * fragment (every 3rd). `doc_id % 50` drives path/id collisions so
+    * canonical dedup has real groups. Built by the SAME concat on
+    * both sides.
+    */
+  private lazy val sqlSrcIdx = "CAST(substring(source, 4) AS BIGINT)"
+  private def srcIdx: org.apache.spark.sql.Column =
+    expr("cast(substring(source, 4) as bigint)")
+
+  private lazy val UrlTlds = Seq("com", "org", "co.uk", "github.io")
+
+  private def urlPayload: org.apache.spark.sql.Column = {
+    val pathN = pmod(col("doc_id"), lit(50L))
+    concat(
+      when(col("doc_id") % 7 === 0, lit("HTTP")).otherwise(lit("http")),
+      lit("://"),
+      when(col("doc_id") % 5 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit("."),
+      element_at(typedLit(UrlTlds), (pmod(srcIdx, lit(4L)) + 1).cast("int")),
+      when(col("doc_id") % 11 === 0, lit(":80"))
+        .when(col("doc_id") % 13 === 0, lit(":8080")).otherwise(lit("")),
+      lit("/articles/"), pathN,
+      when(col("doc_id") % 9 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+          concat(lit("?utm_source=feed&id="), pathN, lit("&sort=asc")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("?id="), pathN, lit("&sort=asc")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("?sort=asc&id="), pathN, lit("&fbclid=xyz")))
+        .otherwise(concat(lit("?sort=asc&id="), pathN)),
+      when(col("doc_id") % 3 === 0, lit("#section-2")).otherwise(lit("")))
+  }
+
+  private lazy val sqlUrlSynth: String = {
+    val tlds = UrlTlds.map(t => s"'$t'").mkString("[", ",", "]")
+    s"""CASE WHEN doc_id % 7 = 0 THEN 'HTTP' ELSE 'http' END || '://' ||
+       |  CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END ||
+       |  source || '.' || ($tlds)[CAST($sqlSrcIdx % 4 AS INT) + 1] ||
+       |  CASE WHEN doc_id % 11 = 0 THEN ':80'
+       |    WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END ||
+       |  '/articles/' || doc_id % 50 ||
+       |  CASE WHEN doc_id % 9 = 0 THEN '/' ELSE '' END ||
+       |  CASE WHEN doc_id % 4 = 0
+       |      THEN '?utm_source=feed&id=' || doc_id % 50 || '&sort=asc'
+       |    WHEN doc_id % 4 = 1 THEN '?id=' || doc_id % 50 || '&sort=asc'
+       |    WHEN doc_id % 4 = 2
+       |      THEN '?sort=asc&id=' || doc_id % 50 || '&fbclid=xyz'
+       |    ELSE '?sort=asc&id=' || doc_id % 50 END ||
+       |  CASE WHEN doc_id % 3 = 0 THEN '#section-2' ELSE '' END"""
+      .stripMargin
+  }
+
+  /** DuckDB twin of [[graft.ops.UrlOps]]'s grammar extraction. */
+  private def sqlUrlGrp(x: String, i: Int): String =
+    s"regexp_extract($x, '${graft.ops.UrlOps.UrlRe}', $i)"
+
+  /** DuckDB twin of UrlOps.registeredDomain over a host expression. */
+  private def sqlRegDomain(h: String): String = {
+    val sfx = graft.ops.UrlOps.TwoLabelSuffixes
+      .map(s => s"'$s'").mkString("[", ",", "]")
+    s"""CASE WHEN len(string_split($h, '.')) <= 2 THEN $h
+       |  WHEN list_contains($sfx,
+       |      array_to_string((string_split($h, '.'))[-2:], '.'))
+       |    THEN array_to_string((string_split($h, '.'))[-3:], '.')
+       |  ELSE array_to_string((string_split($h, '.'))[-2:], '.')
+       |END""".stripMargin
+  }
+
+  /** DuckDB twin of UrlOps.canonParams: drop empties + tracking,
+    * binary sort of the surviving `k=v` strings.
+    */
+  private def sqlCanonQuery(q: String): String = {
+    val names = graft.ops.UrlOps.TrackingParams
+      .map(s => s"'$s'").mkString("[", ",", "]")
+    // coalesce: DuckDB's array_to_string over an EMPTY list is NULL
+    // where Spark's array_join is '' — all-tracking query strings hit
+    // the empty case
+    s"coalesce(array_to_string(list_sort(list_filter(string_split($q, " +
+      s"'&'), p -> p <> '' AND NOT starts_with(" +
+      s"regexp_extract(p, '^([^=]*)', 1), 'utm_') AND NOT list_contains(" +
+      s"$names, regexp_extract(p, '^([^=]*)', 1)))), '&'), '')"
+  }
+
+  /** DuckDB twin of UrlOps.canonicalize, as a CTE body over a table
+    * exposing column `u` (the raw URL): emits the canonical URL (or
+    * NULL when the grammar rejects). Structured as staged CTEs so
+    * each grammar group extracts once.
+    */
+  private def sqlUrlCanonCtes(src: String, p: String = ""): String =
+    s"""${p}g AS (SELECT *, lower(${sqlUrlGrp("u", 1)}) AS sch,
+       |  regexp_replace(lower(${sqlUrlGrp("u", 2)}), '^www\\.', '')
+       |    AS hst,
+       |  ${sqlUrlGrp("u", 3)} AS ps, ${sqlUrlGrp("u", 4)} AS p0,
+       |  ${sqlCanonQuery(sqlUrlGrp("u", 5))} AS q FROM $src),
+       |${p}canon AS (SELECT *, CASE WHEN sch = '' THEN NULL
+       |  ELSE sch || '://' || hst ||
+       |    CASE WHEN ps = '' OR (sch = 'http' AND ps = '80')
+       |      OR (sch = 'https' AND ps = '443') THEN ''
+       |      ELSE ':' || ps END ||
+       |    CASE WHEN p0 = '' THEN '/'
+       |      WHEN length(p0) > 1 AND p0 LIKE '%/'
+       |        THEN substr(p0, 1, length(p0) - 1)
+       |      ELSE p0 END ||
+       |    CASE WHEN q = '' THEN '' ELSE '?' || q END
+       |  END AS canonical FROM ${p}g)""".stripMargin
+
+  private def urlQueries: Seq[QueryDef] = Seq(
+
+    // URL grammar + registered domain + canonical form, one row per
+    // doc (UrlOps.parse / canonicalize): the full component split
+    // with the -1 port sentinel, the embedded public-suffix subset
+    // deciding two vs three registered labels, and the canonical
+    // string every dedup/link-graph consumer keys on. Zero shuffles
+    // before the output sort.
+    QueryDef("doc_url_parse",
+      s"""WITH raw AS (SELECT doc_id, $sqlUrlSynth AS u FROM documents),
+         |${sqlUrlCanonCtes("raw")}
+         |SELECT doc_id, u AS url, sch AS scheme,
+         |  lower(${sqlUrlGrp("u", 2)}) AS host,
+         |  CASE WHEN ps = '' THEN CAST(-1 AS BIGINT)
+         |    ELSE CAST(ps AS BIGINT) END AS port,
+         |  p0 AS path, ${sqlUrlGrp("u", 5)} AS query,
+         |  ${sqlUrlGrp("u", 6)} AS fragment,
+         |  ${sqlRegDomain(s"lower(${sqlUrlGrp("u", 2)})")} AS reg_domain,
+         |  canonical
+         |FROM canon ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = load(s, d, "documents").withColumn("u", urlPayload)
+      graft.ops.UrlOps.parse(docs, col("doc_id"), col("u"))
+        .withColumn("canonical", graft.ops.UrlOps.canonicalize(col("url")))
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "url", "scheme", "host", "port", "path",
+          "query", "fragment", "reg_domain", "canonical")
+        .orderBy("doc_id")
+    },
+
+    // Canonical-URL dedup: group on the canonical form — scheme
+    // case, www, :80, the trailing slash, tracking params, parameter
+    // order and fragments all collapse; :8080 and the id=N path
+    // survive as real distinctions. keeper = min doc_id (first
+    // fetch wins). One map-side-combined shuffle on the canonical.
+    QueryDef("doc_url_dedup",
+      s"""WITH raw AS (SELECT doc_id, $sqlUrlSynth AS u FROM documents),
+         |${sqlUrlCanonCtes("raw")}
+         |SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS keeper
+         |FROM canon WHERE canonical IS NOT NULL
+         |GROUP BY canonical ORDER BY canonical""".stripMargin) { (s, d) =>
+      val docs = load(s, d, "documents").withColumn("u", urlPayload)
+      docs.select(col("doc_id"),
+          graft.ops.UrlOps.canonicalize(col("u")).as("canonical"))
+        .filter(col("canonical").isNotNull)
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .orderBy("canonical")
+    },
+
+    // Per-registered-domain crawl census: host-diversity and volume
+    // per apex domain — the grain a crawl-curation policy acts on
+    // (domain allowlists, per-domain quality floors, crawl budgets).
+    QueryDef("doc_domain_stats",
+      s"""WITH raw AS (SELECT doc_id, n_chars, lang,
+         |  $sqlUrlSynth AS u FROM documents),
+         |h AS (SELECT doc_id, n_chars, lang,
+         |  lower(${sqlUrlGrp("u", 2)}) AS host FROM raw)
+         |SELECT ${sqlRegDomain("host")} AS reg_domain,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM h GROUP BY 1 ORDER BY reg_domain""".stripMargin) { (s, d) =>
+      val docs = load(s, d, "documents").withColumn("u", urlPayload)
+      docs.select(col("doc_id"), col("n_chars"), col("lang"),
+          lower(regexp_extract(col("u"), graft.ops.UrlOps.UrlRe, 2))
+            .as("host"))
+        .groupBy(graft.ops.UrlOps.registeredDomain(col("host"))
+          .as("reg_domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("reg_domain")
+    },
+
+    // Host-level link graph off HTML (Html.links → UrlOps
+    // .canonicalize): each doc's synthesized page carries two
+    // absolute outbound anchors (one shouting-case https with www +
+    // default port, one with tracking params) and one relative href
+    // the URL grammar rejects (canonical NULL → dropped, the
+    // frontier's schemeless-link branch). Edges aggregate at
+    // (source, destination host) — the grain a crawl scheduler and a
+    // syndication detector both consume.
+    QueryDef("doc_link_graph",
+      s"""WITH pg AS (SELECT doc_id, source, $sqlLinkSynth AS html
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, ${sqlHtmlClean("html")} AS c1
+         |  FROM pg),
+         |lx AS (SELECT doc_id, source,
+         |  unnest(regexp_extract_all(c1,
+         |    '${graft.ops.Html.AnchorHrefRe}', 1)) AS u FROM c),
+         |${sqlUrlCanonCtes("lx")}
+         |SELECT source, regexp_extract(canonical,
+         |    '${graft.ops.UrlOps.UrlRe}', 2) AS dst_host,
+         |  CAST(count(*) AS BIGINT) AS n_links,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM canon WHERE canonical IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY source, dst_host""".stripMargin) { (s, d) =>
+      val pages = load(s, d, "documents").withColumn("html", linkPayload)
+      val lk = graft.ops.Html.links(pages, col("doc_id"), col("html"))
+      val src = load(s, d, "documents")
+        .select(col("doc_id").as("id"), col("source"))
+      lk.join(src, "id")
+        .select(col("id"), col("source"),
+          graft.ops.UrlOps.canonicalize(col("href")).as("canonical"))
+        .filter(col("canonical").isNotNull)
+        .groupBy(col("source"),
+          regexp_extract(col("canonical"), graft.ops.UrlOps.UrlRe, 2)
+            .as("dst_host"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("id")).as("n_docs"))
+        .orderBy("source", "dst_host")
+    })
+
+  /** Synthesized page for the link graph: two absolute outbound
+    * anchors whose targets rotate deterministically through the
+    * source domain space (t1 = src_idx+1+doc_id%3, t2 = src_idx+7,
+    * both mod 20) — one needing only tracking-param cleanup, one in
+    * shouting case with `www.` + the https default port — plus one
+    * RELATIVE href the URL grammar rejects. Same concat both sides.
+    */
+  private def linkPayload: org.apache.spark.sql.Column = concat(
+    lit("<html><body><p>See also</p><a href=\"http://src"),
+    pmod(srcIdx + 1 + pmod(col("doc_id"), lit(3L)), lit(20L)),
+    lit(".com/p/"), pmod(col("doc_id"), lit(10L)),
+    lit("?utm_campaign=x&ref=feed\">first</a> and " +
+      "<a href=\"HTTPS://WWW.SRC"),
+    pmod(srcIdx + 7, lit(20L)),
+    lit(".CO.UK:443/q/\">second link</a> plus " +
+      "<a href=\"/relative/path\">internal</a></body></html>"))
+
+  private lazy val sqlLinkSynth: String =
+    """'<html><body><p>See also</p><a href="http://src' ||
+      |  (CAST(substring(source, 4) AS BIGINT) + 1 + doc_id % 3) % 20 ||
+      |  '.com/p/' || doc_id % 10 ||
+      |  '?utm_campaign=x&ref=feed">first</a> and ' ||
+      |  '<a href="HTTPS://WWW.SRC' ||
+      |  (CAST(substring(source, 4) AS BIGINT) + 7) % 20 ||
+      |  '.CO.UK:443/q/">second link</a> plus ' ||
+      |  '<a href="/relative/path">internal</a></body></html>'"""
+      .stripMargin
+
+  // ---------------------------------------------------------------
+  // Sentence segmentation + sentence-level (CCNet-style) dedup
+  // ---------------------------------------------------------------
+
+  /** Sentence-structured fixture: the corpus has no punctuation, so
+    * the fixture cuts each text into three 40-char chunks with
+    * distinct terminators, repeats the FIRST chunk on every 5th doc
+    * (within-doc duplication), and appends one per-source subscribe
+    * prompt plus one corpus-wide rights footer (cross-doc
+    * boilerplate at two frequencies). Same concat both sides.
+    */
+  private def sentPayload: org.apache.spark.sql.Column = concat(
+    substring(col("text"), 1, 40), lit(". "),
+    substring(col("text"), 41, 40), lit("! "),
+    when(col("doc_id") % 5 === 0,
+        concat(substring(col("text"), 1, 40), lit(". ")))
+      .otherwise(lit("")),
+    substring(col("text"), 81, 40), lit("? "),
+    lit("Subscribe to the "), col("source"),
+    lit(" newsletter. All rights reserved."))
+
+  private lazy val sqlSentSynth: String =
+    """substr(text, 1, 40) || '. ' || substr(text, 41, 40) || '! ' ||
+      |  CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 40) || '. '
+      |    ELSE '' END ||
+      |  substr(text, 81, 40) || '? ' ||
+      |  'Subscribe to the ' || source ||
+      |  ' newsletter. All rights reserved.'""".stripMargin
+
+  /** DuckDB twin of Sentences.sentencesOf over a text expression. */
+  private def sqlSentArr(x: String): String =
+    s"list_filter(list_transform(regexp_split_to_array($x, " +
+      s"'${graft.ops.Sentences.BoundaryRe}'), " +
+      s"s -> trim(regexp_replace(s, '${graft.ops.Sentences.TrailRe}', " +
+      s"''))), s -> length(s) > 0)"
+
+  /** Corpus-duplicate floor for the boiler inventory / strip: the
+    * per-source subscribe prompt (~corpus/20 docs) and the global
+    * footer must clear it at every SF; organic 40-char chunks stay
+    * far below. sf0.001 has 500 docs → 25/source.
+    */
+  private lazy val SentBoilerDocs = 10L
+  private lazy val SentMinChars = 8
+
+  private def sentenceQueries: Seq[QueryDef] = Seq(
+
+    // Per-doc segmentation census (Sentences.stats): sentence count,
+    // within-doc distinct ratio (the Gopher repetition signal at
+    // sentence grain — every 5th doc repeats its first sentence) and
+    // exact char tallies. Zero shuffles before the output sort.
+    QueryDef("doc_sentence_stats",
+      s"""WITH st AS (SELECT doc_id, $sqlSentSynth AS stext
+         |  FROM documents),
+         |a AS (SELECT doc_id, ${sqlSentArr("stext")} AS ss FROM st)
+         |SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_sentences,
+         |  CAST(len(list_distinct(ss)) AS BIGINT) AS n_distinct,
+         |  CAST((len(ss) - len(list_distinct(ss))) * 1000000
+         |    // greatest(len(ss), 1) AS BIGINT) AS dup_ppm,
+         |  CAST(coalesce(list_sum(list_transform(ss,
+         |    s -> length(s))), 0) AS BIGINT) AS total_chars
+         |FROM a ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Sentences.stats(
+          load(s, d, "documents").withColumn("stext", sentPayload),
+          col("doc_id"), col("stext"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Corpus boilerplate inventory (Sentences.corpusDuplicates): the
+    // sentences repeating across >= SentBoilerDocs distinct docs with
+    // document and occurrence frequencies — the rights footer lands
+    // corpus-wide, each subscribe prompt lands at ~corpus/20. Two
+    // map-side-combined shuffles, output boiler-domain-sized.
+    QueryDef("doc_sentence_boiler",
+      s"""WITH st AS (SELECT doc_id, $sqlSentSynth AS stext
+         |  FROM documents),
+         |a AS (SELECT doc_id, ${sqlSentArr("stext")} AS ss FROM st),
+         |ex AS (SELECT doc_id, unnest(ss) AS s FROM a),
+         |f AS (SELECT doc_id, s FROM ex
+         |  WHERE length(s) >= $SentMinChars),
+         |po AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS occ
+         |  FROM f GROUP BY doc_id, s)
+         |SELECT s AS sentence, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(occ) AS BIGINT) AS n_occ
+         |FROM po GROUP BY s HAVING count(*) >= $SentBoilerDocs
+         |ORDER BY n_docs DESC, sentence""".stripMargin) { (s, d) =>
+      graft.ops.Sentences.corpusDuplicates(
+          load(s, d, "documents").withColumn("stext", sentPayload),
+          col("doc_id"), col("stext"), SentMinChars, SentBoilerDocs)
+        .orderBy(col("n_docs").desc, col("sentence"))
+    },
+
+    // CCNet sentence-level dedup (Sentences.stripBoilerplate): strip
+    // every sentence reaching SentBoilerDocs distinct docs, rebuild
+    // the survivors in original order — the footer and subscribe
+    // prompts vanish from every doc, content chunks stay. The boiler
+    // table is boiler-domain-sized, so its reconstruction join
+    // broadcasts.
+    QueryDef("doc_sentence_dedup",
+      s"""WITH st AS (SELECT doc_id, $sqlSentSynth AS stext
+         |  FROM documents),
+         |a AS (SELECT doc_id, ${sqlSentArr("stext")} AS ss FROM st),
+         |ix AS (SELECT doc_id, ss, unnest(range(0, len(ss))) AS i
+         |  FROM a),
+         |ex AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |  ss[i + 1] AS s FROM ix),
+         |cnt AS (SELECT s, count(DISTINCT doc_id) AS nd FROM ex
+         |  GROUP BY s),
+         |keep AS (SELECT e.doc_id, e.pos, e.s FROM ex e
+         |  JOIN cnt c USING (s) WHERE c.nd < $SentBoilerDocs),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(s, ' ' ORDER BY pos) AS text_kept
+         |  FROM keep GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(len(ss) AS BIGINT) AS n_s FROM a)
+         |SELECT t.doc_id, coalesce(g.text_kept, '') AS text_kept,
+         |  coalesce(g.n_kept, 0) AS n_kept,
+         |  t.n_s - coalesce(g.n_kept, 0) AS n_dropped
+         |FROM tot t LEFT JOIN agg g USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ops.Sentences.stripBoilerplate(
+          load(s, d, "documents").withColumn("stext", sentPayload),
+          col("doc_id"), col("stext"), SentBoilerDocs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    })
+
+  // ---------------------------------------------------------------
+  // Token-budget waterfilling (data mixing with per-source caps)
+  // ---------------------------------------------------------------
+
+  private def budgetQueries: Seq[QueryDef] = Seq(
+
+    // Capped proportional budget allocation
+    // (PipelineOps.budgetAllocate): per-source BPE-ish token masses
+    // are the weights, caps rotate 50/75/100% of each source's own
+    // mass by source index (scale-free, so every SF exercises a
+    // mixed capped/uncapped waterline), and the budget is 70% of the
+    // corpus. The twin replays the ENTIRE closed-form waterfill —
+    // ratio-sorted running sums, HUGEINT cross-multiplied capped
+    // predicate, floor shares, largest-remainder +1s — so a single
+    // misallocated token anywhere breaks the hash. Window passes run
+    // over the O(sources) stratum frame only.
+    QueryDef("doc_token_budget",
+      """WITH tok AS (SELECT source, CAST(sum(len(regexp_extract_all(
+        |    lower(text), '[a-z]+|[0-9]+'))) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT source AS stratum, w,
+        |  (w * (2 + CAST(substring(source, 4) AS BIGINT) % 3)) // 4
+        |    AS cap FROM tok),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt,
+        |  CAST((sum(w) * 7) // 10 AS BIGINT) AS b FROM s),
+        |o AS (SELECT s.*, t.wt, t.b,
+        |  sum(w) OVER rw AS cumw, sum(cap) OVER rw AS cumc
+        |  FROM s, t
+        |  WINDOW rw AS (ORDER BY CAST(cap AS DOUBLE) / w, stratum
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT *, CAST(cap AS HUGEINT) * (wt - cumw)
+        |    <= CAST(w AS HUGEINT) * (b - cumc) AS capped FROM o),
+        |f AS (SELECT *,
+        |  b - sum(CASE WHEN capped THEN cap ELSE 0 END) OVER ()
+        |    AS resid,
+        |  wt - sum(CASE WHEN capped THEN w ELSE 0 END) OVER ()
+        |    AS wp FROM c),
+        |g AS (SELECT *,
+        |  CASE WHEN capped THEN cap
+        |    ELSE CAST((CAST(w AS HUGEINT) * resid) // wp AS BIGINT)
+        |    END AS base,
+        |  CASE WHEN capped THEN CAST(-1 AS HUGEINT)
+        |    ELSE (CAST(w AS HUGEINT) * resid) % wp END AS frac
+        |  FROM f),
+        |h AS (SELECT *,
+        |  resid - sum(CASE WHEN capped THEN 0 ELSE base END) OVER ()
+        |    AS rem,
+        |  row_number() OVER (ORDER BY frac DESC, stratum) AS rk
+        |  FROM g)
+        |SELECT stratum, w, cap,
+        |  CAST(CASE WHEN capped THEN cap
+        |    ELSE base + CASE WHEN rk <= rem THEN 1 ELSE 0 END
+        |    END AS BIGINT) AS alloc, capped
+        |FROM h ORDER BY stratum""".stripMargin) { (s, d) =>
+      val strata = load(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextOps.tokenEstimate(col("text"))).as("w"))
+        .withColumn("cap", call_function("div",
+          col("w") * (lit(2L) + pmod(srcIdx, lit(3L))), lit(4L)))
+      val wTot = strata.agg(sum(col("w"))).head().getLong(0)
+      graft.ops.PipelineOps.budgetAllocate(strata, col("source"),
+          col("w"), col("cap"), wTot * 7L / 10L)
+        .orderBy("stratum")
     })
 
   /** Score-gate state: NB-scored docs split crawl-generation-wise —

@@ -1,0 +1,93 @@
+package graft
+
+import graft.ops.PipelineOps
+import org.apache.spark.sql.functions._
+
+/** Waterfilling budget allocation: the closed-form capped-prefix
+  * rule, exact-integer conservation, largest-remainder distribution,
+  * the all-capped branch, and loud input guards — plus a randomized
+  * invariant sweep against the waterline optimality conditions.
+  */
+class BudgetAllocateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Long, Long)], budget: Long) =
+    PipelineOps.budgetAllocate(rows.toDF("s", "w", "c"),
+        col("s"), col("w"), col("c"), budget)
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getBoolean(4)))
+
+  test("worked example: one capped stratum, exact conservation") {
+    val out = run(Seq(("a", 100L, 30L), ("b", 100L, 100L),
+      ("c", 200L, 300L)), 300L)
+    assert(out.toSeq == Seq(("a", 30L, true), ("b", 90L, false),
+      ("c", 180L, false)))
+  }
+
+  test("largest-remainder: ties break by stratum, sum is exact") {
+    // equal weights, indivisible budget: 10 over 3 → 4/3/3, the +1
+    // to the lexicographically first stratum
+    val out = run(Seq(("a", 3L, 100L), ("b", 3L, 100L),
+      ("c", 3L, 100L)), 10L)
+    assert(out.toSeq == Seq(("a", 4L, false), ("b", 3L, false),
+      ("c", 3L, false)))
+  }
+
+  test("caps absorb the budget: everyone capped, surplus unspent") {
+    val out = run(Seq(("a", 10L, 5L), ("b", 20L, 7L)), 100L)
+    assert(out.toSeq == Seq(("a", 5L, true), ("b", 7L, true)))
+  }
+
+  test("zero cap allocates zero; zero budget allocates zero") {
+    val out = run(Seq(("a", 10L, 0L), ("b", 10L, 50L)), 20L)
+    assert(out.toSeq == Seq(("a", 0L, true), ("b", 20L, false)))
+    val z = run(Seq(("a", 10L, 5L), ("b", 10L, 5L)), 0L)
+    assert(z.map(_._2).sum == 0L)
+  }
+
+  test("loud guards: non-positive weight, negative cap, bad budget") {
+    intercept[Exception] { run(Seq(("a", 0L, 5L)), 10L) }
+    intercept[Exception] { run(Seq(("a", 5L, -1L)), 10L) }
+    intercept[IllegalArgumentException] {
+      PipelineOps.budgetAllocate(Seq(("a", 1L, 1L)).toDF("s", "w", "c"),
+        col("s"), col("w"), col("c"), -1L)
+    }
+  }
+
+  test("randomized waterline invariants") {
+    val rnd = new scala.util.Random(414L)
+    for (_ <- 1 to 30) {
+      val n = 2 + rnd.nextInt(7)
+      val rows = (0 until n).map(i => (f"s$i%02d",
+        1L + rnd.nextInt(50), rnd.nextInt(80).toLong))
+      val budget = rnd.nextInt(300).toLong
+      val out = run(rows, budget)
+      val byS = rows.map(r => r._1 -> r).toMap
+      val cSum = rows.map(_._3).sum
+      // conservation: exactly min(budget, Σcap) spent
+      assert(out.map(_._2).sum == math.min(budget, cSum),
+        s"conservation failed for $rows budget=$budget: ${out.toSeq}")
+      // bounds + flag consistency
+      out.foreach { case (s, a, capped) =>
+        assert(a >= 0L && a <= byS(s)._3)
+        if (capped) assert(a == byS(s)._3)
+      }
+      // waterline optimality (within integer rounding): every capped
+      // stratum's ratio sits at or below every uncapped stratum's
+      // post-allocation rate
+      val unc = out.filter(!_._3)
+      val cap = out.filter(_._3)
+      for ((cs, ca, _) <- cap; (us, ua, _) <- unc) {
+        val (wc, wu) = (byS(cs)._2, byS(us)._2)
+        assert(ca * wu <= (ua + 1L) * wc,
+          s"capped $cs above waterline of $us in $rows budget=$budget")
+      }
+      // uncapped rates agree within rounding
+      for ((s1, a1, _) <- unc; (s2, a2, _) <- unc) {
+        val (w1, w2) = (byS(s1)._2, byS(s2)._2)
+        assert(math.abs(a1 * w2 - a2 * w1) <= w1 + w2,
+          s"uneven water between $s1 and $s2 in $rows budget=$budget")
+      }
+    }
+  }
+}

@@ -45,7 +45,11 @@ class PlanGateSpec extends SparkSpec {
     "doc_nb_threshold_sweep" -> SinglePart,
     // final rank window over the bounded source dimension (crawl
     // hosts — the heavyHittersExactBy maxGroups rationale)
-    "doc_syndication_suspects" -> SinglePart)
+    "doc_syndication_suspects" -> SinglePart,
+    // waterfill windows run over the STRATUM-domain frame (one row
+    // per mixture source, O(sources) bounded) — the corpus-sized
+    // scan is already reduced by a map-side-combined agg upstream
+    "doc_token_budget" -> SinglePart)
 
   private def auditAt(names: Seq[String], dir: String): Seq[String] = {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]

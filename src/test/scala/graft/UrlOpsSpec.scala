@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.{Html, UrlOps}
+import org.apache.spark.sql.functions._
+
+/** URL grammar, canonicalization and registered-domain semantics on
+  * hand-built fixtures — every seam the contract names: scheme case,
+  * `www.`, default vs real ports, trailing slash, tracking-param
+  * removal, parameter ordering, fragments, the public-suffix
+  * two-vs-three-label rule, and the NULL branch for grammar
+  * rejects.
+  */
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(url: String): String = {
+    val r = Seq(Tuple1(url)).toDF("u")
+      .select(UrlOps.canonicalize(col("u")).as("c")).collect().head
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  private def reg(host: String): String =
+    Seq(Tuple1(host)).toDF("h")
+      .select(UrlOps.registeredDomain(col("h")).as("r"))
+      .collect().head.getString(0)
+
+  test("canonicalize folds presentation, keeps identity") {
+    assert(canon("HTTP://WWW.Ex.COM:80/a/b/?b=2&utm_source=x&a=1#frag")
+      == "http://ex.com/a/b?a=1&b=2")
+    // https default port strips; a REAL port survives
+    assert(canon("https://ex.com:443/x") == "https://ex.com/x")
+    assert(canon("http://ex.com:8080/x") == "http://ex.com:8080/x")
+    // empty path becomes /; single trailing slash strips on longer
+    assert(canon("http://ex.com") == "http://ex.com/")
+    assert(canon("http://ex.com/") == "http://ex.com/")
+    // all-tracking query vanishes entirely (no dangling '?')
+    assert(canon("http://ex.com/p?utm_a=1&fbclid=z&gclid=q")
+      == "http://ex.com/p")
+    // params sort binary; empty params drop
+    assert(canon("http://ex.com/p?z=1&&a=2") == "http://ex.com/p?a=2&z=1")
+  }
+
+  test("grammar rejects canonicalize to NULL, never throw") {
+    assert(canon("/relative/path") == null)
+    assert(canon("not a url at all") == null)
+    assert(canon("") == null)
+    // scheme-relative (no scheme) is a reject too
+    assert(canon("//ex.com/x") == null)
+  }
+
+  test("registered domain: two labels vs public-suffix three") {
+    assert(reg("a.b.example.com") == "example.com")
+    assert(reg("example.com") == "example.com")
+    assert(reg("deep.sub.shop.co.uk") == "shop.co.uk")
+    assert(reg("user.github.io") == "user.github.io")
+    assert(reg("www.blog.blogspot.com") == "blog.blogspot.com")
+    // bare single label passes through
+    assert(reg("localhost") == "localhost")
+  }
+
+  test("parse splits every component with the -1 port sentinel") {
+    val r = UrlOps.parse(
+      Seq((1L, "https://Sub.Ex.co.uk:8443/p/q?x=1&y=2#top"))
+        .toDF("id", "u"), col("id"), col("u")).collect().head
+    assert(r.getAs[String]("scheme") == "https")
+    assert(r.getAs[String]("host") == "sub.ex.co.uk")
+    assert(r.getAs[Long]("port") == 8443L)
+    assert(r.getAs[String]("path") == "/p/q")
+    assert(r.getAs[String]("query") == "x=1&y=2")
+    assert(r.getAs[String]("fragment") == "top")
+    assert(r.getAs[String]("reg_domain") == "ex.co.uk")
+    val bare = UrlOps.parse(Seq((2L, "http://ex.com")).toDF("id", "u"),
+      col("id"), col("u")).collect().head
+    assert(bare.getAs[Long]("port") == -1L)
+    assert(bare.getAs[String]("path") == "")
+    assert(bare.getAs[String]("query") == "")
+  }
+
+  test("Html.links inventories hrefs in document order") {
+    val html = "<html><body><a href=\"http://a.com/1\">one</a>" +
+      "<a name=\"no-href\">skipped</a>" +
+      "<a href=\"/rel\">two <b>bold</b></a>" +
+      "<script>var s = '<a href=\"http://fake.com\">x</a>';</script>" +
+      "</body></html>"
+    val rows = Html.links(Seq((7L, html)).toDF("id", "html"),
+      col("id"), col("html")).orderBy("link_idx").collect()
+    // the script-embedded anchor is removed by preClean; the
+    // href-less anchor never matches
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("href") == "http://a.com/1")
+    assert(rows(0).getAs[String]("anchor_text") == "one")
+    assert(rows(1).getAs[String]("href") == "/rel")
+    assert(rows(1).getAs[String]("anchor_text") == "two bold")
+    assert(rows.map(_.getAs[Long]("link_idx")).toSeq == Seq(0L, 1L))
+  }
+}
