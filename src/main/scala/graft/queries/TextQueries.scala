@@ -4388,6 +4388,45 @@ object TextQueries {
         .agg(count(lit(1)).as("n_links"),
           countDistinct(col("id")).as("n_docs"))
         .orderBy("source", "dst_host")
+    },
+
+    // Crawl-graph centrality: the link-graph edges (source page →
+    // canonicalized destination host, weight = link count) feed the
+    // SAME exact-trajectory PageRank as the affinity graphs
+    // (GraphOps.pageRank, e12-quantized transfers) — the
+    // crawl-scheduler's priority signal, composed entirely from this
+    // round's link extraction plus the audited iteration.
+    QueryDef("doc_link_pagerank",
+      s"""WITH pg AS (SELECT doc_id, source, $sqlLinkSynth AS html
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, ${sqlHtmlClean("html")} AS c1
+         |  FROM pg),
+         |lx AS (SELECT doc_id, source,
+         |  unnest(regexp_extract_all(c1,
+         |    '${graft.ops.Html.AnchorHrefRe}', 1)) AS u FROM c),
+         |${sqlUrlCanonCtes("lx")},
+         |pairs AS (SELECT source AS sa, regexp_extract(canonical,
+         |    '${graft.ops.UrlOps.UrlRe}', 2) AS sb,
+         |  CAST(count(*) AS BIGINT) AS w
+         |  FROM canon WHERE canonical IS NOT NULL GROUP BY 1, 2),
+         |${prTrajectoryCtes("")}
+         |SELECT s AS node, pr AS pr_e9 FROM p$PrIters
+         |ORDER BY node""".stripMargin) { (s, d) =>
+      val pages = load(s, d, "documents").withColumn("html", linkPayload)
+      val lk = graft.ops.Html.links(pages, col("doc_id"), col("html"))
+      val src = load(s, d, "documents")
+        .select(col("doc_id").as("id"), col("source"))
+      val edges = lk.join(src, "id")
+        .select(col("source"),
+          graft.ops.UrlOps.canonicalize(col("href")).as("canonical"))
+        .filter(col("canonical").isNotNull)
+        .groupBy(col("source").as("s_a"),
+          regexp_extract(col("canonical"), graft.ops.UrlOps.UrlRe, 2)
+            .as("s_b"))
+        .agg(count(lit(1)).as("w"))
+      GraphOps.pageRank(edges, PrIters)
+        .select(col("node"), col("pr_e9"))
+        .orderBy("node")
     })
 
   /** Synthesized page for the link graph: two absolute outbound
@@ -4462,7 +4501,76 @@ object TextQueries {
   private lazy val SentBoilerDocs = 10L
   private lazy val SentMinChars = 8
 
+  /** Sentence-gate floor: above each parity batch's per-source
+    * prompt frequency (~12 docs/source/batch at the 500-doc scales)
+    * but below the two-batch cumulative (~25) — so the subscribe
+    * prompts survive batch 0 and start stripping in batch 1, while
+    * the corpus-wide footer strips in both. The cross-batch state is
+    * what the oracle checks.
+    */
+  private lazy val SentGateDocs = 18L
+
+  /** One sentence-gate state dir per (session, dataset): the e2e
+    * query is side-effecting (two applyBatch runs), so bench reps
+    * reuse the first run's state via [[TempState]].
+    */
+  private def sentGateStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    TempState.dir("sentgate|" + s.sparkContext.applicationId + "|" + d) {
+      root =>
+        val gate = new graft.streaming.SentenceGate(s, root,
+          maxDocs = SentGateDocs)
+        val docs = load(s, d, "documents")
+          .withColumn("stext", sentPayload)
+          .select(col("doc_id"), col("stext").as("text"))
+        gate.applyBatch(docs.filter(col("doc_id") % 2 === 0), 0L)
+        gate.applyBatch(docs.filter(col("doc_id") % 2 === 1), 1L)
+    }
+
   private def sentenceQueries: Seq[QueryDef] = Seq(
+
+    // Streaming sentence-frequency gate e2e (SentenceGate): two
+    // parity micro-batches through the stateful CCNet gate — batch
+    // 0 sees only its own frequencies (prompts at ~12/source pass
+    // the 18-doc floor), batch 1 sees batch 0's standing counts
+    // plus its own (prompts at ~25 cumulative strip), the footer
+    // strips in both. The twin replays both batches with a
+    // cumulative per-hash window — same portableHash, so even a
+    // hash collision cannot diverge the two sides.
+    QueryDef("doc_sentence_gate_e2e",
+      s"""WITH st AS (SELECT doc_id, $sqlSentSynth AS stext
+         |  FROM documents),
+         |a AS (SELECT doc_id, doc_id % 2 AS batch,
+         |  ${sqlSentArr("stext")} AS ss FROM st),
+         |ix AS (SELECT doc_id, batch, ss, unnest(range(0, len(ss)))
+         |  AS i FROM a),
+         |ex AS (SELECT doc_id, batch, CAST(i AS BIGINT) AS pos,
+         |  ss[i + 1] AS s, ${sqlPhash("ss[i + 1]")} AS h FROM ix),
+         |cnt AS (SELECT batch, h,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+         |  FROM ex GROUP BY 1, 2),
+         |fr AS (SELECT h, batch, sum(nd) OVER (PARTITION BY h
+         |  ORDER BY batch) AS freq FROM cnt),
+         |bo AS (SELECT h, batch FROM fr WHERE freq >= $SentGateDocs),
+         |keep AS (SELECT e.doc_id, e.pos, e.s FROM ex e
+         |  LEFT JOIN bo ON e.h = bo.h AND e.batch = bo.batch
+         |  WHERE bo.h IS NULL),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |  string_agg(s, ' ' ORDER BY pos) AS text_kept
+         |  FROM keep GROUP BY doc_id),
+         |tot AS (SELECT doc_id, batch, CAST(len(ss) AS BIGINT) AS n_s
+         |  FROM a)
+         |SELECT t.doc_id, CAST(t.batch AS BIGINT) AS batch,
+         |  t.n_s AS n_sentences, coalesce(g.n_kept, 0) AS n_kept,
+         |  t.n_s - coalesce(g.n_kept, 0) AS n_dropped,
+         |  coalesce(g.text_kept, '') AS text_kept
+         |FROM tot t LEFT JOIN agg g USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dir = sentGateStateDir(s, d)
+      new graft.streaming.SentenceGate(s, dir, maxDocs = SentGateDocs)
+        .readVerdicts(1L)
+        .orderBy("doc_id")
+    },
 
     // Per-doc segmentation census (Sentences.stats): sentence count,
     // within-doc distinct ratio (the Gopher repetition signal at
