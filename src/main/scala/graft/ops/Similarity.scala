@@ -295,6 +295,80 @@ object Similarity {
     * round's PERSISTED frame: callers in long-lived sessions can
     * `result.unpersist()` after consuming it.
     */
+  /** Distributed top principal direction of an embedding column by
+    * POWER ITERATION on the second-moment matrix C = Σ x·xᵀ — the
+    * dimensionality-reduction primitive (project-before-ANN, drift
+    * axes, whitening diagnostics) without ever materializing the
+    * d×d matrix: each round computes y = Σᵢ xᵢ·(xᵢ·v) as one scan
+    * (a codegen'd `graft_dot` per row + a dim-keyed map-side-combined
+    * aggregation) and renormalizes v on the driver — the only driver
+    * traffic is O(dims) per round, the k-means-centroid contract.
+    * No mean-centering (embeddings arrive cosine-normalized; C's top
+    * direction is the standard Gram variant) — documented, not
+    * hidden.
+    *
+    * Exact-integer trajectory (the PageRank discipline, so the
+    * DuckDB twin replays bit-identically): components quantize to
+    * e3; per-row dots truncate back by 1e3 with SIGN-SPLIT division
+    * (Spark's `div` truncates toward zero, DuckDB's `//` floors —
+    * sign-splitting makes them agree); v renormalizes each round by
+    * max|y| to ±1e6 in exact BigInt math. C is PSD, so the iterate
+    * cannot oscillate sign. Returns one row per dimension (dim
+    * 1-based, v_e6) with the Rayleigh eigenvalue estimate λ_e6 and
+    * its share of total variance share_ppm replicated across rows.
+    */
+  def topEigen(vecs: DataFrame, vec: Column, dims: Int,
+      iters: Int): DataFrame = {
+    require(dims > 0, s"need dims > 0, got $dims")
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    import graft.functions.NativeExpressions.dotLongNative
+    val spark = vecs.sparkSession
+    val dec = "decimal(38,0)"
+    val base = vecs.select(transform(vec,
+      x => round(x.cast("double") * 1000, 0).cast("long")).as("eq"))
+    base.persist()
+    try {
+      // sign-split truncating division: both engines agree on
+      // non-negative operands
+      def sdiv(c: Column, by: Long): Column =
+        when(c < 0, -call_function("div", -c, lit(by)))
+          .otherwise(call_function("div", c, lit(by)))
+      def dqOf(v: Array[Long]): Column =
+        sdiv(dotLongNative(col("eq"), typedLit(v.toSeq)), 1000L)
+      var v = Array.fill(dims)(1000000L)
+      for (_ <- 1 to iters) {
+        val y = base.withColumn("__dq", dqOf(v))
+          .select(col("__dq"), posexplode(col("eq")).as(Seq("d0", "e")))
+          .groupBy("d0")
+          .agg(sum(col("e").cast(dec) * col("__dq").cast(dec)).as("y"))
+          .collect() // O(dims) rows — bounded
+        val yArr = Array.fill(dims)(BigInt(0))
+        y.foreach(r => yArr(r.getInt(0)) =
+          BigInt(r.getDecimal(1).toBigInteger))
+        val mx = yArr.map(_.abs).max
+        require(mx > BigInt(0),
+          "topEigen: C·v vanished — all-zero vectors (or v orthogonal " +
+            "to the data); nothing to normalize")
+        v = yArr.map(b => ((b.abs * 1000000 / mx) * b.signum).toLong)
+      }
+      val stats = base.withColumn("__dq", dqOf(v))
+        .agg(sum(col("__dq").cast(dec) * col("__dq").cast(dec)).as("num"),
+          sum(dotLongNative(col("eq"), col("eq")).cast(dec)).as("trace"))
+        .head()
+      val num = BigInt(stats.getDecimal(0).toBigInteger)
+      val trace = BigInt(stats.getDecimal(1).toBigInteger) // x² in e6
+      val den = v.map(x => BigInt(x) * BigInt(x)).sum
+      val lambdaE6 = (num * 1000000 / den).toLong
+      val sharePpm =
+        if (trace > 0) (BigInt(lambdaE6) * 1000000 / trace).toLong
+        else 0L
+      import spark.implicits._
+      v.zipWithIndex
+        .map { case (x, i) => (i + 1L, x, lambdaE6, sharePpm) }
+        .toSeq.toDF("dim", "v_e6", "lambda_e6", "share_ppm")
+    } finally base.unpersist()
+  }
+
   def kmeans(vecs: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "kmeans needs at least one iteration")
     val spark = vecs.sparkSession

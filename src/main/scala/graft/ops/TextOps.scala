@@ -253,6 +253,30 @@ object TextOps {
     * of tokens taken by the most frequent token. Adds dup_2gram_frac,
     * dup_3gram_frac, top_token_frac. Scan-parallel.
     */
+  /** Flesch-Kincaid grade level as a quality feature: word count
+    * from the shared tokenizer, sentence count from
+    * [[Sentences.sentencesOf]], syllables approximated as vowel
+    * GROUPS (`[aeiouy]+` runs — the standard shallow estimator;
+    * word boundaries are non-letters, so whole-text runs equal the
+    * per-word sum). `fk_e3` = round((0.39·W/S + 11.8·Y/W −
+    * 15.59)·1000), NULL when a document has no words or no
+    * sentences (a grade for nothing is not 0). One scan, no
+    * shuffle. Returns (id, n_words, n_sentences, n_syllables,
+    * fk_e3).
+    */
+  def readability(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"),
+        size(tokens(text)).cast("long").as("n_words"),
+        size(Sentences.sentencesOf(text)).cast("long")
+          .as("n_sentences"),
+        size(regexp_extract_all(lower(text), lit("[aeiouy]+"),
+          lit(0))).cast("long").as("n_syllables"))
+      .withColumn("fk_e3",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          round((lit(0.39d) * col("n_words") / col("n_sentences") +
+            lit(11.8d) * col("n_syllables") / col("n_words") -
+            lit(15.59d)) * lit(1000.0d), 0).cast("long")))
+
   def withRepetitionStats(df: DataFrame, text: Column): DataFrame = {
     val df2 = df.withColumn("__toks", tokens(text))
     df2.withColumn("dup_2gram_frac", dupShingleFrac(col("__toks"), 2))

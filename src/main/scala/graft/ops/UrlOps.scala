@@ -133,4 +133,96 @@ object UrlOps {
       .otherwise(concat(scheme, lit("://"), host, portPart, path,
         qPart))
   }
+
+  // -----------------------------------------------------------------
+  // robots.txt — crawl politeness
+  // -----------------------------------------------------------------
+
+  /** One robots.txt line: group 1 the field (case-folded later),
+    * group 2 the value up to a comment hash. RE2-safe.
+    */
+  val RobotsLineRe: String =
+    "^[ \\t]*([A-Za-z-]+)[ \\t]*:[ \\t]*([^#]*)"
+
+  /** Parse robots.txt bodies into a rules table: one row per
+    * Allow/Disallow directive with the user-agent group it belongs
+    * to. Grouping contract (documented simplification of RFC 9309's
+    * group-merge): each `User-agent` line OPENS the group the
+    * following directives attach to — directives before any
+    * User-agent line attach to no group and drop. Returns
+    * (host, agent, allow: Boolean, prefix) — an EMPTY-value
+    * directive drops (RFC 9309: a bare `Disallow:` disallows
+    * NOTHING; it is not a zero-length match).
+    *
+    * One window per host over that host's robots lines (partitioned
+    * by host — parallel across hosts, a robots file is KB-sized);
+    * everything else is a scan fold.
+    */
+  def robotsRules(df: DataFrame, host: Column, txt: Column): DataFrame = {
+    val lines = df.select(host.as("host"),
+      posexplode(split(txt, "\n", -1)).as(Seq("line_idx", "__l")))
+    val parsed = lines.select(col("host"), col("line_idx"),
+      lower(regexp_extract(col("__l"), RobotsLineRe, 1)).as("field"),
+      trim(regexp_extract(col("__l"), RobotsLineRe, 2)).as("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("line_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    parsed
+      .withColumn("agent", last(
+        when(col("field") === "user-agent", lower(col("value"))),
+        ignoreNulls = true).over(w))
+      .filter(col("field").isin("allow", "disallow") &&
+        col("agent").isNotNull && col("value") =!= "")
+      .select(col("host"), col("agent"),
+        (col("field") === "allow").as("allow"),
+        col("value").as("prefix"))
+  }
+
+  /** Evaluate crawlability of (host, path) pairs against a
+    * [[robotsRules]] table for `agent`: the RFC 9309 longest-match
+    * rule — the applicable group is the agent's own if the host has
+    * one, else `*`; among that group's rules whose prefix is a
+    * string prefix of the path, the LONGEST wins, Allow winning
+    * length ties; no matching rule (or no rules at all for the
+    * host) means allowed.
+    *
+    * Input `urls` must carry columns `host` and `path`; all its
+    * columns pass through plus a boolean `allowed`. Shape: two
+    * equi-joins on host (the rules side is robots-domain-sized —
+    * small; Catalyst broadcasts it) and one map-side-combined
+    * aggregation back to the input grain. The longest-match argmax
+    * rides a single packed long (prefix length doubled plus the
+    * allow bit) — no window, no struct ordering.
+    */
+  def robotsVerdict(urls: DataFrame, rules: DataFrame,
+      agent: String): DataFrame = {
+    require(agent.nonEmpty, "need a non-empty agent")
+    val a = lit(agent.toLowerCase(java.util.Locale.ROOT))
+    // hosts where the agent has its own group
+    val exact = rules.filter(col("agent") === a)
+      .select(col("host")).distinct()
+      .withColumn("__has_exact", lit(true))
+    val applicable = rules.filter(col("agent") === a ||
+        col("agent") === "*")
+      .join(exact, Seq("host"), "left")
+      .filter(when(coalesce(col("__has_exact"), lit(false)),
+        col("agent") === a).otherwise(col("agent") === "*"))
+      .select(col("host"), col("allow"), col("prefix"))
+    val key = urls.columns.map(col)
+    val matched = urls.join(applicable, Seq("host"), "left")
+      .withColumn("__hit", col("prefix").isNotNull &&
+        col("path").startsWith(col("prefix")))
+      // packed verdict rank: longer prefix beats shorter, allow
+      // beats disallow at equal length; NULL when the rule misses
+      .withColumn("__rank", when(col("__hit"),
+        length(col("prefix")).cast("long") * 2L +
+          when(col("allow"), 1L).otherwise(0L)))
+    matched.groupBy(key: _*)
+      .agg(max(col("__rank")).as("__best"))
+      .withColumn("allowed",
+        col("__best").isNull || col("__best") % 2L === 1L)
+      .drop("__best")
+  }
 }

@@ -1120,7 +1120,73 @@ object EmbQueries {
           GateHotPsiE9)
         .readVerdicts(1L)
         .orderBy("batch")
+    },
+
+    // Top principal direction by power iteration
+    // (Similarity.topEigen): C = Σ x·xᵀ is never materialized — each
+    // round is one scan (codegen'd graft_dot + a dim-keyed
+    // aggregation) and an O(dims) driver renormalization. The twin
+    // unrolls the EXACT integer trajectory (e3 components, e6
+    // iterate, sign-split truncating divisions, max-normalization),
+    // so one misrounded component in any round breaks the hash.
+    QueryDef("emb_pca_top",
+      s"""WITH qe AS (SELECT list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+         |  AS eq FROM embeddings),
+         |v0 AS (SELECT list_transform(range(1, ${Dims + 1}),
+         |  j -> CAST(1000000 AS BIGINT)) AS v),
+         |${(1 to PcaIters).map(sqlPcaIter).mkString(",\n")},
+         |fd AS (SELECT ${sqlPcaDq(s"v$PcaIters")} AS dq
+         |  FROM qe, v$PcaIters),
+         |tr AS (SELECT sum(CAST(list_sum(list_transform(
+         |    range(1, ${Dims + 1}), j -> eq[j] * eq[j])) AS HUGEINT))
+         |  AS trace FROM qe),
+         |st AS (SELECT sum(CAST(dq AS HUGEINT) * dq) AS num FROM fd),
+         |dn AS (SELECT list_sum(list_transform(v,
+         |    x -> CAST(x AS HUGEINT) * x)) AS den FROM v$PcaIters),
+         |lam AS (SELECT CAST(num * 1000000 // den AS BIGINT)
+         |  AS lambda_e6 FROM st, dn)
+         |SELECT CAST(j AS BIGINT) AS dim, v[j] AS v_e6, lambda_e6,
+         |  CAST(CAST(lambda_e6 AS HUGEINT) * 1000000 // trace
+         |    AS BIGINT) AS share_ppm
+         |FROM range(1, ${Dims + 1}) t(j), v$PcaIters, lam, tr
+         |ORDER BY dim""".stripMargin) { (s, d) =>
+      Similarity.topEigen(load(s, d, "embeddings"), col("embedding"),
+          Dims, PcaIters)
+        .orderBy("dim")
     })
+
+  /** Power-iteration rounds for emb_pca_top — few enough that the
+    * unrolled twin stays readable, enough that the iterate moves
+    * well off the all-ones seed.
+    */
+  private lazy val PcaIters = 3
+
+  /** The sign-split e9→e6 dot truncation over (eq, v) — Spark `div`
+    * truncates toward zero while DuckDB `//` floors, so negative
+    * dots split on sign before dividing.
+    */
+  private def sqlPcaDq(vcte: String): String = {
+    val dot = s"list_sum(list_transform(range(1, ${Dims + 1}), " +
+      s"j -> eq[j] * v[j]))"
+    s"(CASE WHEN $dot < 0 THEN -((-($dot)) // 1000) " +
+      s"ELSE ($dot) // 1000 END)"
+  }
+
+  /** One power-iteration round: per-row truncated dot against
+    * v{t-1}, dim-keyed HUGEINT accumulation, exact max-|y|
+    * renormalization to ±1e6.
+    */
+  private def sqlPcaIter(t: Int): String =
+    s"""d$t AS (SELECT ${sqlPcaDq(s"v${t - 1}")} AS dq, eq
+       |  FROM qe, v${t - 1}),
+       |y$t AS (SELECT j, sum(CAST(eq[j] AS HUGEINT) * dq) AS y
+       |  FROM d$t, range(1, ${Dims + 1}) t(j) GROUP BY j),
+       |m$t AS (SELECT max(abs(y)) AS mx FROM y$t),
+       |v$t AS (SELECT list(CAST(CASE WHEN y < 0
+       |    THEN -(((-y) * 1000000) // mx)
+       |    ELSE (y * 1000000) // mx END AS BIGINT) ORDER BY j) AS v
+       |  FROM y$t, m$t)""".stripMargin
 
   /** Embedding-gate state: quantized vectors split by label —
     * label<5 pins the reference cells, label>=5 arrives as two

@@ -4427,6 +4427,71 @@ object TextQueries {
       GraphOps.pageRank(edges, PrIters)
         .select(col("node"), col("pr_e9"))
         .orderBy("node")
+    },
+
+    // robots.txt politeness gate (UrlOps.robotsRules +
+    // robotsVerdict): per-source robots bodies carry a `*` group
+    // (Disallow /articles/1, Allow /articles/12 — the longest-match
+    // rescue), even sources add a `graftbot` group that must FULLY
+    // SHADOW `*` for that agent, a Crawl-delay line the field filter
+    // skips, and a bare `Disallow:` the empty-value rule drops
+    // (RFC 9309: it disallows nothing). The twin replays line
+    // parsing, the last-User-agent window, group dispatch and the
+    // packed longest-match rank.
+    QueryDef("doc_robots_gate",
+      s"""WITH raw AS (SELECT doc_id, source, $sqlUrlSynth AS u
+         |  FROM documents),
+         |urls AS (SELECT doc_id, lower(${sqlUrlGrp("u", 2)}) AS host,
+         |  ${sqlUrlGrp("u", 4)} AS path, source FROM raw),
+         |hosts AS (SELECT DISTINCT host, source FROM urls),
+         |rb AS (SELECT host, $sqlRobotsSynth AS txt FROM hosts),
+         |lns AS (SELECT host, string_split(txt, chr(10)) AS arr
+         |  FROM rb),
+         |ln AS (SELECT host, i AS line_idx, arr[i + 1] AS l
+         |  FROM lns, unnest(range(0, len(arr))) AS t(i)),
+         |pf AS (SELECT host, line_idx,
+         |  lower(regexp_extract(l,
+         |    '${graft.ops.UrlOps.RobotsLineRe}', 1)) AS field,
+         |  trim(regexp_extract(l,
+         |    '${graft.ops.UrlOps.RobotsLineRe}', 2)) AS value
+         |  FROM ln),
+         |ag AS (SELECT *, last_value(CASE WHEN field = 'user-agent'
+         |    THEN lower(value) END IGNORE NULLS)
+         |  OVER (PARTITION BY host ORDER BY line_idx
+         |    ROWS UNBOUNDED PRECEDING) AS agent FROM pf),
+         |rules AS (SELECT host, agent, field = 'allow' AS allow,
+         |  value AS prefix FROM ag
+         |  WHERE field IN ('allow', 'disallow')
+         |    AND agent IS NOT NULL AND value <> ''),
+         |ex AS (SELECT DISTINCT host, true AS he FROM rules
+         |  WHERE agent = 'graftbot'),
+         |app AS (SELECT r.host, r.allow, r.prefix
+         |  FROM rules r LEFT JOIN ex USING (host)
+         |  WHERE CASE WHEN coalesce(he, false)
+         |    THEN r.agent = 'graftbot' ELSE r.agent = '*' END),
+         |m AS (SELECT u.doc_id, u.host, u.path,
+         |  CASE WHEN a.prefix IS NOT NULL
+         |      AND starts_with(u.path, a.prefix)
+         |    THEN length(a.prefix) * 2
+         |      + CASE WHEN a.allow THEN 1 ELSE 0 END END AS rnk
+         |  FROM urls u LEFT JOIN app a USING (host))
+         |SELECT doc_id, host, path,
+         |  max(rnk) IS NULL OR max(rnk) % 2 = 1 AS allowed
+         |FROM m GROUP BY doc_id, host, path
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val raw = load(s, d, "documents").withColumn("u", urlPayload)
+      val urls = raw.select(col("doc_id"),
+        lower(regexp_extract(col("u"), graft.ops.UrlOps.UrlRe, 2))
+          .as("host"),
+        regexp_extract(col("u"), graft.ops.UrlOps.UrlRe, 4).as("path"),
+        col("source"))
+      val hosts = urls.select("host", "source").distinct()
+        .withColumn("txt", robotsPayload)
+      val rules = graft.ops.UrlOps.robotsRules(hosts, col("host"),
+        col("txt"))
+      graft.ops.UrlOps.robotsVerdict(
+          urls.select("doc_id", "host", "path"), rules, "graftbot")
+        .orderBy("doc_id")
     })
 
   /** Synthesized page for the link graph: two absolute outbound
@@ -4456,6 +4521,26 @@ object TextQueries {
       |  '.CO.UK:443/q/">second link</a> plus ' ||
       |  '<a href="/relative/path">internal</a></body></html>'"""
       .stripMargin
+
+  /** Per-source robots.txt body over a `source` column — see
+    * doc_robots_gate's comment for what each line exercises. Same
+    * concat both sides (the twin uses chr(10) for the newlines).
+    */
+  private def robotsPayload: org.apache.spark.sql.Column = concat(
+    lit("User-agent: *\nDisallow: /articles/1\nAllow: /articles/12\n" +
+      "Crawl-delay: 5"),
+    when(pmod(srcIdx, lit(2L)) === 0,
+      lit("\nUser-agent: graftbot\nDisallow: /articles/2\n" +
+        "Allow: /articles/23\nDisallow:")).otherwise(lit("")))
+
+  private lazy val sqlRobotsSynth: String =
+    "'User-agent: *' || chr(10) || 'Disallow: /articles/1' || " +
+      "chr(10) || 'Allow: /articles/12' || chr(10) || " +
+      "'Crawl-delay: 5' || CASE WHEN " +
+      "CAST(substring(source, 4) AS BIGINT) % 2 = 0 THEN chr(10) || " +
+      "'User-agent: graftbot' || chr(10) || 'Disallow: /articles/2' " +
+      "|| chr(10) || 'Allow: /articles/23' || chr(10) || 'Disallow:' " +
+      "ELSE '' END"
 
   // ---------------------------------------------------------------
   // Sentence segmentation + sentence-level (CCNet-style) dedup
@@ -4569,6 +4654,34 @@ object TextQueries {
       val dir = sentGateStateDir(s, d)
       new graft.streaming.SentenceGate(s, dir, maxDocs = SentGateDocs)
         .readVerdicts(1L)
+        .orderBy("doc_id")
+    },
+
+    // Flesch-Kincaid readability (TextOps.readability) over the
+    // sentence-structured fixture: words from the shared tokenizer,
+    // sentences from the shared splitter, syllables as vowel-group
+    // runs; fk_e3 NULL when undefined. Zero shuffles before the
+    // output sort.
+    QueryDef("doc_readability",
+      s"""WITH st AS (SELECT doc_id, $sqlSentSynth AS stext
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(lower(stext),
+         |    '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n_words,
+         |  CAST(len(${sqlSentArr("stext")}) AS BIGINT) AS n_sentences,
+         |  CAST(len(regexp_extract_all(lower(stext), '[aeiouy]+'))
+         |    AS BIGINT) AS n_syllables
+         |  FROM st)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+         |    CAST(round((0.39e0 * n_words / n_sentences +
+         |      11.8e0 * n_syllables / n_words - 15.59e0) * 1000e0)
+         |      AS BIGINT) END AS fk_e3
+         |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TextOps.readability(
+          load(s, d, "documents").withColumn("stext", sentPayload),
+          col("doc_id"), col("stext"))
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
 

@@ -76,6 +76,38 @@ class UrlOpsSpec extends SparkSpec {
     assert(bare.getAs[String]("query") == "")
   }
 
+  test("robots: grouping, empty-value drop, longest-match, agent " +
+      "shadowing") {
+    val robots = Seq(("h1",
+      "Stray: before any group\n" + // no group yet → drops
+        "User-agent: *\nDisallow: /private/\nAllow: /private/pub/\n" +
+        "Crawl-delay: 5\nDisallow:\n" + // non-directive + empty drop
+        "User-agent: graftbot\nDisallow: /articles/\n" +
+        "Allow: /articles/ok"),
+      ("h2", "User-agent: *\nDisallow: /x")).toDF("host", "txt")
+    val rules = UrlOps.robotsRules(robots, col("host"), col("txt"))
+    // h1: 2 rules under * + 2 under graftbot; h2: 1 under *
+    assert(rules.count() == 5)
+    assert(rules.filter(col("prefix") === "").count() == 0)
+
+    def verdict(host: String, path: String, agent: String): Boolean =
+      UrlOps.robotsVerdict(
+        Seq((host, path)).toDF("host", "path"), rules, agent)
+        .collect().head.getAs[Boolean]("allowed")
+    // longest match: /private/pub/ Allow beats /private/ Disallow
+    assert(!verdict("h1", "/private/x", "otherbot"))
+    assert(verdict("h1", "/private/pub/y", "otherbot"))
+    // agent shadowing: graftbot sees ONLY its own group on h1 —
+    // /private/ is fair game for it, /articles/ is not
+    assert(verdict("h1", "/private/x", "graftbot"))
+    assert(!verdict("h1", "/articles/7", "graftbot"))
+    assert(verdict("h1", "/articles/ok2", "graftbot"))
+    // no group for graftbot on h2 → falls back to *
+    assert(!verdict("h2", "/x/y", "graftbot"))
+    // unknown host / no matching rule → allowed
+    assert(verdict("h2", "/other", "graftbot"))
+  }
+
   test("Html.links inventories hrefs in document order") {
     val html = "<html><body><a href=\"http://a.com/1\">one</a>" +
       "<a name=\"no-href\">skipped</a>" +
