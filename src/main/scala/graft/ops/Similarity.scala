@@ -318,7 +318,32 @@ object Similarity {
     * its share of total variance share_ppm replicated across rows.
     */
   def topEigen(vecs: DataFrame, vec: Column, dims: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame = topEigenDeflated(vecs, vec, dims, iters,
+    deflate = None)
+
+  /** Second principal direction: [[topEigen]]'s iteration with the
+    * ITERATE Gram-Schmidt-deflated against `v1` after every round
+    * (y ← y − ((y·v1)/|v1|²)·v1, exact BigInt on the O(dims) driver
+    * vector) — C is PSD, so the deflated iterate converges to the
+    * second eigendirection. `v1` is [[topEigen]]'s e6 output column.
+    * Same return shape; λ and share are the Rayleigh values of the
+    * deflated direction.
+    */
+  def secondEigen(vecs: DataFrame, vec: Column, v1: Array[Long],
+      dims: Int, iters: Int): DataFrame = {
+    require(v1.length == dims, s"v1 has ${v1.length} dims, need $dims")
+    require(v1.exists(_ != 0L), "v1 must be non-zero")
+    topEigenDeflated(vecs, vec, dims, iters, deflate = Some(v1))
+  }
+
+  /** Exact-integer sign-split truncating division on the driver:
+    * matches the column-side sdiv and DuckDB's sign-split `//`.
+    */
+  private def sdivBig(a: BigInt, b: BigInt): BigInt =
+    (a.abs / b) * a.signum
+
+  private def topEigenDeflated(vecs: DataFrame, vec: Column, dims: Int,
+      iters: Int, deflate: Option[Array[Long]]): DataFrame = {
     require(dims > 0, s"need dims > 0, got $dims")
     require(iters >= 1, s"need iters >= 1, got $iters")
     import graft.functions.NativeExpressions.dotLongNative
@@ -335,6 +360,15 @@ object Similarity {
           .otherwise(call_function("div", c, lit(by)))
       def dqOf(v: Array[Long]): Column =
         sdiv(dotLongNative(col("eq"), typedLit(v.toSeq)), 1000L)
+      val den1 = deflate.map(v1 =>
+        v1.map(x => BigInt(x) * BigInt(x)).sum)
+      def deflated(y: Array[BigInt]): Array[BigInt] = deflate match {
+        case None => y
+        case Some(v1) =>
+          val proj = y.zip(v1).map { case (a, b) => a * b }.sum
+          y.zip(v1).map { case (a, b) =>
+            a - sdivBig(proj * b, den1.get) }
+      }
       var v = Array.fill(dims)(1000000L)
       for (_ <- 1 to iters) {
         val y = base.withColumn("__dq", dqOf(v))
@@ -345,11 +379,12 @@ object Similarity {
         val yArr = Array.fill(dims)(BigInt(0))
         y.foreach(r => yArr(r.getInt(0)) =
           BigInt(r.getDecimal(1).toBigInteger))
-        val mx = yArr.map(_.abs).max
+        val yd = deflated(yArr)
+        val mx = yd.map(_.abs).max
         require(mx > BigInt(0),
           "topEigen: C·v vanished — all-zero vectors (or v orthogonal " +
             "to the data); nothing to normalize")
-        v = yArr.map(b => ((b.abs * 1000000 / mx) * b.signum).toLong)
+        v = yd.map(b => ((b.abs * 1000000 / mx) * b.signum).toLong)
       }
       val stats = base.withColumn("__dq", dqOf(v))
         .agg(sum(col("__dq").cast(dec) * col("__dq").cast(dec)).as("num"),

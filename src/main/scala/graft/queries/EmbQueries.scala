@@ -1130,10 +1130,10 @@ object EmbQueries {
     // iterate, sign-split truncating divisions, max-normalization),
     // so one misrounded component in any round breaks the hash.
     QueryDef("emb_pca_top",
-      s"""WITH qe AS (SELECT list_transform(embedding,
+      s"""WITH qe AS MATERIALIZED (SELECT list_transform(embedding,
          |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
          |  AS eq FROM embeddings),
-         |v0 AS (SELECT list_transform(range(1, ${Dims + 1}),
+         |v0 AS MATERIALIZED (SELECT list_transform(range(1, ${Dims + 1}),
          |  j -> CAST(1000000 AS BIGINT)) AS v),
          |${(1 to PcaIters).map(sqlPcaIter).mkString(",\n")},
          |fd AS (SELECT ${sqlPcaDq(s"v$PcaIters")} AS dq
@@ -1154,6 +1154,49 @@ object EmbQueries {
       Similarity.topEigen(load(s, d, "embeddings"), col("embedding"),
           Dims, PcaIters)
         .orderBy("dim")
+    },
+
+    // Second principal direction (Similarity.secondEigen): the same
+    // power iteration with the ITERATE Gram-Schmidt-deflated against
+    // v1 after every round — exact BigInt on the O(dims) driver
+    // vector, never a data-side pass more than topEigen's. The twin
+    // chains BOTH unrolled trajectories (v1's rounds, then the
+    // deflated rounds with the HUGEINT projection subtraction), so
+    // the two directions' coupling is oracle-pinned end to end.
+    QueryDef("emb_pca_top2",
+      s"""WITH qe AS MATERIALIZED (SELECT list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+         |  AS eq FROM embeddings),
+         |v0 AS MATERIALIZED (SELECT list_transform(range(1, ${Dims + 1}),
+         |  j -> CAST(1000000 AS BIGINT)) AS v),
+         |${(1 to PcaIters).map(sqlPcaIter).mkString(",\n")},
+         |dn1 AS (SELECT list_sum(list_transform(v,
+         |    x -> CAST(x AS HUGEINT) * x)) AS den1 FROM v$PcaIters),
+         |w0 AS MATERIALIZED (SELECT list_transform(range(1, ${Dims + 1}),
+         |  j -> CAST(1000000 AS BIGINT)) AS v),
+         |${(1 to PcaIters).map(sqlPca2Iter).mkString(",\n")},
+         |fd AS (SELECT ${sqlPcaDq(s"w$PcaIters")} AS dq
+         |  FROM qe, w$PcaIters),
+         |tr AS (SELECT sum(CAST(list_sum(list_transform(
+         |    range(1, ${Dims + 1}), j -> eq[j] * eq[j])) AS HUGEINT))
+         |  AS trace FROM qe),
+         |st AS (SELECT sum(CAST(dq AS HUGEINT) * dq) AS num FROM fd),
+         |dn AS (SELECT list_sum(list_transform(v,
+         |    x -> CAST(x AS HUGEINT) * x)) AS den FROM w$PcaIters),
+         |lam AS (SELECT CAST(num * 1000000 // den AS BIGINT)
+         |  AS lambda_e6 FROM st, dn)
+         |SELECT CAST(j AS BIGINT) AS dim, v[j] AS v_e6, lambda_e6,
+         |  CAST(CAST(lambda_e6 AS HUGEINT) * 1000000 // trace
+         |    AS BIGINT) AS share_ppm
+         |FROM range(1, ${Dims + 1}) t(j), w$PcaIters, lam, tr
+         |ORDER BY dim""".stripMargin) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+      val v1 = Similarity.topEigen(vecs, col("embedding"), Dims,
+          PcaIters)
+        .orderBy("dim").collect().map(_.getLong(1)) // O(dims)
+      Similarity.secondEigen(vecs, col("embedding"), v1, Dims,
+          PcaIters)
+        .orderBy("dim")
     })
 
   /** Power-iteration rounds for emb_pca_top — few enough that the
@@ -1173,17 +1216,40 @@ object EmbQueries {
       s"ELSE ($dot) // 1000 END)"
   }
 
+  /** One DEFLATED power-iteration round for the second direction:
+    * the [[sqlPcaIter]] shape against w{t-1}, then the Gram-Schmidt
+    * subtraction y − ((y·v1)/|v1|²)·v1 in sign-split HUGEINT before
+    * the max renormalization. v1 is the first chain's final iterate.
+    */
+  private def sqlPca2Iter(t: Int): String =
+    s"""dd$t AS MATERIALIZED (SELECT ${sqlPcaDq(s"w${t - 1}")} AS dq, eq
+       |  FROM qe, w${t - 1}),
+       |yy$t AS MATERIALIZED (SELECT j, sum(CAST(eq[j] AS HUGEINT) * dq) AS y
+       |  FROM dd$t, range(1, ${Dims + 1}) t(j) GROUP BY j),
+       |pj$t AS MATERIALIZED (SELECT sum(yy$t.y * CAST(v[j] AS HUGEINT)) AS proj
+       |  FROM yy$t, v$PcaIters),
+       |yd$t AS MATERIALIZED (SELECT j, y - (CASE
+       |    WHEN proj * CAST(v[j] AS HUGEINT) < 0
+       |    THEN -((-(proj * CAST(v[j] AS HUGEINT))) // den1)
+       |    ELSE (proj * CAST(v[j] AS HUGEINT)) // den1 END) AS y
+       |  FROM yy$t, pj$t, v$PcaIters, dn1),
+       |mm$t AS MATERIALIZED (SELECT max(abs(y)) AS mx FROM yd$t),
+       |w$t AS MATERIALIZED (SELECT list(CAST(CASE WHEN y < 0
+       |    THEN -(((-y) * 1000000) // mx)
+       |    ELSE (y * 1000000) // mx END AS BIGINT) ORDER BY j) AS v
+       |  FROM yd$t, mm$t)""".stripMargin
+
   /** One power-iteration round: per-row truncated dot against
     * v{t-1}, dim-keyed HUGEINT accumulation, exact max-|y|
     * renormalization to ±1e6.
     */
   private def sqlPcaIter(t: Int): String =
-    s"""d$t AS (SELECT ${sqlPcaDq(s"v${t - 1}")} AS dq, eq
+    s"""d$t AS MATERIALIZED (SELECT ${sqlPcaDq(s"v${t - 1}")} AS dq, eq
        |  FROM qe, v${t - 1}),
-       |y$t AS (SELECT j, sum(CAST(eq[j] AS HUGEINT) * dq) AS y
+       |y$t AS MATERIALIZED (SELECT j, sum(CAST(eq[j] AS HUGEINT) * dq) AS y
        |  FROM d$t, range(1, ${Dims + 1}) t(j) GROUP BY j),
-       |m$t AS (SELECT max(abs(y)) AS mx FROM y$t),
-       |v$t AS (SELECT list(CAST(CASE WHEN y < 0
+       |m$t AS MATERIALIZED (SELECT max(abs(y)) AS mx FROM y$t),
+       |v$t AS MATERIALIZED (SELECT list(CAST(CASE WHEN y < 0
        |    THEN -(((-y) * 1000000) // mx)
        |    ELSE (y * 1000000) // mx END AS BIGINT) ORDER BY j) AS v
        |  FROM y$t, m$t)""".stripMargin
