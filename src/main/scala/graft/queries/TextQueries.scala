@@ -4158,7 +4158,92 @@ object TextQueries {
         .select("doc_id", "block_idx", "block_text", "n_chars",
           "link_chars", "link_density_ppm", "boilerplate")
         .orderBy("doc_id", "block_idx")
-    }) ++ urlQueries ++ sentenceQueries ++ budgetQueries
+    }) ++ urlQueries ++ sentenceQueries ++ budgetQueries ++ warcQueries
+
+  /** WARC shard geometry for the roundtrip fixtures (5 shards at the
+    * 500-doc scales).
+    */
+  private lazy val WarcPerShard = 100L
+
+  /** One WARC shard dir per (session, dataset): the write is
+    * side-effecting, so bench reps reuse the first run's shards via
+    * [[TempState]] — the measured rows are the reads.
+    */
+  private def warcStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    TempState.dir("warcshards|" + s.sparkContext.applicationId + "|" + d) {
+      root =>
+        val docs = load(s, d, "documents").withColumn("u", urlPayload)
+          .select(col("doc_id"), col("u"), col("text"))
+        graft.ops.WarcShards.write(docs, "doc_id", "u", "text",
+          s"$root/shards", WarcPerShard)
+        ()
+    }
+
+  private def warcQueries: Seq[QueryDef] = Seq(
+
+    // WARC container roundtrip (WarcShards.write/read): documents
+    // packed into WARC/1.0 crawl shards (one warcinfo opener per
+    // file, one response record per doc, pinned WARC-Date, record
+    // ids = the range index) and read back whole. The payload hash
+    // proves byte preservation through the container; the twin
+    // re-derives every record — INCLUDING the per-shard warcinfo
+    // bodies with their CRLFs — straight from `documents`.
+    QueryDef("doc_warc_roundtrip",
+      s"""WITH resp AS (SELECT
+         |  'urn:graft:resp:' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+         |    AS record_id,
+         |  'response' AS warc_type, $sqlUrlSynth AS target_uri,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  ${sqlPhash("text")} AS p_hash FROM documents),
+         |sh AS (SELECT DISTINCT doc_id // $WarcPerShard AS shard
+         |  FROM documents),
+         |info AS (SELECT
+         |  'urn:graft:info:' || lpad(CAST(shard AS VARCHAR), 5, '0')
+         |    AS record_id,
+         |  'warcinfo' AS warc_type, '' AS target_uri,
+         |  CAST(length($sqlWarcInfoBody) AS BIGINT) AS n_bytes,
+         |  ${sqlPhash(sqlWarcInfoBody)} AS p_hash FROM sh)
+         |SELECT * FROM (SELECT * FROM resp UNION ALL SELECT * FROM info)
+         |ORDER BY record_id""".stripMargin) { (s, d) =>
+      val dir = warcStateDir(s, d)
+      graft.ops.WarcShards.read(s, s"$dir/shards")
+        .select(col("record_id"), col("warc_type"), col("target_uri"),
+          col("n_bytes"),
+          portableHash(col("payload").cast("string")).as("p_hash"))
+        .orderBy("record_id")
+    },
+
+    // Range-pruned WARC read (WarcShards.readRange): response
+    // records for ids [120, 370) — shard files crawl-00001..00003
+    // prune BY NAME before any byte opens (the container layout is
+    // the partition index), the residual id filter trims the
+    // boundary shards, warcinfo records drop by construction.
+    QueryDef("doc_warc_range",
+      s"""WITH resp AS (SELECT doc_id,
+         |  'urn:graft:resp:' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+         |    AS record_id,
+         |  'response' AS warc_type, $sqlUrlSynth AS target_uri,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  ${sqlPhash("text")} AS p_hash FROM documents)
+         |SELECT record_id, warc_type, target_uri, n_bytes, p_hash
+         |FROM resp WHERE doc_id >= 120 AND doc_id < 370
+         |ORDER BY record_id""".stripMargin) { (s, d) =>
+      val dir = warcStateDir(s, d)
+      graft.ops.WarcShards.readRange(s, s"$dir/shards", WarcPerShard,
+          120L, 370L)
+        .select(col("record_id"), col("warc_type"), col("target_uri"),
+          col("n_bytes"),
+          portableHash(col("payload").cast("string")).as("p_hash"))
+        .orderBy("record_id")
+    })
+
+  /** The warcinfo body replayed in SQL — shares the CRLF layout with
+    * [[graft.ops.WarcShards]] by construction.
+    */
+  private lazy val sqlWarcInfoBody: String =
+    "'software: graft' || chr(13) || chr(10) || 'graft-shard: ' || " +
+      "lpad(CAST(shard AS VARCHAR), 5, '0') || chr(13) || chr(10)"
 
   // ---------------------------------------------------------------
   // URL canonicalization / registered domain / link graph
