@@ -4158,7 +4158,8 @@ object TextQueries {
         .select("doc_id", "block_idx", "block_text", "n_chars",
           "link_chars", "link_density_ppm", "boilerplate")
         .orderBy("doc_id", "block_idx")
-    }) ++ urlQueries ++ sentenceQueries ++ budgetQueries ++ warcQueries
+    }) ++ urlQueries ++ sentenceQueries ++ budgetQueries ++
+    warcQueries ++ crawlStage0Queries
 
   /** WARC shard geometry for the roundtrip fixtures (5 shards at the
     * 500-doc scales).
@@ -4244,6 +4245,131 @@ object TextQueries {
   private lazy val sqlWarcInfoBody: String =
     "'software: graft' || chr(13) || chr(10) || 'graft-shard: ' || " +
       "lpad(CAST(shard AS VARCHAR), 5, '0') || chr(13) || chr(10)"
+
+  /** Crawl stage-0 composition — this round's operators wired the
+    * way a crawl-curation job runs them: robots verdict on the
+    * page's URL, block-level HTML extraction, link-density
+    * boilerplate strip, canonical URL for downstream dedup. One
+    * query, every stage's twin already pinned individually.
+    */
+  private def crawlStage0Queries: Seq[QueryDef] = Seq(
+    QueryDef("doc_crawl_stage0",
+      s"""WITH raw AS (SELECT doc_id, source, $sqlUrlSynth AS u,
+         |  $sqlHtmlSynth AS html FROM documents),
+         |urls AS (SELECT doc_id, lower(${sqlUrlGrp("u", 2)}) AS host,
+         |  ${sqlUrlGrp("u", 4)} AS path, source FROM raw),
+         |hosts AS (SELECT DISTINCT host, source FROM urls),
+         |rb AS (SELECT host, $sqlRobotsSynth AS txt FROM hosts),
+         |lns AS (SELECT host, string_split(txt, chr(10)) AS arr
+         |  FROM rb),
+         |ln AS (SELECT host, i AS line_idx, arr[i + 1] AS l
+         |  FROM lns, unnest(range(0, len(arr))) AS t(i)),
+         |pf AS (SELECT host, line_idx,
+         |  lower(regexp_extract(l,
+         |    '${graft.ops.UrlOps.RobotsLineRe}', 1)) AS field,
+         |  trim(regexp_extract(l,
+         |    '${graft.ops.UrlOps.RobotsLineRe}', 2)) AS value
+         |  FROM ln),
+         |ag AS (SELECT *, last_value(CASE WHEN field = 'user-agent'
+         |    THEN lower(value) END IGNORE NULLS)
+         |  OVER (PARTITION BY host ORDER BY line_idx
+         |    ROWS UNBOUNDED PRECEDING) AS agent FROM pf),
+         |rules AS (SELECT host, agent, field = 'allow' AS allow,
+         |  value AS prefix FROM ag
+         |  WHERE field IN ('allow', 'disallow')
+         |    AND agent IS NOT NULL AND value <> ''),
+         |rex AS (SELECT DISTINCT host, true AS he FROM rules
+         |  WHERE agent = 'graftbot'),
+         |app AS (SELECT r.host, r.allow, r.prefix
+         |  FROM rules r LEFT JOIN rex USING (host)
+         |  WHERE CASE WHEN coalesce(he, false)
+         |    THEN r.agent = 'graftbot' ELSE r.agent = '*' END),
+         |vm AS (SELECT u.doc_id,
+         |  CASE WHEN a.prefix IS NOT NULL
+         |      AND starts_with(u.path, a.prefix)
+         |    THEN length(a.prefix) * 2
+         |      + CASE WHEN a.allow THEN 1 ELSE 0 END END AS rnk
+         |  FROM urls u LEFT JOIN app a USING (host)),
+         |vr AS (SELECT doc_id,
+         |  max(rnk) IS NULL OR max(rnk) % 2 = 1 AS allowed
+         |  FROM vm GROUP BY doc_id),
+         |hc AS (SELECT doc_id, ${sqlHtmlClean("html")} AS c1 FROM raw),
+         |cs AS (SELECT doc_id, regexp_split_to_array(c1,
+         |  '${graft.ops.Html.BlockTagRe}') AS arr FROM hc),
+         |ix AS (SELECT doc_id, arr, unnest(range(0, len(arr))) AS i
+         |  FROM cs),
+         |blk AS (SELECT doc_id, CAST(i AS BIGINT) AS block_idx,
+         |  arr[i + 1] AS braw FROM ix),
+         |nb AS (SELECT doc_id, block_idx,
+         |  ${sqlHtmlNorm("braw")} AS block_text,
+         |  CAST(coalesce(list_sum(list_transform(regexp_extract_all(
+         |      braw, '${graft.ops.Html.AnchorRe}', 1),
+         |    a -> length(${sqlHtmlNorm("a")}))), 0) AS BIGINT)
+         |    AS link_chars
+         |  FROM blk),
+         |fb AS (SELECT doc_id, block_idx, block_text,
+         |  CAST(length(block_text) AS BIGINT) AS n_chars, link_chars,
+         |  link_chars * 1000000 // greatest(length(block_text), 1) >
+         |    ${graft.ops.Html.DefaultBoilerplatePpm} AS bp
+         |  FROM nb WHERE length(block_text) > 0),
+         |agg AS (SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(count(*) FILTER (WHERE bp) AS BIGINT) AS n_boiler,
+         |  CAST(coalesce(sum(n_chars) FILTER (WHERE NOT bp), 0)
+         |    AS BIGINT) AS clean_chars,
+         |  coalesce(string_agg(block_text, chr(10) ORDER BY block_idx)
+         |    FILTER (WHERE NOT bp), '') AS text_kept
+         |  FROM fb GROUP BY doc_id),
+         |${sqlUrlCanonCtes("raw", "cu")}
+         |SELECT r.doc_id, v.allowed, cu.canonical,
+         |  coalesce(g.n_blocks, 0) AS n_blocks,
+         |  coalesce(g.n_boiler, 0) AS n_boiler,
+         |  coalesce(g.clean_chars, 0) AS clean_chars,
+         |  ${sqlPhash("coalesce(g.text_kept, '')")} AS text_hash,
+         |  v.allowed AND coalesce(g.clean_chars, 0) > 0 AS kept
+         |FROM raw r JOIN vr v USING (doc_id)
+         |  LEFT JOIN agg g USING (doc_id)
+         |  JOIN cucanon cu ON cu.doc_id = r.doc_id
+         |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
+      val raw = load(s, d, "documents")
+        .withColumn("u", urlPayload).withColumn("html", htmlPayload)
+      val urls = raw.select(col("doc_id"),
+        lower(regexp_extract(col("u"), graft.ops.UrlOps.UrlRe, 2))
+          .as("host"),
+        regexp_extract(col("u"), graft.ops.UrlOps.UrlRe, 4).as("path"),
+        col("source"))
+      val rules = graft.ops.UrlOps.robotsRules(
+        urls.select("host", "source").distinct()
+          .withColumn("txt", robotsPayload), col("host"), col("txt"))
+      val verdict = graft.ops.UrlOps.robotsVerdict(
+          urls.select("doc_id", "host", "path"), rules, "graftbot")
+        .select(col("doc_id"), col("allowed"))
+      val blocks = graft.ops.Html.blocks(raw, col("doc_id"),
+        col("html"))
+      val agg = blocks.groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("boilerplate"), 1L).otherwise(0L))
+            .as("n_boiler"),
+          coalesce(sum(when(!col("boilerplate"), col("n_chars"))),
+            lit(0L)).as("clean_chars"),
+          array_join(transform(array_sort(collect_list(
+              when(!col("boilerplate"),
+                struct(col("block_idx"), col("block_text"))))),
+            x => x.getField("block_text")), "\n").as("text_kept"))
+      raw.select(col("doc_id"),
+          graft.ops.UrlOps.canonicalize(col("u")).as("canonical"))
+        .join(verdict, "doc_id")
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("allowed"), col("canonical"),
+          coalesce(col("n_blocks"), lit(0L)).as("n_blocks"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+          coalesce(col("clean_chars"), lit(0L)).as("clean_chars"),
+          portableHash(coalesce(col("text_kept"), lit("")))
+            .as("text_hash"),
+          (col("allowed") && coalesce(col("clean_chars"), lit(0L)) > 0)
+            .as("kept"))
+        .orderBy("doc_id")
+    })
 
   // ---------------------------------------------------------------
   // URL canonicalization / registered domain / link graph
