@@ -336,6 +336,28 @@ object Similarity {
     topEigenDeflated(vecs, vec, dims, iters, deflate = Some(v1))
   }
 
+  /** Project each vector onto caller-supplied principal directions
+    * ([[topEigen]]/[[secondEigen]] e6 outputs): one scan, one
+    * codegen'd `graft_dot` per direction, coordinates in the same e6
+    * scale as the iterate's dq (the trajectory's exact integers —
+    * the twin replays them). Returns (id, c1_e6[, c2_e6, ...]).
+    */
+  def projectEigen(vecs: DataFrame, id: Column, vec: Column,
+      dirs: Seq[Array[Long]]): DataFrame = {
+    require(dirs.nonEmpty, "need at least one direction")
+    import graft.functions.NativeExpressions.dotLongNative
+    def sdiv(c: Column, by: Long): Column =
+      when(c < 0, -call_function("div", -c, lit(by)))
+        .otherwise(call_function("div", c, lit(by)))
+    val eq = transform(vec,
+      x => round(x.cast("double") * 1000, 0).cast("long"))
+    val cols = dirs.zipWithIndex.map { case (v, i) =>
+      sdiv(dotLongNative(eq, typedLit(v.toSeq)), 1000L)
+        .as(s"c${i + 1}_e6")
+    }
+    vecs.select(id.as("id") +: cols: _*)
+  }
+
   /** Exact-integer sign-split truncating division on the driver:
     * matches the column-side sdiv and DuckDB's sign-split `//`.
     */

@@ -1197,6 +1197,44 @@ object EmbQueries {
       Similarity.secondEigen(vecs, col("embedding"), v1, Dims,
           PcaIters)
         .orderBy("dim")
+    },
+
+    // 2-d eigenprojection (Similarity.projectEigen): every vector's
+    // coordinates along the two principal directions — the actual
+    // dimensionality-reduction payoff (plot axes, coarse index
+    // cells, drift axes). One scan, two codegen'd dots; the twin
+    // replays both unrolled trajectories and the same truncated dot.
+    QueryDef("emb_pca_project",
+      s"""WITH qe AS MATERIALIZED (SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+         |  AS eq FROM embeddings),
+         |v0 AS MATERIALIZED (SELECT list_transform(range(1, ${Dims + 1}),
+         |  j -> CAST(1000000 AS BIGINT)) AS v),
+         |${(1 to PcaIters).map(sqlPcaIter).mkString(",\n")},
+         |dn1 AS (SELECT list_sum(list_transform(v,
+         |    x -> CAST(x AS HUGEINT) * x)) AS den1 FROM v$PcaIters),
+         |w0 AS MATERIALIZED (SELECT list_transform(range(1, ${Dims + 1}),
+         |  j -> CAST(1000000 AS BIGINT)) AS v),
+         |${(1 to PcaIters).map(sqlPca2Iter).mkString(",\n")},
+         |p1 AS (SELECT vec_id, ${sqlPcaDq(s"v$PcaIters")} AS c1_e6
+         |  FROM qe, v$PcaIters),
+         |p2 AS (SELECT vec_id, ${sqlPcaDq(s"w$PcaIters")} AS c2_e6
+         |  FROM qe, w$PcaIters)
+         |SELECT p1.vec_id, p1.c1_e6, p2.c2_e6
+         |FROM p1 JOIN p2 USING (vec_id)
+         |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      val vecs = load(s, d, "embeddings")
+      val v1 = Similarity.topEigen(vecs, col("embedding"), Dims,
+          PcaIters)
+        .orderBy("dim").collect().map(_.getLong(1))
+      val v2 = Similarity.secondEigen(vecs, col("embedding"), v1,
+          Dims, PcaIters)
+        .orderBy("dim").collect().map(_.getLong(1))
+      Similarity.projectEigen(vecs, col("vec_id"), col("embedding"),
+          Seq(v1, v2))
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
     })
 
   /** Power-iteration rounds for emb_pca_top — few enough that the
