@@ -136,10 +136,14 @@ object TextOps {
   }
 
   /** Punctuation density: share of characters that are not
-    * alphanumeric or space.
+    * lowercase-alphanumeric or space. (Round 14 fix: the expression
+    * previously returned the ALNUM share — `length −
+    * len(symbols-only)` counts the kept characters, not the removed
+    * ones. Both engines computed the same inverted value, so the
+    * oracle never saw it; the name was simply wrong.)
     */
   def punctDensity(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[a-z0-9 ]", "")))
+    length(regexp_replace(text, "[a-z0-9 ]", ""))
       .cast("double") / nullif(length(text).cast("double"), lit(0.0d))
 
   /** Heuristic language ID: stopword-ratio thresholding (the n-gram
@@ -253,6 +257,96 @@ object TextOps {
     * of tokens taken by the most frequent token. Adds dup_2gram_frac,
     * dup_3gram_frac, top_token_frac. Scan-parallel.
     */
+  /** [[gopherFlags]] default thresholds — named so the oracle twins
+    * interpolate the SAME values (anti-drift by construction). Tuned
+    * to split on the synthetic corpus: words 30..80 fires ~14%,
+    * avg-len floor 4.3 chars ~7%, 3 distinct stopwords ~25%,
+    * TTR < 70% ~20%, dup-bigrams and punctuation stay rare-but-live.
+    */
+  val GopherMinWords = 30L
+  val GopherMaxWords = 80L
+  val GopherMinAvgLenMilli = 4300L
+  val GopherMaxAvgLenMilli = 10000L
+  val GopherMaxPunctPct = 8L
+  val GopherMinStopwords = 3L
+  val GopherMaxDup2Pct = 25L
+  val GopherMinTtrPct = 70L
+
+  /** Gopher-style composite quality gate (Rae et al. 2021's
+    * rule-filter family) with a REASON BITMASK — production curation
+    * needs to know WHY documents drop, per rule, not just how many.
+    * Every rule is EXACT-INTEGER (cross-multiplied thresholds, no
+    * float ratios), so the DuckDB twin replays bit-identically:
+    *
+    *   bit 1  word count outside [minWords, maxWords]
+    *   bit 2  mean word length outside the per-mille band
+   *          [minAvgLenMilli, maxAvgLenMilli] (threshold in
+   *          thousandths so a 4.3-char floor stays exact-integer)
+    *   bit 4  symbol share above maxPunctPct% of characters
+    *   bit 8  fewer than minStopwords distinct stopwords
+    *   bit 16 duplicate-bigram share above maxDup2Pct% (needs >= 2
+    *          words — a one-word doc carries no bigram evidence)
+    *   bit 32 type-token ratio below minTtrPct%
+    *
+    * Returns (id, n_words, f_words, f_avglen, f_punct, f_stop,
+    * f_dup2, f_ttr, reasons, kept). One scan, no shuffle.
+    */
+  def gopherFlags(df: DataFrame, id: Column, text: Column,
+      minWords: Long = GopherMinWords, maxWords: Long = GopherMaxWords,
+      minAvgLenMilli: Long = GopherMinAvgLenMilli,
+      maxAvgLenMilli: Long = GopherMaxAvgLenMilli,
+      maxPunctPct: Long = GopherMaxPunctPct,
+      minStopwords: Long = GopherMinStopwords,
+      maxDup2Pct: Long = GopherMaxDup2Pct,
+      minTtrPct: Long = GopherMinTtrPct): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords,
+      "need 0 <= minWords <= maxWords")
+    val sw = array(EnStopwords.map(lit): _*)
+    val base = df.select(id.as("id"), text.as("__t"),
+        tokens(text).as("__w"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("__chars", length(col("__t")).cast("long"))
+      .withColumn("__wlen", aggregate(col("__w"), lit(0L),
+        (a, t) => a + length(t).cast("long")))
+      .withColumn("__sym",
+        length(regexp_replace(col("__t"), "[a-z0-9 ]", "")).cast("long"))
+      .withColumn("__nsw", size(array_distinct(
+        filter(col("__w"), t => array_contains(sw, t)))).cast("long"))
+      .withColumn("__big", when(col("n_words") >= 2,
+          transform(sequence(lit(1), col("n_words") - 1),
+            i => concat(element_at(col("__w"), i.cast("int")),
+              lit(" "),
+              element_at(col("__w"), (i + 1).cast("int")))))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("__b2", size(col("__big")).cast("long"))
+      .withColumn("__b2d", size(array_distinct(col("__big"))).cast("long"))
+      .withColumn("__dist", size(array_distinct(col("__w"))).cast("long"))
+    base
+      .withColumn("f_words",
+        col("n_words") < minWords || col("n_words") > maxWords)
+      .withColumn("f_avglen",
+        col("__wlen") * 1000L < lit(minAvgLenMilli) * col("n_words") ||
+          col("__wlen") * 1000L > lit(maxAvgLenMilli) * col("n_words"))
+      .withColumn("f_punct",
+        col("__sym") * 100L > lit(maxPunctPct) * col("__chars"))
+      .withColumn("f_stop", col("__nsw") < minStopwords)
+      .withColumn("f_dup2", col("__b2") >= 1L &&
+        (col("__b2") - col("__b2d")) * 100L >
+          lit(maxDup2Pct) * col("__b2"))
+      .withColumn("f_ttr",
+        col("__dist") * 100L < lit(minTtrPct) * col("n_words"))
+      .withColumn("reasons",
+        when(col("f_words"), 1L).otherwise(0L) +
+          when(col("f_avglen"), 2L).otherwise(0L) +
+          when(col("f_punct"), 4L).otherwise(0L) +
+          when(col("f_stop"), 8L).otherwise(0L) +
+          when(col("f_dup2"), 16L).otherwise(0L) +
+          when(col("f_ttr"), 32L).otherwise(0L))
+      .withColumn("kept", col("reasons") === 0L)
+      .select("id", "n_words", "f_words", "f_avglen", "f_punct",
+        "f_stop", "f_dup2", "f_ttr", "reasons", "kept")
+  }
+
   /** Flesch-Kincaid grade level as a quality feature: word count
     * from the shared tokenizer, sentence count from
     * [[Sentences.sentencesOf]], syllables approximated as vowel

@@ -956,7 +956,7 @@ object TextQueries {
          |  CAST(len(list_filter(w, x -> list_contains(
          |    ${TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")}, x)))
          |    AS DOUBLE) / nullif(CAST(len(w) AS DOUBLE), 0.0) AS stopword_ratio,
-         |  CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+         |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
          |    AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0.0) AS punct_density,
          |  CAST(len(list_distinct(w)) AS DOUBLE)
          |    / nullif(CAST(len(w) AS DOUBLE), 0.0) AS type_token_ratio
@@ -4159,7 +4159,116 @@ object TextQueries {
           "link_chars", "link_density_ppm", "boilerplate")
         .orderBy("doc_id", "block_idx")
     }) ++ urlQueries ++ sentenceQueries ++ budgetQueries ++
-    warcQueries ++ crawlStage0Queries
+    warcQueries ++ crawlStage0Queries ++ gopherQueries
+
+  /** DuckDB twin of TextOps.gopherFlags over the sentence-structured
+    * fixture — every rule exact-integer with the same default
+    * constants, ending in CTE `gf` (doc_id, n_words, six flags,
+    * reasons, kept). Shared by both gopher queries.
+    */
+  private lazy val sqlGopherCtes: String = {
+    val sws = graft.ops.TextOps.EnStopwords
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""gst AS (SELECT doc_id, $sqlSentSynth AS t FROM documents),
+       |gtk AS (SELECT doc_id, t, list_filter(regexp_split_to_array(
+       |  lower(t), '[^a-z0-9]+'), x -> x <> '') AS w FROM gst),
+       |gm AS (SELECT doc_id,
+       |  CAST(len(w) AS BIGINT) AS n_words,
+       |  CAST(length(t) AS BIGINT) AS chars,
+       |  CAST(coalesce(list_sum(list_transform(w,
+       |    x -> length(x))), 0) AS BIGINT) AS wlen,
+       |  CAST(length(regexp_replace(t, '[a-z0-9 ]', '', 'g'))
+       |    AS BIGINT) AS sym,
+       |  CAST(len(list_distinct(list_filter(w,
+       |    x -> list_contains($sws, x)))) AS BIGINT) AS nsw,
+       |  list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i + 1]) AS big,
+       |  CAST(len(list_distinct(w)) AS BIGINT) AS dist
+       |  FROM gtk),
+       |gb AS (SELECT *, CAST(len(big) AS BIGINT) AS b2,
+       |  CAST(len(list_distinct(big)) AS BIGINT) AS b2d FROM gm),
+       |gfl AS (SELECT doc_id, n_words,
+       |  n_words < ${TextOps.GopherMinWords}
+       |    OR n_words > ${TextOps.GopherMaxWords} AS f_words,
+       |  wlen * 1000 < ${TextOps.GopherMinAvgLenMilli} * n_words
+       |    OR wlen * 1000 > ${TextOps.GopherMaxAvgLenMilli} * n_words
+       |    AS f_avglen,
+       |  sym * 100 > ${TextOps.GopherMaxPunctPct} * chars AS f_punct,
+       |  nsw < ${TextOps.GopherMinStopwords} AS f_stop,
+       |  b2 >= 1 AND (b2 - b2d) * 100 > ${TextOps.GopherMaxDup2Pct} * b2
+       |    AS f_dup2,
+       |  dist * 100 < ${TextOps.GopherMinTtrPct} * n_words AS f_ttr
+       |  FROM gb),
+       |gf AS (SELECT doc_id, n_words, f_words, f_avglen, f_punct,
+       |  f_stop, f_dup2, f_ttr,
+       |  CAST(CASE WHEN f_words THEN 1 ELSE 0 END
+       |    + CASE WHEN f_avglen THEN 2 ELSE 0 END
+       |    + CASE WHEN f_punct THEN 4 ELSE 0 END
+       |    + CASE WHEN f_stop THEN 8 ELSE 0 END
+       |    + CASE WHEN f_dup2 THEN 16 ELSE 0 END
+       |    + CASE WHEN f_ttr THEN 32 ELSE 0 END AS BIGINT) AS reasons,
+       |  NOT (f_words OR f_avglen OR f_punct OR f_stop OR f_dup2
+       |    OR f_ttr) AS kept
+       |  FROM gfl)""".stripMargin
+  }
+
+  private def gopherFlagsOf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    TextOps.gopherFlags(
+      load(s, d, "documents").withColumn("stext", sentPayload),
+      col("doc_id"), col("stext"))
+
+  private def gopherQueries: Seq[QueryDef] = Seq(
+
+    // Gopher-rule composite gate (TextOps.gopherFlags): six
+    // exact-integer rules over the sentence-structured fixture, each
+    // verdict carrying its reason bitmask — the per-document WHY a
+    // curation report needs. Zero shuffles before the output sort.
+    QueryDef("doc_gopher_gate",
+      s"""WITH $sqlGopherCtes
+         |SELECT doc_id, n_words, f_words, f_avglen, f_punct, f_stop,
+         |  f_dup2, f_ttr, reasons, kept
+         |FROM gf ORDER BY doc_id""".stripMargin) { (s, d) =>
+      gopherFlagsOf(s, d).withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Per-rule rejection census: how many documents each rule fires
+    // on (independently — a doc can fail several), plus the pass
+    // count. One map-side-combined aggregation to a 7-row table.
+    QueryDef("doc_gopher_stats",
+      s"""WITH $sqlGopherCtes
+         |SELECT rule, n_docs FROM (
+         |  SELECT 'f_words' AS rule, CAST(count(*) FILTER (
+         |    WHERE f_words) AS BIGINT) AS n_docs FROM gf
+         |  UNION ALL SELECT 'f_avglen', CAST(count(*) FILTER (
+         |    WHERE f_avglen) AS BIGINT) FROM gf
+         |  UNION ALL SELECT 'f_punct', CAST(count(*) FILTER (
+         |    WHERE f_punct) AS BIGINT) FROM gf
+         |  UNION ALL SELECT 'f_stop', CAST(count(*) FILTER (
+         |    WHERE f_stop) AS BIGINT) FROM gf
+         |  UNION ALL SELECT 'f_dup2', CAST(count(*) FILTER (
+         |    WHERE f_dup2) AS BIGINT) FROM gf
+         |  UNION ALL SELECT 'f_ttr', CAST(count(*) FILTER (
+         |    WHERE f_ttr) AS BIGINT) FROM gf
+         |  UNION ALL SELECT 'kept', CAST(count(*) FILTER (
+         |    WHERE kept) AS BIGINT) FROM gf)
+         |ORDER BY rule""".stripMargin) { (s, d) =>
+      val f = gopherFlagsOf(s, d)
+      val agg = f.agg(
+        sum(when(col("f_words"), 1L).otherwise(0L)).as("f_words"),
+        sum(when(col("f_avglen"), 1L).otherwise(0L)).as("f_avglen"),
+        sum(when(col("f_punct"), 1L).otherwise(0L)).as("f_punct"),
+        sum(when(col("f_stop"), 1L).otherwise(0L)).as("f_stop"),
+        sum(when(col("f_dup2"), 1L).otherwise(0L)).as("f_dup2"),
+        sum(when(col("f_ttr"), 1L).otherwise(0L)).as("f_ttr"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept"))
+      agg.select(explode(array(
+          agg.columns.map(c => struct(lit(c).as("rule"),
+            col(c).as("n_docs"))): _*)).as("r"))
+        .select(col("r.rule"), col("r.n_docs"))
+        .orderBy("rule")
+    })
 
   /** WARC shard geometry for the roundtrip fixtures (5 shards at the
     * 500-doc scales).
