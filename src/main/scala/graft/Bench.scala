@@ -89,6 +89,37 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Decode-shaped canary: a fixed javax.imageio workload (64
+    * decodes of one in-memory 256×256 PNG + a bulk raster fetch
+    * each), zero data dependence — prices the HOST WINDOW for the
+    * allocation/ImageIO mix the mm_* family rides. The r14 window
+    * showed why the CPU canary alone cannot adjudicate media rows:
+    * it ran FASTER in a window where mm rows ran 2.3–2.6× slower.
+    * Sampled at the same bracket points as [[canaryOnce]]; the
+    * artifact carries a per-query media canary so a reader can
+    * separate decode-window drift from a code regression.
+    */
+  private lazy val mediaCanaryBytes: Array[Byte] =
+    graft.ops.ImageCodec.encodePng(256, 256,
+      (x, y) => ((x * 31 + y * 17) & 0xff) * 0x010101)
+
+  private def mediaCanaryOnce(): Double = {
+    val bytes = mediaCanaryBytes
+    val t0 = System.nanoTime()
+    var i = 0
+    var sink = 0L
+    while (i < 64) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val px = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
+        img.getWidth)
+      sink += px(i * 7 % px.length)
+      i += 1
+    }
+    if (sink == Long.MinValue) println("") // keep the loop live
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q3_shipping_topk,emb_ivf_knn
@@ -160,7 +191,10 @@ object Bench {
     // the run-level median (a single noisy window used to manufacture
     // fake multi-x "regressions" on unchanged queries)
     canaryOnce(spark)
+    mediaCanaryOnce()
     val canaries = scala.collection.mutable.ArrayBuffer(canaryOnce(spark))
+    val mediaCanaries =
+      scala.collection.mutable.ArrayBuffer(mediaCanaryOnce())
     val noRetry = sys.env.contains("SPARK_GRAFT_BENCH_NORETRY")
     val batches = selected.grouped(BatchSize).toSeq
     batches.foreach { batch =>
@@ -176,6 +210,7 @@ object Bench {
         sample = math.min(sample, canaryOnce(spark))
       }
       canaries += sample
+      mediaCanaries += mediaCanaryOnce()
     }
     val results = selected.map(n => n -> times(n))
     // per-query neighborhood canary: the mean of the two samples
@@ -216,10 +251,21 @@ object Bench {
       .mkString("{", ",", "}")
     val canaryJson =
       s"""{"med":$canMed,"min":${canSorted.head},"max":${canSorted.last},"n":${canSorted.size}}"""
+    // the decode-shaped twin: per-query media canary samples price
+    // the javax.imageio/allocation mix for each query's window — the
+    // adjudication unit for mm_* rows that the CPU canary cannot see
+    val mediaOf = perQueryCanary(selected, mediaCanaries.toSeq)
+    val medSorted = mediaCanaries.toSeq.sorted
+    val medMed = medSorted(medSorted.size / 2)
+    val mediaQs = results.map { case (k, _) =>
+      "\"" + k + "\":" + mediaOf.getOrElse(k, medMed) }
+      .mkString("{", ",", "}")
+    val mediaJson =
+      s"""{"med":$medMed,"min":${medSorted.head},"max":${medSorted.last},"n":${medSorted.size}}"""
     val sfBase = new java.io.File(sfDir).getName
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"BENCH_LOCAL_$sfBase.json")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_norm":$normQs,"canary_q":$canQs,"canary":$canaryJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size}}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_norm":$normQs,"canary_q":$canQs,"canary":$canaryJson,"canary_media_q":$mediaQs,"canary_media":$mediaJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       fullLine + "\n")
     catch { case e: Throwable =>

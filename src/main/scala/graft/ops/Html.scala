@@ -48,10 +48,16 @@ object Html {
   /** Anchor element WITH an href attribute: group 1 is the href
     * value (double-quoted), group 2 the anchor text — the crawl
     * frontier / link-graph extractor. Non-greedy attribute scan, no
-    * lookahead (RE2 twin-compat).
+    * lookahead (RE2 twin-compat). The attribute name is anchored at
+    * a whitespace boundary (`(?:[^>]*?[ \t\n])?href=`), so an
+    * attribute merely ENDING in "href" (`data-href="/x"`) is not a
+    * link (round-15 fix). Documented limitation: single-quoted and
+    * unquoted href values are skipped — RE2 has no backreferences,
+    * and a second quote style would break the 1=href/2=text group
+    * contract the index-aligned double extract depends on.
     */
-  val AnchorHrefRe = "(?is)<a[ \\t\\n][^>]*?href=\"([^\"]*)\"" +
-    "[^>]*>(.*?)</a>"
+  val AnchorHrefRe = "(?is)<a[ \\t\\n](?:[^>]*?[ \\t\\n])?" +
+    "href=\"([^\"]*)\"[^>]*>(.*?)</a>"
 
   /** Block-level boundary tags (open or close): splitting on these
     * yields the visual text blocks of the page. Non-capturing so the

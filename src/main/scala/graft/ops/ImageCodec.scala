@@ -183,16 +183,14 @@ object ImageCodec {
           img.getWidth.toLong * img.getHeight > maxPixels) None
       else {
         val w = img.getWidth; val h = img.getHeight
-        val out = new Array[Int](w * h)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            out(y * w + x) = img.getRGB(x, y) & 0xffffff
-            x += 1
-          }
-          y += 1
-        }
+        // Bulk row fetch: one getRGB(0,0,w,h,...) call converts the
+        // whole raster in the library's batched path instead of one
+        // colorspace conversion call PER PIXEL — the constant every
+        // image and every AVI frame used to pay (r14 verdict: the
+        // largest sf1 bench row rode this loop).
+        val out = img.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < out.length) { out(i) &= 0xffffff; i += 1 }
         Some(PixelImage(w, h, out))
       }
     } catch { case _: Exception => None }

@@ -764,14 +764,30 @@ object PipelineOps {
       return base.select(col("stratum"), col("w"), col("cap"),
         col("cap").as("alloc"), lit(true).as("capped"))
     // ratio sort: stratum-domain rows, so the unpartitioned windows
-    // are bounded (same rationale as the O(buckets) priced tables)
-    val ord = Window.orderBy(col("cap").cast("double") / col("w"),
-      col("stratum"))
+    // are bounded (same rationale as the O(buckets) priced tables).
+    // The ordinal is EXACT — rank by pairwise cross-multiplication
+    // (c2·w1 vs c1·w2 in decimal(38,0); products of two longs top
+    // out at ~8.5e37, inside the 38-digit ceiling) rather than a
+    // double division, which collapses ratios differing only beyond
+    // 2^53 and would misplace the capped-prefix boundary. The
+    // self-join is a broadcast nested loop over the bounded stratum
+    // frame — the same O(k)-side rationale as the ANN allowlist.
+    val rhs = base.select(col("stratum").as("__s2"),
+      col("w").cast(dec).as("__w2"), col("cap").cast(dec).as("__c2"))
+    val ahead = col("__c2") * col("w").cast(dec) <
+      col("cap").cast(dec) * col("__w2") ||
+      (col("__c2") * col("w").cast(dec) ===
+        col("cap").cast(dec) * col("__w2") &&
+        col("__s2") < col("stratum"))
+    val ranked = base.join(rhs, ahead, "left")
+      .groupBy(col("stratum"), col("w"), col("cap"))
+      .agg(count(col("__s2")).as("__ord"))
+    val ord = Window.orderBy(col("__ord"))
     val run = ord.rowsBetween(Window.unboundedPreceding,
       Window.currentRow)
     val all = ord.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
-    val rows = base
+    val rows = ranked
       .withColumn("capped",
         col("cap").cast(dec) * (lit(wTot) - sum(col("w")).over(run))
             .cast(dec) <=

@@ -319,7 +319,7 @@ object Similarity {
     */
   def topEigen(vecs: DataFrame, vec: Column, dims: Int,
       iters: Int): DataFrame = topEigenDeflated(vecs, vec, dims, iters,
-    deflate = None)
+    deflate = Nil)
 
   /** Second principal direction: [[topEigen]]'s iteration with the
     * ITERATE Gram-Schmidt-deflated against `v1` after every round
@@ -333,7 +333,31 @@ object Similarity {
       dims: Int, iters: Int): DataFrame = {
     require(v1.length == dims, s"v1 has ${v1.length} dims, need $dims")
     require(v1.exists(_ != 0L), "v1 must be non-zero")
-    topEigenDeflated(vecs, vec, dims, iters, deflate = Some(v1))
+    topEigenDeflated(vecs, vec, dims, iters, deflate = Seq(v1))
+  }
+
+  /** Top-k principal directions via iterated deflation: component j
+    * runs [[topEigen]]'s power iteration with the iterate
+    * Gram-Schmidt-deflated against components 1..j−1 after every
+    * round (the [[secondEigen]] mechanics, generalized to a
+    * deflation LIST applied in order — for k=2 the trajectory is
+    * bit-identical to topEigen + secondEigen). Driver traffic stays
+    * O(k·dims) total; the data is scanned k·iters times. Returns one
+    * row per (comp 1-based, dim 1-based) with v_e6 and the
+    * component's Rayleigh λ_e6 / share_ppm replicated across its
+    * dims.
+    */
+  def topEigenK(vecs: DataFrame, vec: Column, dims: Int, iters: Int,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= dims, s"need 1 <= k <= dims, got k=$k")
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    val frames = (1 to k).map { comp =>
+      val df = topEigenDeflated(vecs, vec, dims, iters, dirs.toSeq)
+      dirs += df.orderBy("dim").collect().map(_.getLong(1))
+      df.withColumn("comp", lit(comp.toLong))
+    }
+    frames.reduce(_ unionByName _)
+      .select("comp", "dim", "v_e6", "lambda_e6", "share_ppm")
   }
 
   /** Project each vector onto caller-supplied principal directions
@@ -358,6 +382,66 @@ object Similarity {
     vecs.select(id.as("id") +: cols: _*)
   }
 
+  /** Exact floor division as a column (both engines agree: DuckDB's
+    * integer `//` floors; Spark's `div` truncates, so shift by the
+    * non-negative pmod first) — the PCA grid-cell key.
+    */
+  private def floorDivCol(a: Column, b: Long): Column =
+    call_function("div", a - pmod(a, lit(b)), lit(b))
+
+  /** Candidate pairs for the PCA-grid ANN tier: corpus and queries
+    * are keyed by their floor(c/grid) cell in the 2-d PCA projection
+    * ([[projectEigen]] output), and each query probes its 3×3 cell
+    * neighborhood. The probe explodes the QUERY side ×9 and
+    * equi-joins on the cell key — the corpus is scanned once and
+    * shuffled/broadcast on (g1, g2), never a cross join, so the
+    * shape survives an arbitrary corpus (the IVF cell-pruning story
+    * with a data-independent index). Inputs carry (id, c1_e6,
+    * c2_e6); returns (q_id, c_id) candidate pairs (self excluded).
+    */
+  def pcaGridCandidates(queries: DataFrame, corpus: DataFrame,
+      grid: Long): DataFrame = {
+    require(grid > 0, s"need grid > 0, got $grid")
+    val c = corpus.select(col("id").as("c_id"),
+      floorDivCol(col("c1_e6"), grid).as("g1"),
+      floorDivCol(col("c2_e6"), grid).as("g2"))
+    val offs = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    val q = queries.select(col("id").as("q_id"),
+        floorDivCol(col("c1_e6"), grid).as("qg1"),
+        floorDivCol(col("c2_e6"), grid).as("qg2"))
+      .withColumn("__o", explode(offs))
+      .select(col("q_id"),
+        (col("qg1") + col("__o.dx")).as("g1"),
+        (col("qg2") + col("__o.dy")).as("g2"))
+    c.join(broadcast(q), Seq("g1", "g2"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"))
+  }
+
+  /** ANN top-k through the PCA grid: [[pcaGridCandidates]] generates
+    * the shortlist in projected space, the rank is the EXACT
+    * full-dimension integer cosine (the ADC-shortlist → exact
+    * re-rank discipline the PQ/SQ8 tiers use). `queries`/`corpus`
+    * carry (id, vec, c1_e6, c2_e6) with vec quantized. Returns
+    * (q_id, c_id, rank, sim).
+    */
+  def knnPcaGrid(queries: DataFrame, corpus: DataFrame, grid: Long,
+      k: Int): DataFrame = {
+    val cand = pcaGridCandidates(queries, corpus, grid)
+    val scored = cand
+      .join(queries.select(col("id").as("q_id"), col("vec").as("q_vec")),
+        "q_id")
+      .join(corpus.select(col("id").as("c_id"), col("vec").as("c_vec")),
+        "c_id")
+      .withColumn("sim", cosineI(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Exact-integer sign-split truncating division on the driver:
     * matches the column-side sdiv and DuckDB's sign-split `//`.
     */
@@ -365,7 +449,7 @@ object Similarity {
     (a.abs / b) * a.signum
 
   private def topEigenDeflated(vecs: DataFrame, vec: Column, dims: Int,
-      iters: Int, deflate: Option[Array[Long]]): DataFrame = {
+      iters: Int, deflate: Seq[Array[Long]]): DataFrame = {
     require(dims > 0, s"need dims > 0, got $dims")
     require(iters >= 1, s"need iters >= 1, got $iters")
     import graft.functions.NativeExpressions.dotLongNative
@@ -382,15 +466,16 @@ object Similarity {
           .otherwise(call_function("div", c, lit(by)))
       def dqOf(v: Array[Long]): Column =
         sdiv(dotLongNative(col("eq"), typedLit(v.toSeq)), 1000L)
-      val den1 = deflate.map(v1 =>
-        v1.map(x => BigInt(x) * BigInt(x)).sum)
-      def deflated(y: Array[BigInt]): Array[BigInt] = deflate match {
-        case None => y
-        case Some(v1) =>
-          val proj = y.zip(v1).map { case (a, b) => a * b }.sum
-          y.zip(v1).map { case (a, b) =>
-            a - sdivBig(proj * b, den1.get) }
-      }
+      // deflation vectors applied IN ORDER (sequential Gram-Schmidt
+      // — for a single vector this is byte-identical to the old
+      // secondEigen path, so the committed twin trajectories hold)
+      val dens = deflate.map(v1 => v1.map(x => BigInt(x) * BigInt(x)).sum)
+      def deflated(y: Array[BigInt]): Array[BigInt] =
+        deflate.zip(dens).foldLeft(y) { case (acc, (v1, den1)) =>
+          val proj = acc.zip(v1).map { case (a, b) => a * b }.sum
+          acc.zip(v1).map { case (a, b) =>
+            a - sdivBig(proj * b, den1) }
+        }
       var v = Array.fill(dims)(1000000L)
       for (_ <- 1 to iters) {
         val y = base.withColumn("__dq", dqOf(v))

@@ -136,14 +136,17 @@ object TextOps {
   }
 
   /** Punctuation density: share of characters that are not
-    * lowercase-alphanumeric or space. (Round 14 fix: the expression
+    * alphanumeric or whitespace. (Round 14 fix: the expression
     * previously returned the ALNUM share — `length −
     * len(symbols-only)` counts the kept characters, not the removed
-    * ones. Both engines computed the same inverted value, so the
-    * oracle never saw it; the name was simply wrong.)
+    * ones. Round 15 fix: the keep-class was `[a-z0-9 ]` over
+    * NON-lowercased text, so capitals, tabs and newlines counted as
+    * symbols — ordinary mixed-case prose then tripped punctuation
+    * gates and ALL-CAPS docs were always rejected. Both engines
+    * shared each bug, so the oracle never saw either.)
     */
   def punctDensity(text: Column): Column =
-    length(regexp_replace(text, "[a-z0-9 ]", ""))
+    length(regexp_replace(text, "[a-zA-Z0-9 \\t\\n]", ""))
       .cast("double") / nullif(length(text).cast("double"), lit(0.0d))
 
   /** Heuristic language ID: stopword-ratio thresholding (the n-gram
@@ -309,7 +312,8 @@ object TextOps {
       .withColumn("__wlen", aggregate(col("__w"), lit(0L),
         (a, t) => a + length(t).cast("long")))
       .withColumn("__sym",
-        length(regexp_replace(col("__t"), "[a-z0-9 ]", "")).cast("long"))
+        length(regexp_replace(col("__t"), "[a-zA-Z0-9 \\t\\n]", ""))
+          .cast("long"))
       .withColumn("__nsw", size(array_distinct(
         filter(col("__w"), t => array_contains(sw, t)))).cast("long"))
       .withColumn("__big", when(col("n_words") >= 2,

@@ -183,10 +183,20 @@ object UrlOps {
   /** Evaluate crawlability of (host, path) pairs against a
     * [[robotsRules]] table for `agent`: the RFC 9309 longest-match
     * rule — the applicable group is the agent's own if the host has
-    * one, else `*`; among that group's rules whose prefix is a
-    * string prefix of the path, the LONGEST wins, Allow winning
-    * length ties; no matching rule (or no rules at all for the
-    * host) means allowed.
+    * one, else `*`; among that group's rules matching the path, the
+    * most specific (longest rule value, RFC 9309 §2.2.2 "most
+    * octets") wins, Allow winning ties; no matching rule (or no
+    * rules at all for the host) means allowed.
+    *
+    * Rule values support the two RFC 9309 §2.2.3 metacharacters:
+    * `*` matches any character sequence and a TRAILING `$` anchors
+    * the match at the end of the path (a `$` anywhere else is a
+    * literal, matching the Google parser's behavior). Plain values
+    * keep the codegen'd `startsWith` fast path; only rules that
+    * actually carry a metacharacter pay the per-row regex (built
+    * RE2-safe so the DuckDB twin evaluates the identical pattern).
+    * Specificity counts the rule value as written, wildcards
+    * included, on both engines.
     *
     * Input `urls` must carry columns `host` and `path`; all its
     * columns pass through plus a boolean `allowed`. Shape: two
@@ -211,9 +221,24 @@ object UrlOps {
         col("agent") === a).otherwise(col("agent") === "*"))
       .select(col("host"), col("allow"), col("prefix"))
     val key = urls.columns.map(col)
+    // RFC 9309 §2.2.3 metacharacters: a trailing `$` anchors at
+    // path end, `*` matches any run. The rule value is translated
+    // to an anchored RE2-safe regex (escape everything except `*`,
+    // then `*` → `.*`); values without metacharacters stay on the
+    // codegen'd startsWith path and never touch the regex branch.
+    val anchored = col("prefix").endsWith("$")
+    val body = when(anchored,
+      expr("substring(prefix, 1, length(prefix) - 1)"))
+      .otherwise(col("prefix"))
+    val escaped = regexp_replace(body,
+      "([\\\\^$.|?+()\\[\\]{}])", "\\\\$1")
+    val rx = concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
     val matched = urls.join(applicable, Seq("host"), "left")
       .withColumn("__hit", col("prefix").isNotNull &&
-        col("path").startsWith(col("prefix")))
+        when(col("prefix").contains("*") || anchored,
+            regexp_like(col("path"), rx))
+          .otherwise(col("path").startsWith(col("prefix"))))
       // packed verdict rank: longer prefix beats shorter, allow
       // beats disallow at equal length; NULL when the rule misses
       .withColumn("__rank", when(col("__hit"),

@@ -39,6 +39,20 @@ object WarcShards {
 
   private[ops] def record(tpe: String, recordId: String, uri: String,
       contentType: String, payload: Array[Byte]): Array[Byte] = {
+    // The header block is US-ASCII; getBytes(US_ASCII) would
+    // SILENTLY replace non-ASCII with '?' (corrupting the URI with
+    // no error) and a CR/LF inside the value would break record
+    // framing. Same-rows → same-bytes means both must fail loudly,
+    // like the id-range check: a real crawler percent-encodes
+    // upstream.
+    var i = 0
+    while (i < uri.length) {
+      val c = uri.charAt(i)
+      require(c >= 0x21 && c <= 0x7e,
+        s"WARC-Target-URI must be visible US-ASCII (percent-encode " +
+          s"upstream); got char 0x${c.toInt.toHexString} at $i in: $uri")
+      i += 1
+    }
     val sb = new StringBuilder
     sb.append("WARC/1.0").append(CRLF)
     sb.append("WARC-Type: ").append(tpe).append(CRLF)

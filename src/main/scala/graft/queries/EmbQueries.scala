@@ -1221,7 +1221,8 @@ object EmbQueries {
          |  FROM qe, v$PcaIters),
          |p2 AS (SELECT vec_id, ${sqlPcaDq(s"w$PcaIters")} AS c2_e6
          |  FROM qe, w$PcaIters)
-         |SELECT p1.vec_id, p1.c1_e6, p2.c2_e6
+         |SELECT p1.vec_id, CAST(p1.c1_e6 AS BIGINT) AS c1_e6,
+         |  CAST(p2.c2_e6 AS BIGINT) AS c2_e6
          |FROM p1 JOIN p2 USING (vec_id)
          |ORDER BY vec_id""".stripMargin) { (s, d) =>
       val vecs = load(s, d, "embeddings")

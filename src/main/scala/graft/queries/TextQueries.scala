@@ -956,7 +956,7 @@ object TextQueries {
          |  CAST(len(list_filter(w, x -> list_contains(
          |    ${TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")}, x)))
          |    AS DOUBLE) / nullif(CAST(len(w) AS DOUBLE), 0.0) AS stopword_ratio,
-         |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+         |  CAST(length(regexp_replace(text, '[a-zA-Z0-9 \\t\\n]', '', 'g'))
          |    AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0.0) AS punct_density,
          |  CAST(len(list_distinct(w)) AS DOUBLE)
          |    / nullif(CAST(len(w) AS DOUBLE), 0.0) AS type_token_ratio
@@ -4177,7 +4177,7 @@ object TextQueries {
        |  CAST(length(t) AS BIGINT) AS chars,
        |  CAST(coalesce(list_sum(list_transform(w,
        |    x -> length(x))), 0) AS BIGINT) AS wlen,
-       |  CAST(length(regexp_replace(t, '[a-z0-9 ]', '', 'g'))
+       |  CAST(length(regexp_replace(t, '[a-zA-Z0-9 \\t\\n]', '', 'g'))
        |    AS BIGINT) AS sym,
        |  CAST(len(list_distinct(list_filter(w,
        |    x -> list_contains($sws, x)))) AS BIGINT) AS nsw,
@@ -4395,7 +4395,7 @@ object TextQueries {
          |    THEN r.agent = 'graftbot' ELSE r.agent = '*' END),
          |vm AS (SELECT u.doc_id,
          |  CASE WHEN a.prefix IS NOT NULL
-         |      AND starts_with(u.path, a.prefix)
+         |      AND (${sqlRobotsHit("u.path", "a.prefix")})
          |    THEN length(a.prefix) * 2
          |      + CASE WHEN a.allow THEN 1 ELSE 0 END END AS rnk
          |  FROM urls u LEFT JOIN app a USING (host)),
@@ -4791,7 +4791,7 @@ object TextQueries {
          |    THEN r.agent = 'graftbot' ELSE r.agent = '*' END),
          |m AS (SELECT u.doc_id, u.host, u.path,
          |  CASE WHEN a.prefix IS NOT NULL
-         |      AND starts_with(u.path, a.prefix)
+         |      AND (${sqlRobotsHit("u.path", "a.prefix")})
          |    THEN length(a.prefix) * 2
          |      + CASE WHEN a.allow THEN 1 ELSE 0 END END AS rnk
          |  FROM urls u LEFT JOIN app a USING (host))
@@ -4843,24 +4843,51 @@ object TextQueries {
       .stripMargin
 
   /** Per-source robots.txt body over a `source` column — see
-    * doc_robots_gate's comment for what each line exercises. Same
-    * concat both sides (the twin uses chr(10) for the newlines).
+    * doc_robots_gate's comment for what each line exercises. Both
+    * groups carry an RFC 9309 §2.2.3 wildcard pair (`Disallow:
+    * /articles/N*` plus an `Allow: /articles/NN$` end-anchored
+    * rescue — the `$` rule misses the trailing-slash variants the
+    * doc_id%9 rows produce). Same concat both sides (the twin uses
+    * chr(10) for the newlines).
     */
   private def robotsPayload: org.apache.spark.sql.Column = concat(
     lit("User-agent: *\nDisallow: /articles/1\nAllow: /articles/12\n" +
+      "Disallow: /articles/4*\nAllow: /articles/44$\n" +
       "Crawl-delay: 5"),
     when(pmod(srcIdx, lit(2L)) === 0,
       lit("\nUser-agent: graftbot\nDisallow: /articles/2\n" +
-        "Allow: /articles/23\nDisallow:")).otherwise(lit("")))
+        "Allow: /articles/23\nDisallow: /articles/3*\n" +
+        "Allow: /articles/33$\nDisallow:")).otherwise(lit("")))
 
   private lazy val sqlRobotsSynth: String =
     "'User-agent: *' || chr(10) || 'Disallow: /articles/1' || " +
       "chr(10) || 'Allow: /articles/12' || chr(10) || " +
+      "'Disallow: /articles/4*' || chr(10) || " +
+      "'Allow: /articles/44$' || chr(10) || " +
       "'Crawl-delay: 5' || CASE WHEN " +
       "CAST(substring(source, 4) AS BIGINT) % 2 = 0 THEN chr(10) || " +
       "'User-agent: graftbot' || chr(10) || 'Disallow: /articles/2' " +
-      "|| chr(10) || 'Allow: /articles/23' || chr(10) || 'Disallow:' " +
+      "|| chr(10) || 'Allow: /articles/23' || chr(10) || " +
+      "'Disallow: /articles/3*' || chr(10) || " +
+      "'Allow: /articles/33$' || chr(10) || 'Disallow:' " +
       "ELSE '' END"
+
+  /** DuckDB twin of [[graft.ops.UrlOps.robotsVerdict]]'s per-rule
+    * path match: plain values prefix-match, a value carrying `*` or
+    * a trailing `$` is translated to the identical anchored RE2
+    * (escape all metacharacters except `*`, `*` → `.*`, trailing
+    * `$` → end anchor).
+    */
+  private def sqlRobotsHit(path: String, prefix: String): String =
+    s"""CASE WHEN $prefix LIKE '%*%' OR $prefix LIKE '%$$'
+       |  THEN regexp_matches($path, '^' || replace(regexp_replace(
+       |      CASE WHEN $prefix LIKE '%$$'
+       |        THEN substring($prefix, 1, length($prefix) - 1)
+       |        ELSE $prefix END,
+       |      '([\\\\^$$.|?+()\\[\\]{}])', '\\\\\\1', 'g'),
+       |    '*', '.*') ||
+       |    CASE WHEN $prefix LIKE '%$$' THEN '$$' ELSE '' END)
+       |  ELSE starts_with($path, $prefix) END""".stripMargin
 
   // ---------------------------------------------------------------
   // Sentence segmentation + sentence-level (CCNet-style) dedup
@@ -5110,10 +5137,16 @@ object TextQueries {
         |    AS cap FROM tok),
         |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt,
         |  CAST((sum(w) * 7) // 10 AS BIGINT) AS b FROM s),
-        |o AS (SELECT s.*, t.wt, t.b,
+        |so AS (SELECT s1.*, (SELECT count(*) FROM s s2
+        |    WHERE CAST(s2.cap AS HUGEINT) * s1.w
+        |        < CAST(s1.cap AS HUGEINT) * s2.w
+        |      OR (CAST(s2.cap AS HUGEINT) * s1.w
+        |          = CAST(s1.cap AS HUGEINT) * s2.w
+        |        AND s2.stratum < s1.stratum)) AS ordn FROM s s1),
+        |o AS (SELECT so.*, t.wt, t.b,
         |  sum(w) OVER rw AS cumw, sum(cap) OVER rw AS cumc
-        |  FROM s, t
-        |  WINDOW rw AS (ORDER BY CAST(cap AS DOUBLE) / w, stratum
+        |  FROM so, t
+        |  WINDOW rw AS (ORDER BY ordn
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |c AS (SELECT *, CAST(cap AS HUGEINT) * (wt - cumw)
         |    <= CAST(w AS HUGEINT) * (b - cumc) AS capped FROM o),

@@ -48,8 +48,10 @@ class PlanGateSpec extends SparkSpec {
     "doc_syndication_suspects" -> SinglePart,
     // waterfill windows run over the STRATUM-domain frame (one row
     // per mixture source, O(sources) bounded) — the corpus-sized
-    // scan is already reduced by a map-side-combined agg upstream
-    "doc_token_budget" -> SinglePart)
+    // scan is already reduced by a map-side-combined agg upstream;
+    // the exact cross-multiplied ratio rank (r15) self-joins that
+    // same bounded frame, so its nested loop is O(sources)²
+    "doc_token_budget" -> (SinglePart ++ Bnlj))
 
   private def auditAt(names: Seq[String], dir: String): Seq[String] = {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]

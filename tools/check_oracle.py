@@ -12,18 +12,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm_cell(v):
+    # Type-SENSITIVE normalization: the driver hashes the typed arrow
+    # cell, so a DuckDB DECIMAL/HUGEINT against a Spark BIGINT must
+    # FAIL here too (r14 lesson: floating Decimals masked exactly
+    # that class on emb_pca_project). Each scalar carries a coarse
+    # type tag; equal values of different families compare unequal.
     import math, decimal, datetime
     import numpy as np
+    if isinstance(v, np.bool_): v = bool(v)
     if isinstance(v, (np.integer,)): v = int(v)
     if isinstance(v, (np.floating,)): v = float(v)
-    if isinstance(v, np.bool_): v = bool(v)
-    if isinstance(v, decimal.Decimal): v = float(v)
-    if isinstance(v, float) and math.isnan(v): return "NaN"
+    if v is None: return None
+    if isinstance(v, bool): return ("b", v)
+    if isinstance(v, decimal.Decimal): return ("dec", str(v))
+    if isinstance(v, float):
+        return ("f", "NaN" if math.isnan(v) else v)
+    if isinstance(v, int): return ("i", v)
     if isinstance(v, (np.ndarray, list, tuple)):
         return tuple(norm_cell(x) for x in v)
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return str(v)
-    if isinstance(v, bytes): return v.hex()
+        return ("t", str(v))
+    if isinstance(v, bytes): return ("x", v.hex())
     return v
 
 def rows_of(cols, data):
