@@ -382,12 +382,14 @@ object Similarity {
     vecs.select(id.as("id") +: cols: _*)
   }
 
-  /** Exact floor division as a column (both engines agree: DuckDB's
-    * integer `//` floors; Spark's `div` truncates, so shift by the
-    * non-negative pmod first) — the PCA grid-cell key.
+  /** Truncating integer division as the PCA grid-cell key — Spark's
+    * `div` and DuckDB's integer `//` both truncate toward zero, so
+    * the bare operator is already in lockstep. (Truncation makes the
+    * cell at 0 span (−grid, grid) — twice the width; harmless for a
+    * probe heuristic and documented rather than papered over.)
     */
-  private def floorDivCol(a: Column, b: Long): Column =
-    call_function("div", a - pmod(a, lit(b)), lit(b))
+  private def truncDivCol(a: Column, b: Long): Column =
+    call_function("div", a, lit(b))
 
   /** Candidate pairs for the PCA-grid ANN tier: corpus and queries
     * are keyed by their floor(c/grid) cell in the 2-d PCA projection
@@ -403,13 +405,13 @@ object Similarity {
       grid: Long): DataFrame = {
     require(grid > 0, s"need grid > 0, got $grid")
     val c = corpus.select(col("id").as("c_id"),
-      floorDivCol(col("c1_e6"), grid).as("g1"),
-      floorDivCol(col("c2_e6"), grid).as("g2"))
+      truncDivCol(col("c1_e6"), grid).as("g1"),
+      truncDivCol(col("c2_e6"), grid).as("g2"))
     val offs = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
       struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
     val q = queries.select(col("id").as("q_id"),
-        floorDivCol(col("c1_e6"), grid).as("qg1"),
-        floorDivCol(col("c2_e6"), grid).as("qg2"))
+        truncDivCol(col("c1_e6"), grid).as("qg1"),
+        truncDivCol(col("c2_e6"), grid).as("qg2"))
       .withColumn("__o", explode(offs))
       .select(col("q_id"),
         (col("qg1") + col("__o.dx")).as("g1"),

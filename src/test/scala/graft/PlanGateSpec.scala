@@ -36,6 +36,7 @@ class PlanGateSpec extends SparkSpec {
     "emb_sq8_knn" -> Bnlj,
     "emb_sq8_recall" -> Bnlj,
     "emb_hard_negatives" -> Bnlj,
+    "emb_pca_ann_recall" -> Bnlj,
     // one-row verdict frames crossJoined together (count x dcg x
     // idcg; the quorum-cut scalar against the batch) — 1-row sides
     "doc_bm25_ndcg" -> Bnlj,

@@ -98,4 +98,52 @@ class TopEigenSpec extends SparkSpec {
         col("embedding"), 1, 0)
     }
   }
+
+  test("topEigenK(k=2) replays topEigen + secondEigen bit-for-bit, " +
+      "and k=3 finds the third axis") {
+    val vecs = Seq.fill(10)(Seq(0f, 1f, 0f, 0f)) ++
+      Seq.fill(6)(Seq(0f, 0f, 1f, 0f)) ++
+      Seq.fill(3)(Seq(1f, 0f, 0f, 0f))
+    val df = vecs.map(Tuple1(_)).toDF("embedding")
+    val v1 = Similarity.topEigen(df, col("embedding"), 4, 6)
+      .orderBy("dim").collect().map(_.getLong(1))
+    val v2 = Similarity.secondEigen(df, col("embedding"), v1, 4, 6)
+      .orderBy("dim").collect().map(_.getLong(1))
+    val k3 = Similarity.topEigenK(df, col("embedding"), 4, 6, 3)
+      .orderBy("comp", "dim").collect()
+      .groupBy(_.getLong(0))
+      .map { case (c, rows) => c -> rows.map(_.getLong(2)) }
+    assert(k3(1L).toSeq == v1.toSeq, "component 1 must equal topEigen")
+    assert(k3(2L).toSeq == v2.toSeq, "component 2 must equal secondEigen")
+    assert(k3(3L)(0) == 1000000L,
+      s"component 3 must peg the third axis: ${k3(3L).toSeq}")
+  }
+
+  test("pcaGridCandidates probes exactly the 3x3 neighborhood and " +
+      "knnPcaGrid re-ranks by exact full-dim cosine") {
+    // handcrafted projections on a grid of 10: the query at (0, 0)
+    // must see cells g in {-1,0,1}² — ids 1..5 in range, 6..7 out
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0L, 0L), // the query
+      (1L, Seq(1f, 0f, 0f, 0f), 9L, 9L), // cell (0,0)
+      (2L, Seq(0f, 1f, 0f, 0f), -10L, 0L), // cell (-1,0)
+      (3L, Seq(1f, 1f, 0f, 0f), 19L, -1L), // cell (1,-1)
+      (4L, Seq(0f, 0f, 1f, 0f), 0L, 15L), // cell (0,1)
+      (5L, Seq(1f, 0f, 1f, 0f), -5L, -5L), // cell (0,0): trunc div
+      (6L, Seq(1f, 0f, 0f, 0f), 20L, 0L), // cell (2,0) — OUT
+      (7L, Seq(1f, 0f, 0f, 0f), 0L, -20L)) // cell (0,-2) — OUT
+    val base = rows.toDF("id", "emb", "c1_e6", "c2_e6")
+      .withColumn("vec", Similarity.quantize(col("emb")))
+    val q = base.filter(col("id") === 0L)
+    val cand = Similarity.pcaGridCandidates(q, base, 10L)
+      .collect().map(_.getLong(1)).sorted
+    assert(cand.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      s"3x3 probe must admit exactly ids 1..5: ${cand.toSeq}")
+    val top = Similarity.knnPcaGrid(q, base, 10L, 3)
+      .orderBy("rank").collect().map(_.getLong(1))
+    // exact cosine rank within the candidate set: 1 (cos 1.0), then
+    // 3 and 5 (cos ~0.707) tie-broken by id — id 6 (cos 1.0) must
+    // NOT appear: it is outside the probed neighborhood
+    assert(top.toSeq == Seq(1L, 3L, 5L), s"got ${top.toSeq}")
+  }
 }
