@@ -4361,10 +4361,13 @@ object TextQueries {
     * boilerplate strip, canonical URL for downstream dedup. One
     * query, every stage's twin already pinned individually.
     */
-  private def crawlStage0Queries: Seq[QueryDef] = Seq(
-    QueryDef("doc_crawl_stage0",
+  /** The stage-0 twin body, parameterized by the raw-page filter so
+    * the table-sourced and WARC-range-sourced variants replay the
+    * SAME chain over different slices.
+    */
+  private def sqlCrawlStage0(where: String): String =
       s"""WITH raw AS (SELECT doc_id, source, $sqlUrlSynth AS u,
-         |  $sqlHtmlSynth AS html FROM documents),
+         |  $sqlHtmlSynth AS html FROM documents WHERE $where),
          |urls AS (SELECT doc_id, lower(${sqlUrlGrp("u", 2)}) AS host,
          |  ${sqlUrlGrp("u", 4)} AS path, source FROM raw),
          |hosts AS (SELECT DISTINCT host, source FROM urls),
@@ -4439,9 +4442,14 @@ object TextQueries {
          |FROM raw r JOIN vr v USING (doc_id)
          |  LEFT JOIN agg g USING (doc_id)
          |  JOIN cucanon cu ON cu.doc_id = r.doc_id
-         |ORDER BY r.doc_id""".stripMargin) { (s, d) =>
-      val raw = load(s, d, "documents")
-        .withColumn("u", urlPayload).withColumn("html", htmlPayload)
+         |ORDER BY r.doc_id""".stripMargin
+
+  /** The stage-0 Spark-side composition over a raw page frame
+    * (doc_id, source, u, html) — shared by the table-sourced and
+    * WARC-sourced variants.
+    */
+  private def crawlStage0Frame(
+      raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val urls = raw.select(col("doc_id"),
         lower(regexp_extract(col("u"), graft.ops.UrlOps.UrlRe, 2))
           .as("host"),
@@ -4478,6 +4486,213 @@ object TextQueries {
           (col("allowed") && coalesce(col("clean_chars"), lit(0L)) > 0)
             .as("kept"))
         .orderBy("doc_id")
+  }
+
+  /** One HTML-page WARC shard dir per (session, dataset): the pages
+    * the stage-0 pipeline consumes, packed the way crawl output
+    * actually arrives (WARC response records keyed by URL).
+    */
+  private def warcHtmlStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    TempState.dir("warchtml|" + s.sparkContext.applicationId + "|" + d) {
+      root =>
+        val docs = load(s, d, "documents")
+          .withColumn("u", urlPayload).withColumn("html", htmlPayload)
+          .select(col("doc_id"), col("u"), col("html"))
+        graft.ops.WarcShards.write(docs, "doc_id", "u", "html",
+          s"$root/shards", WarcPerShard)
+        ()
+    }
+
+  private def crawlStage0Queries: Seq[QueryDef] = Seq(
+    QueryDef("doc_crawl_stage0", sqlCrawlStage0("TRUE")) { (s, d) =>
+      crawlStage0Frame(load(s, d, "documents")
+        .withColumn("u", urlPayload).withColumn("html", htmlPayload))
+    },
+
+    // The same stage-0 chain fed the way 100 TB of crawl data
+    // actually arrives: pages packed into WARC response records, a
+    // shard subset range-read BY NAME (ids [120, 370) → files
+    // crawl-00001..00003 open, everything else never reads a byte),
+    // doc id from the record id, URL from WARC-Target-URI, HTML from
+    // the payload bytes, source re-derived from the host (the crawl
+    // input carries no table columns). Downstream: robots verdict →
+    // block extraction → boilerplate strip → canonical URL — the
+    // doc_crawl_stage0 composition, byte-for-byte through the
+    // container. The twin replays the chain over the same id range
+    // straight from `documents`, so any container corruption or
+    // header mangling breaks the hash.
+    QueryDef("doc_crawl_stage0_warc",
+      sqlCrawlStage0("doc_id >= 120 AND doc_id < 370")) { (s, d) =>
+      val dir = warcHtmlStateDir(s, d)
+      val recs = graft.ops.WarcShards.readRange(s, s"$dir/shards",
+        WarcPerShard, 120L, 370L)
+      val raw = recs.select(
+          expr("cast(substring(record_id, 16, 12) as bigint)")
+            .as("doc_id"),
+          col("target_uri").as("u"),
+          col("payload").cast("string").as("html"))
+        .withColumn("source", regexp_extract(
+          lower(regexp_extract(col("u"), graft.ops.UrlOps.UrlRe, 2)),
+          "(src[0-9]+)\\.", 1))
+      crawlStage0Frame(raw)
+    },
+
+    // The crawl scheduler's fetch plan — this round's pieces joined
+    // the way a frontier actually uses them: outbound links
+    // canonicalized (the candidate URLs), robots verdict for
+    // graftbot on each TARGET host (source derived from the host —
+    // frontier input carries no table columns), per-host capacity =
+    // its distinct allowed URLs, priority = the host's crawl-graph
+    // PageRank (exact e9 trajectory), and budgetAllocate
+    // waterfilling half the total capacity across hosts by that
+    // priority. Output: one row per fetchable host with its
+    // registered domain, priority, capacity, exact allocation and
+    // the capped flag (Σ alloc == Σ cap // 2 exactly —
+    // BudgetAllocateSpec pins the invariant on this composition).
+    // The twin replays link extraction, canonicalization, the PR
+    // trajectory, the robots longest-match and the entire exact
+    // waterfill.
+    QueryDef("doc_crawl_frontier",
+      s"""WITH pg AS (SELECT doc_id, source, $sqlLinkSynth AS html
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, ${sqlHtmlClean("html")} AS c1
+         |  FROM pg),
+         |lx AS (SELECT doc_id, source,
+         |  unnest(regexp_extract_all(c1,
+         |    '${graft.ops.Html.AnchorHrefRe}', 1)) AS u FROM c),
+         |${sqlUrlCanonCtes("lx")},
+         |cc AS (SELECT source AS src_label, canonical FROM canon
+         |  WHERE canonical IS NOT NULL),
+         |pairs AS (SELECT src_label AS sa, regexp_extract(canonical,
+         |    '${graft.ops.UrlOps.UrlRe}', 2) AS sb,
+         |  CAST(count(*) AS BIGINT) AS w FROM cc GROUP BY 1, 2),
+         |${prTrajectoryCtes("")},
+         |urls AS (SELECT DISTINCT regexp_extract(canonical,
+         |    '${graft.ops.UrlOps.UrlRe}', 2) AS host,
+         |  regexp_extract(canonical,
+         |    '${graft.ops.UrlOps.UrlRe}', 4) AS path,
+         |  canonical FROM cc),
+         |hs AS (SELECT DISTINCT host,
+         |  regexp_extract(host, '(src[0-9]+)\\.', 1) AS source
+         |  FROM urls),
+         |rb AS (SELECT host, $sqlRobotsSynth AS txt FROM hs),
+         |lns AS (SELECT host, string_split(txt, chr(10)) AS arr
+         |  FROM rb),
+         |ln AS (SELECT host, i AS line_idx, arr[i + 1] AS l
+         |  FROM lns, unnest(range(0, len(arr))) AS t(i)),
+         |pf AS (SELECT host, line_idx,
+         |  lower(regexp_extract(l,
+         |    '${graft.ops.UrlOps.RobotsLineRe}', 1)) AS field,
+         |  trim(regexp_extract(l,
+         |    '${graft.ops.UrlOps.RobotsLineRe}', 2)) AS value
+         |  FROM ln),
+         |ag AS (SELECT *, last_value(CASE WHEN field = 'user-agent'
+         |    THEN lower(value) END IGNORE NULLS)
+         |  OVER (PARTITION BY host ORDER BY line_idx
+         |    ROWS UNBOUNDED PRECEDING) AS agent FROM pf),
+         |rules AS (SELECT host, agent, field = 'allow' AS allow,
+         |  value AS prefix FROM ag
+         |  WHERE field IN ('allow', 'disallow')
+         |    AND agent IS NOT NULL AND value <> ''),
+         |rex AS (SELECT DISTINCT host, true AS he FROM rules
+         |  WHERE agent = 'graftbot'),
+         |app AS (SELECT r.host, r.allow, r.prefix
+         |  FROM rules r LEFT JOIN rex USING (host)
+         |  WHERE CASE WHEN coalesce(he, false)
+         |    THEN r.agent = 'graftbot' ELSE r.agent = '*' END),
+         |m AS (SELECT u.host, u.canonical,
+         |  CASE WHEN a.prefix IS NOT NULL
+         |      AND (${sqlRobotsHit("u.path", "a.prefix")})
+         |    THEN length(a.prefix) * 2
+         |      + CASE WHEN a.allow THEN 1 ELSE 0 END END AS rnk
+         |  FROM urls u LEFT JOIN app a USING (host)),
+         |vr AS (SELECT host, canonical,
+         |  max(rnk) IS NULL OR max(rnk) % 2 = 1 AS allowed
+         |  FROM m GROUP BY host, canonical),
+         |ph AS (SELECT host, CAST(count(*) AS BIGINT) AS cap
+         |  FROM vr WHERE allowed GROUP BY host),
+         |s AS (SELECT ph.host AS stratum, p.pr AS w, ph.cap
+         |  FROM ph JOIN p$PrIters p ON p.s = ph.host),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt,
+         |  CAST(sum(cap) // 2 AS BIGINT) AS b FROM s),
+         |bso AS (SELECT s1.*, (SELECT count(*) FROM s s2
+         |    WHERE CAST(s2.cap AS HUGEINT) * s1.w
+         |        < CAST(s1.cap AS HUGEINT) * s2.w
+         |      OR (CAST(s2.cap AS HUGEINT) * s1.w
+         |          = CAST(s1.cap AS HUGEINT) * s2.w
+         |        AND s2.stratum < s1.stratum)) AS ordn FROM s s1),
+         |bo AS (SELECT bso.*, t.wt, t.b,
+         |  sum(w) OVER rw AS cumw, sum(cap) OVER rw AS cumc
+         |  FROM bso, t
+         |  WINDOW rw AS (ORDER BY ordn
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |bc AS (SELECT *, CAST(cap AS HUGEINT) * (wt - cumw)
+         |    <= CAST(w AS HUGEINT) * (b - cumc) AS capped FROM bo),
+         |bf AS (SELECT *,
+         |  b - sum(CASE WHEN capped THEN cap ELSE 0 END) OVER ()
+         |    AS resid,
+         |  wt - sum(CASE WHEN capped THEN w ELSE 0 END) OVER ()
+         |    AS wp FROM bc),
+         |bg AS (SELECT *,
+         |  CASE WHEN capped THEN cap
+         |    ELSE CAST((CAST(w AS HUGEINT) * resid) // wp AS BIGINT)
+         |    END AS base,
+         |  CASE WHEN capped THEN CAST(-1 AS HUGEINT)
+         |    ELSE (CAST(w AS HUGEINT) * resid) % wp END AS frac
+         |  FROM bf),
+         |bh AS (SELECT *,
+         |  resid - sum(CASE WHEN capped THEN 0 ELSE base END) OVER ()
+         |    AS rem,
+         |  row_number() OVER (ORDER BY frac DESC, stratum) AS rk
+         |  FROM bg)
+         |SELECT stratum AS host, ${sqlRegDomain("stratum")} AS reg_domain,
+         |  w AS pr_e9, cap AS n_urls,
+         |  CAST(CASE WHEN capped THEN cap
+         |    ELSE base + CASE WHEN rk <= rem THEN 1 ELSE 0 END
+         |    END AS BIGINT) AS alloc, capped
+         |FROM bh ORDER BY host""".stripMargin) { (s, d) =>
+      val pages = load(s, d, "documents").withColumn("html", linkPayload)
+      val lk = graft.ops.Html.links(pages, col("doc_id"), col("html"))
+      val src = load(s, d, "documents")
+        .select(col("doc_id").as("id"), col("source"))
+      val cand = lk.join(src, "id")
+        .select(col("source").as("src_label"),
+          graft.ops.UrlOps.canonicalize(col("href")).as("canonical"))
+        .filter(col("canonical").isNotNull)
+      val edges = cand
+        .groupBy(col("src_label").as("s_a"),
+          regexp_extract(col("canonical"), graft.ops.UrlOps.UrlRe, 2)
+            .as("s_b"))
+        .agg(count(lit(1)).as("w"))
+      val pr = GraphOps.pageRank(edges, PrIters)
+        .select(col("node").as("host"), col("pr_e9"))
+      val urls = cand.select(
+          regexp_extract(col("canonical"), graft.ops.UrlOps.UrlRe, 2)
+            .as("host"),
+          regexp_extract(col("canonical"), graft.ops.UrlOps.UrlRe, 4)
+            .as("path"),
+          col("canonical")).distinct()
+      val hosts = urls.select(col("host")).distinct()
+        .withColumn("source",
+          regexp_extract(col("host"), "(src[0-9]+)\\.", 1))
+        .withColumn("txt", robotsPayload)
+      val rules = graft.ops.UrlOps.robotsRules(hosts, col("host"),
+        col("txt"))
+      val verdict = graft.ops.UrlOps.robotsVerdict(urls, rules,
+        "graftbot")
+      val perHost = verdict.filter(col("allowed"))
+        .groupBy("host").agg(count(lit(1)).as("cap"))
+      val strata = perHost.join(pr, "host")
+      val capTot = strata.agg(sum(col("cap"))).head().getLong(0)
+      graft.ops.PipelineOps.budgetAllocate(strata, col("host"),
+          col("pr_e9"), col("cap"), capTot / 2L)
+        .select(col("stratum").as("host"),
+          graft.ops.UrlOps.registeredDomain(col("stratum"))
+            .as("reg_domain"),
+          col("w").as("pr_e9"), col("cap").as("n_urls"),
+          col("alloc"), col("capped"))
+        .orderBy("host")
     })
 
   // ---------------------------------------------------------------

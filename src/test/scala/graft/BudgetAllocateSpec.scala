@@ -90,4 +90,38 @@ class BudgetAllocateSpec extends SparkSpec {
       }
     }
   }
+
+  test("extreme magnitudes: ratios tied beyond double precision " +
+      "still place the capped prefix exactly (r14 advice)") {
+    // x's and y's cap/w ratios differ by 1/(a(a−1)) ≈ 1.1e−19 —
+    // indistinguishable under a double division (eps ≈ 2.2e−16), so
+    // the old float sort collapsed them to the name tiebreak; the
+    // cross-multiplied rank orders them exactly. Expected values
+    // hand-derived from the exact waterline (see the capped-prefix
+    // telescoping in PipelineOps.budgetAllocate's Scaladoc).
+    val a = 3037000500L
+    val out = run(Seq(
+      ("x", a, a + 1L), ("y", a - 1L, a), ("z", 10L * a, 100L * a)),
+      12L * a + 11L)
+    assert(out.toSeq == Seq(
+      ("x", a + 1L, true), ("y", a, false), ("z", 10L * a + 10L, false)),
+      s"got ${out.toSeq}")
+  }
+
+  test("doc_crawl_frontier composition conserves its budget: " +
+      "sum(alloc) == sum(cap) div 2 exactly") {
+    val rows = SparkEntry.queries("doc_crawl_frontier")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty, "frontier must emit a fetch plan")
+    val capSum = rows.map(_.getAs[Long]("n_urls")).sum
+    val allocSum = rows.map(_.getAs[Long]("alloc")).sum
+    assert(allocSum == capSum / 2L,
+      s"sum(alloc)=$allocSum != sum(cap)/2=${capSum / 2L}")
+    rows.foreach { r =>
+      val (c, al, capped) = (r.getAs[Long]("n_urls"),
+        r.getAs[Long]("alloc"), r.getAs[Boolean]("capped"))
+      assert(al >= 0L && al <= c)
+      if (capped) assert(al == c)
+    }
+  }
 }

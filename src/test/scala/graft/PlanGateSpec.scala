@@ -52,7 +52,10 @@ class PlanGateSpec extends SparkSpec {
     // scan is already reduced by a map-side-combined agg upstream;
     // the exact cross-multiplied ratio rank (r15) self-joins that
     // same bounded frame, so its nested loop is O(sources)²
-    "doc_token_budget" -> (SinglePart ++ Bnlj))
+    "doc_token_budget" -> (SinglePart ++ Bnlj),
+    // the frontier's waterfill runs over the bounded HOST domain
+    // (one stratum per crawl host) — the doc_token_budget rationale
+    "doc_crawl_frontier" -> (SinglePart ++ Bnlj))
 
   private def auditAt(names: Seq[String], dir: String): Seq[String] = {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
