@@ -23,9 +23,9 @@ import org.apache.spark.sql.types._
   * (doc_sentence_gate_e2e pins the two-batch composition against a
   * SQL re-statement of both batches).
   *
-  * State layout under `stateDir` (the [[IngestGate]]/[[SpanGate]]
-  * conventions — overwrite-idempotent Hive partitions, `batch < n`
-  * replay guard, META-committed h-bucketed base, vacuum):
+  * State layout under `stateDir` (the [[GateStateStore]] conventions
+  * — overwrite-idempotent Hive partitions, `batch < n` replay guard,
+  * META-committed h-bucketed base, vacuum):
   * {{{
   *   counts/batch=<n>/    (h, nd): per-sentence-hash distinct-doc
   *                        count contributed by batch n — 16 bytes a
@@ -54,146 +54,32 @@ final class SentenceGate(spark: SparkSession, stateDir: String,
     maxDocs: Long = 10L, numBuckets: Int = 32) {
   require(maxDocs >= 2L, s"need maxDocs >= 2, got $maxDocs")
 
-  private val countsDir = s"$stateDir/counts"
-  private val verdictsDir = s"$stateDir/verdicts"
-  private val baseDir = s"$stateDir/base"
-  private val metaPath = s"$baseDir/META"
-
   private val countSchema = StructType(Seq(
     StructField("h", LongType), StructField("nd", LongType)))
 
-  private def fs(dir: String) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-  }
+  // fold semantics: SUM nd per hash; min(batch) keeps the `batch < n`
+  // replay filter monotone across folds
+  private val store = new GateStateStore(spark, stateDir,
+    dataSubdir = "counts", tablePrefix = "graft_sentgate_base",
+    dataSchema = countSchema, bucketCol = "h", numBuckets = numBuckets,
+    foldMerge = _.groupBy("h").agg(sum(col("nd")).as("nd"),
+      min(col("batch")).as("batch")))
 
-  private def listIds(dir: String, prefix: String): Seq[Long] = {
-    val (f, p) = fs(dir)
-    if (!f.exists(p)) Nil
-    else f.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).toLong)
-  }
-
-  private def readBaseMeta(): (Long, Long) = {
-    val (f, _) = fs(baseDir)
-    val mp = new org.apache.hadoop.fs.Path(metaPath)
-    if (!f.exists(mp)) (0L, 0L)
-    else {
-      val in = f.open(mp)
-      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-      val Array(g, u) = txt.split(" ")
-      (g.toLong, u.toLong)
-    }
-  }
-
-  private def writeBaseMeta(gen: Long, upTo: Long): Unit = {
-    val (f, _) = fs(baseDir)
-    val tmp = new org.apache.hadoop.fs.Path(s"$metaPath.tmp")
-    val out = f.create(tmp, true)
-    try out.write(s"$gen $upTo".getBytes("UTF-8")) finally out.close()
-    val mp = new org.apache.hadoop.fs.Path(metaPath)
-    if (f.exists(mp)) f.delete(mp, false)
-    require(f.rename(tmp, mp), s"could not commit $metaPath")
-  }
-
-  private def baseTableName(gen: Long): String =
-    s"graft_sentgate_base_${math.abs(stateDir.hashCode.toLong)}_g$gen"
-
-  private def genPath(gen: Long): String = s"$baseDir/gen=$gen"
-
-  private def baseTable(gen: Long): DataFrame = {
-    val tbl = baseTableName(gen)
-    if (!spark.catalog.tableExists(tbl))
-      spark.sql(
-        s"""CREATE TABLE $tbl (h BIGINT, nd BIGINT, batch BIGINT)
-           |USING PARQUET
-           |CLUSTERED BY (h) SORTED BY (h) INTO $numBuckets BUCKETS
-           |LOCATION '${genPath(gen)}'""".stripMargin)
-    spark.table(tbl)
-  }
-
-  /** Fold count partitions strictly below min(max id, currentBatchId)
-    * into the next h-bucketed base generation, SUMMING nd per hash
-    * (the [[IngestGate]] compaction contract: newest partition never
-    * folds; META rename commits; idempotent; min(batch) keeps the
-    * `batch < n` replay filter monotone across folds).
+  /** Fold count partitions into the next h-bucketed base generation,
+    * SUMMING nd per hash — [[GateStateStore.compact]].
     */
-  def compact(currentBatchId: Long = Long.MaxValue): Long = {
-    val ids = listIds(countsDir, "batch=")
-    val (gen, upTo) = readBaseMeta()
-    if (ids.isEmpty) return upTo
-    val newUpTo = math.min(ids.max, currentBatchId)
-    val fold = ids.filter(i => i >= upTo && i < newUpTo).sorted
-    if (fold.isEmpty) return upTo
-    val foldDf = spark.read.option("basePath", countsDir)
-      .parquet(fold.map(i => s"$countsDir/batch=$i"): _*)
-      .select(col("h"), col("nd"), col("batch").cast("long").as("batch"))
-    val all = if (gen > 0L) baseTable(gen).unionByName(foldDf) else foldDf
-    val newGen = gen + 1
-    val tbl = baseTableName(newGen)
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    val (f, _) = fs(baseDir)
-    f.delete(new org.apache.hadoop.fs.Path(genPath(newGen)), true)
-    all.groupBy("h").agg(sum(col("nd")).as("nd"),
-        min(col("batch")).as("batch"))
-      .write.format("parquet")
-      .bucketBy(numBuckets, "h").sortBy("h")
-      .option("path", genPath(newGen))
-      .saveAsTable(tbl)
-    writeBaseMeta(newGen, newUpTo)
-    newUpTo
-  }
+  def compact(currentBatchId: Long = Long.MaxValue): Long =
+    store.compact(currentBatchId)
 
-  /** Reclaim unreachable state: folded count dirs, dirs beyond the
-    * committed high-water mark, superseded base generations.
-    */
-  def vacuum(currentBatchId: Long): Int = {
-    val (gen, upTo) = readBaseMeta()
-    var removed = 0
-    def rm(dir: String): Unit = {
-      val (f, p) = fs(dir)
-      if (f.exists(p)) { f.delete(p, true); removed += 1 }
-    }
-    listIds(countsDir, "batch=")
-      .filter(i => i < upTo || i > currentBatchId)
-      .foreach(i => rm(s"$countsDir/batch=$i"))
-    listIds(verdictsDir, "batch=")
-      .filter(_ > currentBatchId)
-      .foreach(i => rm(s"$verdictsDir/batch=$i"))
-    listIds(baseDir, "gen=").filter(_ != gen).foreach { g =>
-      spark.sql(s"DROP TABLE IF EXISTS ${baseTableName(g)}")
-      rm(genPath(g))
-    }
-    removed
-  }
+  /** Reclaim unreachable state — [[GateStateStore.vacuum]]. */
+  def vacuum(currentBatchId: Long): Int = store.vacuum(currentBatchId)
 
   /** Standing (h, nd) contributions from batches strictly before
     * `batchId`: the compacted base plus not-yet-folded recent
     * partitions. May hold several rows per h (one per unfolded
     * batch) — callers sum AFTER probe-pruning. Empty first batch.
     */
-  def standingCounts(batchId: Long): DataFrame = {
-    val (gen, upTo) = readBaseMeta()
-    val base =
-      if (gen > 0L) Some(baseTable(gen).filter(col("batch") < batchId)
-        .select("h", "nd"))
-      else None
-    val recentIds = listIds(countsDir, "batch=")
-      .filter(i => i >= upTo && i < batchId)
-    val recent =
-      if (recentIds.nonEmpty)
-        Some(spark.read.option("basePath", countsDir).parquet(countsDir)
-          .filter(col("batch") >= upTo && col("batch") < batchId)
-          .select("h", "nd"))
-      else None
-    (base.toSeq ++ recent.toSeq) match {
-      case Nil => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], countSchema)
-      case srcs => srcs.reduce(_ unionByName _)
-    }
-  }
+  def standingCounts(batchId: Long): DataFrame = store.sourcesUnion(batchId)
 
   /** Gate one micro-batch of (doc_id, text): write per-doc verdicts
     * (order-preserving `text_kept` with the over-floor sentences
@@ -239,36 +125,25 @@ final class SentenceGate(spark: SparkSession, stateDir: String,
             coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
           coalesce(col("text_kept"), lit("")).as("text_kept"))
       verdicts.write.mode("overwrite")
-        .parquet(s"$verdictsDir/batch=$batchId")
+        .parquet(s"${store.verdictsDir}/batch=$batchId")
       batchCounts.write.mode("overwrite")
-        .parquet(s"$countsDir/batch=$batchId")
+        .parquet(s"${store.dataDir}/batch=$batchId")
       batchCounts.unpersist()
       ()
     } finally ex.unpersist()
   }
 
-  /** Production wiring: drive the gate from a streaming source via
-    * foreachBatch, with optional in-loop maintenance every n batches
-    * (the [[SpanGate.start]] contract — maintenance runs AFTER the
-    * batch's writes with `currentBatchId = id`).
+  /** Production wiring with optional in-loop maintenance —
+    * [[GateStateStore.start]].
     */
   def start(docs: DataFrame, checkpointDir: String,
       compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        applyBatch(b, id)
-        if (compactEvery > 0 && id > 0 && id % compactEvery == 0) {
-          compact(currentBatchId = id)
-          vacuum(currentBatchId = id)
-        }
-        ()
-      }
-      .start()
+    store.start(docs, checkpointDir, compactEvery)(applyBatch)
 
   /** Verdicts of batches <= upTo (replay-guard filtered). */
   def readVerdicts(upTo: Long): DataFrame =
-    spark.read.option("basePath", verdictsDir).parquet(verdictsDir)
+    spark.read.option("basePath", store.verdictsDir)
+      .parquet(store.verdictsDir)
       .filter(col("batch") <= upTo)
       .select(col("doc_id"), col("batch").cast("long").as("batch"),
         col("n_sentences"), col("n_kept"), col("n_dropped"),
