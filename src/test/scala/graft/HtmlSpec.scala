@@ -87,6 +87,20 @@ class HtmlSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("block_idx")).toSeq == Seq(1L, 3L))
   }
 
+  test("href extraction: data-href is not a link, the attribute " +
+      "needs a whitespace boundary (r14 advice)") {
+    val html = "<html><body>" +
+      "<a data-href=\"/not-a-link\">spurious</a>" +
+      "<a class=\"x\" href=\"/real\">real</a>" +
+      "<a href=\"/first\">first</a></body></html>"
+    val out = Html.links(Seq((1L, html)).toDF("id", "html"),
+        col("id"), col("html"))
+      .orderBy("link_idx").collect()
+      .map(r => (r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(("/real", "real"), ("/first", "first")),
+      s"got ${out.toSeq}")
+  }
+
   test("a custom threshold moves the flag") {
     val html = "<p>four words here <a href=\"/x\">linked</a></p>"
     val strict = Html.extract(Seq((1L, html)).toDF("id", "html"),

@@ -104,4 +104,18 @@ class WarcShardsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("12-digit"))
   }
+
+  test("uri contract: non-ASCII and CR/LF target URIs refuse loudly " +
+      "at write time (US_ASCII would silently mangle them)") {
+    def attempt(uri: String) = intercept[Exception] {
+      WarcShards.write(Seq((1L, uri, "t")).toDF("doc_id", "u", "text"),
+        "doc_id", "u", "text", s"${freshDir()}/s", 10L)
+    }
+    assert(attempt("http://ex.com/é").getMessage
+      .contains("visible US-ASCII"))
+    assert(attempt("http://ex.com/a\r\nInjected: x").getMessage
+      .contains("visible US-ASCII"))
+    assert(attempt("http://ex.com/a b").getMessage
+      .contains("visible US-ASCII"))
+  }
 }
