@@ -4809,7 +4809,88 @@ object TextQueries {
        |    CASE WHEN q = '' THEN '' ELSE '?' || q END
        |  END AS canonical FROM ${p}g)""".stripMargin
 
+  /** URL-frontier gate state: three doc_id%3 micro-batches through
+    * the stateful seen-set, with a compaction BETWEEN batches 1 and
+    * 2 so the third batch probes the committed h-bucketed base plus
+    * the unfolded recent partition — the cross-compaction read is
+    * oracle-pinned, not just spec'd. Every 17th URL is swapped for a
+    * relative path the grammar rejects.
+    */
+  private def urlGateStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    TempState.dir("urlgate|" + s.sparkContext.applicationId + "|" + d) {
+      root =>
+        val gate = new graft.streaming.UrlGate(s, root)
+        val docs = load(s, d, "documents").withColumn("u", urlPayload)
+          .select(col("doc_id").as("id"),
+            when(col("doc_id") % 17 === 0,
+              concat(lit("/relative/"), col("doc_id")))
+              .otherwise(col("u")).as("url"))
+        gate.applyBatch(docs.filter(col("id") % 3 === 0), 0L)
+        gate.applyBatch(docs.filter(col("id") % 3 === 1), 1L)
+        gate.compact(currentBatchId = 1L)
+        gate.vacuum(currentBatchId = 1L)
+        gate.applyBatch(docs.filter(col("id") % 3 === 2), 2L)
+    }
+
   private def urlQueries: Seq[QueryDef] = Seq(
+
+    // Streaming URL-frontier gate e2e (UrlGate on the shared
+    // GateStateStore): three micro-batches of candidate URLs through
+    // the standing canonical-hash seen-set — within-batch claims go
+    // to the smallest id, later batches' re-spellings of an admitted
+    // URL come back dup_of_corpus, grammar rejects come back
+    // rejected, and batch 2 reads THROUGH a committed compaction.
+    // The twin replays canonicalization, the same portableHash (a
+    // collision cannot diverge the sides), the per-batch min-id
+    // claims and the unrolled admitted-set chain.
+    QueryDef("doc_url_gate_e2e",
+      s"""WITH raw AS (SELECT doc_id, $sqlUrlSynth AS u0 FROM documents),
+         |r2 AS (SELECT doc_id, CASE WHEN doc_id % 17 = 0
+         |  THEN '/relative/' || doc_id ELSE u0 END AS u FROM raw),
+         |${sqlUrlCanonCtes("r2")},
+         |cx AS (SELECT doc_id, canonical,
+         |  ${sqlPhash("canonical")} AS h, doc_id % 3 AS b FROM canon),
+         |cl AS (SELECT b, h, min(doc_id) AS keeper FROM cx
+         |  WHERE canonical IS NOT NULL GROUP BY b, h),
+         |adm0 AS (SELECT DISTINCT c.h FROM cx c JOIN cl
+         |  ON cl.b = 0 AND cl.h = c.h AND cl.keeper = c.doc_id
+         |  WHERE c.b = 0),
+         |adm1 AS (SELECT DISTINCT c.h FROM cx c JOIN cl
+         |  ON cl.b = 1 AND cl.h = c.h AND cl.keeper = c.doc_id
+         |  WHERE c.b = 1 AND c.h NOT IN (SELECT h FROM adm0)),
+         |v0 AS (SELECT c.doc_id, c.canonical,
+         |  CASE WHEN c.canonical IS NULL THEN 'rejected'
+         |    WHEN c.doc_id <> cl.keeper THEN 'dup_in_batch'
+         |    ELSE 'admitted' END AS verdict
+         |  FROM cx c LEFT JOIN cl ON cl.b = 0 AND cl.h = c.h
+         |  WHERE c.b = 0),
+         |v1 AS (SELECT c.doc_id, c.canonical,
+         |  CASE WHEN c.canonical IS NULL THEN 'rejected'
+         |    WHEN c.h IN (SELECT h FROM adm0) THEN 'dup_of_corpus'
+         |    WHEN c.doc_id <> cl.keeper THEN 'dup_in_batch'
+         |    ELSE 'admitted' END AS verdict
+         |  FROM cx c LEFT JOIN cl ON cl.b = 1 AND cl.h = c.h
+         |  WHERE c.b = 1),
+         |v2 AS (SELECT c.doc_id, c.canonical,
+         |  CASE WHEN c.canonical IS NULL THEN 'rejected'
+         |    WHEN c.h IN (SELECT h FROM adm0
+         |      UNION SELECT h FROM adm1) THEN 'dup_of_corpus'
+         |    WHEN c.doc_id <> cl.keeper THEN 'dup_in_batch'
+         |    ELSE 'admitted' END AS verdict
+         |  FROM cx c LEFT JOIN cl ON cl.b = 2 AND cl.h = c.h
+         |  WHERE c.b = 2)
+         |SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS batch,
+         |  canonical, verdict
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+         |  UNION ALL SELECT * FROM v2)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dir = urlGateStateDir(s, d)
+      new graft.streaming.UrlGate(s, dir).readVerdicts(2L)
+        .select(col("id").as("doc_id"), col("batch"),
+          col("canonical"), col("verdict"))
+        .orderBy("doc_id")
+    },
 
     // URL grammar + registered domain + canonical form, one row per
     // doc (UrlOps.parse / canonicalize): the full component split
