@@ -145,18 +145,23 @@ object UrlOps {
     "^[ \\t]*([A-Za-z-]+)[ \\t]*:[ \\t]*([^#]*)"
 
   /** Parse robots.txt bodies into a rules table: one row per
-    * Allow/Disallow directive with the user-agent group it belongs
-    * to. Grouping contract (documented simplification of RFC 9309's
-    * group-merge): each `User-agent` line OPENS the group the
-    * following directives attach to — directives before any
-    * User-agent line attach to no group and drop. Returns
-    * (host, agent, allow: Boolean, prefix) — an EMPTY-value
+    * (agent, Allow/Disallow directive) pair. RFC 9309 §2.2.1
+    * group-merge: CONSECUTIVE `User-agent` lines (among recognized
+    * lines) open ONE group, and every directive of that group emits
+    * a row for EACH of its agents; any recognized non-UA line ends
+    * the start-group collection, so a later `User-agent` starts a
+    * fresh group. An agent named in several groups is merged
+    * downstream for free — [[robotsVerdict]] evaluates ALL rule rows
+    * of the chosen agent, which is exactly the RFC's
+    * merge-groups-per-product-token. Directives before any
+    * User-agent line attach to no group and drop; an EMPTY-value
     * directive drops (RFC 9309: a bare `Disallow:` disallows
-    * NOTHING; it is not a zero-length match).
+    * NOTHING — it is not a zero-length match). Returns
+    * (host, agent, allow: Boolean, prefix).
     *
-    * One window per host over that host's robots lines (partitioned
+    * Two windows per host over that host's robots lines (partitioned
     * by host — parallel across hosts, a robots file is KB-sized);
-    * everything else is a scan fold.
+    * everything else is a scan fold plus one block-id equi-join.
     */
   def robotsRules(df: DataFrame, host: Column, txt: Column): DataFrame = {
     val lines = df.select(host.as("host"),
@@ -164,20 +169,34 @@ object UrlOps {
     val parsed = lines.select(col("host"), col("line_idx"),
       lower(regexp_extract(col("__l"), RobotsLineRe, 1)).as("field"),
       trim(regexp_extract(col("__l"), RobotsLineRe, 2)).as("value"))
+      .filter(col("field") =!= "")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy("line_idx")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, org.apache.spark.sql.expressions.Window
-        .currentRow)
-    parsed
-      .withColumn("agent", last(
-        when(col("field") === "user-agent", lower(col("value"))),
-        ignoreNulls = true).over(w))
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, org.apache.spark.sql.expressions.Window
+      .currentRow)
+    // block id: a User-agent line STARTS a block iff the previous
+    // recognized line is not a User-agent line; every line carries
+    // the running count of started blocks — directives thereby point
+    // at the nearest preceding UA block
+    val blocks = parsed
+      .withColumn("__start",
+        col("field") === "user-agent" &&
+          coalesce(lag(col("field"), 1).over(w), lit("")) =!=
+            "user-agent")
+      .withColumn("__blk",
+        sum(when(col("__start"), 1L).otherwise(0L)).over(run))
+    val agents = blocks.filter(col("field") === "user-agent")
+      .select(col("host"), col("__blk"),
+        lower(col("value")).as("agent"))
+    blocks
       .filter(col("field").isin("allow", "disallow") &&
-        col("agent").isNotNull && col("value") =!= "")
-      .select(col("host"), col("agent"),
+        col("value") =!= "" && col("__blk") > 0L)
+      .select(col("host"), col("__blk"),
         (col("field") === "allow").as("allow"),
         col("value").as("prefix"))
+      .join(agents, Seq("host", "__blk"))
+      .select(col("host"), col("agent"), col("allow"), col("prefix"))
   }
 
   /** Evaluate crawlability of (host, path) pairs against a

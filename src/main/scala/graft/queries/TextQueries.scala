@@ -4372,24 +4372,7 @@ object TextQueries {
          |  ${sqlUrlGrp("u", 4)} AS path, source FROM raw),
          |hosts AS (SELECT DISTINCT host, source FROM urls),
          |rb AS (SELECT host, $sqlRobotsSynth AS txt FROM hosts),
-         |lns AS (SELECT host, string_split(txt, chr(10)) AS arr
-         |  FROM rb),
-         |ln AS (SELECT host, i AS line_idx, arr[i + 1] AS l
-         |  FROM lns, unnest(range(0, len(arr))) AS t(i)),
-         |pf AS (SELECT host, line_idx,
-         |  lower(regexp_extract(l,
-         |    '${graft.ops.UrlOps.RobotsLineRe}', 1)) AS field,
-         |  trim(regexp_extract(l,
-         |    '${graft.ops.UrlOps.RobotsLineRe}', 2)) AS value
-         |  FROM ln),
-         |ag AS (SELECT *, last_value(CASE WHEN field = 'user-agent'
-         |    THEN lower(value) END IGNORE NULLS)
-         |  OVER (PARTITION BY host ORDER BY line_idx
-         |    ROWS UNBOUNDED PRECEDING) AS agent FROM pf),
-         |rules AS (SELECT host, agent, field = 'allow' AS allow,
-         |  value AS prefix FROM ag
-         |  WHERE field IN ('allow', 'disallow')
-         |    AND agent IS NOT NULL AND value <> ''),
+         |$sqlRobotsRulesCtes,
          |rex AS (SELECT DISTINCT host, true AS he FROM rules
          |  WHERE agent = 'graftbot'),
          |app AS (SELECT r.host, r.allow, r.prefix
@@ -4577,24 +4560,7 @@ object TextQueries {
          |  regexp_extract(host, '(src[0-9]+)\\.', 1) AS source
          |  FROM urls),
          |rb AS (SELECT host, $sqlRobotsSynth AS txt FROM hs),
-         |lns AS (SELECT host, string_split(txt, chr(10)) AS arr
-         |  FROM rb),
-         |ln AS (SELECT host, i AS line_idx, arr[i + 1] AS l
-         |  FROM lns, unnest(range(0, len(arr))) AS t(i)),
-         |pf AS (SELECT host, line_idx,
-         |  lower(regexp_extract(l,
-         |    '${graft.ops.UrlOps.RobotsLineRe}', 1)) AS field,
-         |  trim(regexp_extract(l,
-         |    '${graft.ops.UrlOps.RobotsLineRe}', 2)) AS value
-         |  FROM ln),
-         |ag AS (SELECT *, last_value(CASE WHEN field = 'user-agent'
-         |    THEN lower(value) END IGNORE NULLS)
-         |  OVER (PARTITION BY host ORDER BY line_idx
-         |    ROWS UNBOUNDED PRECEDING) AS agent FROM pf),
-         |rules AS (SELECT host, agent, field = 'allow' AS allow,
-         |  value AS prefix FROM ag
-         |  WHERE field IN ('allow', 'disallow')
-         |    AND agent IS NOT NULL AND value <> ''),
+         |$sqlRobotsRulesCtes,
          |rex AS (SELECT DISTINCT host, true AS he FROM rules
          |  WHERE agent = 'graftbot'),
          |app AS (SELECT r.host, r.allow, r.prefix
@@ -5061,24 +5027,7 @@ object TextQueries {
          |  ${sqlUrlGrp("u", 4)} AS path, source FROM raw),
          |hosts AS (SELECT DISTINCT host, source FROM urls),
          |rb AS (SELECT host, $sqlRobotsSynth AS txt FROM hosts),
-         |lns AS (SELECT host, string_split(txt, chr(10)) AS arr
-         |  FROM rb),
-         |ln AS (SELECT host, i AS line_idx, arr[i + 1] AS l
-         |  FROM lns, unnest(range(0, len(arr))) AS t(i)),
-         |pf AS (SELECT host, line_idx,
-         |  lower(regexp_extract(l,
-         |    '${graft.ops.UrlOps.RobotsLineRe}', 1)) AS field,
-         |  trim(regexp_extract(l,
-         |    '${graft.ops.UrlOps.RobotsLineRe}', 2)) AS value
-         |  FROM ln),
-         |ag AS (SELECT *, last_value(CASE WHEN field = 'user-agent'
-         |    THEN lower(value) END IGNORE NULLS)
-         |  OVER (PARTITION BY host ORDER BY line_idx
-         |    ROWS UNBOUNDED PRECEDING) AS agent FROM pf),
-         |rules AS (SELECT host, agent, field = 'allow' AS allow,
-         |  value AS prefix FROM ag
-         |  WHERE field IN ('allow', 'disallow')
-         |    AND agent IS NOT NULL AND value <> ''),
+         |$sqlRobotsRulesCtes,
          |ex AS (SELECT DISTINCT host, true AS he FROM rules
          |  WHERE agent = 'graftbot'),
          |app AS (SELECT r.host, r.allow, r.prefix
@@ -5143,15 +5092,20 @@ object TextQueries {
     * groups carry an RFC 9309 §2.2.3 wildcard pair (`Disallow:
     * /articles/N*` plus an `Allow: /articles/NN$` end-anchored
     * rescue — the `$` rule misses the trailing-slash variants the
-    * doc_id%9 rows produce). Same concat both sides (the twin uses
-    * chr(10) for the newlines).
+    * doc_id%9 rows produce), and the even-source group opens with
+    * CONSECUTIVE `User-agent: altbot` / `User-agent: graftbot`
+    * lines — the RFC 9309 §2.2.1 group-merge: both agents share the
+    * directives, and the preceding Crawl-delay line must END the
+    * `*` group's start-collection or the agents would fold into it.
+    * Same concat both sides (the twin uses chr(10)).
     */
   private def robotsPayload: org.apache.spark.sql.Column = concat(
     lit("User-agent: *\nDisallow: /articles/1\nAllow: /articles/12\n" +
       "Disallow: /articles/4*\nAllow: /articles/44$\n" +
       "Crawl-delay: 5"),
     when(pmod(srcIdx, lit(2L)) === 0,
-      lit("\nUser-agent: graftbot\nDisallow: /articles/2\n" +
+      lit("\nUser-agent: altbot\nUser-agent: graftbot\n" +
+        "Disallow: /articles/2\n" +
         "Allow: /articles/23\nDisallow: /articles/3*\n" +
         "Allow: /articles/33$\nDisallow:")).otherwise(lit("")))
 
@@ -5162,11 +5116,47 @@ object TextQueries {
       "'Allow: /articles/44$' || chr(10) || " +
       "'Crawl-delay: 5' || CASE WHEN " +
       "CAST(substring(source, 4) AS BIGINT) % 2 = 0 THEN chr(10) || " +
+      "'User-agent: altbot' || chr(10) || " +
       "'User-agent: graftbot' || chr(10) || 'Disallow: /articles/2' " +
       "|| chr(10) || 'Allow: /articles/23' || chr(10) || " +
       "'Disallow: /articles/3*' || chr(10) || " +
       "'Allow: /articles/33$' || chr(10) || 'Disallow:' " +
       "ELSE '' END"
+
+  /** DuckDB twin of [[graft.ops.UrlOps.robotsRules]] over an
+    * `rb(host, txt)` CTE — emits `rules(host, agent, allow, prefix)`
+    * with RFC 9309 group-merge: consecutive User-agent lines (among
+    * recognized lines) share one block id, directives join every
+    * agent of their block, pre-group directives and empty values
+    * drop. Shared by every robots-replaying twin.
+    */
+  private lazy val sqlRobotsRulesCtes: String =
+    s"""lns AS (SELECT host, string_split(txt, chr(10)) AS arr
+       |  FROM rb),
+       |ln AS (SELECT host, i AS line_idx, arr[i + 1] AS l
+       |  FROM lns, unnest(range(0, len(arr))) AS t(i)),
+       |pf AS (SELECT host, line_idx,
+       |  lower(regexp_extract(l,
+       |    '${graft.ops.UrlOps.RobotsLineRe}', 1)) AS field,
+       |  trim(regexp_extract(l,
+       |    '${graft.ops.UrlOps.RobotsLineRe}', 2)) AS value
+       |  FROM ln),
+       |prl AS (SELECT * FROM pf WHERE field <> ''),
+       |stl AS (SELECT *, CASE WHEN field = 'user-agent'
+       |    AND coalesce(lag(field) OVER
+       |      (PARTITION BY host ORDER BY line_idx), '')
+       |      <> 'user-agent'
+       |  THEN 1 ELSE 0 END AS sflag FROM prl),
+       |bk AS (SELECT *, sum(sflag) OVER (PARTITION BY host
+       |  ORDER BY line_idx ROWS UNBOUNDED PRECEDING) AS blk
+       |  FROM stl),
+       |ags AS (SELECT host, blk, lower(value) AS agent FROM bk
+       |  WHERE field = 'user-agent'),
+       |rules AS (SELECT b.host, a.agent, b.field = 'allow' AS allow,
+       |  b.value AS prefix
+       |  FROM bk b JOIN ags a ON a.host = b.host AND a.blk = b.blk
+       |  WHERE b.field IN ('allow', 'disallow') AND b.value <> ''
+       |    AND b.blk > 0)""".stripMargin
 
   /** DuckDB twin of [[graft.ops.UrlOps.robotsVerdict]]'s per-rule
     * path match: plain values prefix-match, a value carrying `*` or

@@ -138,6 +138,41 @@ class KnownAnswerSpec extends SparkSpec {
     assert(got("/bar"))
   }
 
+  test("robots.txt RFC 9309 group-merge: consecutive User-agent " +
+      "lines share one group; a recognized line ends the collection; " +
+      "an agent in two groups merges its rules") {
+    val txt = Seq(
+      "Disallow: /pre-group-drops", // before any UA → no group
+      "User-agent: a",
+      "User-agent: b", // consecutive: a and b share the group
+      "Disallow: /x",
+      "Crawl-delay: 5", // recognized non-UA: ends start-collection
+      "User-agent: c", // fresh group (must NOT merge with a/b)
+      "Disallow: /y",
+      "User-agent: a", // a's SECOND group: rules merge across groups
+      "Disallow: /z").mkString("\n")
+    val rules = UrlOps.robotsRules(
+      Seq(("h.com", txt)).toDF("host", "txt"), col("host"), col("txt"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(3)))
+      .toSet
+    assert(rules == Set(("a", "/x"), ("b", "/x"), ("c", "/y"),
+      ("a", "/z")), s"got $rules")
+    // the merged view through the verdict: agent a is bound by BOTH
+    // of its groups' rules; agent b only by the first group's
+    def allowed(agent: String, path: String): Boolean =
+      UrlOps.robotsVerdict(
+        Seq(("h.com", path)).toDF("host", "path"),
+        UrlOps.robotsRules(Seq(("h.com", txt)).toDF("host", "txt"),
+          col("host"), col("txt")), agent)
+        .head().getAs[Boolean]("allowed")
+    assert(!allowed("a", "/x/1") && !allowed("a", "/z/1"))
+    assert(!allowed("b", "/x/1") && allowed("b", "/z/1"))
+    assert(!allowed("c", "/y/1") && allowed("c", "/x/1"))
+    assert(allowed("a", "/pre-group-drops/1"),
+      "a directive before any User-agent line must drop")
+  }
+
   test("token estimate: letter runs and digit runs count separately") {
     val df = Seq((1L, "abc123 def"), (2L, "hello world42"))
       .toDF("id", "text")
