@@ -212,6 +212,56 @@ object Multimodal {
     })
   }
 
+  final case class DHashRow(doc_id: Long, status: String,
+      hash_hi: Long, hash_lo: Long)
+
+  /** Perceptual difference-hash (dHash) through the codec seam: REAL
+    * decode ([[ImageCodec.decodePixels]]), integer grayscale (the
+    * 299/587/114 luminance weights, floor /1000 — the lum_e3 rule),
+    * nearest-neighbor sample onto a 9×8 grid (the [[resizePixels]]
+    * sampling law, src = x'·dim div grid — pure index math, any
+    * source size), then 64 horizontal-gradient bits
+    * `gray(x+1,y) > gray(x,y)`. The hash is invariant under uniform
+    * brightness shifts and any re-encode that preserves pixel
+    * ordering — the near-dup signal content-hash dedup cannot see.
+    * Packed as TWO 32-bit halves (hash_hi bits 32..63, hash_lo bits
+    * 0..31) so both engines build the identical non-negative
+    * integers with no 2⁶³ sign trap. Undecodable payloads become
+    * ("corrupt", −1, −1) rows — data, never exceptions; pixels never
+    * leave the task.
+    */
+  def imageDHash(ds: Dataset[(Long, Array[Byte])]): Dataset[DHashRow] = {
+    import ds.sparkSession.implicits._
+    val budget = pixelBudget(ds)
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      ImageCodec.decodePixels(bytes, budget) match {
+        case Some(p) =>
+          def gray(x: Int, y: Int): Long = {
+            val sx = (x.toLong * p.width / 9L).toInt
+            val sy = (y.toLong * p.height / 8L).toInt
+            val v = p.rgb(sy * p.width + sx)
+            (299L * ((v >>> 16) & 0xff) + 587L * ((v >>> 8) & 0xff) +
+              114L * (v & 0xff)) / 1000L
+          }
+          var hi = 0L; var lo = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (gray(x + 1, y) > gray(x, y)) {
+                val b = y * 8 + x
+                if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          DHashRow(id, "ok", hi, lo)
+        case None => DHashRow(id, "corrupt", -1L, -1L)
+      }
+    })
+  }
+
   final case class PcmStatsRow(
       doc_id: Long, status: String, channels: Long, sample_rate: Long,
       n_samples: Long, sum_abs: Long, sum_sq: Long, peak: Long,

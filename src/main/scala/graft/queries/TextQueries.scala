@@ -320,6 +320,65 @@ object TextQueries {
       })
   }
 
+  /** Brightness-variant image payload for the perceptual-hash
+    * queries: the pixel gradient is keyed by g = doc_id % 50 (so ~10
+    * docs per base image at the 500-doc scales) with a PER-DOC
+    * uniform brightness offset o = (doc_id div 50) % 10 added to
+    * every channel — different payload BYTES (content hashing sees
+    * distinct images), identical dHash (a uniform +o shifts every
+    * grayscale value by exactly o: channels stay under 256 via the
+    * %246 base, and (base + 1000·o) div 1000 = base div 1000 + o, so
+    * no gradient sign can flip). Every 11th payload is garbage.
+    */
+  private def dhashPayload(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id % 50L
+        val o = ((id / 50L) % 10L).toInt
+        val w = (4L + g % 13L).toInt
+        val h = (3L + g % 7L).toInt
+        val bytes =
+          if (id % 11L == 0L) Array[Byte](0x42, 0x41, 0x44, 0x00)
+          else graft.ops.ImageCodec.encodePng(w, h, (x, y) =>
+            ((((g + 31L * x + 17L * y) % 246L).toInt + o << 16) |
+              (((7L * g + 5L * x) % 246L).toInt + o << 8) |
+              (((13L * g + 3L * y) % 246L).toInt + o)))
+        (id, bytes)
+      })
+  }
+
+  /** The dHash trajectory replayed in SQL over the [[dhashPayload]]
+    * synthesis — ends at `hs(doc_id, hash_hi, hash_lo)` for ok rows.
+    * Shared by mm_image_dhash and mm_image_dedup.
+    */
+  private lazy val sqlDHashCtes: String =
+    """dp AS (SELECT doc_id, doc_id % 50 AS g, (doc_id // 50) % 10 AS o
+      |  FROM documents),
+      |dd AS (SELECT doc_id, g, o, 4 + g % 13 AS w, 3 + g % 7 AS h
+      |  FROM dp WHERE doc_id % 11 <> 0),
+      |dgx AS (SELECT *, unnest(range(0, 9)) AS xx FROM dd),
+      |dgxy AS (SELECT *, unnest(range(0, 8)) AS yy FROM dgx),
+      |dsm AS (SELECT doc_id, g, o, xx, yy,
+      |  (xx * w) // 9 AS sx, (yy * h) // 8 AS sy FROM dgxy),
+      |dgr AS (SELECT doc_id, xx, yy,
+      |  (299 * ((g + 31 * sx + 17 * sy) % 246 + o)
+      |   + 587 * ((7 * g + 5 * sx) % 246 + o)
+      |   + 114 * ((13 * g + 3 * sy) % 246 + o)) // 1000 AS gray
+      |  FROM dsm),
+      |dbt AS (SELECT doc_id, yy, xx,
+      |  CASE WHEN lead(gray) OVER (PARTITION BY doc_id, yy
+      |    ORDER BY xx) > gray THEN 1 ELSE 0 END AS bit FROM dgr),
+      |hs AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN bit = 1 AND yy * 8 + xx >= 32
+      |    THEN CAST(1 AS BIGINT) << CAST(yy * 8 + xx - 32 AS INT)
+      |    ELSE 0 END) AS BIGINT) AS hash_hi,
+      |  CAST(sum(CASE WHEN bit = 1 AND yy * 8 + xx < 32
+      |    THEN CAST(1 AS BIGINT) << CAST(yy * 8 + xx AS INT)
+      |    ELSE 0 END) AS BIGINT) AS hash_lo
+      |  FROM dbt WHERE xx < 8 GROUP BY doc_id)""".stripMargin
+
   /** Streaming heavy-hitter census (doc_heavy_stream_e2e): per-bucket
     * MG capacity, key-space buckets, and the confirmed top-k. NOTE:
     * interpolated into the twin SQL — must precede `all`.
@@ -2354,6 +2413,43 @@ object TextQueries {
         .select("doc_id", "status", "width", "height", "n_px",
           "sum_r", "sum_g", "sum_b")
         .orderBy("doc_id")
+    },
+
+    // Perceptual difference-hash (Multimodal.imageDHash): REAL
+    // decode → integer grayscale → 9×8 nearest-neighbor grid → 64
+    // horizontal-gradient bits as two 32-bit halves. The payload's
+    // brightness variants (same gradient, per-doc uniform +o) decode
+    // to DIFFERENT bytes but identical dHash — the invariance the
+    // operator exists for. The twin replays sampling, grayscale and
+    // the bit pack over the synthesis formula; corrupt payloads
+    // route, never throw.
+    QueryDef("mm_image_dhash",
+      s"""WITH $sqlDHashCtes
+         |SELECT doc_id, 'ok' AS status, hash_hi, hash_lo FROM hs
+         |UNION ALL
+         |SELECT doc_id, 'corrupt', -1, -1 FROM documents
+         |WHERE doc_id % 11 = 0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.imageDHash(dhashPayload(s, d)).toDF()
+        .select("doc_id", "status", "hash_hi", "hash_lo")
+        .orderBy("doc_id")
+    },
+
+    // Perceptual near-dup groups: group the corpus by its dHash —
+    // the brightness-shifted re-encodes collapse (~10 docs per base
+    // image at the 500-doc scales) even though every payload's BYTES
+    // differ, which is exactly what content-hash dedup cannot do.
+    // keeper = min doc_id (first sight wins), corrupt rows excluded.
+    QueryDef("mm_image_dedup",
+      s"""WITH $sqlDHashCtes
+         |SELECT hash_hi, hash_lo, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS keeper
+         |FROM hs GROUP BY 1, 2 ORDER BY keeper""".stripMargin) { (s, d) =>
+      Multimodal.imageDHash(dhashPayload(s, d)).toDF()
+        .filter(col("status") === "ok")
+        .groupBy("hash_hi", "hash_lo")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+        .orderBy("keeper")
     },
 
     // REAL audio-header decode through the same seam: per-doc WAV

@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.{ImageCodec, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Perceptual dHash: the invariances the operator exists for —
+  * uniform brightness shifts and lossless re-encodes collapse, a
+  * gradient flip separates, corrupt payloads route.
+  */
+class DHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hashOf(rows: Seq[(Long, Array[Byte])]) =
+    Multimodal.imageDHash(rows.toDS()).collect()
+      .map(r => r.doc_id -> ((r.status, r.hash_hi, r.hash_lo))).toMap
+
+  // a horizontal ramp: gray strictly increases left-to-right
+  private def ramp(off: Int): Array[Byte] =
+    ImageCodec.encodePng(20, 10, (x, y) =>
+      ((10 * x + off) << 16) | ((10 * x + off) << 8) | (10 * x + off))
+
+  test("uniform brightness shift and different dimensions of the " +
+      "same gradient hash identically; a flipped gradient differs") {
+    val flipped = ImageCodec.encodePng(20, 10, (x, y) => {
+      val v = 10 * (19 - x)
+      (v << 16) | (v << 8) | v
+    })
+    val small = ImageCodec.encodePng(9, 8, (x, y) =>
+      ((20 * x) << 16) | ((20 * x) << 8) | (20 * x))
+    val h = hashOf(Seq((1L, ramp(0)), (2L, ramp(30)), (3L, flipped),
+      (4L, small)))
+    assert(h(1L) == h(2L), "a uniform +30 must not move the hash")
+    assert(h(1L)._1 == "ok" && h(1L) != h(3L),
+      "reversing the gradient must flip every bit")
+    // same monotone ramp at other dims: the 9x8 grid normalizes it
+    assert(h(4L) == h(1L),
+      "a monotone ramp hashes the same at any resolution")
+    // a strictly increasing row sets all 64 bits; the flipped ramp
+    // clears them all
+    assert(h(1L) == (("ok", 0xffffffffL, 0xffffffffL)), s"got ${h(1L)}")
+    assert(h(3L) == (("ok", 0L, 0L)), s"got ${h(3L)}")
+  }
+
+  test("corrupt payloads route to (-1, -1), never throw") {
+    val h = hashOf(Seq((1L, Array[Byte](1, 2, 3)),
+      (2L, Array.emptyByteArray)))
+    assert(h(1L) == (("corrupt", -1L, -1L)))
+    assert(h(2L) == (("corrupt", -1L, -1L)))
+  }
+}
