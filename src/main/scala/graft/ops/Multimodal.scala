@@ -301,6 +301,49 @@ object Multimodal {
     })
   }
 
+  final case class AudioFpRow(doc_id: Long, status: String, fp: Long)
+
+  /** Gain-invariant audio fingerprint through the PCM seam: REAL
+    * decode ([[AudioCodec.decodePcm]]), samples split into `frames`
+    * equal spans (sample i → frame i·frames div n — the same pure
+    * index law as the pixel grid), exact integer frame energies
+    * Σ s², then frames−1 energy-contour bits `E(f+1) > E(f)` packed
+    * into one non-negative long (frames ≤ 33 keeps it under 2³²).
+    * A uniform gain change scales every energy by k² — the contour,
+    * and therefore the fingerprint, is invariant: the near-dup
+    * signal for re-levelled/re-encoded copies that byte hashing
+    * cannot see. Undecodable payloads route to ("corrupt", −1).
+    */
+  def audioFingerprint(ds: Dataset[(Long, Array[Byte])],
+      frames: Int = 33): Dataset[AudioFpRow] = {
+    require(frames >= 2 && frames <= 33, s"need 2..33 frames, got $frames")
+    import ds.sparkSession.implicits._
+    val budget = sampleBudget(ds)
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      AudioCodec.decodePcm(bytes, budget) match {
+        case Some(p) if p.samples.nonEmpty =>
+          val n = p.samples.length
+          val e = new Array[Long](frames)
+          var i = 0
+          while (i < n) {
+            val f = (i.toLong * frames / n).toInt
+            val s = p.samples(i).toLong
+            e(f) += s * s
+            i += 1
+          }
+          var fp = 0L
+          var f = 0
+          while (f < frames - 1) {
+            if (e(f + 1) > e(f)) fp |= 1L << f
+            f += 1
+          }
+          AudioFpRow(id, "ok", fp)
+        case Some(_) => AudioFpRow(id, "ok", 0L)
+        case None => AudioFpRow(id, "corrupt", -1L)
+      }
+    })
+  }
+
   final case class AudioMetaRow(
       doc_id: Long, channels: Long, sample_rate: Long, bits: Long,
       n_audio_frames: Long, duration_us: Long)

@@ -379,6 +379,57 @@ object TextQueries {
       |    ELSE 0 END) AS BIGINT) AS hash_lo
       |  FROM dbt WHERE xx < 8 GROUP BY doc_id)""".stripMargin
 
+  /** Gain-variant audio payload for the fingerprint queries: the
+    * waveform is keyed by g = doc_id % 50 (so ~10 docs per base clip
+    * at the 500-doc scales) with a PER-DOC integer gain
+    * k = 1 + (doc_id div 50) % 10 multiplying every sample —
+    * different bytes and energies, identical energy contour (base
+    * samples stay within ±2000, so ×10 never clips). Every 11th
+    * payload is garbage.
+    */
+  private def audioFpPayload(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id % 50L
+        val k = 1L + (id / 50L) % 10L
+        val bytes =
+          if (id % 11L == 0L) Array[Byte](0x42, 0x41, 0x44, 0x00)
+          else {
+            val n = (50L + g % 97L).toInt
+            val samples = Array.tabulate[Short](n) { i =>
+              ((((g * 31L + i * 17L) % 4001L) - 2000L) * k).toShort
+            }
+            graft.ops.AudioCodec.encodeWav(8000L, samples)
+          }
+        (id, bytes)
+      })
+  }
+
+  /** The 33-frame energy-contour fingerprint replayed in SQL over
+    * the [[audioFpPayload]] synthesis — ends at `afp(doc_id, fp)`
+    * for ok rows. Shared by mm_audio_fingerprint and mm_audio_dedup.
+    */
+  private lazy val sqlAudioFpCtes: String =
+    """ap AS (SELECT doc_id, doc_id % 50 AS g,
+      |  1 + (doc_id // 50) % 10 AS k FROM documents),
+      |ad AS (SELECT doc_id, g, k, 50 + g % 97 AS n FROM ap
+      |  WHERE doc_id % 11 <> 0),
+      |axs AS (SELECT *, unnest(range(0, n)) AS i FROM ad),
+      |asv AS (SELECT doc_id, n, i,
+      |  (((g * 31 + i * 17) % 4001) - 2000) * k AS s FROM axs),
+      |aen AS (SELECT doc_id, (i * 33) // n AS f,
+      |  CAST(sum(s * s) AS BIGINT) AS e FROM asv GROUP BY 1, 2),
+      |abt AS (SELECT doc_id, f,
+      |  CASE WHEN lead(e) OVER (PARTITION BY doc_id ORDER BY f) > e
+      |    THEN 1 ELSE 0 END AS bit FROM aen),
+      |afp AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN bit = 1
+      |    THEN CAST(1 AS BIGINT) << CAST(f AS INT) ELSE 0 END)
+      |    AS BIGINT) AS fp
+      |  FROM abt WHERE f < 32 GROUP BY doc_id)""".stripMargin
+
   /** Streaming heavy-hitter census (doc_heavy_stream_e2e): per-bucket
     * MG capacity, key-space buckets, and the confirmed top-k. NOTE:
     * interpolated into the twin SQL — must precede `all`.
@@ -2413,6 +2464,40 @@ object TextQueries {
         .select("doc_id", "status", "width", "height", "n_px",
           "sum_r", "sum_g", "sum_b")
         .orderBy("doc_id")
+    },
+
+    // Gain-invariant audio fingerprint (Multimodal.audioFingerprint):
+    // REAL PCM decode → 33 exact frame energies → 32 energy-contour
+    // bits in one non-negative long. The payload's gain variants
+    // (same waveform × k) decode to different bytes and energies but
+    // the identical contour — the invariance the operator exists
+    // for. Twin replays framing, energies and the bit pack; corrupt
+    // payloads route.
+    QueryDef("mm_audio_fingerprint",
+      s"""WITH $sqlAudioFpCtes
+         |SELECT doc_id, 'ok' AS status, fp FROM afp
+         |UNION ALL
+         |SELECT doc_id, 'corrupt', -1 FROM documents
+         |WHERE doc_id % 11 = 0
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Multimodal.audioFingerprint(audioFpPayload(s, d)).toDF()
+        .select("doc_id", "status", "fp")
+        .orderBy("doc_id")
+    },
+
+    // Audio near-dup groups by fingerprint: re-levelled copies of a
+    // clip collapse (~10 docs per base at the 500-doc scales) even
+    // though every payload's bytes differ. keeper = min doc_id.
+    QueryDef("mm_audio_dedup",
+      s"""WITH $sqlAudioFpCtes
+         |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS keeper
+         |FROM afp GROUP BY 1 ORDER BY keeper""".stripMargin) { (s, d) =>
+      Multimodal.audioFingerprint(audioFpPayload(s, d)).toDF()
+        .filter(col("status") === "ok")
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+        .orderBy("keeper")
     },
 
     // Perceptual difference-hash (Multimodal.imageDHash): REAL

@@ -47,4 +47,31 @@ class DHashSpec extends SparkSpec {
     assert(h(1L) == (("corrupt", -1L, -1L)))
     assert(h(2L) == (("corrupt", -1L, -1L)))
   }
+
+  test("audio fingerprint: uniform gain collapses, a reshaped " +
+      "envelope separates, corrupt routes") {
+    def wav(k: Int, reshape: Boolean): Array[Byte] = {
+      val samples = Array.tabulate[Short](100) { i =>
+        val base =
+          if (reshape) (2000 - 20 * i) // decaying envelope
+          else (20 * i) // rising envelope
+        (base * k).toShort
+      }
+      graft.ops.AudioCodec.encodeWav(8000L, samples)
+    }
+    val out = Multimodal.audioFingerprint(Seq(
+      (1L, wav(1, reshape = false)),
+      (2L, wav(8, reshape = false)), // gain x8: same contour
+      (3L, wav(1, reshape = true)), // different envelope
+      (4L, Array[Byte](9, 9, 9))).toDS())
+      .collect().map(r => r.doc_id -> ((r.status, r.fp))).toMap
+    assert(out(1L) == out(2L), "a uniform gain must not move the fp")
+    assert(out(1L)._1 == "ok" && out(1L) != out(3L),
+      "a reshaped energy envelope must move the fp")
+    // strictly rising |samples| → strictly rising frame energies →
+    // all 32 contour bits set
+    assert(out(1L) == (("ok", 0xffffffffL)), s"got ${out(1L)}")
+    assert(out(3L) == (("ok", 0L)), s"got ${out(3L)}")
+    assert(out(4L) == (("corrupt", -1L)))
+  }
 }
