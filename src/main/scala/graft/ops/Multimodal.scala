@@ -230,34 +230,76 @@ object Multimodal {
     * ("corrupt", −1, −1) rows — data, never exceptions; pixels never
     * leave the task.
     */
+  /** The dHash core over a decoded raster — shared by the image and
+    * per-video-frame forms. Returns (hash_hi, hash_lo).
+    */
+  private def dhashOf(p: ImageCodec.PixelImage): (Long, Long) = {
+    def gray(x: Int, y: Int): Long = {
+      val sx = (x.toLong * p.width / 9L).toInt
+      val sy = (y.toLong * p.height / 8L).toInt
+      val v = p.rgb(sy * p.width + sx)
+      (299L * ((v >>> 16) & 0xff) + 587L * ((v >>> 8) & 0xff) +
+        114L * (v & 0xff)) / 1000L
+    }
+    var hi = 0L; var lo = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(x + 1, y) > gray(x, y)) {
+          val b = y * 8 + x
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (hi, lo)
+  }
+
   def imageDHash(ds: Dataset[(Long, Array[Byte])]): Dataset[DHashRow] = {
     import ds.sparkSession.implicits._
     val budget = pixelBudget(ds)
     ds.mapPartitions(_.map { case (id, bytes) =>
       ImageCodec.decodePixels(bytes, budget) match {
         case Some(p) =>
-          def gray(x: Int, y: Int): Long = {
-            val sx = (x.toLong * p.width / 9L).toInt
-            val sy = (y.toLong * p.height / 8L).toInt
-            val v = p.rgb(sy * p.width + sx)
-            (299L * ((v >>> 16) & 0xff) + 587L * ((v >>> 8) & 0xff) +
-              114L * (v & 0xff)) / 1000L
-          }
-          var hi = 0L; var lo = 0L
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              if (gray(x + 1, y) > gray(x, y)) {
-                val b = y * 8 + x
-                if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
-              }
-              x += 1
-            }
-            y += 1
-          }
+          val (hi, lo) = dhashOf(p)
           DHashRow(id, "ok", hi, lo)
         case None => DHashRow(id, "corrupt", -1L, -1L)
+      }
+    })
+  }
+
+  final case class FrameDHashRow(doc_id: Long, frame_idx: Long,
+      status: String, hash_hi: Long, hash_lo: Long)
+
+  /** Per-frame perceptual dHash through the video seam — the
+    * [[videoFramePixelStats]] walk with the [[imageDHash]] raster
+    * core per frame: the building block of video near-dup (a
+    * re-levelled re-encode of a clip keeps every frame's dHash, so
+    * the ordered frame-hash sequence is the video's perceptual key).
+    * Container corruption → one ("corrupt", −1, −1) row at
+    * frame_idx −1; an undecodable single frame → its own
+    * ("corrupt_frame", −1, −1) row, the rest of the clip unharmed.
+    */
+  def videoFrameDHash(
+      ds: Dataset[(Long, Array[Byte])]): Dataset[FrameDHashRow] = {
+    import ds.sparkSession.implicits._
+    val budget = pixelBudget(ds)
+    ds.mapPartitions(_.flatMap { case (id, bytes) =>
+      VideoCodec.decodeAvi(bytes) match {
+        case None => Iterator.single(FrameDHashRow(
+          id, -1L, "corrupt", -1L, -1L))
+        case Some(v) =>
+          v.frames.iterator.zipWithIndex.map { case (fb, fi) =>
+            ImageCodec.decodePixels(fb, budget) match {
+              case Some(p) =>
+                val (hi, lo) = dhashOf(p)
+                FrameDHashRow(id, fi.toLong, "ok", hi, lo)
+              case None => FrameDHashRow(id, fi.toLong,
+                "corrupt_frame", -1L, -1L)
+            }
+          }
       }
     })
   }

@@ -430,6 +430,76 @@ object TextQueries {
       |    AS BIGINT) AS fp
       |  FROM abt WHERE f < 32 GROUP BY doc_id)""".stripMargin
 
+  /** Brightness-variant AVI payload for the video-dedup queries:
+    * frame gradients keyed by g = doc_id % 50 with the per-doc
+    * uniform offset o (the [[dhashPayload]] trick per frame), frame
+    * count 1 + g % 4, dims keyed by (g, f). Every 11th container is
+    * garbage; when g % 7 == 3 frame 0 is an undecodable stub (keyed
+    * by g, so brightness variants agree on which frame is bad).
+    */
+  private def videoFpPayload(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id % 50L
+        val o = ((id / 50L) % 10L).toInt
+        val bytes =
+          if (id % 11L == 0L) Array[Byte](0x42, 0x41, 0x44, 0x00)
+          else {
+            val nf = (1L + g % 4L).toInt
+            val frames = (0 until nf).map { f =>
+              if (g % 7L == 3L && f == 0)
+                Array[Byte](0x4e, 0x4f, 0x50, 0x45)
+              else {
+                val w = (3L + (g + f) % 5L).toInt
+                val h = (2L + (g + 2L * f) % 4L).toInt
+                graft.ops.ImageCodec.encodePng(w, h, (x, y) =>
+                  ((((g + 7L * f + 31L * x + 17L * y) % 246L).toInt + o << 16) |
+                    (((5L * g + 11L * f + 3L * x) % 246L).toInt + o << 8) |
+                    (((3L * g + 13L * f + 5L * y) % 246L).toInt + o)))
+              }
+            }
+            graft.ops.VideoCodec.encodeAvi("MPNG", 8, 8, 40000L, frames)
+          }
+        (id, bytes)
+      })
+  }
+
+  /** Per-frame dHash replayed in SQL over the [[videoFpPayload]]
+    * synthesis — ends at `vhs(doc_id, f, hash_hi, hash_lo)` for ok
+    * frames (corrupt frames/containers union in per query). Shared
+    * by mm_video_dhash and mm_video_dedup.
+    */
+  private lazy val sqlVideoDHashCtes: String =
+    """vp AS (SELECT doc_id, doc_id % 50 AS g, (doc_id // 50) % 10 AS o
+      |  FROM documents),
+      |vfr AS (SELECT doc_id, g, o, unnest(range(0, 1 + g % 4)) AS f
+      |  FROM vp WHERE doc_id % 11 <> 0),
+      |vok AS (SELECT doc_id, g, o, f,
+      |  3 + (g + f) % 5 AS w, 2 + (g + 2 * f) % 4 AS h FROM vfr
+      |  WHERE NOT (g % 7 = 3 AND f = 0)),
+      |vgx AS (SELECT *, unnest(range(0, 9)) AS xx FROM vok),
+      |vgxy AS (SELECT *, unnest(range(0, 8)) AS yy FROM vgx),
+      |vsm AS (SELECT doc_id, g, o, f, xx, yy,
+      |  (xx * w) // 9 AS sx, (yy * h) // 8 AS sy FROM vgxy),
+      |vgr AS (SELECT doc_id, f, xx, yy,
+      |  (299 * ((g + 7 * f + 31 * sx + 17 * sy) % 246 + o)
+      |   + 587 * ((5 * g + 11 * f + 3 * sx) % 246 + o)
+      |   + 114 * ((3 * g + 13 * f + 5 * sy) % 246 + o)) // 1000 AS gray
+      |  FROM vsm),
+      |vbt AS (SELECT doc_id, f, yy, xx,
+      |  CASE WHEN lead(gray) OVER (PARTITION BY doc_id, f, yy
+      |    ORDER BY xx) > gray THEN 1 ELSE 0 END AS bit FROM vgr),
+      |vhs AS (SELECT doc_id, f,
+      |  CAST(sum(CASE WHEN bit = 1 AND yy * 8 + xx >= 32
+      |    THEN CAST(1 AS BIGINT) << CAST(yy * 8 + xx - 32 AS INT)
+      |    ELSE 0 END) AS BIGINT) AS hash_hi,
+      |  CAST(sum(CASE WHEN bit = 1 AND yy * 8 + xx < 32
+      |    THEN CAST(1 AS BIGINT) << CAST(yy * 8 + xx AS INT)
+      |    ELSE 0 END) AS BIGINT) AS hash_lo
+      |  FROM vbt WHERE xx < 8 GROUP BY doc_id, f)""".stripMargin
+
   /** Streaming heavy-hitter census (doc_heavy_stream_e2e): per-bucket
     * MG capacity, key-space buckets, and the confirmed top-k. NOTE:
     * interpolated into the twin SQL — must precede `all`.
@@ -2496,6 +2566,55 @@ object TextQueries {
       Multimodal.audioFingerprint(audioFpPayload(s, d)).toDF()
         .filter(col("status") === "ok")
         .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+        .orderBy("keeper")
+    },
+
+    // Per-frame video dHash (Multimodal.videoFrameDHash): the image
+    // dHash core through the AVI frame walk — container corruption
+    // one row at frame_idx -1, a single bad frame its own
+    // corrupt_frame row with the rest of the clip unharmed. Twin
+    // replays every frame's sampling/grayscale/pack.
+    QueryDef("mm_video_dhash",
+      s"""WITH $sqlVideoDHashCtes
+         |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+         |  'ok' AS status, hash_hi, hash_lo FROM vhs
+         |UNION ALL
+         |SELECT doc_id, CAST(f AS BIGINT), 'corrupt_frame', -1, -1
+         |FROM vfr WHERE g % 7 = 3 AND f = 0
+         |UNION ALL
+         |SELECT doc_id, -1, 'corrupt', -1, -1 FROM documents
+         |WHERE doc_id % 11 = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      Multimodal.videoFrameDHash(videoFpPayload(s, d)).toDF()
+        .select("doc_id", "frame_idx", "status", "hash_hi", "hash_lo")
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // Video near-dup groups: the video key is the ORDERED frame
+    // dHash sequence (corrupt frames pinned as -1:-1 at their
+    // index), so brightness-shifted re-encodes of a clip collapse
+    // frame-for-frame while any frame edit separates. Container
+    // corruption excluded; keeper = min doc_id.
+    QueryDef("mm_video_dedup",
+      s"""WITH $sqlVideoDHashCtes,
+         |vall AS (SELECT doc_id, f, hash_hi, hash_lo FROM vhs
+         |  UNION ALL SELECT doc_id, f, -1, -1 FROM vfr
+         |  WHERE g % 7 = 3 AND f = 0),
+         |vk AS (SELECT doc_id, string_agg(hash_hi || ':' || hash_lo,
+         |    ',' ORDER BY f) AS vkey FROM vall GROUP BY doc_id)
+         |SELECT vkey, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS keeper
+         |FROM vk GROUP BY 1 ORDER BY keeper""".stripMargin) { (s, d) =>
+      val fr = Multimodal.videoFrameDHash(videoFpPayload(s, d)).toDF()
+        .filter(col("status") =!= "corrupt")
+      fr.groupBy("doc_id")
+        .agg(array_join(transform(array_sort(collect_list(struct(
+            col("frame_idx"),
+            concat(col("hash_hi").cast("string"), lit(":"),
+              col("hash_lo").cast("string")).as("s")))),
+          x => x.getField("s")), ",").as("vkey"))
+        .groupBy("vkey")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
         .orderBy("keeper")
     },
