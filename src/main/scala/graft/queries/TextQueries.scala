@@ -2619,6 +2619,66 @@ object TextQueries {
         .orderBy("keeper")
     },
 
+    // Banded perceptual NEAR-dup (the production form — exact dHash
+    // equality only catches identical contours): the 64-bit hash
+    // splits into four 16-bit bands, candidate pairs share at least
+    // one band (pigeonhole: Hamming <= 6 over 4 bands forces one
+    // clean band when damage is spread, and near-dups concentrate
+    // damage anyway), verified by exact popcount(xor) <= 6. Banding
+    // keeps candidate generation an equi-join on (band_idx, value) —
+    // never all-pairs, the MinHash/SimHash blocking discipline at
+    // the perceptual tier.
+    QueryDef("mm_image_neardup",
+      s"""WITH $sqlDHashCtes,
+         |bands AS (
+         |  SELECT doc_id, hash_hi, hash_lo, 0 AS bi,
+         |    hash_lo & 65535 AS bv FROM hs
+         |  UNION ALL SELECT doc_id, hash_hi, hash_lo, 1,
+         |    (hash_lo >> 16) & 65535 FROM hs
+         |  UNION ALL SELECT doc_id, hash_hi, hash_lo, 2,
+         |    hash_hi & 65535 FROM hs
+         |  UNION ALL SELECT doc_id, hash_hi, hash_lo, 3,
+         |    (hash_hi >> 16) & 65535 FROM hs),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.hash_hi AS ha, a.hash_lo AS la,
+         |  b.hash_hi AS hb, b.hash_lo AS lb
+         |  FROM bands a JOIN bands b
+         |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+         |    AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val hs = Multimodal.imageDHash(dhashPayload(s, d)).toDF()
+        .filter(col("status") === "ok")
+        .select("doc_id", "hash_hi", "hash_lo")
+      val bands = (0 to 3).map { bi =>
+        val v = bi match {
+          case 0 => col("hash_lo").bitwiseAND(lit(65535L))
+          case 1 => shiftright(col("hash_lo"), 16).bitwiseAND(lit(65535L))
+          case 2 => col("hash_hi").bitwiseAND(lit(65535L))
+          case 3 => shiftright(col("hash_hi"), 16).bitwiseAND(lit(65535L))
+        }
+        hs.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+          lit(bi).as("bi"), v.as("bv"))
+      }.reduce(_ unionByName _)
+      val a = bands.select(col("bi"), col("bv"),
+        col("doc_id").as("id_a"), col("hash_hi").as("ha"),
+        col("hash_lo").as("la"))
+      val b = bands.select(col("bi"), col("bv"),
+        col("doc_id").as("id_b"), col("hash_hi").as("hb"),
+        col("hash_lo").as("lb"))
+      val ham = bit_count(col("ha").bitwiseXOR(col("hb"))) +
+        bit_count(col("la").bitwiseXOR(col("lb")))
+      a.join(b, Seq("bi", "bv")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "ha", "la", "hb", "lb").distinct()
+        .withColumn("hamming", ham.cast("long"))
+        .filter(col("hamming") <= 6L)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    },
+
     // Perceptual difference-hash (Multimodal.imageDHash): REAL
     // decode → integer grayscale → 9×8 nearest-neighbor grid → 64
     // horizontal-gradient bits as two 32-bit halves. The payload's
