@@ -466,6 +466,26 @@ object TextQueries {
       })
   }
 
+  /** Media-gate state: three doc_id%3 micro-batches of the
+    * brightness-variant images through the stateful perceptual
+    * seen-set, with a compaction BETWEEN batches 1 and 2 (the
+    * [[urlGateStateDir]] shape — the cross-compaction probe is
+    * oracle-pinned).
+    */
+  private def mediaGateStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    TempState.dir("mediagate|" + s.sparkContext.applicationId + "|" + d) {
+      root =>
+        import s.implicits._
+        val gate = new graft.streaming.MediaGate(s, root)
+        val docs = dhashPayload(s, d)
+        gate.applyBatch(docs.filter($"_1" % 3 === 0), 0L)
+        gate.applyBatch(docs.filter($"_1" % 3 === 1), 1L)
+        gate.compact(currentBatchId = 1L)
+        gate.vacuum(currentBatchId = 1L)
+        gate.applyBatch(docs.filter($"_1" % 3 === 2), 2L)
+    }
+
   /** Per-frame dHash replayed in SQL over the [[videoFpPayload]]
     * synthesis — ends at `vhs(doc_id, f, hash_hi, hash_lo)` for ok
     * frames (corrupt frames/containers union in per query). Shared
@@ -2568,6 +2588,67 @@ object TextQueries {
         .groupBy("fp")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
         .orderBy("keeper")
+    },
+
+    // Streaming perceptual media gate e2e (MediaGate on the shared
+    // GateStateStore): three micro-batches of the brightness-variant
+    // images through the standing dHash seen-set — the smallest id
+    // claims each hash within a batch, later batches' re-encodes of
+    // an admitted image come back dup_of_corpus (new BYTES, seen
+    // content), undecodable payloads come back rejected, and batch 2
+    // reads THROUGH a committed compaction. The twin replays the
+    // full dHash trajectory, the per-batch min-id claims and the
+    // unrolled admitted-set chain.
+    QueryDef("mm_media_gate_e2e",
+      s"""WITH $sqlDHashCtes,
+         |hb AS (SELECT doc_id, hash_hi, hash_lo, doc_id % 3 AS b
+         |  FROM hs),
+         |cl AS (SELECT b, hash_hi, hash_lo, min(doc_id) AS keeper
+         |  FROM hb GROUP BY 1, 2, 3),
+         |adm0 AS (SELECT DISTINCT h.hash_hi, h.hash_lo FROM hb h
+         |  JOIN cl ON cl.b = 0 AND cl.hash_hi = h.hash_hi
+         |    AND cl.hash_lo = h.hash_lo AND cl.keeper = h.doc_id
+         |  WHERE h.b = 0),
+         |adm1 AS (SELECT DISTINCT h.hash_hi, h.hash_lo FROM hb h
+         |  JOIN cl ON cl.b = 1 AND cl.hash_hi = h.hash_hi
+         |    AND cl.hash_lo = h.hash_lo AND cl.keeper = h.doc_id
+         |  WHERE h.b = 1 AND NOT EXISTS (SELECT 1 FROM adm0 a
+         |    WHERE a.hash_hi = h.hash_hi AND a.hash_lo = h.hash_lo)),
+         |v0 AS (SELECT h.doc_id, h.hash_hi, h.hash_lo,
+         |  CASE WHEN h.doc_id <> cl.keeper THEN 'dup_in_batch'
+         |    ELSE 'admitted' END AS verdict
+         |  FROM hb h JOIN cl ON cl.b = 0 AND cl.hash_hi = h.hash_hi
+         |    AND cl.hash_lo = h.hash_lo WHERE h.b = 0),
+         |v1 AS (SELECT h.doc_id, h.hash_hi, h.hash_lo,
+         |  CASE WHEN EXISTS (SELECT 1 FROM adm0 a
+         |      WHERE a.hash_hi = h.hash_hi AND a.hash_lo = h.hash_lo)
+         |    THEN 'dup_of_corpus'
+         |    WHEN h.doc_id <> cl.keeper THEN 'dup_in_batch'
+         |    ELSE 'admitted' END AS verdict
+         |  FROM hb h JOIN cl ON cl.b = 1 AND cl.hash_hi = h.hash_hi
+         |    AND cl.hash_lo = h.hash_lo WHERE h.b = 1),
+         |v2 AS (SELECT h.doc_id, h.hash_hi, h.hash_lo,
+         |  CASE WHEN EXISTS (SELECT 1 FROM adm0 a
+         |      WHERE a.hash_hi = h.hash_hi AND a.hash_lo = h.hash_lo)
+         |    OR EXISTS (SELECT 1 FROM adm1 a
+         |      WHERE a.hash_hi = h.hash_hi AND a.hash_lo = h.hash_lo)
+         |    THEN 'dup_of_corpus'
+         |    WHEN h.doc_id <> cl.keeper THEN 'dup_in_batch'
+         |    ELSE 'admitted' END AS verdict
+         |  FROM hb h JOIN cl ON cl.b = 2 AND cl.hash_hi = h.hash_hi
+         |    AND cl.hash_lo = h.hash_lo WHERE h.b = 2)
+         |SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS batch,
+         |  hash_hi, hash_lo, verdict
+         |FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1
+         |  UNION ALL SELECT * FROM v2
+         |  UNION ALL SELECT doc_id, -1, -1, 'rejected'
+         |  FROM documents WHERE doc_id % 11 = 0)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dir = mediaGateStateDir(s, d)
+      new graft.streaming.MediaGate(s, dir).readVerdicts(2L)
+        .select(col("id").as("doc_id"), col("batch"),
+          col("hash_hi"), col("hash_lo"), col("verdict"))
+        .orderBy("doc_id")
     },
 
     // Per-frame video dHash (Multimodal.videoFrameDHash): the image
@@ -4982,10 +5063,14 @@ object TextQueries {
       val lk = graft.ops.Html.links(pages, col("doc_id"), col("html"))
       val src = load(s, d, "documents")
         .select(col("doc_id").as("id"), col("source"))
-      val cand = lk.join(src, "id")
+      // the regex-heavy link extraction feeds FOUR consumers (the
+      // PR edge build, the URL set, the capacity action, the final
+      // plan) — cut it once so the HTML scan runs once, not per
+      // consumer (the Materialize route the CC/PageRank loops use)
+      val cand = graft.ops.Materialize.cut(lk.join(src, "id")
         .select(col("source").as("src_label"),
           graft.ops.UrlOps.canonicalize(col("href")).as("canonical"))
-        .filter(col("canonical").isNotNull)
+        .filter(col("canonical").isNotNull))
       val edges = cand
         .groupBy(col("src_label").as("s_a"),
           regexp_extract(col("canonical"), graft.ops.UrlOps.UrlRe, 2)
