@@ -2731,9 +2731,13 @@ object TextQueries {
          |FROM cand
          |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-      val hs = Multimodal.imageDHash(dhashPayload(s, d)).toDF()
-        .filter(col("status") === "ok")
-        .select("doc_id", "hash_hi", "hash_lo")
+      // cut once: the self-join references the hash frame on BOTH
+      // sides, and without the cut each side re-runs the full-corpus
+      // decode (the mapPartitions seam has no plan-level reuse)
+      val hs = graft.ops.Materialize.cut(
+        Multimodal.imageDHash(dhashPayload(s, d)).toDF()
+          .filter(col("status") === "ok")
+          .select("doc_id", "hash_hi", "hash_lo"))
       val bands = (0 to 3).map { bi =>
         val v = bi match {
           case 0 => col("hash_lo").bitwiseAND(lit(65535L))
