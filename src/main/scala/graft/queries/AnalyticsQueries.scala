@@ -233,6 +233,78 @@ object AnalyticsQueries {
         .orderBy(col("revenue_e4").desc, col("nation"))
     },
 
+    // TPC-H Q17 pattern — small-quantity revenue for one brand: a
+    // per-part average threshold (the correlated subquery) computed
+    // as one groupBy re-joined to the fact, the comparison kept
+    // EXACT by cross-multiplication (5·qty·cnt < sum_qty in decimal
+    // — never a float 0.2·avg). Brand filter pushes to the part
+    // scan; the part side broadcasts; the per-part stats frame is
+    // part-domain-sized.
+    QueryDef("q17_small_qty_revenue",
+      """WITH bp AS (SELECT p_partkey FROM part
+        |  WHERE p_brand = 'Brand#13'),
+        |li AS (SELECT l.l_partkey, CAST(l.l_quantity AS DECIMAL(18,2))
+        |    AS q, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS px
+        |  FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey),
+        |st AS (SELECT l_partkey, sum(q) AS sumq,
+        |  CAST(count(*) AS BIGINT) AS cnt FROM li GROUP BY 1)
+        |SELECT CAST(coalesce(sum(li.px), 0) * 10000 AS BIGINT)
+        |    AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM li JOIN st USING (l_partkey)
+        |WHERE li.q * 5 * st.cnt < st.sumq""".stripMargin) { (s, d) =>
+      val bp = load(s, d, "part").filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey"))
+      val li = load(s, d, "lineitem")
+        .join(broadcast(bp), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          col("l_quantity").cast("decimal(18,2)").as("q"),
+          col("l_extendedprice").cast("decimal(18,2)").as("px"))
+      val st = li.groupBy("l_partkey")
+        .agg(sum(col("q")).as("sumq"), count(lit(1)).as("cnt"))
+      li.join(st, "l_partkey")
+        .filter(col("q") * lit(5) * col("cnt") < col("sumq"))
+        .agg((coalesce(sum(col("px")), lit(0).cast("decimal(18,2)")) *
+          10000).cast("long").as("revenue_e4"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q18 pattern — large-volume orders: group-having on the
+    // fact (sum of quantities per order above a threshold), then the
+    // qualifying ORDER KEYS (a tiny frame) pull in customer/order
+    // detail — the having-side semi-join never widens the fact scan.
+    QueryDef("q18_large_orders",
+      """WITH big AS (SELECT l_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS qty_e2
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c.c_name AS cname, o.o_orderkey AS orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 10000 AS BIGINT)
+        |    AS totalprice_e4,
+        |  big.qty_e2
+        |FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY big.qty_e2 DESC, orderkey""".stripMargin) { (s, d) =>
+      val big = load(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg((sum(col("l_quantity").cast("decimal(18,2)")) * 100)
+          .cast("long").as("qty_e2"))
+        .filter(col("qty_e2") > 25000L)
+      val o = load(s, d, "orders")
+      val c = load(s, d, "customer")
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(c("c_name").as("cname"),
+          o("o_orderkey").as("orderkey"),
+          date_format(o("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          (o("o_totalprice").cast("decimal(18,2)") * 10000)
+            .cast("long").as("totalprice_e4"),
+          col("qty_e2"))
+        .orderBy(col("qty_e2").desc, col("orderkey"))
+    },
+
     // window functions: rank + running sum per partition
     QueryDef("q_window_running",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
