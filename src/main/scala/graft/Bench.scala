@@ -120,6 +120,16 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** One media-canary BRACKET sample = min of 2 [[mediaCanaryOnce]]
+    * runs — the same min-of-retries treatment the per-query timings
+    * get (round-16 fix: a single unguarded sample made the mm_*
+    * adjudication unit noisier than the CPU canary it exists to
+    * complement; one GC pause inside the lone sample mis-priced a
+    * whole batch's media window).
+    */
+  private def mediaCanarySample(): Double =
+    math.min(mediaCanaryOnce(), mediaCanaryOnce())
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // iteration aid: SPARK_GRAFT_BENCH_ONLY=q3_shipping_topk,emb_ivf_knn
@@ -194,7 +204,7 @@ object Bench {
     mediaCanaryOnce()
     val canaries = scala.collection.mutable.ArrayBuffer(canaryOnce(spark))
     val mediaCanaries =
-      scala.collection.mutable.ArrayBuffer(mediaCanaryOnce())
+      scala.collection.mutable.ArrayBuffer(mediaCanarySample())
     val noRetry = sys.env.contains("SPARK_GRAFT_BENCH_NORETRY")
     val batches = selected.grouped(BatchSize).toSeq
     batches.foreach { batch =>
@@ -210,7 +220,7 @@ object Bench {
         sample = math.min(sample, canaryOnce(spark))
       }
       canaries += sample
-      mediaCanaries += mediaCanaryOnce()
+      mediaCanaries += mediaCanarySample()
     }
     val results = selected.map(n => n -> times(n))
     // per-query neighborhood canary: the mean of the two samples

@@ -37,26 +37,31 @@ object Html {
     * RE2 (the oracle twin's engine) has no lookahead, and this form
     * means the same thing in both engines.
     */
-  val ScriptRe = "(?is)<script(?:[ \\t\\n/][^>]*)?>.*?</script>"
-  val StyleRe = "(?is)<style(?:[ \\t\\n/][^>]*)?>.*?</style>"
+  val ScriptRe = "(?is)<script(?:[ \\t\\n\\r\\f/][^>]*)?>.*?</script>"
+  val StyleRe = "(?is)<style(?:[ \\t\\n\\r\\f/][^>]*)?>.*?</style>"
 
   /** Anchor elements; group 1 is the anchor text (the link-density
     * numerator).
     */
-  val AnchorRe = "(?is)<a(?:[ \\t\\n/][^>]*)?>(.*?)</a>"
+  val AnchorRe = "(?is)<a(?:[ \\t\\n\\r\\f/][^>]*)?>(.*?)</a>"
 
   /** Anchor element WITH an href attribute: group 1 is the href
     * value (double-quoted), group 2 the anchor text — the crawl
     * frontier / link-graph extractor. Non-greedy attribute scan, no
     * lookahead (RE2 twin-compat). The attribute name is anchored at
-    * a whitespace boundary (`(?:[^>]*?[ \t\n])?href=`), so an
+    * a whitespace boundary (`(?:[^>]*?[ \t\n\r\f])?href=`), so an
     * attribute merely ENDING in "href" (`data-href="/x"`) is not a
-    * link (round-15 fix). Documented limitation: single-quoted and
-    * unquoted href values are skipped — RE2 has no backreferences,
-    * and a second quote style would break the 1=href/2=text group
-    * contract the index-aligned double extract depends on.
+    * link (round-15 fix). The boundary classes include `\r`/`\f`
+    * (round-16 fix): CRLF-formatted markup separates attributes with
+    * `\r\n`, and a class of only ` \t\n` silently dropped any link
+    * whose preceding separator char was the `\r` — a miss class the
+    * pre-boundary regex did not have. Documented limitation:
+    * single-quoted and unquoted href values are skipped — RE2 has no
+    * backreferences, and a second quote style would break the
+    * 1=href/2=text group contract the index-aligned double extract
+    * depends on.
     */
-  val AnchorHrefRe = "(?is)<a[ \\t\\n](?:[^>]*?[ \\t\\n])?" +
+  val AnchorHrefRe = "(?is)<a[ \\t\\n\\r\\f](?:[^>]*?[ \\t\\n\\r\\f])?" +
     "href=\"([^\"]*)\"[^>]*>(.*?)</a>"
 
   /** Block-level boundary tags (open or close): splitting on these

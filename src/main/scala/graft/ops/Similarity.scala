@@ -416,7 +416,13 @@ object Similarity {
       .select(col("q_id"),
         (col("qg1") + col("__o.dx")).as("g1"),
         (col("qg2") + col("__o.dy")).as("g2"))
-    c.join(broadcast(q), Seq("g1", "g2"))
+    // no broadcast hint: the probe side is queries ×9, and a LARGE
+    // query set (corpus-vs-corpus dedup probing) under a forced hint
+    // becomes a driver collect/OOM — the join is already an equi-join
+    // on (g1, g2), so AQE picks broadcast when the exploded probe
+    // side measures small and a shuffle join when it doesn't
+    // (round-16 fix)
+    c.join(q, Seq("g1", "g2"))
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"))
   }

@@ -74,8 +74,21 @@ private[streaming] final class GateStateStore(spark: SparkSession,
       val in = f.open(mp)
       val txt = try scala.io.Source.fromInputStream(in).mkString.trim
       finally in.close()
-      val Array(g, u) = txt.split(" ")
-      (g.toLong, u.toLong)
+      // a truncated/empty META is possible on stores without the
+      // rename-swap's atomicity (object stores before the documented
+      // conditional-put substitution) — that is state CORRUPTION an
+      // operator must see by name, not an opaque MatchError that
+      // reads as a code bug (round-16 fix)
+      txt.split(" ") match {
+        case Array(g, u) if g.forall(_.isDigit) && g.nonEmpty &&
+            u.forall(_.isDigit) && u.nonEmpty =>
+          (g.toLong, u.toLong)
+        case _ => throw new IllegalStateException(
+          s"corrupt gate-state META at $metaPath: expected " +
+            s"'<generation> <upTo>', got '${txt.take(80)}' — the " +
+            "state dir needs operator repair (restore META from the " +
+            "latest gen=<g> directory present)")
+      }
     }
   }
 

@@ -101,6 +101,21 @@ class HtmlSpec extends SparkSpec {
       s"got ${out.toSeq}")
   }
 
+  test("href extraction survives CRLF-formatted markup (r15 advice)") {
+    // attributes separated by \r\n (and the \r alone that a class of
+    // only [ \t\n] silently dropped) still yield the link; \f too
+    val html = "<html><body>" +
+      "<a class=\"x\"\rhref=\"/cr\">cr</a>" +
+      "<a\r\nhref=\"/crlf\">crlf</a>" +
+      "<a\fhref=\"/ff\">ff</a></body></html>"
+    val out = Html.links(Seq((1L, html)).toDF("id", "html"),
+        col("id"), col("html"))
+      .orderBy("link_idx").collect()
+      .map(r => (r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(("/cr", "cr"), ("/crlf", "crlf"),
+      ("/ff", "ff")), s"got ${out.toSeq}")
+  }
+
   test("a custom threshold moves the flag") {
     val html = "<p>four words here <a href=\"/x\">linked</a></p>"
     val strict = Html.extract(Seq((1L, html)).toDF("id", "html"),

@@ -14,6 +14,32 @@ class IngestGateSpec extends SparkSpec {
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("gate").toString
 
+  test("gate: corrupt META fails by name, not MatchError (r15 advice)") {
+    val state = tmp()
+    val gate = new IngestGate(spark, state)
+    gate.applyBatch(Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text"), 0L)
+    // a truncated META (possible on stores without rename atomicity)
+    // must surface as state corruption naming the path — an opaque
+    // MatchError reads as a code bug and hides the repair action
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$state/base"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$state/base/META"), "7")
+    val ex = intercept[IllegalStateException] {
+      gate.applyBatch(Seq((2L, "totally different content here"))
+        .toDF("doc_id", "text"), 1L)
+    }
+    assert(ex.getMessage.contains("corrupt gate-state META"))
+    assert(ex.getMessage.contains(s"$state/base/META"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$state/base/META"), "")
+    val ex2 = intercept[IllegalStateException] {
+      gate.compact(currentBatchId = 1L)
+    }
+    assert(ex2.getMessage.contains("corrupt gate-state META"))
+  }
+
   test("gate: in-batch dup, corpus dup across batches, admission") {
     implicit val sq = spark.sqlContext
     val state = tmp()

@@ -24,7 +24,13 @@ def norm_cell(v):
     if isinstance(v, (np.floating,)): v = float(v)
     if v is None: return None
     if isinstance(v, bool): return ("b", v)
-    if isinstance(v, decimal.Decimal): return ("dec", str(v))
+    # normalize() strips trailing zeros so numerically equal decimals
+    # of different SCALE (1.5 vs 1.50) compare equal — the gate's job
+    # is catching cross-FAMILY drift (DECIMAL vs BIGINT/DOUBLE), and
+    # the family tag alone does that; pinning scale was stricter than
+    # the stated goal and a latent false-failure source if the two
+    # engines' scale inference ever differs (round-16 fix)
+    if isinstance(v, decimal.Decimal): return ("dec", str(v.normalize()))
     if isinstance(v, float):
         return ("f", "NaN" if math.isnan(v) else v)
     if isinstance(v, int): return ("i", v)
