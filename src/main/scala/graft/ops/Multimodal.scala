@@ -270,6 +270,86 @@ object Multimodal {
     })
   }
 
+  /** Candidate pairs for 64-bit Hamming near-dup by MULTI-INDEX
+    * probing (Norouzi & Punjani & Fleet, "Fast Search in Hamming
+    * Space with Multi-Index Hashing", CVPR 2012): the hash splits
+    * into four 16-bit bands, the probe side expands each band by its
+    * 17 radius-1 Hamming-ball values (identity + 16 one-bit flips),
+    * and candidates equi-join on exact (band_idx, value). The
+    * pigeonhole this buys is REAL: d bit errors spread over 4 bands
+    * leave the cleanest band with <= floor(d/4) errors, so every
+    * pair at Hamming <= 7 has some band within distance 1 of its
+    * twin and is guaranteed caught by the radius-1 expansion. (Exact
+    * band equality alone — the pre-round-16 form — only guarantees
+    * Hamming <= 3; at the <= 6 verify threshold it was a heuristic,
+    * not a guarantee.) Candidate generation stays an equi-join —
+    * never all-pairs — at 4 x 17 = 68 probe rows per hash; at corpus
+    * scale the 16-bit band space keeps bucket sizes n/65536-ish per
+    * band, the shape that survives a 100x scale-up.
+    *
+    * `hs`: (id, hash_hi, hash_lo), 32 significant bits each. Returns
+    * distinct (id_a, id_b, ha, la, hb, lb) with id_a < id_b; the
+    * caller verifies with the exact popcount and its own threshold
+    * (<= 7 stays guaranteed-complete).
+    */
+  def dhashBandProbeCandidates(hs: DataFrame): DataFrame = {
+    val bands = (0 to 3).map { bi =>
+      val src = if (bi < 2) col("hash_lo") else col("hash_hi")
+      val v = shiftright(src, (bi % 2) * 16).bitwiseAND(lit(65535L))
+      hs.select(col("id"), col("hash_hi"), col("hash_lo"),
+        lit(bi).as("bi"), v.as("bv"))
+    }.reduce(_ unionByName _)
+    val masks = array((Seq(0L) ++ (0 until 16).map(1L << _))
+      .map(lit(_)): _*)
+    // asymmetric expansion: probing one side by radius 1 against the
+    // other side's exact bands catches every band pair at distance
+    // <= 1 — expanding both sides would buy radius 2 nobody needs
+    // here and square the fan-out
+    val probe = bands.withColumn("__m", explode(masks))
+      .select(col("bi"), col("bv").bitwiseXOR(col("__m")).as("bv"),
+        col("id").as("id_a"), col("hash_hi").as("ha"),
+        col("hash_lo").as("la"))
+    val base = bands.select(col("bi"), col("bv"), col("id").as("id_b"),
+      col("hash_hi").as("hb"), col("hash_lo").as("lb"))
+    probe.join(base, Seq("bi", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "la", "hb", "lb").distinct()
+  }
+
+  /** EXACT Hamming-pair generator by 8x8-bit-band pigeonhole: d <= 7
+    * errors over 8 bands force at least one band with ZERO errors,
+    * so exact band equality is complete for `maxDist` <= 7 — a
+    * genuinely DIFFERENT exact algorithm than the 4x16 multi-probe
+    * above, which is what makes it the truth side of the recall
+    * oracle (two distinct exact generators agreeing pin each other).
+    * 8-bit bands are the wrong production shape (256 values per band
+    * collapses to huge buckets at corpus scale) — this is the oracle
+    * tool, not the serving path. Returns (id_a, id_b, hamming)
+    * pairs, id_a < id_b, hamming <= maxDist.
+    */
+  def dhashExactPairs(hs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"8-band pigeonhole is exact only to Hamming 7, got $maxDist")
+    val bands = (0 to 7).map { bi =>
+      val src = if (bi < 4) col("hash_lo") else col("hash_hi")
+      val v = shiftright(src, (bi % 4) * 8).bitwiseAND(lit(255L))
+      hs.select(col("id"), col("hash_hi"), col("hash_lo"),
+        lit(bi).as("bi"), v.as("bv"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("bi"), col("bv"), col("id").as("id_a"),
+      col("hash_hi").as("ha"), col("hash_lo").as("la"))
+    val b = bands.select(col("bi"), col("bv"), col("id").as("id_b"),
+      col("hash_hi").as("hb"), col("hash_lo").as("lb"))
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "la", "hb", "lb").distinct()
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("long"))
+      .filter(col("hamming") <= maxDist.toLong)
+      .select("id_a", "id_b", "hamming")
+  }
+
   final case class FrameDHashRow(doc_id: Long, frame_idx: Long,
       status: String, hash_hi: Long, hash_lo: Long)
 

@@ -379,6 +379,86 @@ object TextQueries {
       |    ELSE 0 END) AS BIGINT) AS hash_lo
       |  FROM dbt WHERE xx < 8 GROUP BY doc_id)""".stripMargin
 
+  /** Controlled-DISTANCE image payload for the near-dup recall
+    * oracle: every ok image is 9×8 (identity dHash grid sampling)
+    * with r=g=b gray pixels built by a ±3 walk from 100 along each
+    * row, so the REAL decode's dHash equals a closed-form 64-bit
+    * pattern — base bit ((g·37 + p·17) % 97) % 2 at position p, with
+    * variant v = (doc_id div 50) % 10 flipping positions
+    * (g + 11·j) % 64 for j < f(v), f(v) = v for v ≤ 6 and 8·(v−6)
+    * above (stride 11 is coprime to 64, so flip positions are
+    * distinct for j < 24). Two variants of one group flip PREFIXES
+    * of the same position sequence, so their Hamming distance is
+    * EXACTLY |f(a) − f(b)| — the corpus carries known pairs at every
+    * distance 1..6 plus beyond-threshold distractors (8, 16, 24),
+    * the spectrum the brightness-variant payload (all distance 0)
+    * cannot produce. Every 11th payload is garbage.
+    */
+  private def dhashNearPayload(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id % 50L
+        val v = ((id / 50L) % 10L).toInt
+        val nf = if (v <= 6) v.toLong else 8L * (v - 6)
+        val bytes =
+          if (id % 11L == 0L) Array[Byte](0x42, 0x41, 0x44, 0x00)
+          else {
+            // 35 = 11⁻¹ mod 64: position p is flipped iff its index
+            // j = 35·(p − g) mod 64 in the flip sequence is < f(v)
+            def bit(p: Int): Int = {
+              val base = (((g * 37L + p * 17L) % 97L) % 2L).toInt
+              val j = (((p - g) * 35L) % 64L + 64L) % 64L
+              if (j < nf) 1 - base else base
+            }
+            // dHash bit at (x,y) is gray(x+1,y) > gray(x,y): a ±3
+            // walk realizes any bit pattern with gray ∈ [76, 124]
+            val gray = Array.ofDim[Int](8, 9)
+            var y = 0
+            while (y < 8) {
+              gray(y)(0) = 100
+              var x = 0
+              while (x < 8) {
+                gray(y)(x + 1) = gray(y)(x) +
+                  (if (bit(y * 8 + x) == 1) 3 else -3)
+                x += 1
+              }
+              y += 1
+            }
+            // r=g=b makes the 299/587/114 luma the gray value itself
+            graft.ops.ImageCodec.encodePng(9, 8,
+              (x, yy) => gray(yy)(x) * 0x010101)
+          }
+        (id, bytes)
+      })
+  }
+
+  /** The closed-form hash of [[dhashNearPayload]] — ends at
+    * `crh(doc_id, hash_hi, hash_lo)` for ok rows. The twin computes
+    * the PATTERN directly (base XOR prefix-flip) while Spark really
+    * decodes the pixels — independent derivations by construction.
+    */
+  private lazy val sqlDHashNearCtes: String =
+    """crp AS (SELECT doc_id, doc_id % 50 AS g,
+      |  CASE WHEN (doc_id // 50) % 10 <= 6 THEN (doc_id // 50) % 10
+      |    ELSE 8 * ((doc_id // 50) % 10 - 6) END AS nf
+      |  FROM documents WHERE doc_id % 11 <> 0),
+      |crb AS (SELECT doc_id, g, nf, unnest(range(0, 64)) AS p
+      |  FROM crp),
+      |crbit AS (SELECT doc_id, p,
+      |  CASE WHEN ((35 * (p - g)) % 64 + 64) % 64 < nf
+      |    THEN 1 - ((g * 37 + p * 17) % 97) % 2
+      |    ELSE ((g * 37 + p * 17) % 97) % 2 END AS bit FROM crb),
+      |crh AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN bit = 1 AND p >= 32
+      |    THEN CAST(1 AS BIGINT) << CAST(p - 32 AS INT) ELSE 0 END)
+      |    AS BIGINT) AS hash_hi,
+      |  CAST(sum(CASE WHEN bit = 1 AND p < 32
+      |    THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END)
+      |    AS BIGINT) AS hash_lo
+      |  FROM crbit GROUP BY doc_id)""".stripMargin
+
   /** Gain-variant audio payload for the fingerprint queries: the
     * waveform is keyed by g = doc_id % 50 (so ~10 docs per base clip
     * at the 500-doc scales) with a PER-DOC integer gain
@@ -2701,14 +2781,19 @@ object TextQueries {
     },
 
     // Banded perceptual NEAR-dup (the production form — exact dHash
-    // equality only catches identical contours): the 64-bit hash
-    // splits into four 16-bit bands, candidate pairs share at least
-    // one band (pigeonhole: Hamming <= 6 over 4 bands forces one
-    // clean band when damage is spread, and near-dups concentrate
-    // damage anyway), verified by exact popcount(xor) <= 6. Banding
-    // keeps candidate generation an equi-join on (band_idx, value) —
-    // never all-pairs, the MinHash/SimHash blocking discipline at
-    // the perceptual tier.
+    // equality only catches identical contours): multi-index Hamming
+    // probing (Norouzi et al., CVPR 2012 — see
+    // Multimodal.dhashBandProbeCandidates): four 16-bit bands, the
+    // probe side expanded by the 17 radius-1 ball values per band,
+    // candidates equi-join on exact (band_idx, value), verified by
+    // exact popcount(xor) <= 6. The pigeonhole is now real: <= 6
+    // errors over 4 bands leave some band with <= 1, which the
+    // radius-1 expansion catches — GUARANTEED recall at the verify
+    // threshold (exact-band-only matching, the pre-r16 form, only
+    // guaranteed <= 3), priced by mm_image_neardup_recall. Candidate
+    // generation stays an equi-join — never all-pairs — at 68 probe
+    // rows per hash over a 16-bit band space that keeps buckets
+    // ~n/65536 at corpus scale.
     QueryDef("mm_image_neardup",
       s"""WITH $sqlDHashCtes,
          |bands AS (
@@ -2720,10 +2805,15 @@ object TextQueries {
          |    hash_hi & 65535 FROM hs
          |  UNION ALL SELECT doc_id, hash_hi, hash_lo, 3,
          |    (hash_hi >> 16) & 65535 FROM hs),
+         |mask AS (SELECT CAST(0 AS BIGINT) AS m
+         |  UNION ALL SELECT CAST(1 AS BIGINT) << CAST(i AS INT)
+         |  FROM (SELECT unnest(range(0, 16)) AS i)),
+         |probe AS (SELECT b.doc_id, b.hash_hi, b.hash_lo, b.bi,
+         |  xor(b.bv, k.m) AS bv FROM bands b, mask k),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          |  a.hash_hi AS ha, a.hash_lo AS la,
          |  b.hash_hi AS hb, b.hash_lo AS lb
-         |  FROM bands a JOIN bands b
+         |  FROM probe a JOIN bands b
          |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b,
          |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
@@ -2737,30 +2827,70 @@ object TextQueries {
       val hs = graft.ops.Materialize.cut(
         Multimodal.imageDHash(dhashPayload(s, d)).toDF()
           .filter(col("status") === "ok")
-          .select("doc_id", "hash_hi", "hash_lo"))
-      val bands = (0 to 3).map { bi =>
-        val v = bi match {
-          case 0 => col("hash_lo").bitwiseAND(lit(65535L))
-          case 1 => shiftright(col("hash_lo"), 16).bitwiseAND(lit(65535L))
-          case 2 => col("hash_hi").bitwiseAND(lit(65535L))
-          case 3 => shiftright(col("hash_hi"), 16).bitwiseAND(lit(65535L))
-        }
-        hs.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
-          lit(bi).as("bi"), v.as("bv"))
-      }.reduce(_ unionByName _)
-      val a = bands.select(col("bi"), col("bv"),
-        col("doc_id").as("id_a"), col("hash_hi").as("ha"),
-        col("hash_lo").as("la"))
-      val b = bands.select(col("bi"), col("bv"),
-        col("doc_id").as("id_b"), col("hash_hi").as("hb"),
-        col("hash_lo").as("lb"))
+          .select(col("doc_id").as("id"), col("hash_hi"),
+            col("hash_lo")))
       val ham = bit_count(col("ha").bitwiseXOR(col("hb"))) +
         bit_count(col("la").bitwiseXOR(col("lb")))
-      a.join(b, Seq("bi", "bv")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "ha", "la", "hb", "lb").distinct()
+      Multimodal.dhashBandProbeCandidates(hs)
         .withColumn("hamming", ham.cast("long"))
         .filter(col("hamming") <= 6L)
         .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    },
+
+    // RECALL oracle for the banded perceptual near-dup tier — the
+    // r15 verdict's gap: the banding comment claimed a pigeonhole
+    // guarantee the 4-exact-band math didn't support, and nothing
+    // priced what banding missed. This query prices it per-pair on
+    // the controlled-distance payload (REAL 9×8 decodes whose dHash
+    // is a closed-form pattern with KNOWN pairwise distances 1..6 +
+    // beyond-threshold distractors): truth = every pair at Hamming
+    // <= 6, caught = the production multi-probe generator's
+    // candidates. THREE independent exact derivations pin each
+    // other — Spark truth via 8×8-bit-band pigeonhole (d <= 7 forces
+    // a zero-error band), DuckDB truth via brute all-pairs, caught
+    // via the 4×16 radius-1 multi-probe in both. With multi-index
+    // probing the <= 6 guarantee is real, so caught must be 1 on
+    // every row — a banding regression flips a 0 into this frame and
+    // the oracle hash catches it.
+    QueryDef("mm_image_neardup_recall",
+      s"""WITH $sqlDHashNearCtes,
+         |truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.hash_hi, b.hash_hi)) +
+         |  bit_count(xor(a.hash_lo, b.hash_lo)) AS hamming
+         |  FROM crh a JOIN crh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
+         |    bit_count(xor(a.hash_lo, b.hash_lo)) <= 6),
+         |bands AS (
+         |  SELECT doc_id, 0 AS bi, hash_lo & 65535 AS bv FROM crh
+         |  UNION ALL SELECT doc_id, 1, (hash_lo >> 16) & 65535 FROM crh
+         |  UNION ALL SELECT doc_id, 2, hash_hi & 65535 FROM crh
+         |  UNION ALL SELECT doc_id, 3, (hash_hi >> 16) & 65535 FROM crh),
+         |mask AS (SELECT CAST(0 AS BIGINT) AS m
+         |  UNION ALL SELECT CAST(1 AS BIGINT) << CAST(i AS INT)
+         |  FROM (SELECT unnest(range(0, 16)) AS i)),
+         |probe AS (SELECT b.doc_id, b.bi, xor(b.bv, k.m) AS bv
+         |  FROM bands b, mask k),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM probe a JOIN bands b
+         |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT t.id_a, t.id_b, CAST(t.hamming AS BIGINT) AS hamming,
+         |  CAST(CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS caught
+         |FROM truth t LEFT JOIN cand c
+         |  ON c.id_a = t.id_a AND c.id_b = t.id_b
+         |ORDER BY t.id_a, t.id_b""".stripMargin) { (s, d) =>
+      val hs = graft.ops.Materialize.cut(
+        Multimodal.imageDHash(dhashNearPayload(s, d)).toDF()
+          .filter(col("status") === "ok")
+          .select(col("doc_id").as("id"), col("hash_hi"),
+            col("hash_lo")))
+      val truth = Multimodal.dhashExactPairs(hs, maxDist = 6)
+      val banded = Multimodal.dhashBandProbeCandidates(hs)
+        .select(col("id_a"), col("id_b")).withColumn("__hit", lit(1))
+      truth.join(banded, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("hamming"),
+          when(col("__hit").isNull, 0L).otherwise(1L).as("caught"))
         .orderBy("id_a", "id_b")
     },
 

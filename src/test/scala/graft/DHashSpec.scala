@@ -41,6 +41,46 @@ class DHashSpec extends SparkSpec {
     assert(h(3L) == (("ok", 0L, 0L)), s"got ${h(3L)}")
   }
 
+  test("multi-probe banding catches EVERY pair at Hamming <= 7; " +
+      "8x8-band exact pairs agree (r15 verdict)") {
+    // adversarial spread: d bits flipped one per band round-robin —
+    // the worst case for band blocking (exact 4x16 matching loses
+    // every pair at d >= 4 here; radius-1 probing must keep d <= 7)
+    def spread(d: Int): (Long, Long) = {
+      var hi = 0xf0f0f0f0L; var lo = 0x12345678L
+      (0 until d).foreach { k =>
+        val band = k % 4; val bit = band * 16 + (k / 4)
+        if (bit < 32) lo ^= 1L << bit else hi ^= 1L << (bit - 32)
+      }
+      (hi, lo)
+    }
+    val rows = (0 to 9).map { d =>
+      val (hi, lo) = spread(d); (d.toLong, hi, lo)
+    }
+    val hs = rows.toDF("id", "hash_hi", "hash_lo")
+    val cand = Multimodal.dhashBandProbeCandidates(hs)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc d is at Hamming d from doc 0 (and |a-b| pairwise): every
+    // pair with |a-b| <= 7 must be a candidate — the pigeonhole
+    val must = for {
+      a <- 0L to 9L; b <- 0L to 9L
+      if a < b && b - a <= 7L
+    } yield (a, b)
+    must.foreach(p => assert(cand.contains(p), s"missed $p"))
+    // the exact-truth generator returns precisely the <= 6 pairs
+    // with correct distances
+    val exact = Multimodal.dhashExactPairs(hs, maxDist = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(exact.keySet ==
+      (for { a <- 0L to 9L; b <- 0L to 9L; if a < b && b - a <= 6L }
+        yield (a, b)).toSet)
+    exact.foreach { case ((a, b), h) => assert(h == b - a) }
+    intercept[IllegalArgumentException] {
+      Multimodal.dhashExactPairs(hs, maxDist = 8)
+    }
+  }
+
   test("corrupt payloads route to (-1, -1), never throw") {
     val h = hashOf(Seq((1L, Array[Byte](1, 2, 3)),
       (2L, Array.emptyByteArray)))
