@@ -316,6 +316,38 @@ object Multimodal {
       .select("id_a", "id_b", "ha", "la", "hb", "lb").distinct()
   }
 
+  /** [[dhashBandProbeCandidates]] for a single 32-bit fingerprint
+    * column (the audio energy-contour fp): four 8-bit bands, probe
+    * side expanded by the 9 radius-1 ball values per band, exact
+    * equi-join on (band_idx, value) — every pair at Hamming <= 7 is
+    * guaranteed caught (d over 4 bands leaves the cleanest band with
+    * <= floor(d/4) <= 1 errors). 4 x 9 = 36 probe rows per
+    * fingerprint. NOTE the band space: 8-bit bands collapse to
+    * n/256-ish buckets, so at true corpus scale callers should hang
+    * more fingerprint bits (64-frame contour -> 16-bit bands, the
+    * image tier's shape); the 32-bit contour keeps this tier's
+    * blocking honest at the tested scales and the skew-cap
+    * discipline of the lexical tier applies above that.
+    * `hs`: (id, fp). Returns distinct (id_a, id_b, fa, fb),
+    * id_a < id_b.
+    */
+  def fp32BandProbeCandidates(hs: DataFrame): DataFrame = {
+    val bands = (0 to 3).map { bi =>
+      hs.select(col("id"), col("fp"), lit(bi).as("bi"),
+        shiftright(col("fp"), bi * 8).bitwiseAND(lit(255L)).as("bv"))
+    }.reduce(_ unionByName _)
+    val masks = array((Seq(0L) ++ (0 until 8).map(1L << _))
+      .map(lit(_)): _*)
+    val probe = bands.withColumn("__m", explode(masks))
+      .select(col("bi"), col("bv").bitwiseXOR(col("__m")).as("bv"),
+        col("id").as("id_a"), col("fp").as("fa"))
+    val base = bands.select(col("bi"), col("bv"), col("id").as("id_b"),
+      col("fp").as("fb"))
+    probe.join(base, Seq("bi", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fa", "fb").distinct()
+  }
+
   /** EXACT Hamming-pair generator by 8x8-bit-band pigeonhole: d <= 7
     * errors over 8 bands force at least one band with ZERO errors,
     * so exact band equality is complete for `maxDist` <= 7 — a

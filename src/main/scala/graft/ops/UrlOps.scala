@@ -163,7 +163,12 @@ object UrlOps {
     * by host — parallel across hosts, a robots file is KB-sized);
     * everything else is a scan fold plus one block-id equi-join.
     */
-  def robotsRules(df: DataFrame, host: Column, txt: Column): DataFrame = {
+  /** The shared robots.txt group parse: (blocks, agents) — blocks
+    * carries every recognized line with its UA-block id `__blk`,
+    * agents one row per (host, __blk, agent) named in the block.
+    */
+  private def robotsBlocks(df: DataFrame, host: Column,
+      txt: Column): (DataFrame, DataFrame) = {
     val lines = df.select(host.as("host"),
       posexplode(split(txt, "\n", -1)).as(Seq("line_idx", "__l")))
     val parsed = lines.select(col("host"), col("line_idx"),
@@ -189,6 +194,11 @@ object UrlOps {
     val agents = blocks.filter(col("field") === "user-agent")
       .select(col("host"), col("__blk"),
         lower(col("value")).as("agent"))
+    (blocks, agents)
+  }
+
+  def robotsRules(df: DataFrame, host: Column, txt: Column): DataFrame = {
+    val (blocks, agents) = robotsBlocks(df, host, txt)
     blocks
       .filter(col("field").isin("allow", "disallow") &&
         col("value") =!= "" && col("__blk") > 0L)
@@ -197,6 +207,30 @@ object UrlOps {
         col("value").as("prefix"))
       .join(agents, Seq("host", "__blk"))
       .select(col("host"), col("agent"), col("allow"), col("prefix"))
+  }
+
+  /** Per-(host, agent) `Crawl-delay` — the de-facto politeness
+    * extension (not in RFC 9309; Bing/Yandex semantics: seconds
+    * between fetches), group-scoped exactly like Allow/Disallow via
+    * the same block parse. Returns one row per (host, agent) named
+    * anywhere on the host with a NULLABLE `delay_s`: null when the
+    * agent's groups never set a delay (callers supply the default —
+    * an agent with its own group does NOT inherit the `*` group's
+    * delay, mirroring [[robotsVerdict]]'s one-applicable-group
+    * rule). Non-integer values drop as unparseable; if an agent's
+    * merged groups disagree the MAX wins (the conservative read).
+    */
+  def robotsCrawlDelays(df: DataFrame, host: Column,
+      txt: Column): DataFrame = {
+    val (blocks, agents) = robotsBlocks(df, host, txt)
+    val delays = blocks
+      .filter(col("field") === "crawl-delay" &&
+        col("value").rlike("^[0-9]+$") && col("__blk") > 0L)
+      .select(col("host"), col("__blk"),
+        col("value").cast("long").as("__d"))
+    agents.join(delays, Seq("host", "__blk"), "left")
+      .groupBy("host", "agent")
+      .agg(max(col("__d")).as("delay_s"))
   }
 
   /** Evaluate crawlability of (host, path) pairs against a

@@ -510,6 +510,79 @@ object TextQueries {
       |    AS BIGINT) AS fp
       |  FROM abt WHERE f < 32 GROUP BY doc_id)""".stripMargin
 
+  /** Controlled-DISTANCE audio payload for the fingerprint near-dup
+    * tier: 66 samples = 33 exact 2-sample frames whose per-frame
+    * amplitude walks ±10 from 1000, so the REAL decode's 32-bit
+    * energy contour equals a closed-form pattern — base bit
+    * ((g·29 + f·13) % 89) % 2 at frame-step f, variant
+    * v = (doc_id div 50) % 10 flipping steps (g + 7·j) % 32 for
+    * j < f(v), f(v) = v for v ≤ 4 and 6 + 4·(v−5) above (stride 7 is
+    * coprime to 32 → distinct for j < 22). Pairwise distance within
+    * a group is exactly |f(a) − f(b)|: known pairs at 1..4 plus
+    * beyond-threshold distractors. An independent integer gain
+    * k = 1 + doc_id % 3 multiplies every sample — energies scale by
+    * k², the contour doesn't move (the invariance axis, exercised
+    * jointly with the distance axis). Every 11th payload is garbage.
+    */
+  private def audioNearPayload(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id % 50L
+        val v = ((id / 50L) % 10L).toInt
+        val nf = if (v <= 4) v.toLong else 6L + 4L * (v - 5)
+        val k = 1L + id % 3L
+        val bytes =
+          if (id % 11L == 0L) Array[Byte](0x42, 0x41, 0x44, 0x00)
+          else {
+            // 23 = 7⁻¹ mod 32: step f is flipped iff its index
+            // j = 23·(f − g) mod 32 in the flip sequence is < f(v)
+            def bit(f: Int): Int = {
+              val base = (((g * 29L + f * 13L) % 89L) % 2L).toInt
+              val j = (((f - g) * 23L) % 32L + 32L) % 32L
+              if (j < nf) 1 - base else base
+            }
+            // contour bit f is e(f+1) > e(f); equal-amplitude frames
+            // make e(f) = 2·a(f)²·k², so a ±10 walk from 1000
+            // realizes any pattern with a ∈ [680, 1320]
+            val a = new Array[Long](33)
+            a(0) = 1000L
+            var f = 0
+            while (f < 32) {
+              a(f + 1) = a(f) + (if (bit(f) == 1) 10L else -10L)
+              f += 1
+            }
+            val samples = Array.tabulate[Short](66)(i =>
+              (a(i / 2) * k).toShort)
+            graft.ops.AudioCodec.encodeWav(8000L, samples)
+          }
+        (id, bytes)
+      })
+  }
+
+  /** The closed-form fingerprint of [[audioNearPayload]] — ends at
+    * `canf(doc_id, fp)` for ok rows; the twin computes the pattern
+    * directly (base XOR prefix-flip) while Spark really decodes the
+    * PCM and folds frame energies.
+    */
+  private lazy val sqlAudioNearCtes: String =
+    """cap AS (SELECT doc_id, doc_id % 50 AS g,
+      |  CASE WHEN (doc_id // 50) % 10 <= 4 THEN (doc_id // 50) % 10
+      |    ELSE 6 + 4 * ((doc_id // 50) % 10 - 5) END AS nf
+      |  FROM documents WHERE doc_id % 11 <> 0),
+      |cab AS (SELECT doc_id, g, nf, unnest(range(0, 32)) AS f
+      |  FROM cap),
+      |cabit AS (SELECT doc_id, f,
+      |  CASE WHEN ((23 * (f - g)) % 32 + 32) % 32 < nf
+      |    THEN 1 - ((g * 29 + f * 13) % 89) % 2
+      |    ELSE ((g * 29 + f * 13) % 89) % 2 END AS bit FROM cab),
+      |canf AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN bit = 1
+      |    THEN CAST(1 AS BIGINT) << CAST(f AS INT) ELSE 0 END)
+      |    AS BIGINT) AS fp
+      |  FROM cabit GROUP BY doc_id)""".stripMargin
+
   /** Brightness-variant AVI payload for the video-dedup queries:
     * frame gradients keyed by g = doc_id % 50 with the per-doc
     * uniform offset o (the [[dhashPayload]] trick per frame), frame
@@ -545,6 +618,84 @@ object TextQueries {
         (id, bytes)
       })
   }
+
+  /** Edited-frame AVI payload for the video NEAR-dup tier: like
+    * [[videoFpPayload]] but 3..5 frames (nf = 3 + g % 3, so an edit
+    * leaves a majority of frames shared), brightness offset o = v,
+    * and variants v ≥ 8 REPLACE frame (g % nf) with different
+    * content (gradient key g + 1000) — the one-frame re-edit that
+    * exact ordered-sequence dedup (mm_video_dedup) can never
+    * collapse. No corrupt-frame stubs (container corruption at every
+    * 11th doc keeps the routing discipline); all variants of a group
+    * agree on dims and frame count, so unedited frames collapse
+    * dHash-for-dHash across brightness.
+    */
+  private def videoNearPayload(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id % 50L
+        val v = ((id / 50L) % 10L).toInt
+        val o = v
+        val bytes =
+          if (id % 11L == 0L) Array[Byte](0x42, 0x41, 0x44, 0x00)
+          else {
+            val nf = (3L + g % 3L).toInt
+            val frames = (0 until nf).map { f =>
+              val gk = if (v >= 8 && f == (g % nf).toInt) g + 1000L
+                else g
+              // dims past the 9x8 sampling grid: sub-grid frames
+              // collapse to a degenerate hash space whose hub keys
+              // make every clip look like every other
+              val w = (9L + (g + f) % 5L).toInt
+              val h = (8L + (g + 2L * f) % 4L).toInt
+              graft.ops.ImageCodec.encodePng(w, h, (x, y) =>
+                ((((gk + 7L * f + 31L * x + 17L * y) % 246L).toInt + o << 16) |
+                  (((5L * gk + 11L * f + 3L * x) % 246L).toInt + o << 8) |
+                  (((3L * gk + 13L * f + 5L * y) % 246L).toInt + o)))
+            }
+            graft.ops.VideoCodec.encodeAvi("MPNG", 8, 8, 40000L, frames)
+          }
+        (id, bytes)
+      })
+  }
+
+  /** Per-frame dHash of [[videoNearPayload]] replayed in SQL — ends
+    * at `wset(doc_id, hash_hi, hash_lo)`, the DISTINCT frame-hash
+    * set per ok container (the video's unordered perceptual
+    * signature).
+    */
+  private lazy val sqlVideoNearCtes: String =
+    """wp AS (SELECT doc_id, doc_id % 50 AS g, (doc_id // 50) % 10 AS v
+      |  FROM documents WHERE doc_id % 11 <> 0),
+      |wnf AS (SELECT doc_id, g, v, 3 + g % 3 AS nf FROM wp),
+      |wfr AS (SELECT doc_id, g, v, nf, unnest(range(0, nf)) AS f
+      |  FROM wnf),
+      |wgk AS (SELECT doc_id, f, v AS o,
+      |  CASE WHEN v >= 8 AND f = g % nf THEN g + 1000 ELSE g END AS gk,
+      |  9 + (g + f) % 5 AS w, 8 + (g + 2 * f) % 4 AS h FROM wfr),
+      |wgx AS (SELECT *, unnest(range(0, 9)) AS xx FROM wgk),
+      |wgxy AS (SELECT *, unnest(range(0, 8)) AS yy FROM wgx),
+      |wsm AS (SELECT doc_id, gk, o, f, xx, yy,
+      |  (xx * w) // 9 AS sx, (yy * h) // 8 AS sy FROM wgxy),
+      |wgr AS (SELECT doc_id, f, xx, yy,
+      |  (299 * ((gk + 7 * f + 31 * sx + 17 * sy) % 246 + o)
+      |   + 587 * ((5 * gk + 11 * f + 3 * sx) % 246 + o)
+      |   + 114 * ((3 * gk + 13 * f + 5 * sy) % 246 + o)) // 1000 AS gray
+      |  FROM wsm),
+      |wbt AS (SELECT doc_id, f, yy, xx,
+      |  CASE WHEN lead(gray) OVER (PARTITION BY doc_id, f, yy
+      |    ORDER BY xx) > gray THEN 1 ELSE 0 END AS bit FROM wgr),
+      |whs AS (SELECT doc_id, f,
+      |  CAST(sum(CASE WHEN bit = 1 AND yy * 8 + xx >= 32
+      |    THEN CAST(1 AS BIGINT) << CAST(yy * 8 + xx - 32 AS INT)
+      |    ELSE 0 END) AS BIGINT) AS hash_hi,
+      |  CAST(sum(CASE WHEN bit = 1 AND yy * 8 + xx < 32
+      |    THEN CAST(1 AS BIGINT) << CAST(yy * 8 + xx AS INT)
+      |    ELSE 0 END) AS BIGINT) AS hash_lo
+      |  FROM wbt WHERE xx < 8 GROUP BY doc_id, f),
+      |wset AS (SELECT DISTINCT doc_id, hash_hi, hash_lo FROM whs)""".stripMargin
 
   /** Media-gate state: three doc_id%3 micro-batches of the
     * brightness-variant images through the stateful perceptual
@@ -2670,6 +2821,38 @@ object TextQueries {
         .orderBy("keeper")
     },
 
+    // Banded audio NEAR-dup — r15 verdict gap: mm_audio_dedup keys
+    // on EXACT fingerprint equality, so a clip with one perturbed
+    // energy frame (a glitch, a re-mastered section) never collapsed.
+    // Candidates come from radius-1 multi-index probing over four
+    // 8-bit bands of the 32-bit contour
+    // (Multimodal.fp32BandProbeCandidates — Hamming <= 7 guaranteed
+    // by pigeonhole), verified popcount(xor) <= 4. Runs on the
+    // controlled-distance payload (REAL PCM decodes whose contour is
+    // a closed-form pattern, known pairwise distances 1..4 + gain
+    // variation + beyond-threshold distractors). The twin computes
+    // truth by BRUTE all-pairs over the closed-form fingerprints —
+    // the banding's recall oracle by construction: any pair the
+    // multi-probe misses is a row-count/hash mismatch.
+    QueryDef("mm_audio_neardup",
+      s"""WITH $sqlAudioNearCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM canf a JOIN canf b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 4
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val hs = graft.ops.Materialize.cut(
+        Multimodal.audioFingerprint(audioNearPayload(s, d)).toDF()
+          .filter(col("status") === "ok")
+          .select(col("doc_id").as("id"), col("fp")))
+      Multimodal.fp32BandProbeCandidates(hs)
+        .withColumn("hamming",
+          bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+        .filter(col("hamming") <= 4L)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    },
+
     // Streaming perceptual media gate e2e (MediaGate on the shared
     // GateStateStore): three micro-batches of the brightness-variant
     // images through the standing dHash seen-set — the smallest id
@@ -2778,6 +2961,58 @@ object TextQueries {
         .groupBy("vkey")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
         .orderBy("keeper")
+    },
+
+    // Video NEAR-dup by frame-set overlap — r15 verdict gap:
+    // mm_video_dedup keys on the exact ORDERED frame-hash sequence,
+    // so a one-frame re-edit of a clip never collapsed. The video's
+    // near-dup signature is its DISTINCT frame-dHash set: candidate
+    // pairs share at least one exact frame hash (an equi-join on
+    // (hash_hi, hash_lo) — frames are the natural LSH band here,
+    // never all-pairs), verified by set Jaccard >= 1/2 kept in exact
+    // integers (3·shared >= n_a + n_b ⟺ shared/union >= 1/2; jac_ppm
+    // = floor(10⁶·shared/union) for the report). On the edited-frame
+    // payload a one-frame edit of an nf-frame clip scores
+    // (nf−1)/(nf+1) ∈ {0.5, 0.6, 0.67} — collapses — while unrelated
+    // clips share nothing. At corpus scale a viral frame (intros,
+    // test patterns) is a hub key: the lexical tier's bucket-cap
+    // discipline applies per frame hash.
+    QueryDef("mm_video_neardup",
+      s"""WITH $sqlVideoNearCtes,
+         |wn AS (SELECT doc_id, count(*) AS n FROM wset GROUP BY 1),
+         |wsh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  count(*) AS n_shared
+         |  FROM wset a JOIN wset b
+         |    ON a.hash_hi = b.hash_hi AND a.hash_lo = b.hash_lo
+         |      AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared, na.n AS n_a, nb.n AS n_b,
+         |  1000000 * n_shared // (na.n + nb.n - n_shared) AS jac_ppm
+         |FROM wsh JOIN wn na ON na.doc_id = id_a
+         |  JOIN wn nb ON nb.doc_id = id_b
+         |WHERE 3 * n_shared >= na.n + nb.n
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val sets = graft.ops.Materialize.cut(
+        Multimodal.videoFrameDHash(videoNearPayload(s, d)).toDF()
+          .filter(col("status") === "ok")
+          .select("doc_id", "hash_hi", "hash_lo").distinct())
+      val nOf = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sets.select(col("doc_id").as("id_a"), col("hash_hi"),
+        col("hash_lo"))
+      val b = sets.select(col("doc_id").as("id_b"), col("hash_hi"),
+        col("hash_lo"))
+      a.join(b, Seq("hash_hi", "hash_lo"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+        .join(nOf.select(col("doc_id").as("id_a"), col("n").as("n_a")),
+          "id_a")
+        .join(nOf.select(col("doc_id").as("id_b"), col("n").as("n_b")),
+          "id_b")
+        .filter(lit(3L) * col("n_shared") >= col("n_a") + col("n_b"))
+        .withColumn("jac_ppm", expr(
+          "1000000 * n_shared div (n_a + n_b - n_shared)"))
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b", "jac_ppm")
+        .orderBy("id_a", "id_b")
     },
 
     // Banded perceptual NEAR-dup (the production form — exact dHash
@@ -4923,6 +5158,46 @@ object TextQueries {
         .orderBy("record_id")
     })
 
+  /** The exact-integer waterfill replayed in SQL — assumes CTEs
+    * `s(stratum, w, cap)` (the strata) and `t(wt, b)` (total weight
+    * and budget) are in scope; ends at `bh`, whose final allocation
+    * is `CASE WHEN capped THEN cap ELSE base + (rk <= rem) END`
+    * (the PipelineOps.budgetAllocate trajectory: cross-multiplied
+    * HUGEINT rank — no float boundary — largest-remainder rounding).
+    * Shared by the frontier fetch-plan twins.
+    */
+  private lazy val sqlWaterfillCtes: String =
+    """bso AS (SELECT s1.*, (SELECT count(*) FROM s s2
+      |    WHERE CAST(s2.cap AS HUGEINT) * s1.w
+      |        < CAST(s1.cap AS HUGEINT) * s2.w
+      |      OR (CAST(s2.cap AS HUGEINT) * s1.w
+      |          = CAST(s1.cap AS HUGEINT) * s2.w
+      |        AND s2.stratum < s1.stratum)) AS ordn FROM s s1),
+      |bo AS (SELECT bso.*, t.wt, t.b,
+      |  sum(w) OVER rw AS cumw, sum(cap) OVER rw AS cumc
+      |  FROM bso, t
+      |  WINDOW rw AS (ORDER BY ordn
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |bc AS (SELECT *, CAST(cap AS HUGEINT) * (wt - cumw)
+      |    <= CAST(w AS HUGEINT) * (b - cumc) AS capped FROM bo),
+      |bf AS (SELECT *,
+      |  b - sum(CASE WHEN capped THEN cap ELSE 0 END) OVER ()
+      |    AS resid,
+      |  wt - sum(CASE WHEN capped THEN w ELSE 0 END) OVER ()
+      |    AS wp FROM bc),
+      |bg AS (SELECT *,
+      |  CASE WHEN capped THEN cap
+      |    ELSE CAST((CAST(w AS HUGEINT) * resid) // wp AS BIGINT)
+      |    END AS base,
+      |  CASE WHEN capped THEN CAST(-1 AS HUGEINT)
+      |    ELSE (CAST(w AS HUGEINT) * resid) % wp END AS frac
+      |  FROM bf),
+      |bh AS (SELECT *,
+      |  resid - sum(CASE WHEN capped THEN 0 ELSE base END) OVER ()
+      |    AS rem,
+      |  row_number() OVER (ORDER BY frac DESC, stratum) AS rk
+      |  FROM bg)""".stripMargin
+
   /** The warcinfo body replayed in SQL — shares the CRLF layout with
     * [[graft.ops.WarcShards]] by construction.
     */
@@ -5112,7 +5387,133 @@ object TextQueries {
     // trajectory, the robots longest-match and the entire exact
     // waterfill.
     QueryDef("doc_crawl_frontier",
-      s"""WITH pg AS (SELECT doc_id, source, $sqlLinkSynth AS html
+      frontierSql) { (s, d) =>
+      val (strata, _) = frontierStrata(s, d)
+      val capTot = strata.agg(sum(col("cap"))).head().getLong(0)
+      graft.ops.PipelineOps.budgetAllocate(strata, col("host"),
+          col("pr_e9"), col("cap"), capTot / 2L)
+        .select(col("stratum").as("host"),
+          graft.ops.UrlOps.registeredDomain(col("stratum"))
+            .as("reg_domain"),
+          col("w").as("pr_e9"), col("cap").as("n_urls"),
+          col("alloc"), col("capped"))
+        .orderBy("host")
+    },
+
+    // The fetch plan with per-host PACING — the r15 verdict's last
+    // robots gap: Crawl-delay was parsed as noise and the frontier
+    // allocated capacity with no politeness bound. Here each host's
+    // capacity is least(its allowed URLs, window // delay) where the
+    // delay is graftbot's group-scoped Crawl-delay
+    // (UrlOps.robotsCrawlDelays — an agent with its own group never
+    // inherits the `*` group's delay, the one-applicable-group rule;
+    // absent → 1 s default), window = FrontierWindowS (5 s). The
+    // waterfill then splits HALF the PACED capacity by PageRank —
+    // politeness binds before priority. Twin replays the delay
+    // extraction (max over the agent's merged groups, non-integer
+    // drops) and the exact waterfill.
+    QueryDef("doc_crawl_frontier_paced",
+      frontierPacedSql) { (s, d) =>
+      val (strata, hosts) = frontierStrata(s, d)
+      val dl = graft.ops.UrlOps.robotsCrawlDelays(hosts, col("host"),
+        col("txt"))
+      val exact = dl.filter(col("agent") === "graftbot")
+        .select(col("host"), lit(true).as("__named"),
+          col("delay_s").as("__de"))
+      val star = dl.filter(col("agent") === "*")
+        .select(col("host"), col("delay_s").as("__ds"))
+      // host-domain frame feeding both the allocator and the final
+      // report join — cut once so the robots/PR chain runs once
+      val paced = graft.ops.Materialize.cut(strata
+        .join(exact, Seq("host"), "left")
+        .join(star, Seq("host"), "left")
+        .withColumn("delay_s",
+          when(coalesce(col("__named"), lit(false)),
+            coalesce(col("__de"), lit(1L)))
+            .otherwise(coalesce(col("__ds"), lit(1L))))
+        .withColumn("pcap", when(col("delay_s") <= 0L, col("cap"))
+          .otherwise(least(col("cap"),
+            expr(s"$FrontierWindowS div delay_s"))))
+        .select(col("host"), col("pr_e9"), col("cap"),
+          col("delay_s"), col("pcap")))
+      val pacedTot = paced.agg(sum(col("pcap"))).head().getLong(0)
+      graft.ops.PipelineOps.budgetAllocate(paced, col("host"),
+          col("pr_e9"), col("pcap"), pacedTot / 2L)
+        .select(col("stratum"), col("w").as("pr_e9"),
+          col("cap").as("paced_cap"), col("alloc"), col("capped"))
+        .join(paced.select(col("host").as("stratum"),
+          col("cap").as("n_urls"), col("delay_s")), "stratum")
+        .select(col("stratum").as("host"), col("pr_e9"),
+          col("n_urls"), col("delay_s"), col("paced_cap"),
+          col("alloc"), col("capped"))
+        .orderBy("host")
+    })
+
+  /** Frontier fetch-plan strata shared by the plain and paced
+    * variants: (strata = (host, pr_e9, cap), hosts = (host, source,
+    * txt)) — links canonicalized once (Materialize-cut: the
+    * regex-heavy extraction feeds four consumers), PR over the
+    // host graph, robots verdict per candidate URL, capacity = the
+    * host's distinct allowed URLs.
+    */
+  private def frontierStrata(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+      val pages = load(s, d, "documents").withColumn("html", linkPayload)
+      val lk = graft.ops.Html.links(pages, col("doc_id"), col("html"))
+      val src = load(s, d, "documents")
+        .select(col("doc_id").as("id"), col("source"))
+      val cand = graft.ops.Materialize.cut(lk.join(src, "id")
+        .select(col("source").as("src_label"),
+          graft.ops.UrlOps.canonicalize(col("href")).as("canonical"))
+        .filter(col("canonical").isNotNull))
+      val edges = cand
+        .groupBy(col("src_label").as("s_a"),
+          regexp_extract(col("canonical"), graft.ops.UrlOps.UrlRe, 2)
+            .as("s_b"))
+        .agg(count(lit(1)).as("w"))
+      val pr = GraphOps.pageRank(edges, PrIters)
+        .select(col("node").as("host"), col("pr_e9"))
+      val urls = cand.select(
+          regexp_extract(col("canonical"), graft.ops.UrlOps.UrlRe, 2)
+            .as("host"),
+          regexp_extract(col("canonical"), graft.ops.UrlOps.UrlRe, 4)
+            .as("path"),
+          col("canonical")).distinct()
+      val hosts = urls.select(col("host")).distinct()
+        .withColumn("source",
+          regexp_extract(col("host"), "(src[0-9]+)\\.", 1))
+        .withColumn("txt", robotsPayload)
+      val rules = graft.ops.UrlOps.robotsRules(hosts, col("host"),
+        col("txt"))
+      val verdict = graft.ops.UrlOps.robotsVerdict(urls, rules,
+        "graftbot")
+      val perHost = verdict.filter(col("allowed"))
+        .groupBy("host").agg(count(lit(1)).as("cap"))
+      (perHost.join(pr, "host"), hosts)
+  }
+
+  /** Pacing window for doc_crawl_frontier_paced (seconds): sized so
+    * the fixture's Crawl-delay 5 BINDS at the oracle scale — sf0.01
+    * hosts hold 1..3 allowed URLs, so a 5 s window caps delay-5
+    * hosts at 1 fetch (binding on the 2..3-URL hosts) while delay-1
+    * hosts keep their full capacity — pacing visibly reshapes the
+    * plan the oracle hashes.
+    */
+  // `final` without a type ascription: a compile-time constant the
+  // twin SQL interpolates correctly even when the query list is
+  // assembled during object init, BEFORE later-declared plain vals
+  // are assigned (a plain val here interpolated as 0)
+  private final val FrontierWindowS = 5L
+
+  /** The frontier twin's shared CTE prefix — link extraction →
+    * canonicalization → host PageRank → robots verdict → per-host
+    * allowed-URL capacity `ph(host, cap)` (plus `hs`, `bk`, `ags`
+    * from the robots parse, which the paced variant's delay
+    * extraction reuses).
+    */
+  private lazy val frontierPrefixSql: String =
+      s"""pg AS (SELECT doc_id, source, $sqlLinkSynth AS html
          |  FROM documents),
          |c AS (SELECT doc_id, source, ${sqlHtmlClean("html")} AS c1
          |  FROM pg),
@@ -5152,93 +5553,58 @@ object TextQueries {
          |  max(rnk) IS NULL OR max(rnk) % 2 = 1 AS allowed
          |  FROM m GROUP BY host, canonical),
          |ph AS (SELECT host, CAST(count(*) AS BIGINT) AS cap
-         |  FROM vr WHERE allowed GROUP BY host),
+         |  FROM vr WHERE allowed GROUP BY host)""".stripMargin
+
+  private lazy val frontierSql: String =
+      s"""WITH $frontierPrefixSql,
          |s AS (SELECT ph.host AS stratum, p.pr AS w, ph.cap
          |  FROM ph JOIN p$PrIters p ON p.s = ph.host),
          |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt,
          |  CAST(sum(cap) // 2 AS BIGINT) AS b FROM s),
-         |bso AS (SELECT s1.*, (SELECT count(*) FROM s s2
-         |    WHERE CAST(s2.cap AS HUGEINT) * s1.w
-         |        < CAST(s1.cap AS HUGEINT) * s2.w
-         |      OR (CAST(s2.cap AS HUGEINT) * s1.w
-         |          = CAST(s1.cap AS HUGEINT) * s2.w
-         |        AND s2.stratum < s1.stratum)) AS ordn FROM s s1),
-         |bo AS (SELECT bso.*, t.wt, t.b,
-         |  sum(w) OVER rw AS cumw, sum(cap) OVER rw AS cumc
-         |  FROM bso, t
-         |  WINDOW rw AS (ORDER BY ordn
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |bc AS (SELECT *, CAST(cap AS HUGEINT) * (wt - cumw)
-         |    <= CAST(w AS HUGEINT) * (b - cumc) AS capped FROM bo),
-         |bf AS (SELECT *,
-         |  b - sum(CASE WHEN capped THEN cap ELSE 0 END) OVER ()
-         |    AS resid,
-         |  wt - sum(CASE WHEN capped THEN w ELSE 0 END) OVER ()
-         |    AS wp FROM bc),
-         |bg AS (SELECT *,
-         |  CASE WHEN capped THEN cap
-         |    ELSE CAST((CAST(w AS HUGEINT) * resid) // wp AS BIGINT)
-         |    END AS base,
-         |  CASE WHEN capped THEN CAST(-1 AS HUGEINT)
-         |    ELSE (CAST(w AS HUGEINT) * resid) % wp END AS frac
-         |  FROM bf),
-         |bh AS (SELECT *,
-         |  resid - sum(CASE WHEN capped THEN 0 ELSE base END) OVER ()
-         |    AS rem,
-         |  row_number() OVER (ORDER BY frac DESC, stratum) AS rk
-         |  FROM bg)
+         |$sqlWaterfillCtes
          |SELECT stratum AS host, ${sqlRegDomain("stratum")} AS reg_domain,
          |  w AS pr_e9, cap AS n_urls,
          |  CAST(CASE WHEN capped THEN cap
          |    ELSE base + CASE WHEN rk <= rem THEN 1 ELSE 0 END
          |    END AS BIGINT) AS alloc, capped
-         |FROM bh ORDER BY host""".stripMargin) { (s, d) =>
-      val pages = load(s, d, "documents").withColumn("html", linkPayload)
-      val lk = graft.ops.Html.links(pages, col("doc_id"), col("html"))
-      val src = load(s, d, "documents")
-        .select(col("doc_id").as("id"), col("source"))
-      // the regex-heavy link extraction feeds FOUR consumers (the
-      // PR edge build, the URL set, the capacity action, the final
-      // plan) — cut it once so the HTML scan runs once, not per
-      // consumer (the Materialize route the CC/PageRank loops use)
-      val cand = graft.ops.Materialize.cut(lk.join(src, "id")
-        .select(col("source").as("src_label"),
-          graft.ops.UrlOps.canonicalize(col("href")).as("canonical"))
-        .filter(col("canonical").isNotNull))
-      val edges = cand
-        .groupBy(col("src_label").as("s_a"),
-          regexp_extract(col("canonical"), graft.ops.UrlOps.UrlRe, 2)
-            .as("s_b"))
-        .agg(count(lit(1)).as("w"))
-      val pr = GraphOps.pageRank(edges, PrIters)
-        .select(col("node").as("host"), col("pr_e9"))
-      val urls = cand.select(
-          regexp_extract(col("canonical"), graft.ops.UrlOps.UrlRe, 2)
-            .as("host"),
-          regexp_extract(col("canonical"), graft.ops.UrlOps.UrlRe, 4)
-            .as("path"),
-          col("canonical")).distinct()
-      val hosts = urls.select(col("host")).distinct()
-        .withColumn("source",
-          regexp_extract(col("host"), "(src[0-9]+)\\.", 1))
-        .withColumn("txt", robotsPayload)
-      val rules = graft.ops.UrlOps.robotsRules(hosts, col("host"),
-        col("txt"))
-      val verdict = graft.ops.UrlOps.robotsVerdict(urls, rules,
-        "graftbot")
-      val perHost = verdict.filter(col("allowed"))
-        .groupBy("host").agg(count(lit(1)).as("cap"))
-      val strata = perHost.join(pr, "host")
-      val capTot = strata.agg(sum(col("cap"))).head().getLong(0)
-      graft.ops.PipelineOps.budgetAllocate(strata, col("host"),
-          col("pr_e9"), col("cap"), capTot / 2L)
-        .select(col("stratum").as("host"),
-          graft.ops.UrlOps.registeredDomain(col("stratum"))
-            .as("reg_domain"),
-          col("w").as("pr_e9"), col("cap").as("n_urls"),
-          col("alloc"), col("capped"))
-        .orderBy("host")
-    })
+         |FROM bh ORDER BY host""".stripMargin
+
+  private lazy val frontierPacedSql: String =
+      s"""WITH $frontierPrefixSql,
+         |dlt AS (SELECT a.host, a.agent,
+         |  max(CASE WHEN b.field = 'crawl-delay'
+         |    AND regexp_matches(b.value, '^[0-9]+$$')
+         |    THEN CAST(b.value AS BIGINT) END) AS delay_s
+         |  FROM ags a JOIN bk b ON b.host = a.host AND b.blk = a.blk
+         |  GROUP BY 1, 2),
+         |dnx AS (SELECT DISTINCT host, true AS named FROM ags
+         |  WHERE agent = 'graftbot'),
+         |dde AS (SELECT host, delay_s FROM dlt
+         |  WHERE agent = 'graftbot'),
+         |dds AS (SELECT host, delay_s FROM dlt WHERE agent = '*'),
+         |hdl AS (SELECT h.host, CASE WHEN coalesce(x.named, false)
+         |    THEN coalesce(e.delay_s, 1)
+         |    ELSE coalesce(sd.delay_s, 1) END AS delay_s
+         |  FROM hs h LEFT JOIN dnx x USING (host)
+         |    LEFT JOIN dde e USING (host)
+         |    LEFT JOIN dds sd USING (host)),
+         |hp AS (SELECT ph.host, ph.cap AS nurls, hdl.delay_s,
+         |  CASE WHEN hdl.delay_s <= 0 THEN ph.cap
+         |    ELSE least(ph.cap, $FrontierWindowS // hdl.delay_s)
+         |    END AS pcap
+         |  FROM ph JOIN hdl USING (host)),
+         |s AS (SELECT hp.host AS stratum, p.pr AS w, hp.pcap AS cap
+         |  FROM hp JOIN p$PrIters p ON p.s = hp.host),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt,
+         |  CAST(sum(cap) // 2 AS BIGINT) AS b FROM s),
+         |$sqlWaterfillCtes
+         |SELECT stratum AS host, w AS pr_e9, hp.nurls AS n_urls,
+         |  hp.delay_s, CAST(hp.pcap AS BIGINT) AS paced_cap,
+         |  CAST(CASE WHEN capped THEN cap
+         |    ELSE base + CASE WHEN rk <= rem THEN 1 ELSE 0 END
+         |    END AS BIGINT) AS alloc, capped
+         |FROM bh JOIN hp ON hp.host = bh.stratum
+         |ORDER BY host""".stripMargin
 
   // ---------------------------------------------------------------
   // URL canonicalization / registered domain / link graph

@@ -108,6 +108,30 @@ class UrlOpsSpec extends SparkSpec {
     assert(verdict("h2", "/other", "graftbot"))
   }
 
+  test("robots crawl-delay: group-scoped, max over merged groups, " +
+      "non-integer drops, unset stays null") {
+    val robots = Seq(
+      ("h1",
+        "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n" +
+          "User-agent: graftbot\nDisallow: /y"), // named, no delay
+      ("h2",
+        "User-agent: graftbot\nCrawl-delay: 3\nDisallow: /a\n" +
+          "User-agent: graftbot\nCrawl-delay: 7"), // merged → max 7
+      ("h3",
+        "User-agent: *\nCrawl-delay: fast\nDisallow: /z"), // unparseable
+      ("h4", "Crawl-delay: 9\nUser-agent: *\nDisallow: /q") // pre-group
+    ).toDF("host", "txt")
+    val dl = UrlOps.robotsCrawlDelays(robots, col("host"), col("txt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(dl(("h1", "*")) == Some(5L))
+    assert(dl(("h1", "graftbot")) == None) // named but no delay: NULL
+    assert(dl(("h2", "graftbot")) == Some(7L)) // max across groups
+    assert(dl(("h3", "*")) == None) // non-integer value drops
+    assert(dl(("h4", "*")) == None) // delay before any group drops
+  }
+
   test("Html.links inventories hrefs in document order") {
     val html = "<html><body><a href=\"http://a.com/1\">one</a>" +
       "<a name=\"no-href\">skipped</a>" +
