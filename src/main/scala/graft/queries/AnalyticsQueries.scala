@@ -305,6 +305,147 @@ object AnalyticsQueries {
         .orderBy(col("qty_e2").desc, col("orderkey"))
     },
 
+    // TPC-H Q19 pattern — disjunctive bracket predicates: revenue
+    // over an OR of (brand, size-range, quantity-range) conjuncts.
+    // The part side pre-filters to the UNION of bracket brands (every
+    // disjunct pins a brand, so the filter pushes into the part scan
+    // and the broadcast ships only candidate parts); the residual OR
+    // evaluates post-join. Decimal discipline throughout — the
+    // quantity brackets compare exact decimals, never doubles.
+    QueryDef("q19_bracket_revenue",
+      """WITH bp AS (SELECT p_partkey, p_brand, p_size FROM part
+        |  WHERE p_brand IN ('Brand#12', 'Brand#23', 'Brand#3')),
+        |j AS (SELECT CAST(l.l_quantity AS DECIMAL(18,2)) AS q,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) AS px,
+        |    CAST(l.l_discount AS DECIMAL(18,2)) AS disc,
+        |    p.p_brand, p.p_size
+        |  FROM lineitem l JOIN bp p ON l.l_partkey = p.p_partkey)
+        |SELECT CAST(coalesce(sum(px * (1 - disc)), 0) * 10000
+        |    AS BIGINT) AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM j
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |    AND q BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |    AND q BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |    AND q BETWEEN 20 AND 30)""".stripMargin) { (s, d) =>
+      val brackets = Seq(("Brand#12", 15, 1, 11), ("Brand#23", 25, 10, 20),
+        ("Brand#3", 35, 20, 30))
+      val bp = load(s, d, "part")
+        .filter(col("p_brand").isin(brackets.map(_._1): _*))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val j = load(s, d, "lineitem")
+        .join(broadcast(bp), col("l_partkey") === col("p_partkey"))
+        .select(col("l_quantity").cast("decimal(18,2)").as("q"),
+          col("l_extendedprice").cast("decimal(18,2)").as("px"),
+          col("l_discount").cast("decimal(18,2)").as("disc"),
+          col("p_brand"), col("p_size"))
+      val hit = brackets.map { case (b, sz, qLo, qHi) =>
+        col("p_brand") === b && col("p_size").between(1, sz) &&
+          col("q").between(qLo, qHi)
+      }.reduce(_ || _)
+      j.filter(hit)
+        .agg((coalesce(sum(col("px") * (lit(1) - col("disc"))),
+          lit(0).cast("decimal(18,2)")) * 10000).cast("long")
+          .as("revenue_e4"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q21 pattern — the sole blocking supplier: finished
+    // orders where EXACTLY ONE supplier shipped late (> 100 days
+    // after the order date) and at least two suppliers participated;
+    // numwait counts each supplier's late lines in such orders. The
+    // reference formulation is the correlated EXISTS / NOT-EXISTS
+    // pair — the twin replays exactly that — while the Spark side
+    // uses the aggregate reformulation (per-order distinct-supplier
+    // and distinct-LATE-supplier counts, one shuffle on orderkey),
+    // the shape that scales: no per-row correlated probes, the
+    // order-grain stats frame joins back to the late lines.
+    QueryDef("q21_blocking_supplier",
+      """WITH lo AS (SELECT l.l_orderkey, l.l_suppkey,
+        |    date_diff('day', o.o_orderdate, l.l_shipdate) > 100
+        |      AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |w1 AS (SELECT * FROM lo l1 WHERE late
+        |  AND EXISTS (SELECT 1 FROM lo l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lo l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late))
+        |SELECT s.s_name AS sname, CAST(count(*) AS BIGINT) AS numwait
+        |FROM w1 JOIN supplier s ON w1.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, sname""".stripMargin) { (s, d) =>
+      val lo = load(s, d, "lineitem").as("l")
+        .join(load(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (datediff(col("l_shipdate"), col("o_orderdate")) > 100)
+            .as("late"))
+      val st = lo.groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("ns"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("nl"))
+      val w1 = lo.filter(col("late"))
+        .join(st, "l_orderkey")
+        .filter(col("ns") >= 2 && col("nl") === 1)
+      w1.join(broadcast(load(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name").as("sname"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("sname"))
+    },
+
+    // TPC-H Q22 pattern — idle above-average balances: customers
+    // whose balance exceeds the mean POSITIVE balance and who placed
+    // no orders SINCE the cutoff (the reference's 7-year inactivity
+    // window; every synthetic customer has SOME order, so the
+    // unwindowed test is vacuous), grouped by nation. The global
+    // -average threshold stays EXACT by cross-multiplication
+    // (bal · n_pos > sum_pos in decimal — the q17 discipline for a
+    // GLOBAL correlate; the O(1) stats row is the only driver
+    // traffic), and the inactivity test is an ANTI join on custkey
+    // against the date-filtered orders (the filter pushes into the
+    // orders scan), never a correlated probe per row.
+    QueryDef("q22_idle_balance",
+      """WITH st AS (SELECT
+        |    sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sp,
+        |    CAST(count(*) AS BIGINT) AS np
+        |  FROM customer WHERE c_acctbal > 0),
+        |idle AS (SELECT c.c_custkey, c.c_nationkey,
+        |    CAST(c.c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer c, st
+        |  WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * st.np > st.sp
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_custkey = c.c_custkey
+        |        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+        |SELECT n.n_name AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(bal) * 100 AS BIGINT) AS totbal_e2
+        |FROM idle JOIN nation n ON idle.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val c = load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      val st = c.filter(col("bal") > 0)
+        .agg(sum(col("bal")).as("sp"), count(lit(1)).as("np")).head()
+      val (sp, np) = (st.getDecimal(0), st.getLong(1))
+      val idle = c
+        .filter(col("bal") * np > lit(sp))
+        .join(load(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00")
+            .cast("timestamp"))
+          .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+      idle.join(broadcast(load(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(col("bal")) * 100).cast("long").as("totbal_e2"))
+        .orderBy("nation")
+    },
+
     // window functions: rank + running sum per partition
     QueryDef("q_window_running",
       """SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -55,7 +55,10 @@ class PlanGateSpec extends SparkSpec {
     "doc_token_budget" -> (SinglePart ++ Bnlj),
     // the frontier's waterfill runs over the bounded HOST domain
     // (one stratum per crawl host) — the doc_token_budget rationale
-    "doc_crawl_frontier" -> (SinglePart ++ Bnlj))
+    "doc_crawl_frontier" -> (SinglePart ++ Bnlj),
+    // same waterfill over the same bounded host domain, paced
+    // capacity instead of raw capacity (r16)
+    "doc_crawl_frontier_paced" -> (SinglePart ++ Bnlj))
 
   private def auditAt(names: Seq[String], dir: String): Seq[String] = {
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
