@@ -446,6 +446,210 @@ object AnalyticsQueries {
         .orderBy("nation")
     },
 
+    // TPC-H Q4 pattern — order-priority checking: orders of one
+    // quarter with at least one genuinely late line (shipped > 30
+    // days after the order date — the schema's lateness signal),
+    // counted by priority. The EXISTS is a SEMI join with the
+    // residual date comparison in the join condition — the fact scan
+    // never widens, each order counts once however many lines are
+    // late.
+    QueryDef("q4_order_priority",
+      """SELECT o.o_orderpriority AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val o = load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 30 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("priority")
+    },
+
+    // TPC-H Q6 pattern — the forecasting-revenue-change scan: ONE
+    // pass over the fact with every predicate (ship year, discount
+    // bracket, quantity cap) pushed into the parquet scan, exact
+    // decimal sum. The whole query is a PushedFilters line + a
+    // map-side-combined agg — the plan a 100 TB scan needs.
+    QueryDef("q6_forecast_revenue",
+      """SELECT CAST(coalesce(sum(
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,2))), 0) * 10000 AS BIGINT)
+        |    AS revenue_e4,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+          && col("l_discount").cast("decimal(18,2)")
+            .between("0.05", "0.07")
+          && col("l_quantity") < 24)
+        .agg((coalesce(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * col("l_discount").cast("decimal(18,2)")),
+          lit(0).cast("decimal(18,2)")) * 10000).cast("long")
+          .as("revenue_e4"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // TPC-H Q10 pattern — returned-item losers: revenue lost to
+    // returns (l_returnflag = 'R') for one quarter's orders, by
+    // customer with nation detail, top 20 by lost revenue
+    // (custkey tiebreak keeps the limit deterministic). Date filter
+    // pushes to the orders scan, nation broadcasts, the customer
+    // join happens AFTER the group — only the top keys pull detail.
+    QueryDef("q10_returned_items",
+      """WITH rl AS (SELECT o.o_custkey,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_returnflag = 'R'
+        |    AND o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'),
+        |pc AS (SELECT o_custkey,
+        |  CAST(sum(rev) * 10000 AS BIGINT) AS revenue_e4
+        |  FROM rl GROUP BY 1)
+        |SELECT c.c_custkey AS custkey, c.c_name AS cname,
+        |  n.n_name AS nation, pc.revenue_e4
+        |FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY pc.revenue_e4 DESC, custkey LIMIT 20""".stripMargin) {
+      (s, d) =>
+      val rl = load(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(load(s, d, "orders")
+          .filter(col("o_orderdate") >=
+            lit("1996-07-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-10-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .as("rev"))
+      val pc = rl.groupBy("o_custkey")
+        .agg((sum(col("rev")) * 10000).cast("long").as("revenue_e4"))
+      pc.join(load(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(load(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("custkey"),
+          col("c_name").as("cname"), col("n_name").as("nation"),
+          col("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q13 pattern — customer order-count distribution: LEFT
+    // join so zero-order customers survive into the c_count = 0
+    // bucket, two cascaded aggregations (per-customer count, then
+    // the count-of-counts histogram).
+    QueryDef("q13_custdist",
+      """WITH co AS (SELECT c.c_custkey,
+        |  CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      load(s, d, "customer")
+        .join(load(s, d, "orders"),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q14 pattern — promotion revenue share for one month:
+    // conditional aggregation over one joined scan, the share kept
+    // EXACT as parts-per-million by integer division of the e4
+    // fixed-point sums (never a float percentage).
+    QueryDef("q14_promo_revenue",
+      """WITH j AS (SELECT p.p_type,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |    AND l.l_shipdate < TIMESTAMP '1996-08-01 00:00:00'),
+        |t AS (SELECT
+        |  CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev END),
+        |    0) * 10000 AS BIGINT) AS promo_e4,
+        |  CAST(coalesce(sum(rev), 0) * 10000 AS BIGINT) AS total_e4
+        |  FROM j)
+        |SELECT promo_e4, total_e4,
+        |  CAST(CASE WHEN total_e4 = 0 THEN 0
+        |    ELSE promo_e4 * 1000000 // total_e4 END AS BIGINT)
+        |    AS promo_ppm
+        |FROM t""".stripMargin) { (s, d) =>
+      val j = load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-07-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-08-01").cast("timestamp"))
+        .join(broadcast(load(s, d, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_type"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .as("rev"))
+      j.agg(
+          (coalesce(sum(when(col("p_type") === "PROMO", col("rev"))),
+            lit(0).cast("decimal(18,2)")) * 10000).cast("long")
+            .as("promo_e4"),
+          (coalesce(sum(col("rev")), lit(0).cast("decimal(18,2)"))
+            * 10000).cast("long").as("total_e4"))
+        .withColumn("promo_ppm",
+          when(col("total_e4") === 0L, 0L)
+            .otherwise(expr("promo_e4 * 1000000 div total_e4")))
+    },
+
+    // TPC-H Q15 pattern — top supplier(s) by quarterly revenue: the
+    // revenue view aggregated once, the max picked off the O(1)
+    // stats row (the only driver traffic), equality on EXACT e4
+    // fixed-point so ties surface instead of float-drifting apart.
+    QueryDef("q15_top_supplier",
+      """WITH rv AS (SELECT l_suppkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT)
+        |    AS revenue_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey AS suppkey, s.s_name AS sname,
+        |  rv.revenue_e4
+        |FROM rv JOIN supplier s ON rv.l_suppkey = s.s_suppkey
+        |WHERE rv.revenue_e4 = (SELECT max(revenue_e4) FROM rv)
+        |ORDER BY suppkey""".stripMargin) { (s, d) =>
+      val rv = load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))) * 10000)
+          .cast("long").as("revenue_e4"))
+      val maxRev = rv.agg(max(col("revenue_e4"))).head().getLong(0)
+      rv.filter(col("revenue_e4") === maxRev)
+        .join(broadcast(load(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey").as("suppkey"),
+          col("s_name").as("sname"), col("revenue_e4"))
+        .orderBy("suppkey")
+    },
+
     // window functions: rank + running sum per partition
     QueryDef("q_window_running",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
