@@ -650,6 +650,136 @@ object AnalyticsQueries {
         .orderBy("suppkey")
     },
 
+    // TPC-H Q7 pattern — bilateral shipping volume: revenue flowing
+    // between two nations (either direction) by ship year. The
+    // nation filter is applied to the TINY dimension chains first —
+    // suppliers and customers of the two nations join against 1-row
+    // broadcast nation frames BEFORE touching the fact, so the big
+    // join's build sides are pre-shrunk; the either-direction pair
+    // filter is a residual on the joined grain.
+    QueryDef("q7_nation_volume",
+      """WITH sn AS (SELECT s.s_suppkey, n.n_name AS supp_nation
+        |  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name IN ('NATION_1', 'NATION_2')),
+        |cn AS (SELECT c.c_custkey, n.n_name AS cust_nation
+        |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_name IN ('NATION_1', 'NATION_2'))
+        |SELECT sn.supp_nation, cn.cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000
+        |    AS BIGINT) AS revenue_e4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN sn ON l.l_suppkey = sn.s_suppkey
+        |JOIN cn ON o.o_custkey = cn.c_custkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND sn.supp_nation <> cn.cust_nation
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+      val nats = load(s, d, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val sn = load(s, d, "supplier")
+        .join(broadcast(nats), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cn = load(s, d, "customer")
+        .join(broadcast(nats), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      load(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(load(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))) * 10000)
+          .cast("long").as("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q8 pattern — national market share: of the ECONOMY-part
+    // revenue bought by EUROPE customers in 1995–1996, the share
+    // supplied by NATION_3, by order year — conditional aggregation
+    // over one multi-join scan, the share EXACT as ppm by integer
+    // division of e4 fixed-point sums. Part/nation/region dimension
+    // chains broadcast; the fact is filtered by the part semi-join
+    // before the wide joins.
+    QueryDef("q8_market_share",
+      """WITH ep AS (SELECT p_partkey FROM part
+        |  WHERE p_type = 'ECONOMY'),
+        |ec AS (SELECT c.c_custkey
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |sn AS (SELECT s.s_suppkey, n.n_name AS supp_nation
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |j AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    sn.supp_nation,
+        |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem l
+        |  JOIN ep ON l.l_partkey = ep.p_partkey
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN ec ON o.o_custkey = ec.c_custkey
+        |  JOIN sn ON l.l_suppkey = sn.s_suppkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |t AS (SELECT o_year,
+        |  CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_3'
+        |    THEN rev END), 0) * 10000 AS BIGINT) AS nation_e4,
+        |  CAST(coalesce(sum(rev), 0) * 10000 AS BIGINT) AS total_e4
+        |  FROM j GROUP BY 1)
+        |SELECT o_year, nation_e4, total_e4,
+        |  CAST(CASE WHEN total_e4 = 0 THEN 0
+        |    ELSE nation_e4 * 1000000 // total_e4 END AS BIGINT)
+        |    AS share_ppm
+        |FROM t ORDER BY o_year""".stripMargin) { (s, d) =>
+      val ep = load(s, d, "part").filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val ec = load(s, d, "customer")
+        .join(broadcast(load(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(load(s, d, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val sn = load(s, d, "supplier")
+        .join(broadcast(load(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val j = load(s, d, "lineitem")
+        .join(broadcast(ep), col("l_partkey") === col("p_partkey"))
+        .join(load(s, d, "orders")
+          .filter(col("o_orderdate") >=
+            lit("1995-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(ec), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .select(year(col("o_orderdate")).cast("long").as("o_year"),
+          col("supp_nation"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)")))
+            .as("rev"))
+      j.groupBy("o_year")
+        .agg(
+          (coalesce(sum(when(col("supp_nation") === "NATION_3",
+            col("rev"))), lit(0).cast("decimal(18,2)")) * 10000)
+            .cast("long").as("nation_e4"),
+          (coalesce(sum(col("rev")), lit(0).cast("decimal(18,2)"))
+            * 10000).cast("long").as("total_e4"))
+        .withColumn("share_ppm",
+          when(col("total_e4") === 0L, 0L)
+            .otherwise(expr("nation_e4 * 1000000 div total_e4")))
+        .orderBy("o_year")
+    },
+
     // window functions: rank + running sum per partition
     QueryDef("q_window_running",
       """SELECT l_suppkey, l_orderkey, l_linenumber,

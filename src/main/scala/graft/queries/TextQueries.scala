@@ -434,6 +434,40 @@ object TextQueries {
       })
   }
 
+  /** The 4×16-band radius-1 multi-probe pair generator replayed in
+    * SQL over an `hs(doc_id, hash_hi, hash_lo)` CTE — ends at
+    * `ipair(id_a, id_b, hamming)` with the popcount ≤ 6 verify.
+    * Shared by mm_image_neardup and mm_image_dup_components so the
+    * banding cannot drift between the pair report and its
+    * clustering consumer.
+    */
+  private lazy val sqlDHashBandPairCtes: String =
+    """ibands AS (
+      |  SELECT doc_id, hash_hi, hash_lo, 0 AS bi,
+      |    hash_lo & 65535 AS bv FROM hs
+      |  UNION ALL SELECT doc_id, hash_hi, hash_lo, 1,
+      |    (hash_lo >> 16) & 65535 FROM hs
+      |  UNION ALL SELECT doc_id, hash_hi, hash_lo, 2,
+      |    hash_hi & 65535 FROM hs
+      |  UNION ALL SELECT doc_id, hash_hi, hash_lo, 3,
+      |    (hash_hi >> 16) & 65535 FROM hs),
+      |imask AS (SELECT CAST(0 AS BIGINT) AS m
+      |  UNION ALL SELECT CAST(1 AS BIGINT) << CAST(i AS INT)
+      |  FROM (SELECT unnest(range(0, 16)) AS i)),
+      |iprobe AS (SELECT b.doc_id, b.hash_hi, b.hash_lo, b.bi,
+      |  xor(b.bv, k.m) AS bv FROM ibands b, imask k),
+      |icand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  a.hash_hi AS ha, a.hash_lo AS la,
+      |  b.hash_hi AS hb, b.hash_lo AS lb
+      |  FROM iprobe a JOIN ibands b
+      |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |ipair AS (SELECT id_a, id_b,
+      |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
+      |    AS BIGINT) AS hamming
+      |  FROM icand
+      |  WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6)"""
+      .stripMargin
+
   /** The closed-form hash of [[dhashNearPayload]] — ends at
     * `crh(doc_id, hash_hi, hash_lo)` for ok rows. The twin computes
     * the PATTERN directly (base XOR prefix-flip) while Spark really
@@ -3031,30 +3065,8 @@ object TextQueries {
     // ~n/65536 at corpus scale.
     QueryDef("mm_image_neardup",
       s"""WITH $sqlDHashCtes,
-         |bands AS (
-         |  SELECT doc_id, hash_hi, hash_lo, 0 AS bi,
-         |    hash_lo & 65535 AS bv FROM hs
-         |  UNION ALL SELECT doc_id, hash_hi, hash_lo, 1,
-         |    (hash_lo >> 16) & 65535 FROM hs
-         |  UNION ALL SELECT doc_id, hash_hi, hash_lo, 2,
-         |    hash_hi & 65535 FROM hs
-         |  UNION ALL SELECT doc_id, hash_hi, hash_lo, 3,
-         |    (hash_hi >> 16) & 65535 FROM hs),
-         |mask AS (SELECT CAST(0 AS BIGINT) AS m
-         |  UNION ALL SELECT CAST(1 AS BIGINT) << CAST(i AS INT)
-         |  FROM (SELECT unnest(range(0, 16)) AS i)),
-         |probe AS (SELECT b.doc_id, b.hash_hi, b.hash_lo, b.bi,
-         |  xor(b.bv, k.m) AS bv FROM bands b, mask k),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  a.hash_hi AS ha, a.hash_lo AS la,
-         |  b.hash_hi AS hb, b.hash_lo AS lb
-         |  FROM probe a JOIN bands b
-         |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
-         |  CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb))
-         |    AS BIGINT) AS hamming
-         |FROM cand
-         |WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 6
+         |$sqlDHashBandPairCtes
+         |SELECT id_a, id_b, hamming FROM ipair
          |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
       // cut once: the self-join references the hash frame on BOTH
       // sides, and without the cut each side re-runs the full-corpus
@@ -3071,6 +3083,46 @@ object TextQueries {
         .filter(col("hamming") <= 6L)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
+    },
+
+    // Perceptual near-dup CLUSTERING — the lexical tier's
+    // components/canonical composition at the image tier: connected
+    // components over the guaranteed-recall multi-probe pair graph
+    // (shared ipair CTEs), every document labeled with its
+    // component's min doc id. Corrupt payloads stay singleton
+    // components of themselves. Spark runs min-label propagation to
+    // fixpoint over the pair-sized subgraph; the twin computes the
+    // same fixpoint as a recursive transitive-closure CTE — two very
+    // different algorithms agreeing pins both (the
+    // doc_dup_components discipline).
+    QueryDef("mm_image_dup_components",
+      s"""WITH RECURSIVE $sqlDHashCtes,
+         |$sqlDHashBandPairCtes,
+         |e AS (SELECT id_a, id_b FROM ipair),
+         |$sqlComponentTail
+         |SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp,
+         |  d.doc_id = coalesce(c.comp, d.doc_id) AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val hs = graft.ops.Materialize.cut(
+        Multimodal.imageDHash(dhashPayload(s, d)).toDF()
+          .filter(col("status") === "ok")
+          .select(col("doc_id").as("id"), col("hash_hi"),
+            col("hash_lo")))
+      val ham = bit_count(col("ha").bitwiseXOR(col("hb"))) +
+        bit_count(col("la").bitwiseXOR(col("lb")))
+      val pairs = Multimodal.dhashBandProbeCandidates(hs)
+        .filter(ham <= 6)
+        .select("id_a", "id_b")
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      load(s, d, "documents").select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("comp"),
+          (col("doc_id") === coalesce(col("comp"), col("doc_id")))
+            .as("is_canonical"))
+        .orderBy("doc_id")
     },
 
     // RECALL oracle for the banded perceptual near-dup tier — the
