@@ -751,6 +751,25 @@ object TextQueries {
         gate.applyBatch(docs.filter($"_1" % 3 === 2), 2L)
     }
 
+  /** Near-dup media-gate state: three doc_id%3 micro-batches of the
+    * controlled-distance images through the stateful Hamming-≤6
+    * seen-set, compaction between batches 1 and 2 (the
+    * [[mediaGateStateDir]] shape at the near-dup tier).
+    */
+  private def nearDupGateStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    TempState.dir("ndmediagate|" + s.sparkContext.applicationId + "|" +
+        d) { root =>
+      import s.implicits._
+      val gate = new graft.streaming.NearDupMediaGate(s, root)
+      val docs = dhashNearPayload(s, d)
+      gate.applyBatch(docs.filter($"_1" % 3 === 0), 0L)
+      gate.applyBatch(docs.filter($"_1" % 3 === 1), 1L)
+      gate.compact(currentBatchId = 1L)
+      gate.vacuum(currentBatchId = 1L)
+      gate.applyBatch(docs.filter($"_1" % 3 === 2), 2L)
+    }
+
   /** Per-frame dHash replayed in SQL over the [[videoFpPayload]]
     * synthesis — ends at `vhs(doc_id, f, hash_hi, hash_lo)` for ok
     * frames (corrupt frames/containers union in per query). Shared
@@ -2943,6 +2962,114 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val dir = mediaGateStateDir(s, d)
       new graft.streaming.MediaGate(s, dir).readVerdicts(2L)
+        .select(col("id").as("doc_id"), col("batch"),
+          col("hash_hi"), col("hash_lo"), col("verdict"))
+        .orderBy("doc_id")
+    },
+
+    // Streaming NEAR-dup media gate e2e (NearDupMediaGate — the
+    // sixth GateStateStore consumer): the MediaGate admission rule
+    // upgraded from exact-hash membership to guaranteed-recall
+    // Hamming-≤6 matching, driven over the controlled-distance
+    // payload in three doc_id%3 micro-batches with a compaction
+    // between batches 1 and 2. Within a batch, near-dup COMPONENTS
+    // collapse to their min-id canonical (a chain of small edits
+    // admits once); across batches, anything within ≤6 of an
+    // ADMITTED hash — including content never seen byte- or
+    // hash-identically — comes back dup_of_corpus, probed through
+    // the banded standing state. The twin replays the full
+    // trajectory: per-batch brute ≤6 pair graphs, transitive closure
+    // as recursive CTEs, the admitted-set chain, and the
+    // prior-batches-only corpus rule.
+    QueryDef("mm_media_neardup_gate_e2e",
+      s"""WITH RECURSIVE $sqlDHashNearCtes,
+         |ngh AS (SELECT doc_id, hash_hi, hash_lo, doc_id % 3 AS b
+         |  FROM crh),
+         |ngr0 AS (SELECT * FROM ngh WHERE b = 0),
+         |ngp0 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ngr0 a JOIN ngr0 b ON a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.hash_hi, b.hash_hi))
+         |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 6),
+         |ngs0 AS (SELECT id_a AS src, id_b AS dst FROM ngp0
+         |  UNION SELECT id_b, id_a FROM ngp0),
+         |ngreach0 AS (SELECT src AS id, dst AS r FROM ngs0
+         |  UNION SELECT ngreach0.id, ngs0.dst FROM ngreach0
+         |    JOIN ngs0 ON ngreach0.r = ngs0.src),
+         |ngc0 AS (SELECT id, least(id, min(r)) AS comp FROM ngreach0
+         |  GROUP BY id),
+         |ngadm0 AS (SELECT h.hash_hi, h.hash_lo FROM ngr0 h
+         |  LEFT JOIN ngc0 c ON c.id = h.doc_id
+         |  WHERE coalesce(c.comp, h.doc_id) = h.doc_id),
+         |ngv0 AS (SELECT h.doc_id, h.hash_hi, h.hash_lo,
+         |  CASE WHEN coalesce(c.comp, h.doc_id) <> h.doc_id
+         |    THEN 'dup_in_batch' ELSE 'admitted' END AS verdict
+         |  FROM ngr0 h LEFT JOIN ngc0 c ON c.id = h.doc_id),
+         |ngcd1 AS (SELECT DISTINCT h.doc_id FROM ngh h
+         |  JOIN ngadm0 a ON h.b = 1
+         |    AND bit_count(xor(h.hash_hi, a.hash_hi))
+         |      + bit_count(xor(h.hash_lo, a.hash_lo)) <= 6),
+         |ngr1 AS (SELECT * FROM ngh WHERE b = 1
+         |  AND doc_id NOT IN (SELECT doc_id FROM ngcd1)),
+         |ngp1 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ngr1 a JOIN ngr1 b ON a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.hash_hi, b.hash_hi))
+         |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 6),
+         |ngs1 AS (SELECT id_a AS src, id_b AS dst FROM ngp1
+         |  UNION SELECT id_b, id_a FROM ngp1),
+         |ngreach1 AS (SELECT src AS id, dst AS r FROM ngs1
+         |  UNION SELECT ngreach1.id, ngs1.dst FROM ngreach1
+         |    JOIN ngs1 ON ngreach1.r = ngs1.src),
+         |ngc1 AS (SELECT id, least(id, min(r)) AS comp FROM ngreach1
+         |  GROUP BY id),
+         |ngadm1 AS (SELECT h.hash_hi, h.hash_lo FROM ngr1 h
+         |  LEFT JOIN ngc1 c ON c.id = h.doc_id
+         |  WHERE coalesce(c.comp, h.doc_id) = h.doc_id),
+         |ngv1 AS (
+         |  SELECT h.doc_id, h.hash_hi, h.hash_lo,
+         |    'dup_of_corpus' AS verdict FROM ngh h
+         |  WHERE h.b = 1 AND h.doc_id IN (SELECT doc_id FROM ngcd1)
+         |  UNION ALL
+         |  SELECT h.doc_id, h.hash_hi, h.hash_lo,
+         |    CASE WHEN coalesce(c.comp, h.doc_id) <> h.doc_id
+         |      THEN 'dup_in_batch' ELSE 'admitted' END
+         |  FROM ngr1 h LEFT JOIN ngc1 c ON c.id = h.doc_id),
+         |ngadm01 AS (SELECT * FROM ngadm0
+         |  UNION ALL SELECT * FROM ngadm1),
+         |ngcd2 AS (SELECT DISTINCT h.doc_id FROM ngh h
+         |  JOIN ngadm01 a ON h.b = 2
+         |    AND bit_count(xor(h.hash_hi, a.hash_hi))
+         |      + bit_count(xor(h.hash_lo, a.hash_lo)) <= 6),
+         |ngr2 AS (SELECT * FROM ngh WHERE b = 2
+         |  AND doc_id NOT IN (SELECT doc_id FROM ngcd2)),
+         |ngp2 AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ngr2 a JOIN ngr2 b ON a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.hash_hi, b.hash_hi))
+         |      + bit_count(xor(a.hash_lo, b.hash_lo)) <= 6),
+         |ngs2 AS (SELECT id_a AS src, id_b AS dst FROM ngp2
+         |  UNION SELECT id_b, id_a FROM ngp2),
+         |ngreach2 AS (SELECT src AS id, dst AS r FROM ngs2
+         |  UNION SELECT ngreach2.id, ngs2.dst FROM ngreach2
+         |    JOIN ngs2 ON ngreach2.r = ngs2.src),
+         |ngc2 AS (SELECT id, least(id, min(r)) AS comp FROM ngreach2
+         |  GROUP BY id),
+         |ngv2 AS (
+         |  SELECT h.doc_id, h.hash_hi, h.hash_lo,
+         |    'dup_of_corpus' AS verdict FROM ngh h
+         |  WHERE h.b = 2 AND h.doc_id IN (SELECT doc_id FROM ngcd2)
+         |  UNION ALL
+         |  SELECT h.doc_id, h.hash_hi, h.hash_lo,
+         |    CASE WHEN coalesce(c.comp, h.doc_id) <> h.doc_id
+         |      THEN 'dup_in_batch' ELSE 'admitted' END
+         |  FROM ngr2 h LEFT JOIN ngc2 c ON c.id = h.doc_id)
+         |SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS batch,
+         |  hash_hi, hash_lo, verdict
+         |FROM (SELECT * FROM ngv0 UNION ALL SELECT * FROM ngv1
+         |  UNION ALL SELECT * FROM ngv2
+         |  UNION ALL SELECT doc_id, -1, -1, 'rejected'
+         |  FROM documents WHERE doc_id % 11 = 0)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dir = nearDupGateStateDir(s, d)
+      new graft.streaming.NearDupMediaGate(s, dir).readVerdicts(2L)
         .select(col("id").as("doc_id"), col("batch"),
           col("hash_hi"), col("hash_lo"), col("verdict"))
         .orderBy("doc_id")

@@ -124,4 +124,32 @@ class BudgetAllocateSpec extends SparkSpec {
       if (capped) assert(al == c)
     }
   }
+
+  test("doc_crawl_frontier_paced: politeness binds before priority " +
+      "(alloc <= paced_cap <= n_urls; conservation over PACED caps)") {
+    val rows = SparkEntry.queries("doc_crawl_frontier_paced")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty, "paced frontier must emit a fetch plan")
+    val pacedSum = rows.map(_.getAs[Long]("paced_cap")).sum
+    val allocSum = rows.map(_.getAs[Long]("alloc")).sum
+    assert(allocSum == pacedSum / 2L,
+      s"sum(alloc)=$allocSum != sum(paced_cap)/2=${pacedSum / 2L}")
+    rows.foreach { r =>
+      val (n, p, al, dl) = (r.getAs[Long]("n_urls"),
+        r.getAs[Long]("paced_cap"), r.getAs[Long]("alloc"),
+        r.getAs[Long]("delay_s"))
+      assert(dl >= 1L, "the default delay is 1 s, parsed are positive")
+      assert(p <= n, "pacing can only SHRINK capacity")
+      assert(p >= math.min(n, 1L), "a live host keeps >= 1 fetch")
+      assert(al >= 0L && al <= p, "allocation within the paced cap")
+      if (r.getAs[Boolean]("capped")) assert(al == p)
+    }
+    // the fixture's delay classes must BOTH be present, and the 5 s
+    // window must bind on at least one delay-5 host — otherwise the
+    // query degenerates to the unpaced frontier and tests nothing
+    val delays = rows.map(_.getAs[Long]("delay_s")).toSet
+    assert(delays == Set(1L, 5L), s"expected both delay classes: $delays")
+    assert(rows.exists(r => r.getAs[Long]("paced_cap") <
+      r.getAs[Long]("n_urls")), "pacing must bind somewhere")
+  }
 }
