@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.GraftFunctions.portableHash
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque binary payloads with
@@ -292,15 +292,31 @@ object Multimodal {
     * caller verifies with the exact popcount and its own threshold
     * (<= 7 stays guaranteed-complete).
     */
-  def dhashBandProbeCandidates(hs: DataFrame): DataFrame = {
-    val bands = (0 to 3).map { bi =>
+  /** The 4×16-bit band layout of a (hash_hi, hash_lo) pair — ONE
+    * definition shared by the pair generator below and the
+    * [[graft.streaming.NearDupMediaGate]]'s standing-state writer,
+    * so the persisted band shape can never drift from the probe
+    * that reads it. Emits `extra` columns plus (bi, bv, hash_hi,
+    * hash_lo).
+    */
+  private[graft] def dhashBands(df: DataFrame,
+      extra: Seq[String]): DataFrame =
+    (0 to 3).map { bi =>
       val src = if (bi < 2) col("hash_lo") else col("hash_hi")
       val v = shiftright(src, (bi % 2) * 16).bitwiseAND(lit(65535L))
-      hs.select(col("id"), col("hash_hi"), col("hash_lo"),
-        lit(bi).as("bi"), v.as("bv"))
+      df.select((extra.map(col) ++ Seq(lit(bi).as("bi"), v.as("bv"),
+        col("hash_hi"), col("hash_lo"))): _*)
     }.reduce(_ unionByName _)
-    val masks = array((Seq(0L) ++ (0 until 16).map(1L << _))
-      .map(lit(_)): _*)
+
+  /** The 17 radius-1 Hamming-ball XOR masks of a 16-bit band
+    * (identity + one flip per bit) — shared with the gate's probe.
+    */
+  private[graft] def radius1Masks16: Column =
+    array((Seq(0L) ++ (0 until 16).map(1L << _)).map(lit(_)): _*)
+
+  def dhashBandProbeCandidates(hs: DataFrame): DataFrame = {
+    val bands = dhashBands(hs, Seq("id"))
+    val masks = radius1Masks16
     // asymmetric expansion: probing one side by radius 1 against the
     // other side's exact bands catches every band pair at distance
     // <= 1 — expanding both sides would buy radius 2 nobody needs

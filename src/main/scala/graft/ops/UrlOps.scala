@@ -197,9 +197,18 @@ object UrlOps {
     (blocks, agents)
   }
 
-  def robotsRules(df: DataFrame, host: Column, txt: Column): DataFrame = {
+  def robotsRules(df: DataFrame, host: Column, txt: Column): DataFrame =
+    robotsRulesAndDelays(df, host, txt)._1
+
+  /** Both robots products off ONE block parse — callers needing
+    * rules AND crawl-delays (the paced frontier) build both frames
+    * from a single [[robotsBlocks]] lineage instead of re-running
+    * the posexplode + window parse per product.
+    */
+  def robotsRulesAndDelays(df: DataFrame, host: Column,
+      txt: Column): (DataFrame, DataFrame) = {
     val (blocks, agents) = robotsBlocks(df, host, txt)
-    blocks
+    val rules = blocks
       .filter(col("field").isin("allow", "disallow") &&
         col("value") =!= "" && col("__blk") > 0L)
       .select(col("host"), col("__blk"),
@@ -207,6 +216,15 @@ object UrlOps {
         col("value").as("prefix"))
       .join(agents, Seq("host", "__blk"))
       .select(col("host"), col("agent"), col("allow"), col("prefix"))
+    val delays = agents.join(blocks
+        .filter(col("field") === "crawl-delay" &&
+          col("value").rlike("^[0-9]+$") && col("__blk") > 0L)
+        .select(col("host"), col("__blk"),
+          col("value").cast("long").as("__d")),
+      Seq("host", "__blk"), "left")
+      .groupBy("host", "agent")
+      .agg(max(col("__d")).as("delay_s"))
+    (rules, delays)
   }
 
   /** Per-(host, agent) `Crawl-delay` — the de-facto politeness
@@ -221,17 +239,8 @@ object UrlOps {
     * merged groups disagree the MAX wins (the conservative read).
     */
   def robotsCrawlDelays(df: DataFrame, host: Column,
-      txt: Column): DataFrame = {
-    val (blocks, agents) = robotsBlocks(df, host, txt)
-    val delays = blocks
-      .filter(col("field") === "crawl-delay" &&
-        col("value").rlike("^[0-9]+$") && col("__blk") > 0L)
-      .select(col("host"), col("__blk"),
-        col("value").cast("long").as("__d"))
-    agents.join(delays, Seq("host", "__blk"), "left")
-      .groupBy("host", "agent")
-      .agg(max(col("__d")).as("delay_s"))
-  }
+      txt: Column): DataFrame =
+    robotsRulesAndDelays(df, host, txt)._2
 
   /** Evaluate crawlability of (host, path) pairs against a
     * [[robotsRules]] table for `agent`: the RFC 9309 longest-match

@@ -495,8 +495,11 @@ object AnalyticsQueries {
       load(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
           && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
-          && col("l_discount").cast("decimal(18,2)")
-            .between("0.05", "0.07")
+          // decimal literals: string operands would promote the
+          // comparison to Double while the twin runs DECIMAL BETWEEN
+          && col("l_discount").cast("decimal(18,2)").between(
+            lit(new java.math.BigDecimal("0.05")),
+            lit(new java.math.BigDecimal("0.07")))
           && col("l_quantity") < 24)
         .agg((coalesce(sum(col("l_extendedprice").cast("decimal(18,2)")
           * col("l_discount").cast("decimal(18,2)")),
@@ -592,8 +595,8 @@ object AnalyticsQueries {
         |  FROM j)
         |SELECT promo_e4, total_e4,
         |  CAST(CASE WHEN total_e4 = 0 THEN 0
-        |    ELSE promo_e4 * 1000000 // total_e4 END AS BIGINT)
-        |    AS promo_ppm
+        |    ELSE CAST(promo_e4 AS HUGEINT) * 1000000 // total_e4 END
+        |    AS BIGINT) AS promo_ppm
         |FROM t""".stripMargin) { (s, d) =>
       val j = load(s, d, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-07-01").cast("timestamp")
@@ -613,7 +616,11 @@ object AnalyticsQueries {
             * 10000).cast("long").as("total_e4"))
         .withColumn("promo_ppm",
           when(col("total_e4") === 0L, 0L)
-            .otherwise(expr("promo_e4 * 1000000 div total_e4")))
+            // widen BEFORE the *1e6: e4 revenue sums pass Long/1e6
+            // at moderate scale and a 64-bit multiply would wrap
+            // silently under non-ANSI div (the twin uses HUGEINT)
+            .otherwise(expr(
+              "cast(promo_e4 as decimal(38,0)) * 1000000 div total_e4")))
     },
 
     // TPC-H Q15 pattern — top supplier(s) by quarterly revenue: the
@@ -641,7 +648,11 @@ object AnalyticsQueries {
         .agg((sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1) - col("l_discount").cast("decimal(18,2)"))) * 10000)
           .cast("long").as("revenue_e4"))
-      val maxRev = rv.agg(max(col("revenue_e4"))).head().getLong(0)
+      // an empty ship window makes max() NULL — the twin returns
+      // zero rows, so must we (not an NPE on the driver)
+      val maxRow = rv.agg(max(col("revenue_e4"))).head()
+      val maxRev =
+        if (maxRow.isNullAt(0)) Long.MinValue else maxRow.getLong(0)
       rv.filter(col("revenue_e4") === maxRev)
         .join(broadcast(load(s, d, "supplier")),
           col("l_suppkey") === col("s_suppkey"))
@@ -737,8 +748,8 @@ object AnalyticsQueries {
         |  FROM j GROUP BY 1)
         |SELECT o_year, nation_e4, total_e4,
         |  CAST(CASE WHEN total_e4 = 0 THEN 0
-        |    ELSE nation_e4 * 1000000 // total_e4 END AS BIGINT)
-        |    AS share_ppm
+        |    ELSE CAST(nation_e4 AS HUGEINT) * 1000000 // total_e4 END
+        |    AS BIGINT) AS share_ppm
         |FROM t ORDER BY o_year""".stripMargin) { (s, d) =>
       val ep = load(s, d, "part").filter(col("p_type") === "ECONOMY")
         .select(col("p_partkey"))
@@ -776,7 +787,9 @@ object AnalyticsQueries {
             * 10000).cast("long").as("total_e4"))
         .withColumn("share_ppm",
           when(col("total_e4") === 0L, 0L)
-            .otherwise(expr("nation_e4 * 1000000 div total_e4")))
+            // widen BEFORE the *1e6 (see q14) — 64-bit would wrap
+            .otherwise(expr(
+              "cast(nation_e4 as decimal(38,0)) * 1000000 div total_e4")))
         .orderBy("o_year")
     },
 

@@ -5593,9 +5593,7 @@ object TextQueries {
     // drops) and the exact waterfill.
     QueryDef("doc_crawl_frontier_paced",
       frontierPacedSql) { (s, d) =>
-      val (strata, hosts) = frontierStrata(s, d)
-      val dl = graft.ops.UrlOps.robotsCrawlDelays(hosts, col("host"),
-        col("txt"))
+      val (strata, dl) = frontierStrata(s, d)
       val exact = dl.filter(col("agent") === "graftbot")
         .select(col("host"), lit(true).as("__named"),
           col("delay_s").as("__de"))
@@ -5629,11 +5627,12 @@ object TextQueries {
     })
 
   /** Frontier fetch-plan strata shared by the plain and paced
-    * variants: (strata = (host, pr_e9, cap), hosts = (host, source,
-    * txt)) — links canonicalized once (Materialize-cut: the
-    * regex-heavy extraction feeds four consumers), PR over the
-    // host graph, robots verdict per candidate URL, capacity = the
-    * host's distinct allowed URLs.
+    * variants: (strata = (host, pr_e9, cap), delays = the lazy
+    * per-(host, agent) Crawl-delay frame off the SAME robots block
+    * parse as the rules) — links canonicalized once
+    * (Materialize-cut: the regex-heavy extraction feeds four
+    * consumers), PR over the host graph, robots verdict per
+    * candidate URL, capacity = the host's distinct allowed URLs.
     */
   private def frontierStrata(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame,
@@ -5663,13 +5662,16 @@ object TextQueries {
         .withColumn("source",
           regexp_extract(col("host"), "(src[0-9]+)\\.", 1))
         .withColumn("txt", robotsPayload)
-      val rules = graft.ops.UrlOps.robotsRules(hosts, col("host"),
-        col("txt"))
+      // rules AND delays off ONE robots block parse (the paced
+      // variant consumes the delays; the plain frontier never
+      // evaluates the lazy frame)
+      val (rules, delays) = graft.ops.UrlOps.robotsRulesAndDelays(
+        hosts, col("host"), col("txt"))
       val verdict = graft.ops.UrlOps.robotsVerdict(urls, rules,
         "graftbot")
       val perHost = verdict.filter(col("allowed"))
         .groupBy("host").agg(count(lit(1)).as("cap"))
-      (perHost.join(pr, "host"), hosts)
+      (perHost.join(pr, "host"), delays)
   }
 
   /** Pacing window for doc_crawl_frontier_paced (seconds): sized so

@@ -79,15 +79,21 @@ private[streaming] final class GateStateStore(spark: SparkSession,
       // conditional-put substitution) — that is state CORRUPTION an
       // operator must see by name, not an opaque MatchError that
       // reads as a code bug (round-16 fix)
+      def corrupt() = throw new IllegalStateException(
+        s"corrupt gate-state META at $metaPath: expected " +
+          s"'<generation> <upTo>', got '${txt.take(80)}' — the " +
+          "state dir needs operator repair (restore META from the " +
+          "latest gen=<g> directory present)")
       txt.split(" ") match {
-        case Array(g, u) if g.forall(_.isDigit) && g.nonEmpty &&
-            u.forall(_.isDigit) && u.nonEmpty =>
-          (g.toLong, u.toLong)
-        case _ => throw new IllegalStateException(
-          s"corrupt gate-state META at $metaPath: expected " +
-            s"'<generation> <upTo>', got '${txt.take(80)}' — the " +
-            "state dir needs operator repair (restore META from the " +
-            "latest gen=<g> directory present)")
+        case Array(g, u) =>
+          // toLong guarded too: a torn/duplicated write can produce
+          // an all-digit string LONGER than a Long, which must fail
+          // by the same name, not a raw NumberFormatException
+          def num(s: String): Long =
+            scala.util.Try(s.toLong).filter(_ >= 0L)
+              .getOrElse(corrupt())
+          (num(g), num(u))
+        case _ => corrupt()
       }
     }
   }

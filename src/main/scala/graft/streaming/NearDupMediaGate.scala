@@ -64,14 +64,12 @@ final class NearDupMediaGate(spark: SparkSession, stateDir: String,
   /** Admitted band rows of batches strictly before `batchId`. */
   def seenBands(batchId: Long): DataFrame = store.sourcesUnion(batchId)
 
-  /** The four 16-bit bands of (hash_hi, hash_lo) columns. */
+  /** The four 16-bit bands — the ONE shared layout
+    * ([[Multimodal.dhashBands]]): state written here must match the
+    * probe generator the recall oracle prices.
+    */
   private def bandsOf(df: DataFrame, extra: Seq[String]): DataFrame =
-    (0 to 3).map { bi =>
-      val src = if (bi < 2) col("hash_lo") else col("hash_hi")
-      val v = shiftright(src, (bi % 2) * 16).bitwiseAND(lit(65535L))
-      df.select((extra.map(col) ++ Seq(lit(bi).as("bi"), v.as("bv"),
-        col("hash_hi"), col("hash_lo"))): _*)
-    }.reduce(_ unionByName _)
+    Multimodal.dhashBands(df, extra)
 
   private def hamming(hiA: String, loA: String, hiB: String,
       loB: String) =
@@ -94,8 +92,7 @@ final class NearDupMediaGate(spark: SparkSession, stateDir: String,
       // per band, equi-joined against the standing EXACT bands —
       // every admitted hash within Hamming <= 7 surfaces, the
       // popcount verifies <= 6
-      val masks = array((Seq(0L) ++ (0 until 16).map(1L << _))
-        .map(lit(_)): _*)
+      val masks = Multimodal.radius1Masks16
       val probe = bandsOf(valid, Seq("id"))
         .withColumn("__m", explode(masks))
         .select(col("id"), col("bi"),

@@ -38,6 +38,15 @@ class IngestGateSpec extends SparkSpec {
       gate.compact(currentBatchId = 1L)
     }
     assert(ex2.getMessage.contains("corrupt gate-state META"))
+    // all-digit but longer than a Long (a torn/duplicated write):
+    // same named error, never a raw NumberFormatException
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$state/base/META"),
+      "99999999999999999999 0")
+    val ex3 = intercept[IllegalStateException] {
+      gate.compact(currentBatchId = 1L)
+    }
+    assert(ex3.getMessage.contains("corrupt gate-state META"))
   }
 
   test("gate: in-batch dup, corpus dup across batches, admission") {
