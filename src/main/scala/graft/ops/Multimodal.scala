@@ -270,28 +270,6 @@ object Multimodal {
     })
   }
 
-  /** Candidate pairs for 64-bit Hamming near-dup by MULTI-INDEX
-    * probing (Norouzi & Punjani & Fleet, "Fast Search in Hamming
-    * Space with Multi-Index Hashing", CVPR 2012): the hash splits
-    * into four 16-bit bands, the probe side expands each band by its
-    * 17 radius-1 Hamming-ball values (identity + 16 one-bit flips),
-    * and candidates equi-join on exact (band_idx, value). The
-    * pigeonhole this buys is REAL: d bit errors spread over 4 bands
-    * leave the cleanest band with <= floor(d/4) errors, so every
-    * pair at Hamming <= 7 has some band within distance 1 of its
-    * twin and is guaranteed caught by the radius-1 expansion. (Exact
-    * band equality alone — the pre-round-16 form — only guarantees
-    * Hamming <= 3; at the <= 6 verify threshold it was a heuristic,
-    * not a guarantee.) Candidate generation stays an equi-join —
-    * never all-pairs — at 4 x 17 = 68 probe rows per hash; at corpus
-    * scale the 16-bit band space keeps bucket sizes n/65536-ish per
-    * band, the shape that survives a 100x scale-up.
-    *
-    * `hs`: (id, hash_hi, hash_lo), 32 significant bits each. Returns
-    * distinct (id_a, id_b, ha, la, hb, lb) with id_a < id_b; the
-    * caller verifies with the exact popcount and its own threshold
-    * (<= 7 stays guaranteed-complete).
-    */
   /** The 4×16-bit band layout of a (hash_hi, hash_lo) pair — ONE
     * definition shared by the pair generator below and the
     * [[graft.streaming.NearDupMediaGate]]'s standing-state writer,
@@ -314,6 +292,28 @@ object Multimodal {
   private[graft] def radius1Masks16: Column =
     array((Seq(0L) ++ (0 until 16).map(1L << _)).map(lit(_)): _*)
 
+  /** Candidate pairs for 64-bit Hamming near-dup by MULTI-INDEX
+    * probing (Norouzi & Punjani & Fleet, "Fast Search in Hamming
+    * Space with Multi-Index Hashing", CVPR 2012): the hash splits
+    * into four 16-bit bands, the probe side expands each band by its
+    * 17 radius-1 Hamming-ball values (identity + 16 one-bit flips),
+    * and candidates equi-join on exact (band_idx, value). The
+    * pigeonhole this buys is REAL: d bit errors spread over 4 bands
+    * leave the cleanest band with <= floor(d/4) errors, so every
+    * pair at Hamming <= 7 has some band within distance 1 of its
+    * twin and is guaranteed caught by the radius-1 expansion. (Exact
+    * band equality alone — the pre-round-16 form — only guarantees
+    * Hamming <= 3; at the <= 6 verify threshold it was a heuristic,
+    * not a guarantee.) Candidate generation stays an equi-join —
+    * never all-pairs — at 4 x 17 = 68 probe rows per hash; at corpus
+    * scale the 16-bit band space keeps bucket sizes n/65536-ish per
+    * band, the shape that survives a 100x scale-up.
+    *
+    * `hs`: (id, hash_hi, hash_lo), 32 significant bits each. Returns
+    * distinct (id_a, id_b, ha, la, hb, lb) with id_a < id_b; the
+    * caller verifies with the exact popcount and its own threshold
+    * (<= 7 stays guaranteed-complete).
+    */
   def dhashBandProbeCandidates(hs: DataFrame): DataFrame = {
     val bands = dhashBands(hs, Seq("id"))
     val masks = radius1Masks16

@@ -511,9 +511,12 @@ object AnalyticsQueries {
     // TPC-H Q10 pattern — returned-item losers: revenue lost to
     // returns (l_returnflag = 'R') for one quarter's orders, by
     // customer with nation detail, top 20 by lost revenue
-    // (custkey tiebreak keeps the limit deterministic). Date filter
-    // pushes to the orders scan, nation broadcasts, the customer
-    // join happens AFTER the group — only the top keys pull detail.
+    // (custkey tiebreak keeps the limit deterministic — custkey is
+    // the group key, so the cut commutes with the detail joins).
+    // Date filter pushes to the orders scan; the top-20 cut applies
+    // to the per-customer aggregate BEFORE customer/nation detail
+    // joins, so exactly 20 keys pull detail and the 20-row side
+    // broadcasts against the customer scan.
     QueryDef("q10_returned_items",
       """WITH rl AS (SELECT o.o_custkey,
         |    CAST(l.l_extendedprice AS DECIMAL(18,2)) *
@@ -524,12 +527,14 @@ object AnalyticsQueries {
         |    AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'),
         |pc AS (SELECT o_custkey,
         |  CAST(sum(rev) * 10000 AS BIGINT) AS revenue_e4
-        |  FROM rl GROUP BY 1)
+        |  FROM rl GROUP BY 1),
+        |top AS (SELECT * FROM pc
+        |  ORDER BY revenue_e4 DESC, o_custkey LIMIT 20)
         |SELECT c.c_custkey AS custkey, c.c_name AS cname,
-        |  n.n_name AS nation, pc.revenue_e4
-        |FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+        |  n.n_name AS nation, top.revenue_e4
+        |FROM top JOIN customer c ON top.o_custkey = c.c_custkey
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |ORDER BY pc.revenue_e4 DESC, custkey LIMIT 20""".stripMargin) {
+        |ORDER BY top.revenue_e4 DESC, custkey LIMIT 20""".stripMargin) {
       (s, d) =>
       val rl = load(s, d, "lineitem").filter(col("l_returnflag") === "R")
         .join(load(s, d, "orders")
@@ -543,7 +548,9 @@ object AnalyticsQueries {
             .as("rev"))
       val pc = rl.groupBy("o_custkey")
         .agg((sum(col("rev")) * 10000).cast("long").as("revenue_e4"))
-      pc.join(load(s, d, "customer"),
+      val top = pc.orderBy(col("revenue_e4").desc, col("o_custkey"))
+        .limit(20)
+      broadcast(top).join(load(s, d, "customer"),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(load(s, d, "nation")),
           col("c_nationkey") === col("n_nationkey"))

@@ -14,11 +14,20 @@ import org.apache.spark.sql.types.StructType
   *     standing-state read filters `batch < n`, so a half-written
   *     previous attempt is neither probed nor double-counted —
   *     effectively-once without a manifest.
-  *   - `base/gen=<g>/` + `base/META` ("<gen> <upTo>"): the compacted
-  *     base, BUCKETED by the probe key and registered in the session
-  *     catalog so the big side of every probe join scans with NO
-  *     Exchange; the META rename is the commit point (atomic on
-  *     HDFS/local; an object store swaps it for a conditional put).
+  *   - `base/gen=<g>/` + `base/META.<g>` ("<gen> <upTo>"): the
+  *     compacted base, BUCKETED by the probe key and registered in
+  *     the session catalog so the big side of every probe join scans
+  *     with NO Exchange. The commit point is the CREATE-NO-OVERWRITE
+  *     of the monotonic `META.<g>` generation file, resolved on read
+  *     by max generation — no delete, no rename, no window in which
+  *     a crash leaves the store looking never-compacted (the round-16
+  *     delete-then-rename scheme had exactly that silent-data-loss
+  *     window). On an object store the exclusive create IS the
+  *     conditional-put ("if-none-match") seam, like the CDC manifest
+  *     head. Each gen dir also carries `_UPTO` (written after the
+  *     fold completes, before the META commit) so a lost or torn
+  *     META file is RECOVERABLE from the newest complete generation
+  *     instead of silently resetting to gen 0.
   *   - compaction folds every batch partition strictly below
   *     `min(max id present, currentBatchId)` — the newest partition
   *     never folds (it is the only one a stream restart can replay),
@@ -44,7 +53,11 @@ private[streaming] final class GateStateStore(spark: SparkSession,
   val dataDir = s"$stateDir/$dataSubdir"
   val verdictsDir = s"$stateDir/verdicts"
   private val baseDir = s"$stateDir/base"
-  private val metaPath = s"$baseDir/META"
+  // pre-round-17 single-file commit point, still READ for state dirs
+  // written by the old scheme (never written again; vacuum retires it
+  // once a META.<g> exists)
+  private val legacyMetaPath = s"$baseDir/META"
+  private def metaGenPath(gen: Long) = s"$baseDir/META.$gen"
 
   private val dataCols: Seq[String] = dataSchema.fields.map(_.name).toSeq
 
@@ -63,52 +76,156 @@ private[streaming] final class GateStateStore(spark: SparkSession,
 
   def dataBatchIds(): Seq[Long] = listIds(dataDir, "batch=")
 
+  // only well-formed META.<digits> names are generation files — a
+  // stray META.tmp from the retired rename scheme must not crash the
+  // resolve (it is garbage vacuum retires, not a candidate)
+  private def listMetaGens(): Seq[Long] = {
+    val (f, p) = fs(baseDir)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.matches("META\\.\\d+"))
+      .map(_.stripPrefix("META.").toLong)
+  }
+
+  private def readSmallFile(path: String): Option[String] = {
+    val (f, _) = fs(baseDir)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(p)) None
+    else try {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+      finally in.close()
+    } catch {
+      // a torn write on a checksummed FS surfaces as a read-time
+      // ChecksumException, not bad content — route it through the
+      // same unparseable-META recovery, never an opaque crash
+      case e: java.io.IOException => Some(s"<unreadable: ${e.getMessage}>")
+    }
+  }
+
+  // toLong guarded: a torn/duplicated write can produce an all-digit
+  // string LONGER than a Long, which must fail by NAME, not a raw
+  // NumberFormatException
+  private def parseNonNeg(s: String): Option[Long] =
+    scala.util.Try(s.toLong).toOption.filter(_ >= 0L)
+
+  private def parseMetaText(txt: String): Option[(Long, Long)] =
+    txt.split(" ") match {
+      case Array(g, u) =>
+        for (gn <- parseNonNeg(g); un <- parseNonNeg(u)) yield (gn, un)
+      case _ => None
+    }
+
+  private def corrupt(detail: String) =
+    throw new IllegalStateException(
+      s"corrupt gate-state META under $baseDir: $detail — the state " +
+        "dir needs operator repair (restore META.<g> from the " +
+        "newest complete gen=<g> directory: its _UPTO file holds " +
+        "the watermark)")
+
+  /** `gen=<g>/_UPTO` — the generation's watermark, written AFTER the
+    * fold's saveAsTable completes and BEFORE the META.<g> commit, so
+    * its presence certifies a complete fold and its value lets
+    * [[readMeta]] recover a generation whose META file was lost or
+    * torn. Underscore-prefixed, so parquet scans of the gen dir
+    * ignore it.
+    */
+  private def upToMarkerPath(gen: Long) = s"${genPath(gen)}/_UPTO"
+
+  private def readUpToMarker(gen: Long): Option[Long] =
+    readSmallFile(upToMarkerPath(gen)).flatMap(parseNonNeg)
+
   /** (generation, upTo): the compacted base covers batches < upTo.
     * (0, 0) before the first compaction.
+    *
+    * Resolution order: max `META.<g>` generation file wins; a torn
+    * META.<g> recovers from its gen dir's `_UPTO` marker (write
+    * order guarantees the fold completed first). With no generation
+    * files, a legacy single `META` file is honored (pre-round-17
+    * state dirs). With NO meta file of any kind but `gen=<g>` dirs
+    * present, the newest dir with a parseable `_UPTO` recovers
+    * (logged loudly); a gen dir that looks COMPLETE (`_SUCCESS`
+    * present) yet has no recoverable watermark is named corruption —
+    * NOT (0, 0), which would silently orphan the base and let the
+    * next vacuum destroy it (the round-16 `weak`). Only gen dirs
+    * with neither marker (a fold that crashed mid-write, nothing
+    * committed, every batch dir still live) fall through to (0, 0).
     */
   def readMeta(): (Long, Long) = {
-    val (f, _) = fs(baseDir)
-    val mp = new org.apache.hadoop.fs.Path(metaPath)
-    if (!f.exists(mp)) (0L, 0L)
-    else {
-      val in = f.open(mp)
-      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
-      finally in.close()
-      // a truncated/empty META is possible on stores without the
-      // rename-swap's atomicity (object stores before the documented
-      // conditional-put substitution) — that is state CORRUPTION an
-      // operator must see by name, not an opaque MatchError that
-      // reads as a code bug (round-16 fix)
-      def corrupt() = throw new IllegalStateException(
-        s"corrupt gate-state META at $metaPath: expected " +
-          s"'<generation> <upTo>', got '${txt.take(80)}' — the " +
-          "state dir needs operator repair (restore META from the " +
-          "latest gen=<g> directory present)")
-      txt.split(" ") match {
-        case Array(g, u) =>
-          // toLong guarded too: a torn/duplicated write can produce
-          // an all-digit string LONGER than a Long, which must fail
-          // by the same name, not a raw NumberFormatException
-          def num(s: String): Long =
-            scala.util.Try(s.toLong).filter(_ >= 0L)
-              .getOrElse(corrupt())
-          (num(g), num(u))
-        case _ => corrupt()
+    val metaGens = listMetaGens()
+    if (metaGens.nonEmpty) {
+      val g = metaGens.max
+      readSmallFile(metaGenPath(g)).flatMap(parseMetaText) match {
+        case Some((gn, un)) =>
+          if (gn != g) corrupt(s"META.$g declares generation $gn")
+          (gn, un)
+        case None =>
+          readUpToMarker(g) match {
+            case Some(u) =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"torn META.$g under $baseDir; recovered gen=$g " +
+                  s"upTo=$u from its _UPTO marker")
+              (g, u)
+            case None => corrupt(s"META.$g unreadable and gen=$g " +
+              "has no _UPTO marker")
+          }
+      }
+    } else readSmallFile(legacyMetaPath).map { txt =>
+      parseMetaText(txt).getOrElse(corrupt(
+        s"legacy META unparseable: '${txt.take(80)}'"))
+    }.getOrElse {
+      val gens = listIds(baseDir, "gen=").sorted.reverse
+      if (gens.isEmpty) (0L, 0L)
+      else gens.view.flatMap(g => readUpToMarker(g).map((g, _)))
+        .headOption match {
+        case Some((g, u)) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"no META file under $baseDir but gen dirs present; " +
+              s"recovered gen=$g upTo=$u from its _UPTO marker")
+          (g, u)
+        case None =>
+          val (f, _) = fs(baseDir)
+          val complete = gens.filter(g => f.exists(
+            new org.apache.hadoop.fs.Path(s"${genPath(g)}/_SUCCESS")))
+          if (complete.nonEmpty)
+            corrupt(s"gen dirs ${complete.mkString("gen=", ", gen=", "")} " +
+              "look complete but no META or _UPTO survives")
+          else (0L, 0L) // only half-written fold attempts: benign
       }
     }
   }
 
-  private def writeMeta(gen: Long, upTo: Long): Unit = {
+  /** Commit a generation: write `gen=<g>/_UPTO`, then CREATE the
+    * `META.<g>` generation file with no-overwrite semantics. An
+    * existing META.<g> with the same content is an idempotent replay
+    * (a restarted stream re-running a committed compaction); with
+    * DIFFERENT content it is a fencing violation (two writers, or
+    * external tampering) and fails by name with the committed state
+    * untouched — the exclusive create is the object-store
+    * conditional-put seam.
+    */
+  private[streaming] def writeMeta(gen: Long, upTo: Long): Unit = {
     val (f, _) = fs(baseDir)
-    val tmp = new org.apache.hadoop.fs.Path(s"$metaPath.tmp")
-    val out = f.create(tmp, true)
-    try out.write(s"$gen $upTo".getBytes("UTF-8")) finally out.close()
-    // rename-swap commit (atomic on HDFS/local; an object-store
-    // deployment swaps this for a conditional put, like the CDC
-    // manifest head)
-    val mp = new org.apache.hadoop.fs.Path(metaPath)
-    if (f.exists(mp)) f.delete(mp, false)
-    require(f.rename(tmp, mp), s"could not commit $metaPath")
+    val payload = s"$gen $upTo"
+    val up = new org.apache.hadoop.fs.Path(upToMarkerPath(gen))
+    val uo = f.create(up, true)
+    try uo.write(upTo.toString.getBytes("UTF-8")) finally uo.close()
+    val mp = new org.apache.hadoop.fs.Path(metaGenPath(gen))
+    try {
+      val out = f.create(mp, false) // create-no-overwrite = commit
+      try out.write(payload.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.io.IOException if f.exists(mp) =>
+        val existing = readSmallFile(metaGenPath(gen))
+        if (!existing.contains(payload))
+          corrupt(s"META.$gen already committed with " +
+            s"'${existing.getOrElse("<unreadable>").take(80)}', " +
+            s"refusing to overwrite with '$payload'")
+      // else: a real create failure (permissions, store down) —
+      // rethrown below by falling through
+    }
+    if (!f.exists(mp)) corrupt(s"could not commit META.$gen")
   }
 
   /** Catalog name of a base generation's bucketed table — derived
@@ -197,8 +314,36 @@ private[streaming] final class GateStateStore(spark: SparkSession,
       spark.sql(s"DROP TABLE IF EXISTS ${baseTableName(g)}")
       rm(genPath(g))
     }
+    // retire superseded commit files: META.<g'> below the current
+    // generation, the legacy single META once a META.<g> supersedes
+    // it, and any stray .tmp from the retired rename scheme. Deleting
+    // OLD generations here is safe — the max-resolve never reads them
+    // — and keeps the baseDir listing O(1), not O(total compactions).
+    if (gen > 0L) {
+      listMetaGens().filter(_ < gen).foreach(g => rm(metaGenPath(g)))
+      val (f, _) = fs(baseDir)
+      val legacy = new org.apache.hadoop.fs.Path(legacyMetaPath)
+      if (f.exists(legacy) && f.exists(
+          new org.apache.hadoop.fs.Path(metaGenPath(gen)))) {
+        f.delete(legacy, false); removed += 1
+      }
+      val tmp = new org.apache.hadoop.fs.Path(s"$legacyMetaPath.tmp")
+      if (f.exists(tmp)) { f.delete(tmp, false); removed += 1 }
+    }
     removed
   }
+
+  /** Read back the verdicts partition just written for `batchId`
+    * with an EXPLICIT schema — an empty micro-batch writes a
+    * directory with no part files, which schema inference rejects
+    * ("Unable to infer schema") but an explicit schema reads as
+    * empty. Gates derive standing state from this readback so state
+    * reflects exactly what was persisted.
+    */
+  def readBackVerdicts(batchId: Long,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .parquet(s"$verdictsDir/batch=$batchId")
 
   /** The standing-state sides batch `batchId` must probe, as
     * SEPARATE frames: the committed base (bucketed — joins against

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types._
   *   base/gen=<g>/        compacted band index: one band_key-bucketed
   *                        table folding every batch below the META
   *                        watermark (written by [[compact]])
-  *   base/META            "<gen> <upTo>" — the compaction commit point
+  *   base/META.<g>        "<gen> <upTo>" — create-no-overwrite commit
   *   verdicts/batch=<n>/  (doc_id, verdict, dup_of, best_jac)
   * }}}
   *

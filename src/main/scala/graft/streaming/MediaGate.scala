@@ -25,7 +25,7 @@ import org.apache.spark.sql.types._
   * {{{
   *   seen/batch=<n>/      admitted (hash_hi, hash_lo) pairs
   *   base/gen=<g>/        compacted seen-set bucketed by hash_lo
-  *   base/META            "<gen> <upTo>" — compaction commit point
+  *   base/META.<g>        "<gen> <upTo>" — create-no-overwrite commit
   *   verdicts/batch=<n>/  (id, hash_hi, hash_lo, verdict)
   * }}}
   *
@@ -94,8 +94,10 @@ final class MediaGate(spark: SparkSession, stateDir: String,
       verdicts.write.mode("overwrite")
         .parquet(s"${store.verdictsDir}/batch=$batchId")
       // admitted hashes become standing state (verdicts first — a
-      // crash between the writes leaves a replayable batch)
-      spark.read.parquet(s"${store.verdictsDir}/batch=$batchId")
+      // crash between the writes leaves a replayable batch; explicit
+      // schema so an empty micro-batch's part-file-less directory
+      // reads as empty instead of failing schema inference)
+      store.readBackVerdicts(batchId, verdicts.schema)
         .filter(col("verdict") === "admitted")
         .select("hash_hi", "hash_lo").distinct()
         .write.mode("overwrite")

@@ -36,7 +36,7 @@ import org.apache.spark.sql.types._
   * {{{
   *   seen/batch=<n>/      admitted band rows (bi, bv, hash_hi, hash_lo)
   *   base/gen=<g>/        compacted band set bucketed by bv
-  *   base/META            "<gen> <upTo>" — compaction commit point
+  *   base/META.<g>        "<gen> <upTo>" — create-no-overwrite commit
   *   verdicts/batch=<n>/  (id, hash_hi, hash_lo, verdict)
   * }}}
   */
@@ -127,8 +127,11 @@ final class NearDupMediaGate(spark: SparkSession, stateDir: String,
       verdicts.write.mode("overwrite")
         .parquet(s"${store.verdictsDir}/batch=$batchId")
       // admitted hashes persist BANDED (verdicts first — a crash
-      // between the writes leaves a replayable batch)
-      bandsOf(spark.read.parquet(s"${store.verdictsDir}/batch=$batchId")
+      // between the writes leaves a replayable batch; the readback
+      // carries the explicit schema so an EMPTY micro-batch, which
+      // writes a part-file-less directory, reads as empty instead of
+      // failing schema inference)
+      bandsOf(store.readBackVerdicts(batchId, verdicts.schema)
           .filter(col("verdict") === "admitted")
           .select("hash_hi", "hash_lo").distinct(), Nil)
         .write.mode("overwrite")

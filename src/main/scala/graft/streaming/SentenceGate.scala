@@ -31,7 +31,7 @@ import org.apache.spark.sql.types._
   *                        count contributed by batch n — 16 bytes a
   *                        sentence, NO text ever persists in state
   *   base/gen=<g>/        compacted counts bucketed by h (nd summed)
-  *   base/META            "<gen> <upTo>" — compaction commit point
+  *   base/META.<g>        "<gen> <upTo>" — create-no-overwrite commit
   *   verdicts/batch=<n>/  (doc_id, n_sentences, n_kept, n_dropped,
   *                        text_kept)
   * }}}

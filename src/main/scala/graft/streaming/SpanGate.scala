@@ -28,7 +28,7 @@ import org.apache.spark.sql.types._
   * {{{
   *   hashes/batch=<n>/    admitted docs' DISTINCT window hashes (h)
   *   base/gen=<g>/        compacted hash index bucketed by h
-  *   base/META            "<gen> <upTo>" — compaction commit point
+  *   base/META.<g>        "<gen> <upTo>" — create-no-overwrite commit
   *   verdicts/batch=<n>/  (doc_id, n_toks, dup_toks, dup_frac, admitted)
   * }}}
   *

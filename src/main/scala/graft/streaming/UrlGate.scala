@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
   * {{{
   *   seen/batch=<n>/      admitted urls' canonical hashes (h)
   *   base/gen=<g>/        compacted seen-set bucketed by h
-  *   base/META            "<gen> <upTo>" — compaction commit point
+  *   base/META.<g>        "<gen> <upTo>" — create-no-overwrite commit
   *   verdicts/batch=<n>/  (id, canonical, verdict)
   * }}}
   *
@@ -98,8 +98,10 @@ final class UrlGate(spark: SparkSession, stateDir: String,
       verdicts.write.mode("overwrite")
         .parquet(s"${store.verdictsDir}/batch=$batchId")
       // admitted canonicals' hashes become standing state (verdicts
-      // first — a crash between the writes leaves a replayable batch)
-      spark.read.parquet(s"${store.verdictsDir}/batch=$batchId")
+      // first — a crash between the writes leaves a replayable batch;
+      // explicit schema so an empty micro-batch's part-file-less
+      // directory reads as empty instead of failing schema inference)
+      store.readBackVerdicts(batchId, verdicts.schema)
         .filter(col("verdict") === "admitted")
         .select(portableHash(col("canonical")).as("h")).distinct()
         .write.mode("overwrite")

@@ -31,7 +31,10 @@ class IngestGateSpec extends SparkSpec {
         .toDF("doc_id", "text"), 1L)
     }
     assert(ex.getMessage.contains("corrupt gate-state META"))
-    assert(ex.getMessage.contains(s"$state/base/META"))
+    // the message names the base dir and the repair action (the
+    // round-17 commit scheme reports per-generation META files)
+    assert(ex.getMessage.contains(s"$state/base"))
+    assert(ex.getMessage.contains("operator repair"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$state/base/META"), "")
     val ex2 = intercept[IllegalStateException] {

@@ -106,4 +106,23 @@ class NearDupMediaGateSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
     assert(v2(21L) == "dup_of_corpus")
   }
+
+  test("an EMPTY micro-batch is routine, not a crash: the verdict " +
+      "readback must not schema-infer a part-file-less directory") {
+    val state = tmp()
+    val gate = new NearDupMediaGate(spark, state, numBuckets = 4)
+    val p0 = 0x00ff00ff00ff00ffL
+    gate.applyBatch(Seq((1L, img(p0))).toDS(), 0L)
+    // streaming foreachBatch routinely delivers empty batches
+    // (trigger fired, no new data) — round-16's readback inferred
+    // the just-written directory's schema and died here
+    gate.applyBatch(spark.emptyDataset[(Long, Array[Byte])], 1L)
+    gate.applyBatch(Seq((2L, img(flip(p0, 9))), (3L, img(~p0)))
+      .toDS(), 2L)
+    val v = gate.readVerdicts(2L)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(v == Map(1L -> "admitted", 2L -> "dup_of_corpus",
+      3L -> "admitted"),
+      "state must flow straight through the empty batch")
+  }
 }
