@@ -731,6 +731,95 @@ object TextQueries {
       |  FROM wbt WHERE xx < 8 GROUP BY doc_id, f),
       |wset AS (SELECT DISTINCT doc_id, hash_hi, hash_lo FROM whs)""".stripMargin
 
+  /** Re-encode-shifted AVI payload for the RADIUS-AWARE video
+    * near-dup tier (round-16 verdict gap: exact-key blindness moved
+    * down one level — a lossy re-encode that perturbs EVERY frame by
+    * 1–2 bits never candidates under exact frame-hash matching,
+    * despite tiny per-frame Hamming). Each clip has nf = 3 + g % 3
+    * frames of exactly 9×8 pixels (sampling-grid identity), each
+    * frame's 64 dHash bits a closed-form pattern keyed by (g, f) and
+    * realized by the ±3 gray walk of [[dhashNearPayload]]; variant
+    * v = (doc_id div 50) % 10 flips the SAME count of bit positions
+    * in EVERY frame — f(v) = v for v ≤ 6, 8·(v−6) above — so two
+    * variants of a group sit at per-frame Hamming exactly
+    * |f(a) − f(b)| on every frame simultaneously: the "uniform
+    * re-encode noise" shape. Flip positions stride 11 (coprime to
+    * 64, distinct for j < 24) from start g + 5·f, so prefixes nest.
+    * Every 11th container is garbage.
+    */
+  private def videoR1Payload(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id % 50L
+        val v = ((id / 50L) % 10L).toInt
+        val nfv = if (v <= 6) v.toLong else 8L * (v - 6)
+        val bytes =
+          if (id % 11L == 0L) Array[Byte](0x42, 0x41, 0x44, 0x00)
+          else {
+            val nf = (3L + g % 3L).toInt
+            val frames = (0 until nf).map { f =>
+              // 35 = 11⁻¹ mod 64: position p is flipped iff its index
+              // j = 35·(p − g − 5f) mod 64 in the flip walk is < f(v)
+              def bit(p: Int): Int = {
+                val base =
+                  (((g * 37L + f * 53L + p * 17L) % 97L) % 2L).toInt
+                val j = (((p - g - 5L * f) * 35L) % 64L + 64L) % 64L
+                if (j < nfv) 1 - base else base
+              }
+              val gray = Array.ofDim[Int](8, 9)
+              var y = 0
+              while (y < 8) {
+                gray(y)(0) = 100
+                var x = 0
+                while (x < 8) {
+                  gray(y)(x + 1) = gray(y)(x) +
+                    (if (bit(y * 8 + x) == 1) 3 else -3)
+                  x += 1
+                }
+                y += 1
+              }
+              graft.ops.ImageCodec.encodePng(9, 8,
+                (x, yy) => gray(yy)(x) * 0x010101)
+            }
+            graft.ops.VideoCodec.encodeAvi("MPNG", 8, 8, 40000L, frames)
+          }
+        (id, bytes)
+      })
+  }
+
+  /** The closed-form per-frame hashes of [[videoR1Payload]] — ends
+    * at `r1set(doc_id, hash_hi, hash_lo)`, the distinct frame-hash
+    * set per ok container. The twin computes the pattern directly
+    * (base XOR prefix-flip per frame) while Spark really decodes
+    * every frame's pixels — independent derivations by construction.
+    */
+  private lazy val sqlVideoR1Ctes: String =
+    """r1p AS (SELECT doc_id, doc_id % 50 AS g,
+      |  CASE WHEN (doc_id // 50) % 10 <= 6 THEN (doc_id // 50) % 10
+      |    ELSE 8 * ((doc_id // 50) % 10 - 6) END AS nfv
+      |  FROM documents WHERE doc_id % 11 <> 0),
+      |r1f AS (SELECT doc_id, g, nfv, unnest(range(0, 3 + g % 3)) AS f
+      |  FROM r1p),
+      |r1b AS (SELECT doc_id, g, nfv, f, unnest(range(0, 64)) AS p
+      |  FROM r1f),
+      |r1bit AS (SELECT doc_id, f, p,
+      |  CASE WHEN ((35 * (p - g - 5 * f)) % 64 + 64) % 64 < nfv
+      |    THEN 1 - ((g * 37 + f * 53 + p * 17) % 97) % 2
+      |    ELSE ((g * 37 + f * 53 + p * 17) % 97) % 2 END AS bit
+      |  FROM r1b),
+      |r1h AS (SELECT doc_id, f,
+      |  CAST(sum(CASE WHEN bit = 1 AND p >= 32
+      |    THEN CAST(1 AS BIGINT) << CAST(p - 32 AS INT) ELSE 0 END)
+      |    AS BIGINT) AS hash_hi,
+      |  CAST(sum(CASE WHEN bit = 1 AND p < 32
+      |    THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END)
+      |    AS BIGINT) AS hash_lo
+      |  FROM r1bit GROUP BY doc_id, f),
+      |r1set AS (SELECT DISTINCT doc_id, hash_hi, hash_lo FROM r1h)"""
+      .stripMargin
+
   /** Media-gate state: three doc_id%3 micro-batches of the
     * brightness-variant images through the stateful perceptual
     * seen-set, with a compaction BETWEEN batches 1 and 2 (the
@@ -3173,6 +3262,70 @@ object TextQueries {
         .withColumn("jac_ppm", expr(
           "1000000 * n_shared div (n_a + n_b - n_shared)"))
         .select("id_a", "id_b", "n_shared", "n_a", "n_b", "jac_ppm")
+        .orderBy("id_a", "id_b")
+    },
+
+    // RADIUS-AWARE video near-dup — the production tier closing the
+    // r16 verdict gap: mm_video_neardup's candidates require one
+    // EXACTLY equal frame hash, so a lossy re-encode perturbing EVERY
+    // frame by 1–2 bits never candidates despite tiny per-frame
+    // Hamming. Here two frames count as the same scene when their
+    // dHash Hamming is <= 6, found by the guaranteed-recall 4×16-bit
+    // radius-1 multi-probe PER FRAME (dhashBandProbeCandidates keyed
+    // by clip id: same-clip pairs drop out of id_a < id_b, so the
+    // equi-join yields exactly the cross-clip near-matching frame
+    // pairs — never all-pairs; a viral hub frame inherits the lexical
+    // tier's bucket-cap discipline). A clip pair collapses when a
+    // MAJORITY of each side's distinct frames near-match the other
+    // (2·matched >= n on both sides, exact integers). The payload
+    // shifts every frame of variant v by exactly f(v) bits, so the
+    // every-frame-1-bit re-encode (v=0 vs v=1) MUST collapse while
+    // 8/16/24-bit distractors must not. The twin brute-forces ALL
+    // frame pairs with no candidate stage — a banding recall miss
+    // shows up as a count mismatch, pricing the probe the way
+    // mm_image_neardup_recall does.
+    QueryDef("mm_video_neardup_r1",
+      s"""WITH $sqlVideoR1Ctes,
+         |rn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM r1set GROUP BY 1),
+         |rfp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.hash_hi AS ha, a.hash_lo AS la,
+         |  b.hash_hi AS hb, b.hash_lo AS lb
+         |  FROM r1set a JOIN r1set b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
+         |    bit_count(xor(a.hash_lo, b.hash_lo)) <= 6),
+         |rmt AS (SELECT id_a, id_b,
+         |  CAST(count(DISTINCT ha || ':' || la) AS BIGINT) AS matched_a,
+         |  CAST(count(DISTINCT hb || ':' || lb) AS BIGINT) AS matched_b
+         |  FROM rfp GROUP BY 1, 2)
+         |SELECT id_a, id_b, matched_a, matched_b, na.n AS n_a,
+         |  nb.n AS n_b
+         |FROM rmt JOIN rn na ON na.doc_id = id_a
+         |  JOIN rn nb ON nb.doc_id = id_b
+         |WHERE 2 * matched_a >= na.n AND 2 * matched_b >= nb.n
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val fr = graft.ops.Materialize.cut(
+        Multimodal.videoFrameDHash(videoR1Payload(s, d)).toDF()
+          .filter(col("status") === "ok")
+          .select("doc_id", "hash_hi", "hash_lo").distinct())
+      val nOf = fr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ham = bit_count(col("ha").bitwiseXOR(col("hb"))) +
+        bit_count(col("la").bitwiseXOR(col("lb")))
+      Multimodal.dhashBandProbeCandidates(
+          fr.select(col("doc_id").as("id"), col("hash_hi"),
+            col("hash_lo")))
+        .filter(ham <= 6)
+        .groupBy("id_a", "id_b")
+        .agg(countDistinct(struct(col("ha"), col("la")))
+            .as("matched_a"),
+          countDistinct(struct(col("hb"), col("lb"))).as("matched_b"))
+        .join(nOf.select(col("doc_id").as("id_a"), col("n").as("n_a")),
+          "id_a")
+        .join(nOf.select(col("doc_id").as("id_b"), col("n").as("n_b")),
+          "id_b")
+        .filter(lit(2L) * col("matched_a") >= col("n_a") &&
+          lit(2L) * col("matched_b") >= col("n_b"))
+        .select("id_a", "id_b", "matched_a", "matched_b", "n_a", "n_b")
         .orderBy("id_a", "id_b")
     },
 
