@@ -339,11 +339,12 @@ object Multimodal {
     * guaranteed caught (d over 4 bands leaves the cleanest band with
     * <= floor(d/4) <= 1 errors). 4 x 9 = 36 probe rows per
     * fingerprint. NOTE the band space: 8-bit bands collapse to
-    * n/256-ish buckets, so at true corpus scale callers should hang
-    * more fingerprint bits (64-frame contour -> 16-bit bands, the
-    * image tier's shape); the 32-bit contour keeps this tier's
-    * blocking honest at the tested scales and the skew-cap
-    * discipline of the lexical tier applies above that.
+    * n/256-ish buckets — the corpus-scale serving path is
+    * [[audioFingerprintWide]] (64 contour bits as hi/lo halves)
+    * through [[dhashBandProbeCandidates]]'s 16-bit bands; this
+    * 32-bit tier stays as that path's independent oracle twin and
+    * the skew-cap discipline of the lexical tier applies above the
+    * tested scales.
     * `hs`: (id, fp). Returns distinct (id_a, id_b, fa, fb),
     * id_a < id_b.
     */
@@ -510,6 +511,54 @@ object Multimodal {
           AudioFpRow(id, "ok", fp)
         case Some(_) => AudioFpRow(id, "ok", 0L)
         case None => AudioFpRow(id, "corrupt", -1L)
+      }
+    })
+  }
+
+  final case class AudioFpWideRow(doc_id: Long, status: String,
+      hash_hi: Long, hash_lo: Long)
+
+  /** The PRODUCTION-WIDTH audio fingerprint: the [[audioFingerprint]]
+    * energy-contour walk over `frames` = 65 equal spans → 64 contour
+    * bits packed as two non-negative 32-bit halves — the exact shape
+    * [[dhashBandProbeCandidates]] consumes, so audio near-dup blocks
+    * on four 16-bit bands (~n/65536 buckets at corpus scale) with the
+    * image tier's guaranteed radius-1 recall, instead of the 32-bit
+    * tier's four 8-bit bands (~n/256 — fine at tested scales, a hub
+    * hazard at corpus scale; that tier stays as the oracle twin).
+    * Gain invariance is unchanged: energies scale by k², the contour
+    * doesn't move. Undecodable payloads route to ("corrupt", −1, −1).
+    */
+  def audioFingerprintWide(ds: Dataset[(Long, Array[Byte])],
+      frames: Int = 65): Dataset[AudioFpWideRow] = {
+    require(frames >= 34 && frames <= 65,
+      s"wide tier is 34..65 frames (33..64 bits), got $frames")
+    import ds.sparkSession.implicits._
+    val budget = sampleBudget(ds)
+    ds.mapPartitions(_.map { case (id, bytes) =>
+      AudioCodec.decodePcm(bytes, budget) match {
+        case Some(p) if p.samples.nonEmpty =>
+          val n = p.samples.length
+          val e = new Array[Long](frames)
+          var i = 0
+          while (i < n) {
+            val f = (i.toLong * frames / n).toInt
+            val s = p.samples(i).toLong
+            e(f) += s * s
+            i += 1
+          }
+          var hi = 0L
+          var lo = 0L
+          var f = 0
+          while (f < frames - 1) {
+            if (e(f + 1) > e(f)) {
+              if (f < 32) lo |= 1L << f else hi |= 1L << (f - 32)
+            }
+            f += 1
+          }
+          AudioFpWideRow(id, "ok", hi, lo)
+        case Some(_) => AudioFpWideRow(id, "ok", 0L, 0L)
+        case None => AudioFpWideRow(id, "corrupt", -1L, -1L)
       }
     })
   }

@@ -617,6 +617,81 @@ object TextQueries {
       |    AS BIGINT) AS fp
       |  FROM cabit GROUP BY doc_id)""".stripMargin
 
+  /** Controlled-distance audio payload at the PRODUCTION fingerprint
+    * width: 130 samples = 65 exact 2-sample frames whose amplitude
+    * walks ±10 from 1000, so the 64-bit contour of
+    * [[graft.ops.Multimodal.audioFingerprintWide]] equals a
+    * closed-form pattern — base bit ((g·29 + f·13) % 89) % 2 at step
+    * f ∈ 0..63, variant v flipping steps (g + 7·j) % 64 for j < f(v),
+    * f(v) = v for v ≤ 6 and 8·(v−6) above (stride 7 coprime to 64 →
+    * distinct for j < 24): known pairs at every distance 1..6 plus
+    * 8/16/24 distractors, the [[dhashNearPayload]] spectrum on the
+    * audio axis. Gain k = 1 + doc_id % 3 scales every sample —
+    * energies move by k², the contour doesn't (the invariance axis
+    * exercised jointly). Every 11th payload is garbage.
+    */
+  private def audioNearWidePayload(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id % 50L
+        val v = ((id / 50L) % 10L).toInt
+        val nf = if (v <= 6) v.toLong else 8L * (v - 6)
+        val k = 1L + id % 3L
+        val bytes =
+          if (id % 11L == 0L) Array[Byte](0x42, 0x41, 0x44, 0x00)
+          else {
+            // 55 = 7⁻¹ mod 64: step f is flipped iff its index
+            // j = 55·(f − g) mod 64 in the flip sequence is < f(v)
+            def bit(f: Int): Int = {
+              val base = (((g * 29L + f * 13L) % 89L) % 2L).toInt
+              val j = (((f - g) * 55L) % 64L + 64L) % 64L
+              if (j < nf) 1 - base else base
+            }
+            // a ±10 walk over 64 steps stays in [360, 1640]; ×k ≤ 3
+            // keeps samples under 5000 — no clipping, e(f) = 2·a²·k²
+            // strictly follows the walk's direction
+            val a = new Array[Long](65)
+            a(0) = 1000L
+            var f = 0
+            while (f < 64) {
+              a(f + 1) = a(f) + (if (bit(f) == 1) 10L else -10L)
+              f += 1
+            }
+            val samples = Array.tabulate[Short](130)(i =>
+              (a(i / 2) * k).toShort)
+            graft.ops.AudioCodec.encodeWav(8000L, samples)
+          }
+        (id, bytes)
+      })
+  }
+
+  /** The closed-form 64-bit fingerprint of [[audioNearWidePayload]]
+    * — ends at `wanf(doc_id, fp_hi, fp_lo)` for ok rows; the twin
+    * computes the pattern directly (base XOR stride-flip) while
+    * Spark really decodes the PCM and folds 65 frame energies.
+    */
+  private lazy val sqlAudioNearWideCtes: String =
+    """wap AS (SELECT doc_id, doc_id % 50 AS g,
+      |  CASE WHEN (doc_id // 50) % 10 <= 6 THEN (doc_id // 50) % 10
+      |    ELSE 8 * ((doc_id // 50) % 10 - 6) END AS nf
+      |  FROM documents WHERE doc_id % 11 <> 0),
+      |wab AS (SELECT doc_id, g, nf, unnest(range(0, 64)) AS f
+      |  FROM wap),
+      |wabit AS (SELECT doc_id, f,
+      |  CASE WHEN ((55 * (f - g)) % 64 + 64) % 64 < nf
+      |    THEN 1 - ((g * 29 + f * 13) % 89) % 2
+      |    ELSE ((g * 29 + f * 13) % 89) % 2 END AS bit FROM wab),
+      |wanf AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN bit = 1 AND f >= 32
+      |    THEN CAST(1 AS BIGINT) << CAST(f - 32 AS INT) ELSE 0 END)
+      |    AS BIGINT) AS fp_hi,
+      |  CAST(sum(CASE WHEN bit = 1 AND f < 32
+      |    THEN CAST(1 AS BIGINT) << CAST(f AS INT) ELSE 0 END)
+      |    AS BIGINT) AS fp_lo
+      |  FROM wabit GROUP BY doc_id)""".stripMargin
+
   /** Brightness-variant AVI payload for the video-dedup queries:
     * frame gradients keyed by g = doc_id % 50 with the per-doc
     * uniform offset o (the [[dhashPayload]] trick per frame), frame
@@ -2991,6 +3066,44 @@ object TextQueries {
         .withColumn("hamming",
           bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
         .filter(col("hamming") <= 4L)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    },
+
+    // Audio near-dup at PRODUCTION fingerprint width — r16 verdict
+    // watch item: the 32-bit contour's 8-bit bands (~n/256 buckets)
+    // are a hub hazard at corpus scale. audioFingerprintWide folds 65
+    // frame energies into 64 contour bits as (hash_hi, hash_lo)
+    // halves — exactly the image tier's shape — so candidates come
+    // from the SAME guaranteed-recall 4×16-bit radius-1 multi-probe
+    // (dhashBandProbeCandidates, ~n/65536 buckets per band), verified
+    // popcount(xor) <= 6. Runs on the widened controlled-distance
+    // payload (REAL PCM decodes whose 64-bit contour is closed-form:
+    // known pairs at 1..6, gain variation, 8/16/24 distractors). The
+    // twin computes truth by BRUTE all-pairs over the closed-form
+    // fingerprints — no candidate stage, so any banding recall miss
+    // is a row-count/hash mismatch (the mm_image_neardup_recall
+    // pricing discipline).
+    QueryDef("mm_audio_neardup_wide",
+      s"""WITH $sqlAudioNearWideCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.fp_hi, b.fp_hi)) +
+         |    bit_count(xor(a.fp_lo, b.fp_lo)) AS BIGINT) AS hamming
+         |FROM wanf a JOIN wanf b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp_hi, b.fp_hi)) +
+         |  bit_count(xor(a.fp_lo, b.fp_lo)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val hs = graft.ops.Materialize.cut(
+        Multimodal.audioFingerprintWide(audioNearWidePayload(s, d))
+          .toDF()
+          .filter(col("status") === "ok")
+          .select(col("doc_id").as("id"), col("hash_hi"),
+            col("hash_lo")))
+      val ham = bit_count(col("ha").bitwiseXOR(col("hb"))) +
+        bit_count(col("la").bitwiseXOR(col("lb")))
+      Multimodal.dhashBandProbeCandidates(hs)
+        .withColumn("hamming", ham.cast("long"))
+        .filter(col("hamming") <= 6L)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     },
