@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.functions.GraftFunctions.portableHash
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque binary payloads with
@@ -313,24 +314,98 @@ object Multimodal {
     * distinct (id_a, id_b, ha, la, hb, lb) with id_a < id_b; the
     * caller verifies with the exact popcount and its own threshold
     * (<= 7 stays guaranteed-complete).
+    *
+    * `bandCap` is the perceptual analog of the lexical tier's
+    * band-bucket skew guard (Dedup.bandedPairs): hash spaces narrower
+    * than their nominal width turn band values into HUBS — a flat
+    * image's all-zero dHash, a test pattern, a sub-grid frame — and a
+    * hub bucket of m rows emits m²/2 join rows per band, the
+    * quadratic blowup banding alone does not prevent. Buckets at or
+    * under the cap keep the exact radius-1 probe; heavier buckets
+    * collapse to a STAR around the bucket's min-id hub (every member
+    * pairs with the hub only, O(m) rows) and only the hub stays
+    * probe-able for cross-bucket radius-1 neighbors — every emitted
+    * edge still flows through the caller's exact popcount verifier,
+    * so nothing unverified escapes; the pair LIST over a degenerate
+    * cluster is intentionally the star (that quadratic list is itself
+    * the scale bug) while component labels and canonical picks are
+    * preserved through hub connectivity. Default = uncapped, the
+    * historical exact plan. [[dhashHeavyBands]] is the census — log
+    * or sink it so degenerate hash clusters are SEEN, not silently
+    * star-collapsed.
     */
-  def dhashBandProbeCandidates(hs: DataFrame): DataFrame = {
+  def dhashBandProbeCandidates(hs: DataFrame,
+      bandCap: Int = Int.MaxValue): DataFrame = {
     val bands = dhashBands(hs, Seq("id"))
     val masks = radius1Masks16
     // asymmetric expansion: probing one side by radius 1 against the
     // other side's exact bands catches every band pair at distance
     // <= 1 — expanding both sides would buy radius 2 nobody needs
     // here and square the fan-out
-    val probe = bands.withColumn("__m", explode(masks))
+    def probeOf(df: DataFrame) = df.withColumn("__m", explode(masks))
       .select(col("bi"), col("bv").bitwiseXOR(col("__m")).as("bv"),
         col("id").as("id_a"), col("hash_hi").as("ha"),
         col("hash_lo").as("la"))
-    val base = bands.select(col("bi"), col("bv"), col("id").as("id_b"),
-      col("hash_hi").as("hb"), col("hash_lo").as("lb"))
-    probe.join(base, Seq("bi", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "ha", "la", "hb", "lb").distinct()
+    def baseOf(df: DataFrame) = df.select(col("bi"), col("bv"),
+      col("id").as("id_b"), col("hash_hi").as("hb"),
+      col("hash_lo").as("lb"))
+    if (bandCap == Int.MaxValue) {
+      probeOf(bands).join(baseOf(bands), Seq("bi", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "ha", "la", "hb", "lb").distinct()
+    } else {
+      require(bandCap > 1, "bandCap must be > 1")
+      // bucket size and hub from ONE window over the (bi, bv)
+      // exchange — no second scan, no driver collect
+      val w = Window.partitionBy(col("bi"), col("bv"))
+      val marked = bands
+        .withColumn("__bn", count(lit(1)).over(w))
+        .withColumn("__hub", min(struct(col("id"), col("hash_hi"),
+          col("hash_lo"))).over(w))
+      val light = marked.filter(col("__bn") <= bandCap)
+        .select("id", "hash_hi", "hash_lo", "bi", "bv")
+      // one surviving row per heavy bucket: its hub — cross-bucket
+      // radius-1 neighbors connect to the hub, never the members
+      val hubs = marked.filter(col("__bn") > bandCap)
+        .select(col("__hub.id").as("id"),
+          col("__hub.hash_hi").as("hash_hi"),
+          col("__hub.hash_lo").as("hash_lo"), col("bi"), col("bv"))
+        .distinct()
+      // hub = min id of its bucket, so id_a < id_b by construction
+      val star = marked.filter(col("__bn") > bandCap)
+        .filter(col("id") =!= col("__hub.id"))
+        .select(col("__hub.id").as("id_a"), col("id").as("id_b"),
+          col("__hub.hash_hi").as("ha"), col("__hub.hash_lo").as("la"),
+          col("hash_hi").as("hb"), col("hash_lo").as("lb"))
+      val kept = light.unionByName(hubs)
+      // a hub can sit on either side of a probe hit (its id is its
+      // bucket's min, not the pair's) — normalize by id with the
+      // hashes riding their struct
+      val sa = struct(col("id_a").as("id"), col("ha").as("hh"),
+        col("la").as("hl"))
+      val sb = struct(col("id_b").as("id"), col("hb").as("hh"),
+        col("lb").as("hl"))
+      probeOf(kept).join(baseOf(kept), Seq("bi", "bv"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select(least(sa, sb).as("__x"), greatest(sa, sb).as("__y"))
+        .select(col("__x.id").as("id_a"), col("__y.id").as("id_b"),
+          col("__x.hh").as("ha"), col("__x.hl").as("la"),
+          col("__y.hh").as("hb"), col("__y.hl").as("lb"))
+        .unionByName(star)
+        .select("id_a", "id_b", "ha", "la", "hb", "lb").distinct()
+    }
   }
+
+  /** Census side output for [[dhashBandProbeCandidates]]' skew guard:
+    * the (bi, bv) band buckets whose size exceeds `cap` — the
+    * monitoring view that makes a degenerate perceptual hash cluster
+    * (flat images, test patterns, sub-grid frames) LOUD instead of
+    * silently star-collapsed. (bi, bv, bucket_n).
+    */
+  def dhashHeavyBands(hs: DataFrame, cap: Int): DataFrame =
+    dhashBands(hs, Seq("id"))
+      .groupBy("bi", "bv").agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
 
   /** [[dhashBandProbeCandidates]] for a single 32-bit fingerprint
     * column (the audio energy-contour fp): four 8-bit bands, probe

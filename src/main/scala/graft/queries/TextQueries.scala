@@ -493,6 +493,83 @@ object TextQueries {
       |    AS BIGINT) AS hash_lo
       |  FROM crbit GROUP BY doc_id)""".stripMargin
 
+  /** [[dhashNearPayload]] with a PLANTED degenerate cluster: groups
+    * g ≥ 44 are FLAT images (constant gray 100 — every horizontal
+    * gradient bit 0, so the dHash is the all-zero value, the
+    * archetypal real-corpus hub: blank thumbnails, solid backgrounds,
+    * failed renders). ~12% of the corpus lands in ONE band bucket per
+    * band — the exact shape that turned mm_video_neardup's sub-grid
+    * frames into the 32k-row incident, here on purpose so the band
+    * cap is exercised against an oracle instead of discovered in an
+    * explosion. Groups g < 44 keep the controlled-distance spectrum.
+    */
+  private def dhashHubPayload(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import s.implicits._
+    load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val g = id % 50L
+        val v = ((id / 50L) % 10L).toInt
+        val nf = if (v <= 6) v.toLong else 8L * (v - 6)
+        val bytes =
+          if (id % 11L == 0L) Array[Byte](0x42, 0x41, 0x44, 0x00)
+          else if (g >= 44L)
+            graft.ops.ImageCodec.encodePng(9, 8, (_, _) => 0x646464)
+          else {
+            def bit(p: Int): Int = {
+              val base = (((g * 37L + p * 17L) % 97L) % 2L).toInt
+              val j = (((p - g) * 35L) % 64L + 64L) % 64L
+              if (j < nf) 1 - base else base
+            }
+            val gray = Array.ofDim[Int](8, 9)
+            var y = 0
+            while (y < 8) {
+              gray(y)(0) = 100
+              var x = 0
+              while (x < 8) {
+                gray(y)(x + 1) = gray(y)(x) +
+                  (if (bit(y * 8 + x) == 1) 3 else -3)
+                x += 1
+              }
+              y += 1
+            }
+            graft.ops.ImageCodec.encodePng(9, 8,
+              (x, yy) => gray(yy)(x) * 0x010101)
+          }
+        (id, bytes)
+      })
+  }
+
+  /** Closed-form hashes of [[dhashHubPayload]] — ends at
+    * `hubh(doc_id, hash_hi, hash_lo)`: the [[sqlDHashNearCtes]]
+    * pattern for g < 44, the all-zero hash for the planted flat
+    * groups.
+    */
+  private lazy val sqlDHashHubCtes: String =
+    """hup AS (SELECT doc_id, doc_id % 50 AS g,
+      |  CASE WHEN (doc_id // 50) % 10 <= 6 THEN (doc_id // 50) % 10
+      |    ELSE 8 * ((doc_id // 50) % 10 - 6) END AS nf
+      |  FROM documents WHERE doc_id % 11 <> 0 AND doc_id % 50 < 44),
+      |hub0 AS (SELECT doc_id, CAST(0 AS BIGINT) AS hash_hi,
+      |  CAST(0 AS BIGINT) AS hash_lo FROM documents
+      |  WHERE doc_id % 11 <> 0 AND doc_id % 50 >= 44),
+      |hubb AS (SELECT doc_id, g, nf, unnest(range(0, 64)) AS p
+      |  FROM hup),
+      |hubbit AS (SELECT doc_id, p,
+      |  CASE WHEN ((35 * (p - g)) % 64 + 64) % 64 < nf
+      |    THEN 1 - ((g * 37 + p * 17) % 97) % 2
+      |    ELSE ((g * 37 + p * 17) % 97) % 2 END AS bit FROM hubb),
+      |hubh AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN bit = 1 AND p >= 32
+      |    THEN CAST(1 AS BIGINT) << CAST(p - 32 AS INT) ELSE 0 END)
+      |    AS BIGINT) AS hash_hi,
+      |  CAST(sum(CASE WHEN bit = 1 AND p < 32
+      |    THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE 0 END)
+      |    AS BIGINT) AS hash_lo
+      |  FROM hubbit GROUP BY doc_id
+      |  UNION ALL SELECT doc_id, hash_hi, hash_lo FROM hub0)"""
+      .stripMargin
+
   /** Gain-variant audio payload for the fingerprint queries: the
     * waveform is keyed by g = doc_id % 50 (so ~10 docs per base clip
     * at the 500-doc scales) with a PER-DOC integer gain
@@ -3572,6 +3649,109 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), col("hamming"),
           when(col("__hit").isNull, 0L).otherwise(1L).as("caught"))
         .orderBy("id_a", "id_b")
+    },
+
+    // CAPPED perceptual near-dup — the band-key entropy guard under
+    // fire (r16 verdict watch item: hash spaces narrower than their
+    // nominal width turn band values into hubs; the sub-grid video
+    // frames did exactly this at 32k rows before being caught by
+    // hand). The payload PLANTS the archetypal degenerate cluster —
+    // ~12% of the corpus as flat images, all dHash zero — so every
+    // band has one bucket far over the cap. With bandCap = 16 the
+    // probe (Multimodal.dhashBandProbeCandidates) keeps the exact
+    // radius-1 join on light buckets, collapses each heavy bucket to
+    // a STAR around its min-id hub (O(m) rows, not m²/2), and leaves
+    // only the hub probe-able for cross-bucket radius-1 neighbors;
+    // every edge still passes the exact popcount <= 6 verify. The
+    // twin replays the same capped semantics from the closed-form
+    // hashes — bucket census, hub election, light probe join, star —
+    // so cap drift on either side is a hash mismatch, the
+    // doc_dedup_minhash_capped discipline at the perceptual tier.
+    QueryDef("mm_image_neardup_capped",
+      s"""WITH $sqlDHashHubCtes,
+         |cbands AS (
+         |  SELECT doc_id, hash_hi, hash_lo, 0 AS bi,
+         |    hash_lo & 65535 AS bv FROM hubh
+         |  UNION ALL SELECT doc_id, hash_hi, hash_lo, 1,
+         |    (hash_lo >> 16) & 65535 FROM hubh
+         |  UNION ALL SELECT doc_id, hash_hi, hash_lo, 2,
+         |    hash_hi & 65535 FROM hubh
+         |  UNION ALL SELECT doc_id, hash_hi, hash_lo, 3,
+         |    (hash_hi >> 16) & 65535 FROM hubh),
+         |cbn AS (SELECT bi, bv, count(*) AS bn, min(doc_id) AS hub
+         |  FROM cbands GROUP BY 1, 2),
+         |clight AS (SELECT c.doc_id, c.hash_hi, c.hash_lo, c.bi, c.bv
+         |  FROM cbands c JOIN cbn n USING (bi, bv) WHERE n.bn <= 16),
+         |chubs AS (SELECT DISTINCT n.hub AS doc_id, h.hash_hi,
+         |    h.hash_lo, n.bi, n.bv
+         |  FROM cbn n JOIN hubh h ON h.doc_id = n.hub WHERE n.bn > 16),
+         |ckept AS (SELECT * FROM clight
+         |  UNION ALL SELECT * FROM chubs),
+         |cmask AS (SELECT CAST(0 AS BIGINT) AS m
+         |  UNION ALL SELECT CAST(1 AS BIGINT) << CAST(i AS INT)
+         |  FROM (SELECT unnest(range(0, 16)) AS i)),
+         |cprobe AS (SELECT k.doc_id, k.bi, xor(k.bv, m.m) AS bv
+         |  FROM ckept k, cmask m),
+         |cjoin AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+         |  greatest(a.doc_id, b.doc_id) AS id_b
+         |  FROM cprobe a JOIN ckept b
+         |    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id <> b.doc_id),
+         |cstar AS (SELECT DISTINCT n.hub AS id_a, c.doc_id AS id_b
+         |  FROM cbands c JOIN cbn n USING (bi, bv)
+         |  WHERE n.bn > 16 AND c.doc_id <> n.hub),
+         |cpairs AS (SELECT DISTINCT id_a, id_b FROM
+         |  (SELECT * FROM cjoin UNION ALL SELECT * FROM cstar))
+         |SELECT p.id_a, p.id_b,
+         |  CAST(bit_count(xor(xa.hash_hi, xb.hash_hi)) +
+         |    bit_count(xor(xa.hash_lo, xb.hash_lo)) AS BIGINT)
+         |    AS hamming
+         |FROM cpairs p JOIN hubh xa ON xa.doc_id = p.id_a
+         |  JOIN hubh xb ON xb.doc_id = p.id_b
+         |WHERE bit_count(xor(xa.hash_hi, xb.hash_hi)) +
+         |  bit_count(xor(xa.hash_lo, xb.hash_lo)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      val hs = graft.ops.Materialize.cut(
+        Multimodal.imageDHash(dhashHubPayload(s, d)).toDF()
+          .filter(col("status") === "ok")
+          .select(col("doc_id").as("id"), col("hash_hi"),
+            col("hash_lo")))
+      val ham = bit_count(col("ha").bitwiseXOR(col("hb"))) +
+        bit_count(col("la").bitwiseXOR(col("lb")))
+      Multimodal.dhashBandProbeCandidates(hs, bandCap = 16)
+        .withColumn("hamming", ham.cast("long"))
+        .filter(col("hamming") <= 6L)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    },
+
+    // The cap's LOUD half: the band-bucket census
+    // (Multimodal.dhashHeavyBands) a production run logs or sinks so
+    // a degenerate hash cluster is an alert, not a silent star
+    // collapse. On the planted payload every band's zero bucket
+    // must surface with its exact size — the twin counts the same
+    // buckets from the closed-form hashes.
+    QueryDef("mm_image_heavy_bands",
+      s"""WITH $sqlDHashHubCtes,
+         |cbands AS (
+         |  SELECT doc_id, 0 AS bi, hash_lo & 65535 AS bv FROM hubh
+         |  UNION ALL SELECT doc_id, 1, (hash_lo >> 16) & 65535
+         |    FROM hubh
+         |  UNION ALL SELECT doc_id, 2, hash_hi & 65535 FROM hubh
+         |  UNION ALL SELECT doc_id, 3, (hash_hi >> 16) & 65535
+         |    FROM hubh)
+         |SELECT CAST(bi AS BIGINT) AS bi, bv,
+         |  CAST(count(*) AS BIGINT) AS bucket_n
+         |FROM cbands GROUP BY bi, bv HAVING count(*) > 16
+         |ORDER BY bi, bv""".stripMargin) { (s, d) =>
+      val hs = graft.ops.Materialize.cut(
+        Multimodal.imageDHash(dhashHubPayload(s, d)).toDF()
+          .filter(col("status") === "ok")
+          .select(col("doc_id").as("id"), col("hash_hi"),
+            col("hash_lo")))
+      Multimodal.dhashHeavyBands(hs, 16)
+        .select(col("bi").cast("long").as("bi"), col("bv"),
+          col("bucket_n"))
+        .orderBy("bi", "bv")
     },
 
     // Perceptual difference-hash (Multimodal.imageDHash): REAL
