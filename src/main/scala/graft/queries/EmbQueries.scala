@@ -85,6 +85,37 @@ object EmbQueries {
       graft.ops.AnnIndex.buildPq(vecs, root, PqM, Dims, PqK, PqIters)
     }
 
+  /** Low-rank fixture cluster centers: the 8 integer points of norm
+    * 5 on a circle, ordered by angle — within-cluster center dot 25,
+    * max adjacent-cluster dot 20, so exact-cosine neighborhoods stay
+    * in-cluster with margin. Indexed by vec_id % 8 (1-based element
+    * access in both engines).
+    */
+  private val LrCx = Seq(5, 3, 0, -3, -5, -3, 0, 3)
+  private val LrCy = Seq(0, 4, 5, 4, 0, -4, -5, -4)
+  private val SqlLrCx = LrCx.mkString("[", ",", "]")
+  private val SqlLrCy = LrCy.mkString("[", ",", "]")
+
+  /** Spark-side synthesis of the low-rank fixture embedding — the
+    * SQL twin's formula verbatim: plane dims 1..2 carry the cluster
+    * center ± a dyadic 1/8 jitter, dims 3..18 dyadic ±4/8 noise,
+    * dims 19..64 zero. Every value is a dyadic rational whose ×1000
+    * quantization is an exact integer in FLOAT and DOUBLE alike — no
+    * cross-engine rounding seam.
+    */
+  private lazy val SparkLrEmb: String = {
+    val cx = s"element_at(array(${LrCx.mkString(",")}), " +
+      "CAST(vec_id % 8 AS INT) + 1)"
+    val cy = s"element_at(array(${LrCy.mkString(",")}), " +
+      "CAST(vec_id % 8 AS INT) + 1)"
+    s"""transform(sequence(1, $Dims), j -> CAST(CASE
+       |  WHEN j = 1 THEN $cx + (CAST((vec_id + 1) % 3 AS DOUBLE) - 1D) / 8D
+       |  WHEN j = 2 THEN $cy + (CAST((vec_id + 2) % 3 AS DOUBLE) - 1D) / 8D
+       |  WHEN j <= 18 THEN
+       |    (CAST((vec_id * 31 + j * 17) % 9 AS DOUBLE) - 4D) / 8D
+       |  ELSE 0D END AS FLOAT))""".stripMargin
+  }
+
   /** DuckDB quantized-vector CTE matching Similarity.quantize. */
   private val sqlQuant =
     """q AS (SELECT vec_id, label,
@@ -1325,6 +1356,116 @@ object EmbQueries {
         .join(ncand, Seq("q_id"), "left")
         .select(col("q_id"),
           coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          expr(s"nh * 1000000 div $K").as("recall_ppm"))
+        .orderBy("q_id")
+    },
+
+    // The PCA-grid tier's APPLICABILITY CONDITION, measured (r15/r16
+    // verdict carry-over): emb_pca_ann_recall runs on the
+    // near-isotropic synthetic corpus where 2 of 64 dims can't carry
+    // the neighborhood (~60% shortlist at ~70% recall — honest, and
+    // honestly unflattering). This fixture is the data the tier is
+    // FOR: 500 vectors in 8 clusters centered on integer points of
+    // norm 5 on a circle in the (dim1, dim2) plane (max cross-cluster
+    // center dot 20 vs within-cluster 25, so exact-cosine top-k stays
+    // in-cluster by margin), dyadic jitter (±1/8) and 16 dims of
+    // ±4/8 noise so every quantized value is an EXACT integer in both
+    // engines, dims 19..64 zero. Variance concentrates in the plane,
+    // the power iteration finds it, clusters land in distinct grid
+    // cells, and the 3×3 probe prunes hard: shortlist_ppm < 200000
+    // (< 20%) at recall_ppm = 1000000 per query — the numbers that
+    // justify shipping the tier next to emb_ivf_recall. vec_id < 500
+    // pins the fixture at every sf. Twin replays the synthesis, both
+    // unrolled eigen trajectories, the grid, the probe and both
+    // top-k ranks.
+    QueryDef("emb_pca_ann_recall_lowrank",
+      s"""WITH lre AS (SELECT vec_id, list_transform(range(1, ${Dims + 1}),
+         |  j -> CASE
+         |    WHEN j = 1 THEN CAST($SqlLrCx[CAST(vec_id % 8 AS INT) + 1]
+         |      AS DOUBLE) + (CAST((vec_id + 1) % 3 AS DOUBLE) - 1) / 8
+         |    WHEN j = 2 THEN CAST($SqlLrCy[CAST(vec_id % 8 AS INT) + 1]
+         |      AS DOUBLE) + (CAST((vec_id + 2) % 3 AS DOUBLE) - 1) / 8
+         |    WHEN j <= 18 THEN
+         |      (CAST((vec_id * 31 + j * 17) % 9 AS DOUBLE) - 4) / 8
+         |    ELSE CAST(0 AS DOUBLE) END) AS embedding
+         |  FROM embeddings WHERE vec_id < 500),
+         |q AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(round(x * 1000) AS DOUBLE)) AS e FROM lre),
+         |qe AS (SELECT vec_id, list_transform(embedding,
+         |  x -> CAST(round(x * 1000) AS BIGINT)) AS eq FROM lre),
+         |v0 AS MATERIALIZED (SELECT list_transform(range(1, ${Dims + 1}),
+         |  j -> CAST(1000000 AS BIGINT)) AS v),
+         |${(1 to PcaIters).map(sqlPcaIter).mkString(",\n")},
+         |dn1 AS (SELECT list_sum(list_transform(v,
+         |    x -> CAST(x AS HUGEINT) * x)) AS den1 FROM v$PcaIters),
+         |w0 AS MATERIALIZED (SELECT list_transform(range(1, ${Dims + 1}),
+         |  j -> CAST(1000000 AS BIGINT)) AS v),
+         |${(1 to PcaIters).map(sqlPca2Iter).mkString(",\n")},
+         |p1 AS (SELECT vec_id, CAST(${sqlPcaDq(s"v$PcaIters")} AS BIGINT)
+         |  AS c1 FROM qe, v$PcaIters),
+         |p2 AS (SELECT vec_id, CAST(${sqlPcaDq(s"w$PcaIters")} AS BIGINT)
+         |  AS c2 FROM qe, w$PcaIters),
+         |pc AS (SELECT vec_id, c1 // $PcaGrid AS g1, c2 // $PcaGrid AS g2
+         |  FROM p1 JOIN p2 USING (vec_id)),
+         |bscored AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, $sqlCos AS sim
+         |  FROM q a JOIN q b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 8),
+         |btop AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM bscored)
+         |  WHERE rank <= $K),
+         |off AS (SELECT dx, dy FROM (SELECT unnest([-1, 0, 1]) AS dx),
+         |  (SELECT unnest([-1, 0, 1]) AS dy)),
+         |qn AS (SELECT vec_id AS q_id, g1 + dx AS g1, g2 + dy AS g2
+         |  FROM pc, off WHERE vec_id < 8),
+         |cand AS (SELECT qn.q_id, c.vec_id AS c_id
+         |  FROM qn JOIN pc c USING (g1, g2) WHERE c.vec_id <> qn.q_id),
+         |ascored AS (SELECT cand.q_id, cand.c_id, $sqlCos AS sim
+         |  FROM cand JOIN q a ON a.vec_id = cand.q_id
+         |  JOIN q b ON b.vec_id = cand.c_id),
+         |atop AS (SELECT q_id, c_id FROM (SELECT q_id, c_id, row_number() OVER
+         |  (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank FROM ascored)
+         |  WHERE rank <= $K),
+         |nc AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_cand
+         |  FROM cand GROUP BY q_id)
+         |SELECT b.q_id, coalesce(nc.n_cand, 0) AS n_cand,
+         |  CAST(coalesce(nc.n_cand, 0) * 1000000 // 499 AS BIGINT)
+         |    AS shortlist_ppm,
+         |  CAST(sum(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000000 // $K AS BIGINT) AS recall_ppm
+         |FROM btop b
+         |LEFT JOIN atop a ON b.q_id = a.q_id AND b.c_id = a.c_id
+         |LEFT JOIN nc ON nc.q_id = b.q_id
+         |GROUP BY b.q_id, nc.n_cand
+         |ORDER BY b.q_id""".stripMargin) { (s, d) =>
+      val fixture = load(s, d, "embeddings")
+        .filter(col("vec_id") < 500)
+        .select(col("vec_id"), expr(SparkLrEmb).as("embedding"))
+      val v1 = Similarity.topEigen(fixture, col("embedding"), Dims,
+          PcaIters)
+        .orderBy("dim").collect().map(_.getLong(1))
+      val v2 = Similarity.secondEigen(fixture, col("embedding"), v1,
+          Dims, PcaIters)
+        .orderBy("dim").collect().map(_.getLong(1))
+      val proj = Similarity.projectEigen(fixture, col("vec_id"),
+        col("embedding"), Seq(v1, v2))
+      val base = fixture.select(col("vec_id").as("id"),
+          Similarity.quantize(col("embedding")).as("vec"))
+        .join(proj, "id")
+      val queries = base.filter(col("id") < 8)
+      val brute = Similarity.knnBrute(queries, base, K)
+        .select(col("q_id"), col("c_id"))
+      val ann = Similarity.knnPcaGrid(queries, base, PcaGrid, K)
+        .select(col("q_id"), col("c_id"), lit(1L).as("__h"))
+      val ncand = Similarity.pcaGridCandidates(queries, base, PcaGrid)
+        .groupBy("q_id").agg(count(lit(1)).as("n_cand"))
+      brute.join(ann, Seq("q_id", "c_id"), "left")
+        .groupBy("q_id")
+        .agg(sum(coalesce(col("__h"), lit(0L))).as("nh"))
+        .join(ncand, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          expr("coalesce(n_cand, 0L) * 1000000 div 499")
+            .as("shortlist_ppm"),
           expr(s"nh * 1000000 div $K").as("recall_ppm"))
         .orderBy("q_id")
     })
