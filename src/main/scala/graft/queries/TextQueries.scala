@@ -1011,6 +1011,26 @@ object TextQueries {
       gate.applyBatch(docs.filter($"_1" % 3 === 2), 2L)
     }
 
+  /** Video-gate state: three doc_id%3 micro-batches of the
+    * controlled-distance CLIPS ([[videoR1Payload]]) through the
+    * stateful majority-of-frames Hamming-≤6 seen-set, compaction
+    * between batches 1 and 2 (the [[nearDupGateStateDir]] shape at
+    * the clip tier — GateStateStore consumer #7).
+    */
+  private def videoGateStateDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    TempState.dir("videogate|" + s.sparkContext.applicationId + "|" +
+        d) { root =>
+      import s.implicits._
+      val gate = new graft.streaming.VideoGate(s, root)
+      val docs = videoR1Payload(s, d)
+      gate.applyBatch(docs.filter($"_1" % 3 === 0), 0L)
+      gate.applyBatch(docs.filter($"_1" % 3 === 1), 1L)
+      gate.compact(currentBatchId = 1L)
+      gate.vacuum(currentBatchId = 1L)
+      gate.applyBatch(docs.filter($"_1" % 3 === 2), 2L)
+    }
+
   /** Per-frame dHash replayed in SQL over the [[videoFpPayload]]
     * synthesis — ends at `vhs(doc_id, f, hash_hi, hash_lo)` for ok
     * frames (corrupt frames/containers union in per query). Shared
@@ -3517,6 +3537,110 @@ object TextQueries {
           lit(2L) * col("matched_b") >= col("n_b"))
         .select("id_a", "id_b", "matched_a", "matched_b", "n_a", "n_b")
         .orderBy("id_a", "id_b")
+    },
+
+    // Streaming CLIP near-dup gate e2e (VideoGate — GateStateStore
+    // consumer #7): three micro-batches of the controlled-distance
+    // clips through the standing majority-of-frames Hamming-≤6
+    // seen-set, with a committed compaction between batches 1 and 2.
+    // A re-encode perturbing EVERY frame of an admitted clip comes
+    // back dup_of_corpus in a later batch; within a batch the match
+    // components collapse to the min-id canonical; corrupt containers
+    // route to rejected. The twin replays the whole trajectory from
+    // the closed-form frame hashes: brute-force frame near-matches
+    // (no candidate stage — any probe recall miss in the gate is a
+    // hash mismatch), the two-sided majority fold, per-batch
+    // RECURSIVE transitive closure for the in-batch components, and
+    // the unrolled admitted-set chain across batches.
+    QueryDef("mm_video_gate_e2e",
+      s"""WITH RECURSIVE $sqlVideoR1Ctes,
+         |vnn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM r1set GROUP BY 1),
+         |vfp AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |  a.hash_hi AS xh, a.hash_lo AS xl,
+         |  b.hash_hi AS yh, b.hash_lo AS yl
+         |  FROM r1set a JOIN r1set b ON a.doc_id <> b.doc_id
+         |  WHERE bit_count(xor(a.hash_hi, b.hash_hi)) +
+         |    bit_count(xor(a.hash_lo, b.hash_lo)) <= 6),
+         |vmm AS (SELECT ia, ib,
+         |  count(DISTINCT xh || ':' || xl) AS ma,
+         |  count(DISTINCT yh || ':' || yl) AS mb
+         |  FROM vfp GROUP BY 1, 2),
+         |vmp AS (SELECT m.ia, m.ib FROM vmm m
+         |  JOIN vnn na ON na.doc_id = m.ia
+         |  JOIN vnn nb ON nb.doc_id = m.ib
+         |  WHERE 2 * m.ma >= na.n AND 2 * m.mb >= nb.n),
+         |vge0 AS (SELECT ia AS src, ib AS dst FROM vmp
+         |  WHERE ia % 3 = 0 AND ib % 3 = 0),
+         |vgr0 AS (SELECT src AS id, dst AS r FROM vge0
+         |  UNION SELECT vgr0.id, vge0.dst FROM vgr0
+         |    JOIN vge0 ON vgr0.r = vge0.src),
+         |vgc0 AS (SELECT id, least(id, min(r)) AS comp FROM vgr0
+         |  GROUP BY id),
+         |vadm0 AS (SELECT n.doc_id FROM vnn n
+         |  LEFT JOIN vgc0 c ON c.id = n.doc_id
+         |  WHERE n.doc_id % 3 = 0
+         |    AND coalesce(c.comp, n.doc_id) = n.doc_id),
+         |vcd1 AS (SELECT DISTINCT p.ia AS doc_id FROM vmp p
+         |  JOIN vadm0 a ON a.doc_id = p.ib WHERE p.ia % 3 = 1),
+         |vge1 AS (SELECT ia AS src, ib AS dst FROM vmp
+         |  WHERE ia % 3 = 1 AND ib % 3 = 1
+         |    AND ia NOT IN (SELECT doc_id FROM vcd1)
+         |    AND ib NOT IN (SELECT doc_id FROM vcd1)),
+         |vgr1 AS (SELECT src AS id, dst AS r FROM vge1
+         |  UNION SELECT vgr1.id, vge1.dst FROM vgr1
+         |    JOIN vge1 ON vgr1.r = vge1.src),
+         |vgc1 AS (SELECT id, least(id, min(r)) AS comp FROM vgr1
+         |  GROUP BY id),
+         |vadm1 AS (SELECT n.doc_id FROM vnn n
+         |  LEFT JOIN vgc1 c ON c.id = n.doc_id
+         |  WHERE n.doc_id % 3 = 1
+         |    AND n.doc_id NOT IN (SELECT doc_id FROM vcd1)
+         |    AND coalesce(c.comp, n.doc_id) = n.doc_id),
+         |vadm01 AS (SELECT doc_id FROM vadm0
+         |  UNION ALL SELECT doc_id FROM vadm1),
+         |vcd2 AS (SELECT DISTINCT p.ia AS doc_id FROM vmp p
+         |  JOIN vadm01 a ON a.doc_id = p.ib WHERE p.ia % 3 = 2),
+         |vge2 AS (SELECT ia AS src, ib AS dst FROM vmp
+         |  WHERE ia % 3 = 2 AND ib % 3 = 2
+         |    AND ia NOT IN (SELECT doc_id FROM vcd2)
+         |    AND ib NOT IN (SELECT doc_id FROM vcd2)),
+         |vgr2 AS (SELECT src AS id, dst AS r FROM vge2
+         |  UNION SELECT vgr2.id, vge2.dst FROM vgr2
+         |    JOIN vge2 ON vgr2.r = vge2.src),
+         |vgc2 AS (SELECT id, least(id, min(r)) AS comp FROM vgr2
+         |  GROUP BY id),
+         |vv0 AS (SELECT n.doc_id, n.n,
+         |  CASE WHEN coalesce(c.comp, n.doc_id) <> n.doc_id
+         |    THEN 'dup_in_batch' ELSE 'admitted' END AS verdict
+         |  FROM vnn n LEFT JOIN vgc0 c ON c.id = n.doc_id
+         |  WHERE n.doc_id % 3 = 0),
+         |vv1 AS (SELECT n.doc_id, n.n,
+         |  CASE WHEN cd.doc_id IS NOT NULL THEN 'dup_of_corpus'
+         |    WHEN coalesce(c.comp, n.doc_id) <> n.doc_id
+         |      THEN 'dup_in_batch' ELSE 'admitted' END
+         |  FROM vnn n LEFT JOIN vcd1 cd ON cd.doc_id = n.doc_id
+         |    LEFT JOIN vgc1 c ON c.id = n.doc_id
+         |  WHERE n.doc_id % 3 = 1),
+         |vv2 AS (SELECT n.doc_id, n.n,
+         |  CASE WHEN cd.doc_id IS NOT NULL THEN 'dup_of_corpus'
+         |    WHEN coalesce(c.comp, n.doc_id) <> n.doc_id
+         |      THEN 'dup_in_batch' ELSE 'admitted' END
+         |  FROM vnn n LEFT JOIN vcd2 cd ON cd.doc_id = n.doc_id
+         |    LEFT JOIN vgc2 c ON c.id = n.doc_id
+         |  WHERE n.doc_id % 3 = 2)
+         |SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS batch,
+         |  n AS n_frames, verdict
+         |FROM (SELECT * FROM vv0 UNION ALL SELECT * FROM vv1
+         |  UNION ALL SELECT * FROM vv2
+         |  UNION ALL SELECT doc_id, CAST(0 AS BIGINT), 'rejected'
+         |  FROM documents WHERE doc_id % 11 = 0)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val dir = videoGateStateDir(s, d)
+      new graft.streaming.VideoGate(s, dir).readVerdicts(2L)
+        .select(col("id").as("doc_id"), col("batch"),
+          col("n_frames"), col("verdict"))
+        .orderBy("doc_id")
     },
 
     // Banded perceptual NEAR-dup (the production form — exact dHash
