@@ -15,6 +15,18 @@ package graft.ops
   */
 object ImageCodec {
 
+  /** ImageIO's default stream cache is FILE-backed: every
+    * `ImageIO.read`/`write`/`createImageInputStream` call creates and
+    * deletes a temp file. Single-threaded that is mere overhead; on a
+    * many-core executor running parallel decode tasks it serializes
+    * the whole stage on temp-file churn (measured r17: a 32-task
+    * decode stage ran 3× SLOWER than 1 task until this flip). All our
+    * payloads are in-memory byte arrays, so the memory cache is
+    * strictly better. JVM-global, set once on first use of any codec
+    * entry point in this object.
+    */
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class ImageMeta(format: String, width: Int, height: Int)
 
   private def u16be(b: Array[Byte], i: Int): Int =

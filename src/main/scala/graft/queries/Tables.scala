@@ -17,8 +17,79 @@ import org.apache.spark.sql.functions._
   *  - every output is fully ordered by a unique key.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Conf key: byte ceiling under which an unsplittable-input scan is
+    * spread by a round-robin repartition (see [[load]]); `0` disables
+    * the spread entirely. The default (1 GiB) is far above every test
+    * scale factor and far below any production table — the knob exists
+    * so a deployment can tune the cutoff, not because the default is
+    * local-specific.
+    */
+  val SpreadMaxBytesKey = "spark.graft.scan.spreadMaxBytes"
+
+  /** (row groups, bytes) per parquet path — footer-count metadata,
+    * immutable for a written file set, memoized so repeated loads of
+    * the same table don't re-read footers. (Metadata only: no data or
+    * results are cached across queries.)
+    */
+  private val rowGroupCensus =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def censusOf(spark: SparkSession, path: String): (Long, Long) =
+    rowGroupCensus.computeIfAbsent(path, { p =>
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(hconf)
+      val files =
+        if (fs.getFileStatus(hp).isDirectory)
+          fs.listStatus(hp).filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet"))
+        else Array(fs.getFileStatus(hp))
+      var groups = 0L
+      var bytes = 0L
+      files.foreach { st =>
+        bytes += st.getLen
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try groups += r.getRowGroups.size.toLong finally r.close()
+      }
+      (groups, bytes)
+    })
+
+  /** Unsplittable-input guard (optimization guide §2.5: "one huge
+    * unsplittable file … repartition immediately after the read").
+    * A parquet scan cannot split below row-group boundaries, so a
+    * table written as fewer row groups than the session has cores runs
+    * everything whole-stage codegen fuses into its scan — tokenize,
+    * shingle, decode, partial aggregation — on that few tasks, no
+    * matter what `maxPartitionBytes` says (the driver's test tables
+    * are single-row-group files: every scan stage was ONE task).
+    * When the file set offers fewer row groups than
+    * `defaultParallelism` AND the table is small enough that one
+    * round-robin pass of the raw rows is trivially cheap (bytes ≤
+    * [[SpreadMaxBytesKey]]), spread the scan to defaultParallelism.
+    * Production-scale inputs fail both conditions (row groups abound,
+    * tables dwarf the bound) and scan untouched — the spread is
+    * scale-adaptive, not a local[32] constant. Filters and column
+    * pruning push through a round-robin Repartition, so PushedFilters/
+    * ReadSchema at the scan are unchanged; results are partition-
+    * independent (all declared queries are fully ordered).
+    */
+  private def maybeSpread(spark: SparkSession, df: DataFrame,
+      path: String): DataFrame = {
+    val maxBytes = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get(SpreadMaxBytesKey, "1g"))
+    if (maxBytes <= 0) return df
+    val cores = spark.sparkContext.defaultParallelism
+    val (groups, bytes) = censusOf(spark, path)
+    if (groups < cores && bytes <= maxBytes) df.repartition(cores) else df
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    maybeSpread(spark, spark.read.parquet(path), path)
+  }
 
   /** Event time in µs. THE event-time mapping — every events-based
     * query must use this (and [[OracleDefs.EventStepUs]] on the SQL

@@ -37,6 +37,10 @@ class PlanGateSpec extends SparkSpec {
     "emb_sq8_recall" -> Bnlj,
     "emb_hard_negatives" -> Bnlj,
     "emb_pca_ann_recall" -> Bnlj,
+    // same shape on the low-rank fixture (r17 build commit 0fac5ec
+    // added the query but missed this entry — the one deterministic
+    // red in the inherited tree)
+    "emb_pca_ann_recall_lowrank" -> Bnlj,
     // one-row verdict frames crossJoined together (count x dcg x
     // idcg; the quorum-cut scalar against the batch) — 1-row sides
     "doc_bm25_ndcg" -> Bnlj,
