@@ -16,8 +16,16 @@ object TimeQ {
       spark.sparkContext.addSparkListener(new SparkListener {
         private val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
         override def onJobStart(js: SparkListenerJobStart): Unit = {
-          val site = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          // first graft frame across the job's stages — names the
+          // operator that triggered the job, which callSite.short
+          // (absent under the noop sink) does not
+          val site = js.stageInfos.iterator
+            .flatMap(_.details.linesIterator)
+            .map(_.trim)
+            .find(l => l.startsWith("graft.") && !l.startsWith("graft.TimeQ"))
+            .getOrElse(Option(js.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .getOrElse("?"))
           starts.put(js.jobId, (System.nanoTime(), site))
         }
         override def onJobEnd(je: SparkListenerJobEnd): Unit = {
@@ -29,8 +37,13 @@ object TimeQ {
     }
     for (q <- names) {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, dir).count()
-      println(f"[timeq] $q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      // noop sink, not count(): count() lets Catalyst prune
+      // row-preserving joins and final projections (Bench.scala's
+      // rationale) — TimeQ must time what the bench times
+      SparkEntry.queries(q)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[timeq] $q%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -551,15 +551,21 @@ object Dedup {
         .select(col("src"), col("src").as("dst")))
     symSelf.persist()
     // the self-loop rows ARE the vertex set: initial labels ride the
-    // same cache, and counting them both materializes the edge cache
-    // and lets round 1 broadcast instead of sort-merge-joining twice
+    // same cache, and the materializing aggregation ALSO counts the
+    // symmetric edge rows — the per-round shuffle width — so the
+    // round loop's execution regime (FixpointExec) is gated by a
+    // measured size, with no extra job
     var labels: DataFrame = symSelf.filter(col("src") === col("dst"))
       .select(col("src").as("id"), col("src").as("comp"))
-    var labelRows = labels.count()
+    val szRow = symSelf.agg(count(lit(1)),
+      count(when(col("src") === col("dst"), 1))).head()
+    val edgeRows = szRow.getLong(0)
+    var labelRows = szRow.getLong(1)
     var cached: DataFrame = null // the persisted round behind `labels`
     var it = 0
     var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
+    FixpointExec.withTinyRounds(spark, edgeRows) {
     while (!converged) {
       it += 1
       require(it <= maxIters,
@@ -591,6 +597,7 @@ object Dedup {
       if (cached != null) cached.unpersist()
       cached = next
       labels = spark.createDataFrame(next.rdd, next.schema)
+    }
     }
     symSelf.unpersist()
     cached

@@ -85,9 +85,14 @@ object GraphOps {
     require(n > 0, "pageRank needs a non-empty edge list")
     val prInit = math.round(1e9 / n)
     val base = lit((1.0 - damping) / n * 1e9)
+    // per-round shuffle width = the symmetrized edge rows (cheap
+    // count off the just-materialized cache) — gates the round
+    // loop's low-latency regime (FixpointExec)
+    val edgeRows = e.count()
 
     var pr = nodes.select(col("s"), lit(prInit).as("pr"))
     var cached: DataFrame = null
+    FixpointExec.withTinyRounds(spark, edgeRows) {
     for (_ <- 1 to iters) {
       val contrib = e.join(pr, "s")
         .select(col("t"),
@@ -106,6 +111,7 @@ object GraphOps {
       if (cached != null) cached.unpersist()
       cached = next
       pr = spark.createDataFrame(next.rdd, next.schema)
+    }
     }
     // hand back a frame that owns its data WITHOUT funneling it
     // through the driver: Materialize.cut eagerly materializes the

@@ -189,10 +189,14 @@ object Preference {
     try {
       val k = w.count() // materializes both caches
       require(k > 0, "bradleyTerryDistributed needs a compared pair")
+      // per-round shuffle width = the directed edge rows (cheap count
+      // off the cache) — gates the round loop's low-latency regime
+      val edgeRows = e.count()
       val kScale = lit(new java.math.BigDecimal(
         (BigInt(k) * Scale).bigInteger)).cast(dec)
       var th = w.select(col("i"),
         lit(new java.math.BigDecimal(Scale.bigInteger)).cast(dec).as("th"))
+      FixpointExec.withTinyRounds(spark, edgeRows) {
       for (_ <- 1 to iters) {
         val ta = th.select(col("i"), col("th").as("__ta"))
         val tb = th.select(col("i").as("j"), col("th").as("__tb"))
@@ -239,6 +243,7 @@ object Preference {
         th = rawCut.select(col("i"),
           greatest(dfloor(prodChecked,
             lit(sRow.getDecimal(0)).cast(dec)), lit(1).cast(dec)).as("th"))
+      }
       }
       val out = w.join(th, "i")
         .select(col("i").as("item"), col("wins"), col("games"),
