@@ -11,6 +11,30 @@ object TimeQ {
     val spark = GraftSession.get("32")
     // SPARK_GRAFT_TIMEQ_JOBS=1: print every job's wall time + trigger
     // site, to attribute a query's cost to its constituent jobs
+    // SPARK_GRAFT_TIMEQ_STAGES=1: per-stage wall time, task count and
+    // shuffle bytes — the job view hides where a multi-stage AQE job
+    // spends its time
+    if (sys.env.contains("SPARK_GRAFT_TIMEQ_STAGES")) {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = for {
+            s <- si.submissionTime; c <- si.completionTime
+          } yield c - s
+          val m = si.taskMetrics
+          val site = si.details.linesIterator.map(_.trim)
+            .find(l => l.startsWith("graft.") && !l.startsWith("graft.TimeQ"))
+            .getOrElse("")
+          if (ms.exists(_ >= 100))
+            println(f"[timeq.stage] id=${si.stageId}%-4d ${ms.get / 1e3}%6.2f s" +
+              f" tasks=${si.numTasks}%-3d in=${m.inputMetrics.bytesRead / 1048576}%4dM" +
+              f" sr=${m.shuffleReadMetrics.totalBytesRead / 1048576}%4dM" +
+              f" sw=${m.shuffleWriteMetrics.bytesWritten / 1048576}%4dM" +
+              f" cpu=${m.executorCpuTime / 1e9}%7.1f  ${si.name.take(40)} $site")
+        }
+      })
+    }
     if (sys.env.contains("SPARK_GRAFT_TIMEQ_JOBS")) {
       import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
       spark.sparkContext.addSparkListener(new SparkListener {
