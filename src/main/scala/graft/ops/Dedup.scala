@@ -561,6 +561,72 @@ object Dedup {
       count(when(col("src") === col("dst"), 1))).head()
     val edgeRows = szRow.getLong(0)
     var labelRows = szRow.getLong(1)
+
+    // DRIVER ROUTE (the bradleyTerryAuto pattern): while the
+    // symmetric edge set collects comfortably, run union-find on the
+    // driver — one collect + O(E α(E)) replaces O(diameter) rounds of
+    // join + aggregate + collect, each of which costs more in stage
+    // scheduling and broadcast builds than the data (measured r17:
+    // the round loop was 3–6 s of near-zero-CPU stages on pair sets
+    // of a few thousand edges). The label semantics are identical —
+    // comp = the component's minimum id — and the existing
+    // union-find property spec pins the equivalence. Gated by
+    // spark.graft.cc.driverMaxEdges (default 2M rows ≈ tens of MB on
+    // the driver; 0 disables): a corpus-scale pair graph stays on
+    // the frame-based fixpoint below.
+    val driverMax =
+      try spark.conf.get("spark.graft.cc.driverMaxEdges", "2000000").toLong
+      catch { case _: NumberFormatException => 0L }
+    if (driverMax > 0 && edgeRows <= driverMax) {
+      val rows = symSelf.collect()
+      symSelf.unpersist()
+      val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
+      val vals = new scala.collection.mutable.ArrayBuffer[Any]
+      def of(v: Any): Int = {
+        val got = idx.get(v)
+        if (got != null) got.intValue()
+        else { idx.put(v, Integer.valueOf(vals.length)); vals += v
+          vals.length - 1 }
+      }
+      val parent = new scala.collection.mutable.ArrayBuffer[Int]
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      rows.foreach { r =>
+        val a = of(r.get(0)); val b = of(r.get(1))
+        while (parent.length < vals.length) parent += parent.length
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(rb) = ra
+      }
+      // min id per root, compared with the value type's natural order
+      // (ids here are atomic Comparables: Long/Int/String)
+      def lt(x: Any, y: Any): Boolean =
+        x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      val minOf = new java.util.HashMap[Int, Any]
+      (0 until vals.length).foreach { i =>
+        val r = find(i)
+        val cur = minOf.get(r)
+        if (cur == null || lt(vals(i), cur)) minOf.put(r, vals(i))
+      }
+      val dt = edges.schema(idA).dataType
+      val outRows: Seq[org.apache.spark.sql.Row] =
+        (0 until vals.length).map { i =>
+          org.apache.spark.sql.Row(vals(i), minOf.get(find(i)))
+        }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", dt),
+        org.apache.spark.sql.types.StructField("comp", dt)))
+      val parts = math.max(1,
+        math.min(spark.sparkContext.defaultParallelism, vals.length / 25000 + 1))
+      val out = spark.createDataFrame(
+        spark.sparkContext.parallelize(outRows, parts), schema)
+      out.persist()
+      return out
+    }
     var cached: DataFrame = null // the persisted round behind `labels`
     var it = 0
     var prevSum: Option[java.math.BigDecimal] = None

@@ -55,10 +55,28 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("connectedComponents: maxIters trips instead of silent partial") {
+    // pin the frame-based fixpoint: the guard under test lives in the
+    // round loop, which the r17 driver route (union-find under
+    // cc.driverMaxEdges) legitimately never enters
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    intercept[IllegalArgumentException] {
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+    try intercept[IllegalArgumentException] {
       Dedup.connectedComponents(edges, "id_a", "id_b", maxIters = 2)
-    }
+    } finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+  }
+
+  test("connectedComponents: driver and fixpoint routes agree") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong,
+      rnd.nextInt(120).toLong)).toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .orderBy("id").collect().map(r => (r.get(0), r.get(1))).toSeq
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+    val viaRounds =
+      try Dedup.connectedComponents(edges, "id_a", "id_b")
+        .orderBy("id").collect().map(r => (r.get(0), r.get(1))).toSeq
+      finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+    assert(viaDriver === viaRounds)
   }
 
   test("topTokenCount: run-length fold equals groupBy count") {
