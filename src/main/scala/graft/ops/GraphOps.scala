@@ -87,8 +87,78 @@ object GraphOps {
     val base = lit((1.0 - damping) / n * 1e9)
     // per-round shuffle width = the symmetrized edge rows (cheap
     // count off the just-materialized cache) — gates the round
-    // loop's low-latency regime (FixpointExec)
+    // loop's low-latency regime (FixpointExec) and the driver route
     val edgeRows = e.count()
+
+    // DRIVER ROUTE (the bradleyTerryAuto/connectedComponents
+    // pattern): while the weighted edge list collects comfortably,
+    // iterate on the driver. The trajectory is BIT-IDENTICAL to the
+    // frame route: every transfer replays the same IEEE double chain
+    // (pr·w/wt·1000, damping·c/1000) and the same HALF_UP decimal
+    // rounding Spark's ROUND applies to doubles
+    // (BigDecimal.valueOf(x).setScale(0, HALF_UP)), and the incoming
+    // sum is an exact long sum — order-free on both routes. Gated by
+    // spark.graft.pagerank.driverMaxEdges (default 2M rows; 0
+    // disables): a corpus-scale graph keeps the distributed rounds.
+    val driverMax =
+      try spark.conf.get("spark.graft.pagerank.driverMaxEdges",
+        "2000000").toLong
+      catch { case _: NumberFormatException => 0L }
+    if (driverMax > 0 && edgeRows <= driverMax) {
+      val rows = e.select(col("s"), col("t"), col("w").cast("long"),
+        col("wt").cast("long")).collect()
+      e.unpersist()
+      def roundHalfUp(x: Double): Long =
+        java.math.BigDecimal.valueOf(x)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
+      val vals = new scala.collection.mutable.ArrayBuffer[Any]
+      def of(v: Any): Int = {
+        val got = idx.get(v)
+        if (got != null) got.intValue()
+        else { idx.put(v, Integer.valueOf(vals.length)); vals += v
+          vals.length - 1 }
+      }
+      val es = new Array[Int](rows.length)
+      val et = new Array[Int](rows.length)
+      val ew = new Array[Long](rows.length)
+      val ewt = new Array[Long](rows.length)
+      var i = 0
+      rows.foreach { r =>
+        es(i) = of(r.get(0)); et(i) = of(r.get(1))
+        ew(i) = r.getLong(2); ewt(i) = r.getLong(3); i += 1
+      }
+      val nn = vals.length
+      require(nn > 0, "pageRank needs a non-empty edge list")
+      val baseD = (1.0 - damping) / nn * 1e9
+      val prv = Array.fill(nn)(math.round(1e9 / nn))
+      val contrib = new Array[Long](nn)
+      for (_ <- 1 to iters) {
+        java.util.Arrays.fill(contrib, 0L)
+        var j = 0
+        while (j < es.length) {
+          contrib(et(j)) += roundHalfUp(
+            prv(es(j)).toDouble * ew(j) / ewt(j) * 1000.0d)
+          j += 1
+        }
+        var v = 0
+        while (v < nn) {
+          prv(v) = roundHalfUp(baseD + damping * contrib(v) / 1000.0d)
+          v += 1
+        }
+      }
+      val dt = e.schema("s").dataType
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", dt),
+        org.apache.spark.sql.types.StructField("pr_e9",
+          org.apache.spark.sql.types.LongType)))
+      val outRows: Seq[org.apache.spark.sql.Row] = (0 until nn).map(v =>
+        org.apache.spark.sql.Row(vals(v), prv(v)))
+      val parts = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, nn / 25000 + 1))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(outRows, parts), schema)
+    }
 
     var pr = nodes.select(col("s"), lit(prInit).as("pr"))
     var cached: DataFrame = null

@@ -74,6 +74,23 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
 
+  test("pageRank: driver and distributed routes replay one trajectory") {
+    val rnd = new scala.util.Random(11)
+    val e = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b),
+        rnd.nextInt(9).toLong + 1L) }
+      .distinct.toDF("s_a", "s_b", "w")
+    val viaDriver = GraphOps.pageRank(e, iters = 4)
+      .orderBy("node").collect().map(r => (r.get(0), r.getLong(1))).toSeq
+    spark.conf.set("spark.graft.pagerank.driverMaxEdges", "0")
+    val viaRounds =
+      try GraphOps.pageRank(e, iters = 4)
+        .orderBy("node").collect().map(r => (r.get(0), r.getLong(1))).toSeq
+      finally spark.conf.unset("spark.graft.pagerank.driverMaxEdges")
+    assert(viaDriver === viaRounds)
+  }
+
   test("triangleCount: K3 is one triangle, lcc exactly 1") {
     val got = trisOf(Seq(("a", "b"), ("a", "c"), ("b", "c")))
     assert(got == Map(
