@@ -245,33 +245,43 @@ object DstTable {
           .as("__unknown"))): _*)
       .withColumn(BucketCol, bucketOf(meta, buckets))
 
-    // ONE pass collects the affected buckets, any unknown columns, AND
-    // the patch cardinality (driver round-trips saved per table per
-    // commit)
-    val metaRow = typedPatch.agg(
+    // The per-commit metadata — affected buckets, any unknown
+    // columns, the patch cardinality — in ONE pass. The CoW routes
+    // need it BEFORE their write (the affected set prunes the
+    // old-contents read), so they pay a dedicated aggregation job;
+    // the steady-state merge-on-read append needs it only AFTER, so
+    // there it rides an Observation ON the delta-write job itself —
+    // zero dedicated jobs per table per commit (r17: the agg job was
+    // ~30% of a RUN batch's emit phase).
+    val metaAggs = Seq(
       collect_set(col(BucketCol)).as("buckets"),
       array_distinct(flatten(collect_list(col("__unknown")))).as("bad"),
-      count(lit(1)).as("n")).head()
-    val bad = metaRow.getAs[scala.collection.Seq[String]]("bad")
-    if (bad.nonEmpty)
-      throw new IllegalArgumentException(
-        s"unknown destination columns for table ${meta.name}: ${bad.mkString(",")}")
-    val affected = metaRow.getAs[scala.collection.Seq[Int]]("buckets").toSet
-    val nRows = metaRow.getAs[Long]("n")
-    if (affected.isEmpty) return (current, nRows)
+      count(lit(1)).as("n"))
+    def requireKnown(bad: scala.collection.Seq[String]): Unit =
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"unknown destination columns for table ${meta.name}: ${bad.mkString(",")}")
 
     // Copy-on-write — also taken, under merge-on-read, for the FIRST
     // commit into an empty table: a bulk load onto nothing writes
     // exactly patch-sized base files (zero amplification), and the
     // table starts with a real base instead of a base-less chain.
     val tableEmpty = current.bucketFiles.isEmpty && current.deltaFiles.isEmpty
-    if (!mergeOnRead || tableEmpty)
+    if (!mergeOnRead || tableEmpty) {
+      val metaRow = typedPatch.agg(metaAggs.head, metaAggs.tail: _*).head()
+      requireKnown(metaRow.getAs[scala.collection.Seq[String]]("bad"))
+      val affected = metaRow.getAs[scala.collection.Seq[Int]]("buckets").toSet
+      val nRows = metaRow.getAs[Long]("n")
+      if (affected.isEmpty) return (current, nRows)
       return (rewriteBuckets(spark, root, meta, buckets, current,
         Some(typedPatch), affected, commitVersion), nRows)
+    }
 
     // ---- merge-on-read: append the typed patch as delta files ----
     val deltaOut = s"$root/tables/${meta.name}/d$commitVersion"
-    typedPatch.drop("__unknown")
+    val obs = org.apache.spark.sql.Observation()
+    typedPatch.observe(obs, metaAggs.head, metaAggs.tail: _*)
+      .drop("__unknown")
       .withColumnRenamed("op", OpCol)
       .withColumn(SeqCol, lit(commitVersion))
       // co-locate each bucket so a bucket's chain grows ONE file per
@@ -279,6 +289,17 @@ object DstTable {
       // the compaction trigger below)
       .repartition(col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(deltaOut)
+    // the write IS the observed action; metrics are complete here.
+    // An unknown column aborts before the manifest ever references
+    // the just-written dir (commit-tagged, so a batch retry
+    // overwrites it) — same visibility contract as failing before
+    // the write.
+    val m = obs.get
+    requireKnown(m("bad").asInstanceOf[scala.collection.Seq[String]])
+    val affected =
+      m("buckets").asInstanceOf[scala.collection.Seq[Int]].toSet
+    val nRows = m("n").asInstanceOf[Long]
+    if (affected.isEmpty) return (current, nRows)
     val newDeltas = affected.map { bkt =>
       bkt -> (current.deltaFiles.getOrElse(bkt, Nil) ++
         TransactionalStore.partFiles(s"$deltaOut/$BucketCol=$bkt"))
