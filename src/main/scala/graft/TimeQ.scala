@@ -26,12 +26,17 @@ object TimeQ {
           val site = si.details.linesIterator.map(_.trim)
             .find(l => l.startsWith("graft.") && !l.startsWith("graft.TimeQ"))
             .getOrElse("")
-          if (ms.exists(_ >= 100))
+          if (ms.exists(_ >= 100)) {
             println(f"[timeq.stage] id=${si.stageId}%-4d ${ms.get / 1e3}%6.2f s" +
               f" tasks=${si.numTasks}%-3d in=${m.inputMetrics.bytesRead / 1048576}%4dM" +
               f" sr=${m.shuffleReadMetrics.totalBytesRead / 1048576}%4dM" +
               f" sw=${m.shuffleWriteMetrics.bytesWritten / 1048576}%4dM" +
               f" cpu=${m.executorCpuTime / 1e9}%7.1f  ${si.name.take(40)} $site")
+            if (sys.env.contains("SPARK_GRAFT_TIMEQ_STAGES_FULL") &&
+                ms.exists(_ >= 1000))
+              println(si.details.linesIterator.take(14)
+                .map("[timeq.detail]   " + _).mkString("\n"))
+          }
         }
       })
     }

@@ -372,7 +372,17 @@ object NativeExpressions {
     val longs = df.select(key.cast("long").as("__k"))
       .filter(col("__k").isNotNull)
     val n = longs.count()
-    val bf = longs.rdd.treeAggregate(
+    // the source is often a cached post-shuffle frame that AQE
+    // coalesced to one partition (bytes-tiny, CPU-dense) — re-spread
+    // the fold when the key count warrants, so the putLong pass runs
+    // wide (r17: the single-task fold was ~2s of a 3s query)
+    val rdd0 = longs.rdd
+    val parts = math.max(1, math.min(
+      df.sparkSession.sparkContext.defaultParallelism.toLong,
+      n / 100000L + 1L)).toInt
+    val rdd = if (rdd0.getNumPartitions < parts) rdd0.repartition(parts)
+      else rdd0
+    val bf = rdd.treeAggregate(
       BloomFilter.create(math.max(n, 1L), fpp))(
       (f, r) => { f.putLong(r.getLong(0)); f },
       (a, b) => { a.mergeInPlace(b); a })
