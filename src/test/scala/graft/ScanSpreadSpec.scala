@@ -14,10 +14,29 @@ class ScanSpreadSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("single-row-group table spreads to defaultParallelism") {
-    val df = Tables.load(spark, sfDir, "documents")
-    assert(df.rdd.getNumPartitions ===
-      spark.sparkContext.defaultParallelism)
+  test("single-row-group table spreads proportionally, capped at " +
+      "defaultParallelism") {
+    // r18: width = ceil(uncompressedBytes / spreadTargetBytes), so a
+    // mid-sized table spreads without the r17 flat 32-way fan-out
+    // (sf0.01 lineitem is ~1.2MB uncompressed: several partitions)
+    val df = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
+    val n = df.rdd.getNumPartitions
+    assert(n > 1 && n <= spark.sparkContext.defaultParallelism, s"n=$n")
+  }
+
+  test("trivially small table is not spread at all") {
+    val df = Tables.load(spark, sfDir, "supplier")
+    assert(!df.queryExecution.optimizedPlan.toString
+      .contains("Repartition"))
+  }
+
+  test("spreadTargetBytes=0 restores the flat-to-parallelism width") {
+    spark.conf.set(Tables.SpreadTargetBytesKey, "0")
+    try {
+      val df = Tables.load(spark, sfDir, "documents")
+      assert(df.rdd.getNumPartitions ===
+        spark.sparkContext.defaultParallelism)
+    } finally spark.conf.unset(Tables.SpreadTargetBytesKey)
   }
 
   test("spread off under spreadMaxBytes=0, rows identical either way") {
@@ -50,7 +69,9 @@ class ScanSpreadSpec extends SparkSpec {
   }
 
   test("filter still pushes to the scan through the spread") {
-    val df = Tables.load(spark, sfDir, "lineitem")
+    // sf0.01 so the spread actually fires (sf0.001 tables are under
+    // one spread-target of uncompressed bytes)
+    val df = Tables.load(spark, "/root/testdata/sf0.01", "lineitem")
       .filter(col("l_quantity") > 49)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
