@@ -554,13 +554,22 @@ object Dedup {
     // same cache, and the materializing aggregation ALSO counts the
     // symmetric edge rows — the per-round shuffle width — so the
     // round loop's execution regime (FixpointExec) is gated by a
-    // measured size, with no extra job
+    // measured size, with no extra job. The same aggregation carries
+    // the summed id bytes (strings only; fixed-width ids are priced
+    // per row), so the driver-route gate below is BYTE-aware with no
+    // extra job either.
     var labels: DataFrame = symSelf.filter(col("src") === col("dst"))
       .select(col("src").as("id"), col("src").as("comp"))
+    val idIsString = edges.schema(idA).dataType ==
+      org.apache.spark.sql.types.StringType
+    val idByteAgg =
+      if (idIsString) sum(octet_length(col("src")) + octet_length(col("dst")))
+      else sum(lit(16L))
     val szRow = symSelf.agg(count(lit(1)),
-      count(when(col("src") === col("dst"), 1))).head()
+      count(when(col("src") === col("dst"), 1)), idByteAgg).head()
     val edgeRows = szRow.getLong(0)
     var labelRows = szRow.getLong(1)
+    val idBytes = if (szRow.isNullAt(2)) 0L else szRow.getLong(2)
 
     // DRIVER ROUTE (the bradleyTerryAuto pattern): while the
     // symmetric edge set collects comfortably, run union-find on the
@@ -570,14 +579,25 @@ object Dedup {
     // the round loop was 3–6 s of near-zero-CPU stages on pair sets
     // of a few thousand edges). The label semantics are identical —
     // comp = the component's minimum id — and the existing
-    // union-find property spec pins the equivalence. Gated by
-    // spark.graft.cc.driverMaxEdges (default 2M rows ≈ tens of MB on
-    // the driver; 0 disables): a corpus-scale pair graph stays on
-    // the frame-based fixpoint below.
+    // union-find property spec pins the equivalence. Gated by BOTH
+    // spark.graft.cc.driverMaxEdges (rows, default 2M; 0 disables the
+    // route) AND spark.graft.cc.driverMaxBytes (default 256m; 0
+    // disables the byte check): estBytes prices the collected
+    // GenericRow batch — ~64 B of Row/object overhead per edge plus
+    // ~4× the raw id bytes (UTF-16 chars + String headers) — so 2M
+    // edges of long URLs no longer slip through a row-count-only
+    // gate onto a small driver heap. A corpus-scale pair graph fails
+    // both and stays on the frame-based fixpoint below.
     val driverMax =
       try spark.conf.get("spark.graft.cc.driverMaxEdges", "2000000").toLong
       catch { case _: NumberFormatException => 0L }
-    if (driverMax > 0 && edgeRows <= driverMax) {
+    val driverMaxBytes =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.graft.cc.driverMaxBytes", "256m"))
+      catch { case _: NumberFormatException => 0L }
+    val estBytes = edgeRows * 64L + 4L * idBytes
+    if (driverMax > 0 && edgeRows <= driverMax &&
+        (driverMaxBytes <= 0 || estBytes <= driverMaxBytes)) {
       val rows = symSelf.collect()
       symSelf.unpersist()
       val idx = new java.util.HashMap[Any, Integer](rows.length * 2)
@@ -602,10 +622,20 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(rb) = ra
       }
-      // min id per root, compared with the value type's natural order
-      // (ids here are atomic Comparables: Long/Int/String)
-      def lt(x: Any, y: Any): Boolean =
-        x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      // min id per root. String ids MUST compare in Spark's
+      // StringType order — UTF8String byte order, i.e. code-point
+      // order — not Java String.compareTo (UTF-16 code-unit order):
+      // the two disagree when supplementary-plane characters meet
+      // U+E000..U+FFFF, and the frame route's min() would then pick a
+      // different canonical representative (route-equivalence pinned
+      // by the non-BMP case in CorpusOpsSpec). Other id types are
+      // atomic Comparables with engine-identical order (Long/Int).
+      def lt(x: Any, y: Any): Boolean = (x, y) match {
+        case (a: String, b: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(a).compareTo(
+            org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+        case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+      }
       val minOf = new java.util.HashMap[Int, Any]
       (0 until vals.length).foreach { i =>
         val r = find(i)
@@ -620,10 +650,7 @@ object Dedup {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", dt),
         org.apache.spark.sql.types.StructField("comp", dt)))
-      val parts = math.max(1,
-        math.min(spark.sparkContext.defaultParallelism, vals.length / 25000 + 1))
-      val out = spark.createDataFrame(
-        spark.sparkContext.parallelize(outRows, parts), schema)
+      val out = DriverRoute.frameOf(spark, outRows, schema)
       out.persist()
       return out
     }
@@ -653,13 +680,29 @@ object Dedup {
         .join(bc(labels.select(col("id").as("m1"), col("comp"))), "m1")
         .select(col("id"), col("comp"))
       next.persist()
-      val stat = next
-        .agg(sum(col("comp").cast("decimal(38,0)")), count(lit(1)))
-        .collect()(0)
-      val sumNow = Option(stat.getDecimal(0))
-      labelRows = stat.getLong(1)
-      converged = prevSum == sumNow || sumNow.isEmpty
-      prevSum = sumNow
+      if (idIsString) {
+        // a string label cannot ride the numeric checksum (ANSI cast
+        // of a non-numeric id throws — latent until the r18 non-BMP
+        // route test); convergence is instead the exact changed-label
+        // count against the previous round, joined inside the same
+        // materializing job (broadcast-gated like the round join)
+        val stat = next
+          .join(bc(labels.select(col("id"), col("comp").as("__prev"))),
+            "id")
+          .agg(sum(when(col("comp") =!= col("__prev"), 1L)
+            .otherwise(0L)), count(lit(1)))
+          .collect()(0)
+        converged = stat.isNullAt(0) || stat.getLong(0) == 0L
+        labelRows = stat.getLong(1)
+      } else {
+        val stat = next
+          .agg(sum(col("comp").cast("decimal(38,0)")), count(lit(1)))
+          .collect()(0)
+        val sumNow = Option(stat.getDecimal(0))
+        labelRows = stat.getLong(1)
+        converged = prevSum == sumNow || sumNow.isEmpty
+        prevSum = sumNow
+      }
       if (cached != null) cached.unpersist()
       cached = next
       labels = spark.createDataFrame(next.rdd, next.schema)

@@ -86,9 +86,18 @@ object GraphOps {
     val prInit = math.round(1e9 / n)
     val base = lit((1.0 - damping) / n * 1e9)
     // per-round shuffle width = the symmetrized edge rows (cheap
-    // count off the just-materialized cache) — gates the round
-    // loop's low-latency regime (FixpointExec) and the driver route
-    val edgeRows = e.count()
+    // aggregation off the just-materialized cache) — gates the round
+    // loop's low-latency regime (FixpointExec) and the driver route.
+    // The same pass sums the raw id bytes (strings only) so the
+    // driver-route gate is BYTE-aware at no extra job.
+    val idIsString = e.schema("s").dataType ==
+      org.apache.spark.sql.types.StringType
+    val idByteAgg =
+      if (idIsString) sum(octet_length(col("s")) + octet_length(col("t")))
+      else sum(lit(16L))
+    val szRow = e.agg(count(lit(1)), idByteAgg).head()
+    val edgeRows = szRow.getLong(0)
+    val idBytes = if (szRow.isNullAt(1)) 0L else szRow.getLong(1)
 
     // DRIVER ROUTE (the bradleyTerryAuto/connectedComponents
     // pattern): while the weighted edge list collects comfortably,
@@ -98,13 +107,25 @@ object GraphOps {
     // rounding Spark's ROUND applies to doubles
     // (BigDecimal.valueOf(x).setScale(0, HALF_UP)), and the incoming
     // sum is an exact long sum — order-free on both routes. Gated by
-    // spark.graft.pagerank.driverMaxEdges (default 2M rows; 0
-    // disables): a corpus-scale graph keeps the distributed rounds.
+    // BOTH spark.graft.pagerank.driverMaxEdges (rows, default 2M; 0
+    // disables the route) AND spark.graft.pagerank.driverMaxBytes
+    // (default 256m; 0 disables the byte check): estBytes prices the
+    // collected 4-column GenericRow batch (~96 B Row/weight overhead
+    // per edge + ~4× the raw id bytes for UTF-16 + String headers),
+    // so long string ids can't ride a row-count-only gate onto a
+    // small driver heap. A corpus-scale graph fails both and keeps
+    // the distributed rounds.
     val driverMax =
       try spark.conf.get("spark.graft.pagerank.driverMaxEdges",
         "2000000").toLong
       catch { case _: NumberFormatException => 0L }
-    if (driverMax > 0 && edgeRows <= driverMax) {
+    val driverMaxBytes =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.graft.pagerank.driverMaxBytes", "256m"))
+      catch { case _: NumberFormatException => 0L }
+    val estBytes = edgeRows * 96L + 4L * idBytes
+    if (driverMax > 0 && edgeRows <= driverMax &&
+        (driverMaxBytes <= 0 || estBytes <= driverMaxBytes)) {
       val rows = e.select(col("s"), col("t"), col("w").cast("long"),
         col("wt").cast("long")).collect()
       e.unpersist()
@@ -154,10 +175,7 @@ object GraphOps {
           org.apache.spark.sql.types.LongType)))
       val outRows: Seq[org.apache.spark.sql.Row] = (0 until nn).map(v =>
         org.apache.spark.sql.Row(vals(v), prv(v)))
-      val parts = math.max(1, math.min(
-        spark.sparkContext.defaultParallelism, nn / 25000 + 1))
-      return spark.createDataFrame(
-        spark.sparkContext.parallelize(outRows, parts), schema)
+      return DriverRoute.frameOf(spark, outRows, schema)
     }
 
     var pr = nodes.select(col("s"), lit(prInit).as("pr"))
@@ -320,8 +338,9 @@ object GraphOps {
       val pr = pageRank(edges, prIters) // materializes the edge cache
       val tri0 = triangleCount(edges)
       val triRows = tri0.collect().toIndexedSeq
-      val tri = spark.createDataFrame(
-        spark.sparkContext.parallelize(triRows, 1), tri0.schema)
+      // LocalRelation when small (DriverRoute): the suspect-assembly
+      // join against it then auto-broadcasts off real statistics
+      val tri = DriverRoute.frameOf(spark, triRows, tri0.schema)
       syndicationSuspects(perSource, pr, tri)
     } finally { edges.unpersist(); () }
   }

@@ -127,8 +127,7 @@ object Preference {
       .sortBy { case (i, _, _, t) => (-t, i) }
       .zipWithIndex
       .map { case ((i, w, g, t), r) => Row(i, w, g, t, r + 1L) }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(ranked.toSeq, 1),
+    DriverRoute.frameOf(spark, ranked.toSeq,
       StructType(Seq(
         StructField("item", StringType, nullable = false),
         StructField("wins", LongType, nullable = false),

@@ -96,8 +96,7 @@ object Profile {
         a.getAs[String](s"mn_${s.name}"), a.getAs[String](s"mx_${s.name}"),
         nKept, if (nKept < k) -1L else kth, est)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
+    DriverRoute.frameOf(spark, rows,
       StructType(Seq(
         StructField("column", StringType, nullable = false),
         StructField("n_rows", LongType, nullable = false),

@@ -279,8 +279,7 @@ object Sketch {
         else lo + w * bk + w * (r - cumBefore) / cnt
       Row(q.toLong, n, r, bk.toLong, math.round(est * 1000000d))
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), histQuantSchema)
+    DriverRoute.frameOf(spark, rows, histQuantSchema)
   }
 
   private val histQuantSchema =

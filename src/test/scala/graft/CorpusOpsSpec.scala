@@ -79,6 +79,45 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaDriver === viaRounds)
   }
 
+  test("connectedComponents: non-BMP string ids — routes agree on " +
+      "Spark's UTF8 byte order") {
+    // U+10000 (surrogate pair D800 DC00) vs U+E000: Java
+    // String.compareTo (UTF-16 code-unit order) says U+10000 < U+E000,
+    // Spark's UTF8String byte order (code-point order) says the
+    // opposite — the exact divergence the driver route's min-id pick
+    // must not introduce (ADVICE r17)
+    val hi = new String(Character.toChars(0x10000)) // supplementary
+    val pu = "\uE000"                               // private use, BMP
+    assert(hi.compareTo(pu) < 0) // Java order would pick hi as min
+    val edges = Seq((hi, pu), (pu, hi + "x")).toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    spark.conf.set("spark.graft.cc.driverMaxEdges", "0")
+    val viaRounds =
+      try Dedup.connectedComponents(edges, "id_a", "id_b")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      finally spark.conf.unset("spark.graft.cc.driverMaxEdges")
+    assert(viaDriver === viaRounds)
+    // and both label with the UTF8-order minimum, the BMP id
+    assert(viaDriver.values.toSet === Set(pu))
+  }
+
+  test("connectedComponents: byte gate routes oversized string-id " +
+      "graphs to the frame fixpoint") {
+    // ids wide enough that 3 edges exceed a tiny byte ceiling: the
+    // driver route must decline (result unchanged — both routes are
+    // equivalence-pinned above; this pins the GATE)
+    val wide = "w" * 64
+    val edges = Seq((wide + "1", wide + "2"), (wide + "2", wide + "3"),
+      (wide + "3", wide + "4")).toDF("id_a", "id_b")
+    spark.conf.set("spark.graft.cc.driverMaxBytes", "1k")
+    val got =
+      try Dedup.connectedComponents(edges, "id_a", "id_b")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      finally spark.conf.unset("spark.graft.cc.driverMaxBytes")
+    assert(got.values.toSet === Set(wide + "1"))
+  }
+
   test("topTokenCount: run-length fold equals groupBy count") {
     val df = Seq(
       "a b a c a b",   // a:3
