@@ -136,12 +136,105 @@ object Similarity {
       .select(col("q_id"), col("c_id"), e6(col("sim")).as("sim_e6"))
     val cv = short.join(
       corpus.select(col("id").as("c_id"), col("vec")), "c_id")
-    val pair = cv.select(col("q_id"), col("c_id"), col("vec").as("va"))
+    val pair0 = cv.select(col("q_id"), col("c_id"), col("vec").as("va"))
       .join(cv.select(col("q_id"), col("c_id").as("cb2"),
         col("vec").as("vb")), Seq("q_id"))
       .select(col("q_id"), col("c_id"), col("cb2"),
         e6(cosineI(col("va"), col("vb"))).as("sim_cc"))
-      .persist()
+
+    // DRIVER ROUTE (the CC/PageRank pattern): every quantity the k
+    // greedy rounds touch is ALREADY an exact integer (sim_e6 /
+    // sim_cc are materialized longs; the score is pure long
+    // arithmetic), so collecting the shortlist + pair sims and
+    // replaying the argmax walk on the driver is bit-identical by
+    // construction — no float replay needed, unlike PageRank. This
+    // removes the 2 jobs/round × k rounds of window + join scheduling
+    // that dominate wall time when the shortlist is small (r17:
+    // emb_mmr_topk was 10 BNLJ nodes of per-round plans). Gated by
+    // spark.graft.mmr.driverMaxRows (default 1M; 0 disables) against
+    // nQueries·shortlist² — the pair-sim row bound — measured with
+    // one count of the (small by contract) query side; a
+    // million-query corpus fails the gate and keeps the distributed
+    // rounds. Rows carry 3 ids + a long (≤ ~400 B heap each), so the
+    // 1M default bounds the collect at a few hundred MB.
+    val driverMax =
+      try spark.conf.get("spark.graft.mmr.driverMaxRows", "1000000").toLong
+      catch { case _: NumberFormatException => 0L }
+    val nQ = if (driverMax > 0) queries.count() else Long.MaxValue
+    if (driverMax > 0 &&
+        nQ <= driverMax / math.max(1L, shortlist.toLong * shortlist) ) {
+      val shortC = short.persist()
+      val shortRows = shortC.collect()
+      val pairRows = pair0.collect() // reads the shortlist cache
+      shortC.unpersist()
+      // a null sim (zero-norm vector) would need Spark's
+      // nulls-last-desc ordering replayed; fall through to the frame
+      // route instead of modeling it — absent from any real corpus
+      if (shortRows.forall(!_.isNullAt(2)) &&
+          pairRows.forall(!_.isNullAt(3))) {
+        def cmpId(x: Any, y: Any): Int = (x, y) match {
+          case (a: String, b: String) =>
+            // Spark ascending StringType order = UTF8 byte order
+            org.apache.spark.unsafe.types.UTF8String.fromString(a)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+          case _ => x.asInstanceOf[Comparable[Any]].compareTo(y)
+        }
+        val byQ = shortRows.groupBy(_.get(0))
+        val cc = new java.util.HashMap[(Any, Any, Any), java.lang.Long](
+          pairRows.length * 2)
+        pairRows.foreach(r => cc.put((r.get(0), r.get(1), r.get(2)),
+          java.lang.Long.valueOf(r.getLong(3))))
+        val lamA = lamNum.toLong
+        val lamB = (lamDen - lamNum).toLong
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        byQ.foreach { case (q, rows) =>
+          // (c_id, sim_e6, maxsel)
+          var state = rows.map(r => (r.get(1), r.getLong(2), 0L)).toSeq
+          var i = 1
+          while (i <= k && state.nonEmpty) {
+            // argmax by (score desc, c_id asc) — the window's order
+            var best = state.head
+            var bestScore = lamA * best._2 - lamB * best._3
+            state.tail.foreach { e =>
+              val s = lamA * e._2 - lamB * e._3
+              if (s > bestScore || (s == bestScore && cmpId(e._1, best._1) < 0)) {
+                best = e; bestScore = s
+              }
+            }
+            out += org.apache.spark.sql.Row(q, best._1, i, bestScore)
+            val picked = best._1
+            state = state.flatMap { e =>
+              if (e._1 == picked) None
+              else {
+                // inner-join semantics: an entry with no pair row is
+                // dropped, exactly like the frame route's join (the
+                // cv × cv pair table is complete per query, so this
+                // never fires on well-formed input)
+                val s = cc.get((q, e._1, picked))
+                if (s == null) None
+                else Some((e._1, e._2, math.max(e._3, s.longValue())))
+              }
+            }
+            i += 1
+          }
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("q_id",
+            short.schema("q_id").dataType),
+          org.apache.spark.sql.types.StructField("c_id",
+            short.schema("c_id").dataType),
+          org.apache.spark.sql.types.StructField("pick_rank",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("score_e6",
+            org.apache.spark.sql.types.LongType)))
+        val res = DriverRoute.frameOf(spark, out.toSeq, schema).persist()
+        res.count()
+        return res
+      }
+    }
+
+    val pair = pair0.persist()
     // `cached` tracks the round's PERSISTED frame (the CC/kmeans loop
     // pattern): `state` is its LogicalRDD re-plan, whose unpersist
     // would be a no-op against the cache registry
