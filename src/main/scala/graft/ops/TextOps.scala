@@ -30,7 +30,10 @@ object TextOps {
     val docs = df.select(id.as("__id"), text.as("__text"))
     val toks = docs.select(col("__id"),
       explode(tokens(col("__text"))).as("tok"))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // persisted: the totals action and the priced broadcast build both
+    // consume it — one tokenize pass instead of two (§1.2); vocab is
+    // |vocabulary|-sized and recomputed per invocation
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).persist()
     val total = vocab.agg(sum(col("cnt"))).head().getLong(0)
     val priced = vocab.withColumn("cost_e6",
       round(-log(col("cnt").cast("double") / total.toDouble) * 1000000d, 0)
@@ -72,7 +75,9 @@ object TextOps {
   def bigramSurprisal(df: DataFrame, id: Column, text: Column): DataFrame = {
     val docs = df.select(id.as("__id"), tokens(text).as("__toks"))
     val toks = docs.select(col("__id"), explode(col("__toks")).as("tok"))
-    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // persisted for the same reason as unigramSurprisal's vocab: the
+    // totals action and the priced broadcast build share one pass
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).persist()
     val total = uni.agg(sum(col("cnt"))).head().getLong(0)
     val pUni = uni.withColumn("u_cost_e6",
       round(-log(col("cnt").cast("double") / total.toDouble) * 1000000d, 0)
@@ -596,15 +601,45 @@ object TextOps {
       positive.as("__pos"))
     val toks = docs.select(col("__id"), col("__pos"),
       explode(col("__toks")).as("tok"))
+    // persisted: the totals row below and the priced-vocabulary
+    // broadcast build are BOTH consumers — without the cache each one
+    // re-ran the whole tokenize+explode+vocab aggregation, making the
+    // train side two full corpus passes instead of one (§1.2 fewer
+    // passes; vocab is |vocabulary|-sized, far smaller than the token
+    // stream). Recomputed per invocation — nothing persists across
+    // runs; the bench/verify harness clears the session cache between
+    // queries, like the connectedComponents result cache.
     val vocab = toks.groupBy("tok").agg(
       sum(when(col("__pos") === true, 1L).otherwise(0L)).as("cp"),
       sum(when(col("__pos") === false, 1L).otherwise(0L)).as("cn"))
-    val tot = vocab.agg(sum(col("cp")), sum(col("cn")), count(lit(1))).head()
-    val (totP, totN, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
-    val pri = docs.agg(
-      sum(when(col("__pos") === true, 1L).otherwise(0L)),
-      sum(when(col("__pos") === false, 1L).otherwise(0L))).head()
-    val (nPos, nNeg) = (pri.getLong(0), pri.getLong(1))
+      .persist()
+    // vocabulary totals + class prior in ONE fused action (the
+    // CdcEngine fused-aggregate pattern): the prior branch prunes to
+    // a cheap label scan, so this job's cost is the single tokenize
+    // pass that also materializes the vocab cache
+    val totA = vocab.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"),
+      count(lit(1)).as("v"))
+    val priA = docs.agg(
+      sum(when(col("__pos") === true, 1L).otherwise(0L)).as("np"),
+      sum(when(col("__pos") === false, 1L).otherwise(0L)).as("nn"))
+    val tT = org.apache.spark.sql.types.StructType(totA.schema.fields)
+    val pT = org.apache.spark.sql.types.StructType(priA.schema.fields)
+    val fusedRows = totA
+      .select(struct(col("*")).as("t"), lit(null).cast(pT).as("p"))
+      .unionByName(priA.select(lit(null).cast(tT).as("t"),
+        struct(col("*")).as("p")))
+      .collect()
+    var totP = 0L; var totN = 0L; var v = 0L
+    var nPos = 0L; var nNeg = 0L
+    fusedRows.foreach { r =>
+      if (!r.isNullAt(0)) {
+        val t = r.getStruct(0)
+        totP = t.getLong(0); totN = t.getLong(1); v = t.getLong(2)
+      } else {
+        val p = r.getStruct(1)
+        nPos = p.getLong(0); nNeg = p.getLong(1)
+      }
+    }
     require(nPos > 0 && nNeg > 0,
       "naiveBayesLogOdds needs at least one doc per class")
     val priorE6 =
