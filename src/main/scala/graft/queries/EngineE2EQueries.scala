@@ -172,6 +172,15 @@ object EngineE2EQueries {
       engine.bootstrap()
       val nBatches = 4L
       val sliceSize = maxId / nBatches + 1L
+      // every slice's heartbeat position in ONE aggregation job (was
+      // one agg job per non-final batch — pure fixture setup, §1.2
+      // fewer actions): identical values, since max(step_us) grouped
+      // by the slice index is the per-slice max. An empty slice is
+      // absent from the map and resolves to maxPos, as before.
+      val sliceMax = cdc
+        .groupBy(expr(s"event_id div $sliceSize").as("b"))
+        .agg(max("step_us").as("m")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       (0L until nBatches).foreach { b =>
         val slice = cdc.filter(col("event_id") >= b * sliceSize &&
           col("event_id") < (b + 1) * sliceSize)
@@ -181,14 +190,12 @@ object EngineE2EQueries {
         // which the reference's order verification treats as a
         // protocol violation
         val hbPos = if (b == nBatches - 1) maxPos
-          else slice.agg(max("step_us")).head() match {
-            case r if r.isNullAt(0) => maxPos
-            case r => r.getLong(0)
-          }
+          else sliceMax.getOrElse(b, maxPos)
+        val cf = changeFrame(slice)
         engine.processBatch(
-          changeFrame(slice).unionByName(
+          cf.unionByName(
             hbFrame(s, hbPos, maxId + 1 + b)
-              .select(changeFrame(slice).columns.map(col): _*)), b)
+              .select(cf.columns.map(col): _*)), b)
       }
       cdc.unpersist()
       engine.readTable("users").orderBy("user_id")
@@ -210,17 +217,22 @@ object EngineE2EQueries {
         maxBatchSize = Int.MaxValue, buckets = 32)
       val nBatches = 4L
       val sliceSize = maxId / nBatches + 1L
+      // one aggregation for every slice's heartbeat position (see
+      // cdc_engine_incremental) — and the replayed batch 1 no longer
+      // recomputes its slice max a second time
+      val sliceMax = cdc
+        .groupBy(expr(s"event_id div $sliceSize").as("b"))
+        .agg(max("step_us").as("m")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       def batchFrame(b: Long) = {
         val slice = cdc.filter(col("event_id") >= b * sliceSize &&
           col("event_id") < (b + 1) * sliceSize)
         val hbPos = if (b == nBatches - 1) maxPos
-          else slice.agg(max("step_us")).head() match {
-            case r if r.isNullAt(0) => maxPos
-            case r => r.getLong(0)
-          }
-        changeFrame(slice).unionByName(
+          else sliceMax.getOrElse(b, maxPos)
+        val cf = changeFrame(slice)
+        cf.unionByName(
           hbFrame(s, hbPos, maxId + 1 + b)
-            .select(changeFrame(slice).columns.map(col): _*))
+            .select(cf.columns.map(col): _*))
       }
       val e1 = new CdcEngine(s, cfg, Map(0 -> usersMeta))
       e1.bootstrap()

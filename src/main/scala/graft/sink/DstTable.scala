@@ -291,15 +291,24 @@ object DstTable {
       .write.mode("overwrite").partitionBy(BucketCol).parquet(deltaOut)
     // the write IS the observed action; metrics are complete here.
     // An unknown column aborts before the manifest ever references
-    // the just-written dir (commit-tagged, so a batch retry
-    // overwrites it) — same visibility contract as failing before
-    // the write.
+    // the just-written dir — and the dir itself is DELETED on the
+    // abort (and on a provably-empty patch), so neither case leaves
+    // an orphan d<commit> behind for a retry to maybe overwrite
+    // (r17 advice: the abort/empty paths used to rely on same-version
+    // retry semantics to clean up).
+    def dropDeltaDir(): Unit = {
+      val p = new org.apache.hadoop.fs.Path(deltaOut)
+      try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      catch { case _: java.io.IOException => () } // best effort
+    }
     val m = obs.get
-    requireKnown(m("bad").asInstanceOf[scala.collection.Seq[String]])
+    val bad = m("bad").asInstanceOf[scala.collection.Seq[String]]
+    if (bad.nonEmpty) { dropDeltaDir(); requireKnown(bad) }
     val affected =
       m("buckets").asInstanceOf[scala.collection.Seq[Int]].toSet
     val nRows = m("n").asInstanceOf[Long]
-    if (affected.isEmpty) return (current, nRows)
+    if (affected.isEmpty) { dropDeltaDir(); return (current, nRows) }
     val newDeltas = affected.map { bkt =>
       bkt -> (current.deltaFiles.getOrElse(bkt, Nil) ++
         TransactionalStore.partFiles(s"$deltaOut/$BucketCol=$bkt"))

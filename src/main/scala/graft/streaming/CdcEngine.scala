@@ -419,9 +419,15 @@ final class CdcEngine(
       }
     }
 
+  /** Empty pending frame as a LOCAL relation — provably empty to the
+    * optimizer, which lets applyCut skip the remainder write.
+    */
+  private def emptyPending(): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[Row](),
+      pendingSchema)
+
   private def pendingDF(man: TransactionalStore.Manifest): DataFrame =
-    if (man.pendingFiles.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pendingSchema)
+    if (man.pendingFiles.isEmpty) emptyPending()
     else spark.read.schema(pendingSchema).parquet(man.pendingFiles: _*)
 
   /** RUN stage: emit everything strictly below the quorum, atomically.
@@ -489,10 +495,10 @@ final class CdcEngine(
           val m = statRow.getStruct(1)
           val hi = Position(m.getLong(2), m.getLong(3))
           // rest is empty by construction (hi is the max position) — an
-          // explicit empty frame skips a full scan-and-filter pass
-          man = applyCut(man, remaining,
-            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pendingSchema),
-            hi, Stage.InitialScan)
+          // explicit empty LOCAL relation lets applyCut prove it and
+          // skip the remainder write job entirely
+          man = applyCut(man, remaining, emptyPending(), hi,
+            Stage.InitialScan)
           done = true
         }
         if (!done) {
@@ -548,8 +554,7 @@ final class CdcEngine(
           val m = stats(remaining)
           if (m.getLong(0) > 0L) {
             val mm = m.getStruct(1)
-            man = applyCut(man, remaining,
-              spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pendingSchema),
+            man = applyCut(man, remaining, emptyPending(),
               Position(mm.getLong(2), mm.getLong(3)), Stage.InitialScan)
           } else man = storePending(man, remaining, s"is$batchId")
           done = true
@@ -582,7 +587,24 @@ final class CdcEngine(
       // (the first actions race to materialize the merge cache; block
       // -level locks make that safe). Nothing becomes visible until
       // the caller's single manifest swap.
-      val restFut = Future {
+      //
+      // PROVABLY-empty remainder (an empty LocalRelation — the
+      // initial-scan fast path and the drain's final chunk construct
+      // exactly that): skip the write job outright and point the
+      // manifest at no pending files — pendingDF reads an empty list
+      // as an empty frame, so semantics are unchanged and a
+      // steady-state single-chunk batch saves one full write job +
+      // commit protocol (§1.2 fewer actions). Data-dependent
+      // emptiness still writes unconditionally (detecting it would
+      // cost the scan the write already pays).
+      val restKnownEmpty = rest.queryExecution.optimizedPlan match {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          l.data.isEmpty
+        case _ => false
+      }
+      val restFut =
+        if (restKnownEmpty) Future.successful(Seq.empty[String])
+        else Future {
         // unconditional write: an empty remainder writes an empty part
         // file, which beats a full pre-scan just to detect emptiness
         val restDir = s"$root/pending/r$commitTag"
