@@ -120,6 +120,34 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Single-threaded CPU canary: a fixed xorshift busy loop, ZERO
+    * Spark involvement — prices raw single-core speed of the host
+    * window. The parallel [[canaryOnce]] is itself a Spark job whose
+    * cost GROWS with core count (scheduling overhead) and it
+    * over-responds to window drift, which makes it circular for
+    * adjudicating the scheduling-bound sub-second queries (r17
+    * verdict item 6). This one cannot: no scheduler, no allocation,
+    * no I/O. Sampled at the same bracket points; emitted as
+    * additional fields (canary_st_q / canary_st) — nothing existing
+    * moves.
+    */
+  private def stCanaryOnce(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 150000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    if (x == 42L) println("") // keep the loop live
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One single-thread BRACKET sample = min of 2 runs (the same
+    * min-of-retries treatment the other canaries get).
+    */
+  private def stCanarySample(): Double =
+    math.min(stCanaryOnce(), stCanaryOnce())
+
   /** One media-canary BRACKET sample = min of 2 [[mediaCanaryOnce]]
     * runs — the same min-of-retries treatment the per-query timings
     * get (round-16 fix: a single unguarded sample made the mm_*
@@ -202,9 +230,12 @@ object Bench {
     // fake multi-x "regressions" on unchanged queries)
     canaryOnce(spark)
     mediaCanaryOnce()
+    stCanaryOnce()
     val canaries = scala.collection.mutable.ArrayBuffer(canaryOnce(spark))
     val mediaCanaries =
       scala.collection.mutable.ArrayBuffer(mediaCanarySample())
+    val stCanaries =
+      scala.collection.mutable.ArrayBuffer(stCanarySample())
     val noRetry = sys.env.contains("SPARK_GRAFT_BENCH_NORETRY")
     val batches = selected.grouped(BatchSize).toSeq
     batches.foreach { batch =>
@@ -221,6 +252,7 @@ object Bench {
       }
       canaries += sample
       mediaCanaries += mediaCanarySample()
+      stCanaries += stCanarySample()
     }
     val results = selected.map(n => n -> times(n))
     // per-query neighborhood canary: the mean of the two samples
@@ -272,10 +304,27 @@ object Bench {
       .mkString("{", ",", "}")
     val mediaJson =
       s"""{"med":$medMed,"min":${medSorted.head},"max":${medSorted.last},"n":${medSorted.size}}"""
+    // single-thread canary twin (additive fields): the adjudication
+    // unit for scheduling-bound sub-second rows, where the parallel
+    // Spark canary is circular (it anti-scales with core count)
+    val stOf = perQueryCanary(selected, stCanaries.toSeq)
+    val stSorted = stCanaries.toSeq.sorted
+    val stMed = stSorted(stSorted.size / 2)
+    val stQs = results.map { case (k, _) =>
+      "\"" + k + "\":" + stOf.getOrElse(k, stMed) }
+      .mkString("{", ",", "}")
+    val stJson =
+      s"""{"med":$stMed,"min":${stSorted.head},"max":${stSorted.last},"n":${stSorted.size}}"""
     val sfBase = new java.io.File(sfDir).getName
+    // non-default core counts get their own artifact name so a
+    // low-core scaling run can never clobber the canonical 32-core
+    // file (r17 hygiene item: the driver's local[8] pass overwrote
+    // BENCH_LOCAL_sf0.1.json)
+    val cpusEnv = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"BENCH_LOCAL_$sfBase.json")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_norm":$normQs,"canary_q":$canQs,"canary":$canaryJson,"canary_media_q":$mediaQs,"canary_media":$mediaJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size}}"""
+      if (cpusEnv == "32") s"BENCH_LOCAL_$sfBase.json"
+      else s"BENCH_LOCAL_${sfBase}_c$cpusEnv.json")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"queries_norm":$normQs,"canary_q":$canQs,"canary":$canaryJson,"canary_media_q":$mediaQs,"canary_media":$mediaJson,"canary_st_q":$stQs,"canary_st":$stJson,"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       fullLine + "\n")
     catch { case e: Throwable =>
@@ -291,7 +340,7 @@ object Bench {
     val omitted = bySlowest.filterNot(kept.contains)
     val qs = kept.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"canary_med":${f3(canMed)},"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size},"rest_n":${omitted.size},"rest_sec":${f3(omitted.map(_._2).sum)},"full":"$outFile"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"canary_med":${f3(canMed)},"canary_st_med":${f3(stMed)},"errors":$errJson,"sf":"$sfDir","reps":$reps,"n_queries":${results.size},"rest_n":${omitted.size},"rest_sec":${f3(omitted.map(_._2).sum)},"full":"$outFile"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
