@@ -243,6 +243,133 @@ object GraphOps {
     * Returns (node, deg, tri, lcc_e6).
     */
   def triangleCount(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    // DRIVER ROUTE (the CC/PageRank pattern): the oriented wedge
+    // enumeration is pure integer/comparator logic — no floats until
+    // the final lcc rounding, which replays Spark's exact
+    // multiply→divide→HALF_UP chain — so a small graph computes on
+    // the driver in one collect instead of ~10 join/aggregate stages
+    // of near-zero CPU (measured r18: the triangle stages of the
+    // affinity queries were a 64-task ladder of scheduling overhead).
+    // Gate: spark.graft.triangles.driverMaxEdges rows (default 2M; 0
+    // disables) AND spark.graft.triangles.driverMaxBytes (default
+    // 256m) over the same byte estimate the CC gate uses. Above the
+    // gate the one sizing pass is wasted — accepted and documented:
+    // the frame route evaluates the edge subtree several times
+    // anyway, and a corpus-scale deployment that never wants the
+    // probe sets driverMaxEdges=0.
+    val driverMax =
+      try spark.conf.get("spark.graft.triangles.driverMaxEdges",
+        "2000000").toLong
+      catch { case _: NumberFormatException => 0L }
+    if (driverMax > 0) {
+      val es = edges.select(col("s_a"), col("s_b")).persist()
+      val idIsString = edges.schema("s_a").dataType ==
+        org.apache.spark.sql.types.StringType
+      val byteAgg =
+        if (idIsString)
+          sum(octet_length(col("s_a")) + octet_length(col("s_b")))
+        else sum(lit(16L))
+      val sz = es.agg(count(lit(1)), byteAgg).head()
+      val eRows = sz.getLong(0)
+      val idBytes = if (sz.isNullAt(1)) 0L else sz.getLong(1)
+      val maxBytes =
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.graft.triangles.driverMaxBytes", "256m"))
+        catch { case _: NumberFormatException => 0L }
+      val estBytes = eRows * 64L + 4L * idBytes
+      if (eRows <= driverMax && (maxBytes <= 0 || estBytes <= maxBytes)) {
+        val rows = es.collect()
+        es.unpersist()
+        return triangleCountDriver(spark, rows,
+          edges.schema("s_a").dataType)
+      }
+      es.unpersist()
+    }
+    triangleCountFrames(edges)
+  }
+
+  /** Driver replay of [[triangleCountFrames]]' relational algebra,
+    * row for row — degree with multiplicity, (deg, node)-orientation
+    * with Spark's UTF8 string order, value-inequality wedge pairs,
+    * SET-semantics closing probe (the left-semi), and the identical
+    * IEEE multiply→divide→HALF_UP lcc quantization. Equivalence is
+    * pinned by the routes-agree test in GraphOpsSpec.
+    */
+  private def triangleCountDriver(spark: org.apache.spark.sql.SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    def cmp(x: Any, y: Any): Int = (x, y) match {
+      case (a: String, b: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a).compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y)
+    }
+    def roundHalfUp(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+    val deg = new java.util.HashMap[Any, Long]
+    rows.foreach { r =>
+      deg.merge(r.get(0), 1L, (a, b) => a + b)
+      deg.merge(r.get(1), 1L, (a, b) => a + b)
+    }
+    // orient each edge row from its (deg, node)-smaller endpoint
+    val adj = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[Any]]
+    val edSet = new java.util.HashSet[(Any, Any)](rows.length * 2)
+    rows.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      val (da, db) = (deg.get(a), deg.get(b))
+      val (u, v) =
+        if (da < db || (da == db && cmp(a, b) < 0)) (a, b) else (b, a)
+      adj.computeIfAbsent(u,
+        _ => scala.collection.mutable.ArrayBuffer.empty[Any]) += v
+      edSet.add((u, v))
+    }
+    val tri = new java.util.HashMap[Any, Long]
+    adj.forEach { (u, vs) =>
+      var i = 0
+      while (i < vs.length) {
+        var j = 0
+        while (j < vs.length) {
+          // value inequality, like the frame's y =!= z filter; a
+          // duplicated input edge duplicates the wedge exactly as the
+          // self-join would
+          if (i != j && vs(i) != vs(j) && edSet.contains((vs(i), vs(j)))) {
+            tri.merge(u, 1L, (a, b) => a + b)
+            tri.merge(vs(i), 1L, (a, b) => a + b)
+            tri.merge(vs(j), 1L, (a, b) => a + b)
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val outRows = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    deg.forEach { (node, d) =>
+      val t = tri.getOrDefault(node, 0L)
+      // replay round(lit(2e6) * tri / (deg * (deg - 1)), 0): multiply
+      // first, long product cast to double in the divide, HALF_UP
+      val lcc =
+        if (d >= 2L) roundHalfUp(2e6 * t.toDouble / (d * (d - 1L)).toDouble)
+        else 0L
+      outRows += org.apache.spark.sql.Row(node, d, t, lcc)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", dt),
+      org.apache.spark.sql.types.StructField("deg",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tri",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lcc_e6",
+        org.apache.spark.sql.types.LongType)))
+    DriverRoute.frameOf(spark, outRows.toSeq, schema)
+  }
+
+  /** The distributed frame formulation of [[triangleCount]] — the
+    * route above the driver gate, and the equivalence reference.
+    */
+  def triangleCountFrames(edges: DataFrame): DataFrame = {
     val und = edges.select(col("s_a").as("s"), col("s_b").as("t"))
       .unionByName(edges.select(col("s_b").as("s"), col("s_a").as("t")))
     val deg = und.groupBy("s").agg(count(lit(1)).as("deg"))

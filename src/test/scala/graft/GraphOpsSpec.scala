@@ -91,6 +91,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(viaDriver === viaRounds)
   }
 
+  test("triangleCount: driver and frame routes agree on random graphs") {
+    for (seed <- Seq(5, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val e = Seq.fill(180)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b), 1L) }
+        .distinct.toDF("s_a", "s_b", "w")
+      val viaDriver = GraphOps.triangleCount(e).orderBy("node")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      spark.conf.set("spark.graft.triangles.driverMaxEdges", "0")
+      val viaFrames =
+        try GraphOps.triangleCount(e).orderBy("node")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSeq
+        finally spark.conf.unset("spark.graft.triangles.driverMaxEdges")
+      assert(viaDriver === viaFrames, s"seed $seed")
+    }
+  }
+
   test("triangleCount: K3 is one triangle, lcc exactly 1") {
     val got = trisOf(Seq(("a", "b"), ("a", "c"), ("b", "c")))
     assert(got == Map(
