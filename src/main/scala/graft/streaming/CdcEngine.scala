@@ -912,7 +912,11 @@ final class CdcEngine(
     val rows = tracker.snapshot.toSeq.map { case ((tid, p), pos) =>
       Row(tid, p, pos.step, pos.txId)
     }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+    // LocalRelation, not an RDD: the tracker snapshot is O(#partitions)
+    // driver state; exact stats let the tagLate join broadcast it and
+    // no 1-partition RDD stage ever schedules for it
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava,
       StructType(Seq(StructField("tableId", IntegerType),
         StructField("partitionId", LongType),
         StructField("step", LongType), StructField("txId", LongType))))
